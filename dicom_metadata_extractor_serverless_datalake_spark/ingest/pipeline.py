@@ -1,0 +1,117 @@
+"""Spark ingest job: binary source -> mapInPandas extraction ->
+partitioned Parquet lake + quarantine sink.
+
+This is the reference's whole serverless pipeline (S3 event -> Lambda ->
+pydicom -> awswrangler Parquet, SURVEY §3.1) as one declarative Spark
+job. The Lambda/Batch 500 MB size router (src/app.py:118-184) dissolves:
+task scheduling handles all object sizes.
+
+Scale notes (100 TB target):
+- one input file = one task by default via binaryFile; for millions of
+  small objects, ``sources.binary.read_binary`` can pack many objects
+  per partition (listing-based reader) to amortize task overhead.
+- extraction is an Arrow-batched mapInPandas (not per-row Python UDF).
+- the lake is Hive-partitioned on study_date so Catalyst prunes
+  partitions on the query side; writes repartition by the partition
+  column first so each task writes few files (avoids the
+  small-files explosion of per-task-per-partition writers).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import INGEST_SCHEMA, PARTITION_COL
+from .extract import extract_records
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in INGEST_SCHEMA.fields]
+    for pdf in batches:
+        rows: list[dict] = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            rows.extend(extract_records(path, bytes(content)))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_df(binary_df: DataFrame) -> DataFrame:
+    """(path, content) binary DataFrame -> canonical metadata rows with an
+    ``error`` channel column."""
+    return binary_df.select("path", "content").mapInPandas(
+        _extract_batches, schema=INGEST_SCHEMA
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    input_path: str,
+    lake_path: str,
+    quarantine_path: str | None = None,
+    use_binary_file_source: bool = False,
+) -> tuple[int, int]:
+    """Batch-ingest every binary object under input_path.
+
+    Returns (lake_rows, quarantined_rows). Equivalent of replaying all S3
+    ObjectCreated events (deploy/serverless.yml:195-200) through the
+    reference pipeline in one job.
+
+    The default source is the listing-based ranged reader
+    (sources.binary.read_binary): it honors the reference's 10 MB ranged
+    .dcm read, sees zero-byte objects (binaryFile drops them, losing the
+    DLQ contract for empty DICOMDIR), and packs many small objects per
+    task. Set ``use_binary_file_source`` for Spark's built-in source."""
+    if use_binary_file_source:
+        binary_df = spark.read.format("binaryFile").load(input_path)
+    else:
+        from ..sources.binary import read_binary
+
+        binary_df = read_binary(spark, input_path)
+
+    extracted = extract_df(binary_df)
+    extracted.persist()
+    try:
+        good = extracted.filter(F.col("error").isNull()).drop("error")
+        bad = extracted.filter(F.col("error").isNotNull())
+
+        # one job for both counts, off the persisted extraction
+        counts = dict(
+            extracted.groupBy(F.col("error").isNull().alias("ok")).count().collect()
+        )
+        n_good, n_bad = int(counts.get(True, 0)), int(counts.get(False, 0))
+
+        # repartition by partition key so each study_date writes from few
+        # tasks -> few, large parquet files (small-files control at scale)
+        if n_good:
+            (
+                good.repartition(PARTITION_COL)
+                .write.mode("append")
+                .partitionBy(PARTITION_COL)
+                .parquet(lake_path)
+            )
+        if quarantine_path and n_bad:
+            bad.write.mode("append").parquet(quarantine_path)
+    finally:
+        extracted.unpersist()
+    return n_good, n_bad
+
+
+def run_ingest(
+    spark: SparkSession,
+    input_path: str,
+    lake_path: str,
+    quarantine_path: str | None = None,
+    table: str | None = None,
+) -> DataFrame:
+    """Ingest then register/refresh the lake as a catalog table, returning
+    the queryable DataFrame (the Glue-table + MSCK step,
+    deploy/serverless.yml:509-567 / README.md:105)."""
+    ingest_batch(spark, input_path, lake_path, quarantine_path)
+    df = spark.read.parquet(lake_path)
+    if table:
+        df.createOrReplaceTempView(table)
+    return df

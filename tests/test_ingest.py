@@ -1,0 +1,83 @@
+"""End-to-end ingest: fixtures -> binaryFile -> mapInPandas -> partitioned
+Parquet lake + quarantine (SURVEY §5 strategy item 2)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dicom_metadata_extractor_serverless_datalake_spark.ingest.pipeline import ingest_batch
+from dicom_metadata_extractor_serverless_datalake_spark.schema import DICOM_METADATA_SCHEMA
+
+from fixtures import write_fixture_tree
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dcm_fixtures")
+    counts = write_fixture_tree(root)
+    return root, counts
+
+
+def test_ingest_end_to_end(spark, fixture_dir, tmp_path_factory):
+    root, counts = fixture_dir
+    out = tmp_path_factory.mktemp("lake")
+    lake = str(out / "dicom_metadata")
+    quarantine = str(out / "quarantine")
+
+    n_good, n_bad = ingest_batch(spark, str(root), lake, quarantine)
+    assert n_good == counts["lake_rows"]
+    assert n_bad == counts["quarantine_rows"]
+
+    df = spark.read.parquet(lake)
+    # pinned schema holds (partition col comes back typed date)
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in DICOM_METADATA_SCHEMA.fields}
+    assert got == want
+
+    # partition layout: study_date=YYYY-MM-DD dirs, 1979-01-01 backfill present
+    dates = {r[0] for r in df.select("study_date").distinct().collect()}
+    assert datetime.date(1979, 1, 1) in dates
+
+    # lineage columns populated; archive members carry member path
+    zip_rows = df.filter(F.col("source_s3_key").endswith("example.zip"))
+    members = {r[0] for r in zip_rows.select("source_s3_archive_path").collect()}
+    assert members == {"example-1", "example-3"}  # DICOMDIR skipped
+
+    # quarantine captured the empty DICOMDIR with an error message
+    q = spark.read.parquet(quarantine)
+    assert q.count() == 1
+    row = q.collect()[0]
+    assert "DICOMDIR" in row["source_s3_key"]
+    assert row["error"]
+
+    # ignored extensions contributed nothing
+    assert df.filter(F.col("source_s3_key").endswith(".txt")).count() == 0
+
+    # flagship aggregation over the lake (M0 acceptance, SURVEY §7)
+    agg = (
+        df.filter(F.col("study_date") >= "1979-01-01")
+        .groupBy("modality")
+        .agg(F.count("*").alias("n"))
+    )
+    assert agg.agg(F.sum("n")).collect()[0][0] == counts["lake_rows"]
+
+
+def test_ingest_reference_samples(spark, tmp_path_factory):
+    """Ingest the reference's own sample_dcm/ set and reproduce its
+    documented outcome: 8 metadata rows (2 bare + 2 zip + 2 tar + 2 from
+    tar.gz/tar.bz2 re-compressions), DICOMDIR quarantined
+    (README.md:94-118)."""
+    import pathlib
+
+    src = pathlib.Path("/root/reference/sample_dcm")
+    if not src.exists():
+        pytest.skip("reference samples unavailable")
+    out = tmp_path_factory.mktemp("ref_lake")
+    n_good, n_bad = ingest_batch(
+        spark, str(src), str(out / "lake"), str(out / "quarantine")
+    )
+    # example-0, example-6 bare; example.zip{-1,-3}; example.tar{-4,-5};
+    # example.tar.gz and example.tar.bz2 repeat the tar members
+    assert n_good == 10
+    assert n_bad == 1  # empty DICOMDIR
