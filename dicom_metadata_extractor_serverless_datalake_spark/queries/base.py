@@ -73,7 +73,9 @@ def sql_query(
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # ---- determinism helpers (Spark side) ----

@@ -1,0 +1,590 @@
+"""LLM-data-pipeline corpus: deduplication (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search over embeddings, text analysis
+(language ID, quality stats, token counting, fingerprinting).
+
+These are the north-star additions (BASELINE.json): the operators a
+100 TB training-data pipeline runs over document/embedding tables. Every
+deterministic variant has a DuckDB oracle built from the *same constants*
+via a portable hash primitive that is bit-identical in both engines:
+
+    spark : CAST(conv(substr(md5(x),1,8),16,10) AS BIGINT)
+    duckdb: CAST('0x' || substr(md5(x),1,8) AS BIGINT)
+
+Approximate/sketch variants (ANN via LSH buckets) have no oracle by
+design and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+# --------------------------------------------------------------------------
+# portable 31-bit hash + MinHash permutation family (shared constants)
+# --------------------------------------------------------------------------
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+NUM_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = NUM_PERM // N_BANDS
+PERM_A = [1 + 12_347 * i for i in range(NUM_PERM)]
+PERM_B = [7 + 6_791 * i for i in range(NUM_PERM)]
+
+
+def spark_h31(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}),1,8),16,10) AS BIGINT) % {MERSENNE_P}"
+
+
+def duck_h31(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}),1,8) AS BIGINT) % {MERSENNE_P}"
+
+
+# --------------------------------------------------------------------------
+# q50 — exact dedup by content digest: the canonical first pass of any
+# training-data pipeline. Pure hash-groupBy: one shuffle on the digest.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q50_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keeper_id
+    """,
+    category="dedup",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — n-gram Jaccard near-dup pairs, exact: explode distinct unigrams,
+# token-blocked self-join, |A∩B| via groupBy, Jaccard from set sizes.
+# Scale path: the token join skews on frequent tokens — at 100 TB this is
+# exactly why MinHash-LSH (q52) exists; this exact variant is the oracle-
+# checkable ground truth for it.
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.8
+# exact pairwise Jaccard is O(pairs-sharing-a-token): on this corpus every
+# doc shares vocabulary with every other, so the exact variant runs on a
+# bounded subset — it exists as checkable ground truth for the linear-cost
+# MinHash path (q52), which is the one that scales.
+_JACCARD_MAX_DOC = 250
+
+
+@query(
+    "q51_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents WHERE doc_id < {_JACCARD_MAX_DOC}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS both_n
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) >= {_JACCARD_THRESHOLD}
+    ORDER BY d1, d2
+    """,
+    category="dedup",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    shared = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("both_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    return (
+        shared.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — MinHash-LSH candidate pairs: 16 permutations, 4 bands × 4 rows.
+# This is the scale path for near-dedup: cost is O(docs × shingles) for
+# signatures + a groupBy on band signatures — no quadratic join. The
+# oracle replays the identical permutation arithmetic in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({PERM_A[i]} * hs + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || '_' || ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+      FROM w3
+    ),
+    h AS (SELECT doc_id, {duck_h31('s')} AS hs FROM tok),
+    mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2 FROM pairs ORDER BY d1, d2
+    """
+
+
+_SPARK_SHINGLES = (
+    "CASE WHEN size(w) >= 3 THEN "
+    "transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))) "
+    "ELSE array() END"
+)
+
+
+@query("q52_minhash_lsh", oracle=_minhash_oracle(), category="dedup", headline=True)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    tok = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .distinct()
+    )
+    h = tok.select("doc_id", F.expr(spark_h31("s")).alias("hs"))
+    mh = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(PERM_A[i]) * F.col("hs") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+    band_frames = [
+        mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — SimHash (32-bit) near-dup: per-token hash bits vote per position;
+# docs pair when Hamming distance <= 3. Signature build is linear; the
+# pair scan is the quadratic tail LSH would bucket away at scale.
+# --------------------------------------------------------------------------
+
+_HAMMING_MAX = 3
+
+
+@query(
+    "q53_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (SELECT doc_id, {duck_h31('w')} AS hw FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS score
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ORDER BY d1, d2
+    """,
+    category="dedup",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = tok.select("doc_id", F.expr(spark_h31("w")).alias("hw"))
+    bits = (
+        h.select("doc_id", "hw", F.explode(F.sequence(F.lit(0), F.lit(30))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(hw >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("score")
+        )
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — brute-force cosine top-k over embeddings: the exact baseline for
+# similarity search. Query side is tiny -> broadcast; candidates stream.
+# Dot/norm folds are sequential (aggregate / list_reduce) so both engines
+# produce bit-identical doubles.
+# --------------------------------------------------------------------------
+
+_TOP_K = 10
+_N_QUERIES = 5
+
+_SPARK_DOT = (
+    "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_SPARK_NORM = (
+    "sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+@query(
+    "q54_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_reduce(
+               list_transform(generate_series(1, len(qe)),
+                              i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(qe)),
+                                 i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))
+             AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    ORDER BY q_id, rank
+    """,
+    category="similarity",
+    headline=True,
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot", F.expr(_SPARK_DOT))
+        .withColumn("qn", F.expr(_SPARK_NORM.format(col="qe")))
+        .withColumn("en", F.expr(_SPARK_NORM.format(col="embedding")))
+        .select(
+            "q_id", "vec_id", (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — ANN via random-hyperplane LSH buckets (no oracle: approximate by
+# design; rows-only check). Hyperplane components are ±1 derived from the
+# portable hash of (plane, dim) so the partitioning is deterministic.
+# At scale: bucket cardinality ~ n/2^planes; search cost drops from O(n)
+# to O(n / 2^planes) per query with recall traded via multi-probe.
+# --------------------------------------------------------------------------
+
+_N_PLANES = 6
+
+
+def _bucket_expr(col: str) -> str:
+    bits = []
+    for p in range(_N_PLANES):
+        plane_hash = spark_h31("concat('pl" + str(p) + "_', i)")
+        proj = (
+            f"aggregate(transform(sequence(0, size({col}) - 1), "
+            f"i -> CAST(element_at({col}, i + 1) AS DOUBLE) * "
+            f"(CAST({plane_hash} % 2 AS DOUBLE) * 2.0 - 1.0)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@query("q55_ann_lsh", oracle=None, category="similarity")
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings").withColumn("bucket", F.expr(_bucket_expr("embedding")))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("bucket")
+    )
+    cand = emb.select("vec_id", "embedding", "bucket")
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot", F.expr(_SPARK_DOT))
+        .withColumn("qn", F.expr(_SPARK_NORM.format(col="qe")))
+        .withColumn("en", F.expr(_SPARK_NORM.format(col="embedding")))
+        .select("q_id", "vec_id", (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — text quality stats: token/char counts, stopword + punctuation
+# ratios; integer counts divided as doubles so both engines agree exactly.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = "('the','a','of','and','to','in','is','it','on','for')"
+
+
+@query(
+    "q56_text_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                         tk -> tk IN {_STOPWORDS}))) AS DOUBLE)
+             / SUM(len(string_split(text, ' '))) AS stopword_ratio
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    category="text",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), tk -> tk IN {_STOPWORDS})"))
+    return (
+        t(spark, sf, "documents")
+        .select("source", "n_chars", n_tok.alias("nt"), n_stop.alias("ns"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            (F.sum("ns").cast("double") / F.sum("nt")).alias("stopword_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — heuristic language ID by stopword voting, alphabetical tie-break
+# via greatest + ordered CASE (portable deterministic argmax).
+# --------------------------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    "de": "('der','die','das','und','ist','nicht','ein','zu')",
+    "en": "('the','a','of','and','to','is','it','on')",
+    "es": "('el','la','de','y','es','un','en','que')",
+    "fr": "('le','la','de','et','est','un','une','que')",
+    "zh": "('de','le','shi','bu','wo','zai','you','he')",
+}
+
+
+def _lang_scores_sql(split_fn: str, filter_fn: str, len_fn: str) -> str:
+    return ",\n      ".join(
+        f"{len_fn}({filter_fn}({split_fn}(text, ' '), tk -> tk IN {words})) AS s_{lang}"
+        for lang, words in sorted(_LANG_STOPWORDS.items())
+    )
+
+
+_ARGMAX_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in sorted(_LANG_STOPWORDS)
+    )
+    + " END"
+)
+_GREATEST = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(_LANG_STOPWORDS)) + ")"
+
+
+@query(
+    "q57_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+      {_lang_scores_sql('string_split', 'list_filter', 'len')}
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang, {_ARGMAX_CASE.replace('= m', f'= {_GREATEST}')} AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+    category="text",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.expr(f"filter(split(text, ' '), tk -> tk IN {words})")).alias(f"s_{lang}")
+            for lang, words in sorted(_LANG_STOPWORDS.items())
+        ],
+    )
+    pred = scored.withColumn("m", F.expr(_GREATEST)).withColumn(
+        "predicted", F.expr(_ARGMAX_CASE)
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 — document fingerprint: polynomial rolling hash over the first 48
+# normalized chars (mod 1e9+7) — a cheap near-exact dedup key.
+# --------------------------------------------------------------------------
+
+_FP_LEN = 48
+_FP_MOD = 1_000_000_007
+
+
+@query(
+    "q58_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(generate_series(1, {_FP_LEN}),
+                              i -> CAST(ascii(substr(rpad(lower(text), {_FP_LEN}, ' '), i, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % {_FP_MOD}) AS fingerprint
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    category="text",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    fp = (
+        f"aggregate(transform(sequence(1, {_FP_LEN}), "
+        f"i -> CAST(ascii(substring(rpad(lower(text), {_FP_LEN}, ' '), i, 1)) AS BIGINT)), "
+        f"CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_FP_MOD})"
+    )
+    return (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.expr(fp).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 — BPE-ish regex token count (the token-budget estimator).
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@query(
+    "q59_token_count",
+    oracle=f"""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS DOUBLE)
+             / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    category="text",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    n_tok = F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
+    return (
+        t(spark, sf, "documents")
+        .select("source", n_tok.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.sum("nt").alias("total_tokens"),
+            (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,703 @@
+"""Relational corpus: scans, joins, aggregations, set ops, subqueries
+(SURVEY §2.B rows: projection/filter, joins, aggregations, sort/limit/
+top-k, set ops).
+
+Scale notes recur per query as comments: broadcast hints for dimension
+tables, decimal-exact aggregation (also the only way to hash-match the
+oracle), and filters written so Catalyst pushes them into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import davg, dsum, query, sql_davg, sql_dsum, sql_query, t
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan + filter + wide aggregation.
+# Headline query: full lineitem pass, partial agg map-side, 6 aggregates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 4)},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    category="agg",
+    headline=True,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    l = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", 4),
+            dsum(charge, "sum_charge", 6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — projection + predicate pushdown: 3-column read of a wide table.
+# .explain should show ReadSchema with only 4 columns and PushedFilters.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00' AND l_quantity < 5
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    category="scan",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '2001-01-01 00:00:00'"))
+            & (F.col("l_quantity") < 5)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — broadcast equi-join + agg: fact ⋈ small dim. customer is ~150k rows
+# at SF100 (a few MB) — always broadcast; no shuffle of orders by custkey.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q03_join_broadcast_agg",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_dsum('o_totalprice', 'total_revenue')},
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="join",
+    headline=True,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    customer = t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice", "total_revenue"), F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — multi-way star join (TPC-H Q5 shape): region->nation->customer->
+# orders->lineitem. Dims broadcast; the only shuffle is lineitem⋈orders on
+# orderkey (the unavoidable fact-fact join).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q04_star_join",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 4)},
+           COUNT(*) AS n_lines
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    category="join",
+    headline=True,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    region = t(spark, sf, "region")
+    nation = t(spark, sf, "nation")
+    customer = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    lineitem = t(spark, sf, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue", 4), F.count("*").alias("n_lines"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05/q06/q07 — outer join family. Null-producing sides aggregated with
+# explicit COALESCE so the hash is stable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q05_left_join",
+    oracle="""
+    SELECT has_recent, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey,
+             CASE WHEN MAX(o.o_orderkey) IS NULL THEN 0 ELSE 1 END AS has_recent
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00') o
+        ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY has_recent ORDER BY has_recent
+    """,
+    category="join",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    customer = t(spark, sf, "customer")
+    recent = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP '2001-06-01 00:00:00'")
+    )
+    per_cust = (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.when(F.max("o_orderkey").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("has_recent")
+        )
+    )
+    return (
+        per_cust.groupBy("has_recent")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("has_recent")
+    )
+
+
+@query(
+    "q06_right_join",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    category="join",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    supplier = t(spark, sf, "supplier")
+    nation = t(spark, sf, "nation")
+    return (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q07_full_outer_join",
+    oracle=f"""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+                      {sql_dsum('c_acctbal', 'cust_bal')}
+               FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(cust_bal, 0.0) AS cust_bal,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    category="join",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal", "cust_bal"))
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce(c.c_nk, s.s_nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q08/q09 — semi/anti join: EXISTS / NOT EXISTS without materializing the
+# right side (no row multiplication, null-safe).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q08_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="join",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    customer = t(spark, sf, "customer")
+    urgent = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q09_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+    category="join",
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    customer = t(spark, sf, "customer")
+    urgent = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — cross join (explicit cartesian, tiny×tiny only).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_cross_join",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    ORDER BY from_region, to_region
+    """,
+    category="join",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    r = t(spark, sf, "region")
+    a = r.select(F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ak") != F.col("bk"))
+        .select("from_region", "to_region")
+        .orderBy("from_region", "to_region")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — equi+theta (range) join: band condition evaluated post-shuffle on
+# the equi key, so no cartesian blowup.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q11_range_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_fast_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="join",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = t(spark, sf, "lineitem")
+    orders = t(spark, sf, "orders")
+    cond = (
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        lineitem.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_fast_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — statistics: min/max/avg/stddev via exact decimal moments so the
+# result is reduction-order independent (a raw double stddev is not).
+# --------------------------------------------------------------------------
+
+_STDDEV_ORACLE = """
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+           SQRT(
+             (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+              - CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+                * CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+                / CAST(COUNT(c_acctbal) AS DOUBLE))
+             / (CAST(COUNT(c_acctbal) AS DOUBLE) - 1.0)
+           ) AS stddev_bal
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@query("q12_agg_stats", oracle=_STDDEV_ORACLE, category="agg")
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    c = F.col("c_acctbal")
+    s = F.sum(c.cast("decimal(28,2)")).cast("double")
+    ss = F.sum((c * c).cast("decimal(28,4)")).cast("double")
+    n = F.count(c).cast("double")
+    return (
+        t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(c).alias("min_bal"),
+            F.max(c).alias("max_bal"),
+            (s / F.count(c)).alias("avg_bal"),
+            F.sqrt((ss - s * s / n) / (n - F.lit(1.0))).alias("stddev_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — count distinct (exact, shuffle-dedup) alongside plain counts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q13_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="agg",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# q14 — approx_count_distinct: HLL sketch, no exact oracle by design
+# (rows-only check; the exact twin is q13).
+
+
+@query("q14_approx_count_distinct", oracle=None, category="agg")
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15/q16/q17 — rollup / cube / grouping sets.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q15_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    category="agg",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q16_cube",
+    oracle=f"""
+    SELECT p_brand, p_type, COUNT(*) AS n, {sql_dsum('p_retailprice', 'sum_price')}
+    FROM part GROUP BY CUBE (p_brand, p_type)
+    ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST
+    """,
+    category="agg",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "part")
+        .cube("p_brand", "p_type")
+        .agg(F.count("*").alias("n"), dsum("p_retailprice", "sum_price"))
+        .orderBy(F.col("p_brand").asc_nulls_first(), F.col("p_type").asc_nulls_first())
+    )
+
+
+sql_query(
+    "q17_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    category="agg",
+    doc="GROUPING SETS — shared SQL dialect runs on both engines verbatim.",
+)
+
+
+# --------------------------------------------------------------------------
+# q18 — collect_set surfaced as a sorted joined string (engine-portable
+# deterministic form of a nested collection).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q18_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="agg",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19/q20/q21 — set operators.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19_union_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+    category="setop",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("nationkey").agg(F.count("*").alias("n")).orderBy("nationkey")
+
+
+@query(
+    "q20_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9990
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    category="setop",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9990)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "q21_except",
+    oracle="""
+    SELECT n_nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY n_nationkey
+    """,
+    category="setop",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    n = t(spark, sf, "nation").select("n_nationkey")
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return n.exceptAll(s).distinct().orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# q22 — global top-k: Catalyst rewrites sort+limit to TakeOrderedAndProject
+# (per-partition top-k then merge — no global sort shuffle).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q22_top_k",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    category="sort",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — scalar subquery: filter against a single aggregated value.
+# Decimal-exact threshold so both engines cut the same rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q23_scalar_subquery",
+    oracle=f"""
+    SELECT COUNT(*) AS n_above, {sql_dsum('o_totalprice', 'sum_above')}
+    FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+      FROM orders
+    )
+    """,
+    category="subquery",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    avg_row = orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double") / F.count("*")).alias("a")
+    )
+    return (
+        orders.join(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > 2 * F.col("a"))
+        .agg(F.count("*").alias("n_above"), dsum("o_totalprice", "sum_above"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — correlated/groupwise comparison: customers above their nation's
+# average balance. Window-based (single shuffle) instead of re-joining an
+# aggregate — at scale this halves the reads of the fact table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q24_groupwise_compare",
+    oracle="""
+    WITH na AS (
+      SELECT c_nationkey AS nk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, COUNT(*) AS n_above
+    FROM customer JOIN na ON nk = c_nationkey
+    WHERE c_acctbal > nation_avg
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    category="subquery",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey")
+    c = t(spark, sf, "customer").withColumn(
+        "nation_avg",
+        F.sum(F.col("c_acctbal").cast("decimal(28,2)")).over(w).cast("double")
+        / F.count("*").over(w),
+    )
+    return (
+        c.filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above"))
+        .orderBy("c_nationkey")
+    )

@@ -1,0 +1,10 @@
+"""Structured Streaming: incremental binary ingest (the S3-event pattern)
+and watermarked window aggregations."""
+
+from .ingest_stream import start_ingest_stream  # noqa: F401
+from .windows import (  # noqa: F401
+    sessionized_counts,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)

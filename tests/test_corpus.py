@@ -1,0 +1,101 @@
+"""Corpus vs DuckDB oracle — local mirror of the driver's t2 harness.
+
+Runs every registered query at sf0.001 (fast) and compares against the
+oracle with the driver's comparison shape: row count + column-name-sorted,
+order-insensitive values. Floats compared to 1e-9 relative (the corpus is
+designed for bit-equality; the tolerance only cushions genuine epsilon).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import STAR_TABLES
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for name in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm(r[i]) for i in order))
+    return sorted(out, key=repr)
+
+
+def _compare_cell(a, b, path):
+    if isinstance(a, tuple) and len(a) == 2 and a[0] == "f":
+        assert isinstance(b, tuple) and b[0] == "f", f"{path}: float vs {type(b)}"
+        x, y = a[1], b[1]
+        if x is None or y is None:
+            assert x == y, f"{path}: {x} != {y}"
+        elif math.isnan(x) or math.isnan(y):
+            assert math.isnan(x) and math.isnan(y), f"{path}: nan mismatch"
+        else:
+            assert x == pytest.approx(y, rel=1e-9, abs=1e-12), f"{path}: {x} != {y}"
+    elif isinstance(a, tuple):
+        assert isinstance(b, tuple) and len(a) == len(b), f"{path}: shape {a} vs {b}"
+        for i, (xa, xb) in enumerate(zip(a, b)):
+            _compare_cell(xa, xb, f"{path}[{i}]")
+    else:
+        assert a == b, f"{path}: {a!r} != {b!r}"
+
+
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle)
+NO_ORACLE = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_vs_duckdb(spark, sf_dir, name):
+    q = QUERIES[name]
+    sdf = q.spark_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    sk = _rows_key(scols, srows)
+    dk = _rows_key(dcols, drows)
+    for i, (a, b) in enumerate(zip(sk, dk)):
+        _compare_cell(a, b, f"{name} row{i}")
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only(spark, sf_dir, name):
+    q = QUERIES[name]
+    sdf = q.spark_fn(spark, sf_dir)
+    assert len(sdf.columns) > 0
+    assert sdf.count() >= 0

@@ -1,0 +1,87 @@
+"""Streaming: file-source ingest with availableNow + windowed aggregates
+over a streamed copy of the events table (SURVEY §2.B streaming row)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dicom_metadata_extractor_serverless_datalake_spark.streaming import (
+    sessionized_counts,
+    start_ingest_stream,
+    tumbling_counts,
+)
+
+from fixtures import write_fixture_tree
+
+
+def test_streaming_ingest_available_now(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_in")
+    write_fixture_tree(root)
+    out = tmp_path_factory.mktemp("stream_out")
+    q = start_ingest_stream(
+        spark,
+        str(root),
+        str(out / "lake"),
+        str(out / "quarantine"),
+        checkpoint_path=str(out / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    df = spark.read.parquet(str(out / "lake"))
+    # binaryFile skips the 0-byte DICOMDIR (its limitation, documented in
+    # sources/binary.py) -> 10 good rows, quarantine may be empty
+    assert df.count() == 10
+    assert df.filter(F.col("study_date").isNull()).count() == 0
+
+    # restart on same checkpoint: no new files -> no duplicate rows
+    q2 = start_ingest_stream(
+        spark, str(root), str(out / "lake"), str(out / "quarantine"),
+        checkpoint_path=str(out / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(str(out / "lake")).count() == 10
+
+
+def test_streaming_windows_match_batch(spark, sf_dir, tmp_path_factory):
+    """Streamed tumbling/session aggregations equal their batch twins."""
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream, load_table
+
+    events_batch = load_table(spark, sf_dir, "events")
+    # restrict the stream source dir to the events file only
+    src = tmp_path_factory.mktemp("events_src")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    stream = load_stream(spark, str(src), "events")
+
+    out = tmp_path_factory.mktemp("win_out")
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_counts(events_batch).collect()
+    }
+    assert got == want and len(want) > 0
+
+    q2 = (
+        sessionized_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    n_stream = spark.sql("SELECT count(*) c FROM session_test").collect()[0]["c"]
+    n_batch = sessionized_counts(events_batch).count()
+    assert n_stream == n_batch > 0
