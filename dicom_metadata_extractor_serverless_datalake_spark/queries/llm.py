@@ -182,10 +182,11 @@ _SPARK_SHINGLES = (
 @query("q52_minhash_lsh", oracle=_minhash_oracle(), category="dedup", headline=True)
 def q52(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
-    tok = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
-        .distinct()
+    # no distinct on (doc_id, shingle): MIN() is insensitive to duplicates,
+    # and skipping it keeps the shingle strings map-local — the only
+    # shuffle is the 16-column partial-aggregated signature per doc.
+    tok = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
     )
     h = tok.select("doc_id", F.expr(spark_h31("s")).alias("hs"))
     mh = h.groupBy("doc_id").agg(
