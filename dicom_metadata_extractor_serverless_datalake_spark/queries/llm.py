@@ -416,6 +416,58 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q60 — embedding-cosine near-dup pairs: the semantic-dedup primitive.
+# Exact variant on a bounded slice (the oracle-checkable ground truth);
+# the scale path replaces the O(n^2) pair scan with the q55 LSH buckets
+# (same scoring expression, candidate set restricted to bucket peers).
+# --------------------------------------------------------------------------
+
+_NEARDUP_COS = 0.95
+_NEARDUP_MAX_VEC = 300
+
+
+@query(
+    "q60_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NEARDUP_MAX_VEC}),
+    scored AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             list_reduce(
+               list_transform(generate_series(1, len(a.embedding)),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+                                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))
+             AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT v1, v2, cosine FROM scored
+    WHERE cosine >= {_NEARDUP_COS}
+    ORDER BY v1, v2
+    """,
+    category="dedup",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") < _NEARDUP_MAX_VEC)
+    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("qe"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("embedding"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("v1") < F.col("v2"))
+        .withColumn("dot", F.expr(_SPARK_DOT))
+        .withColumn("qn", F.expr(_SPARK_NORM.format(col="qe")))
+        .withColumn("en", F.expr(_SPARK_NORM.format(col="embedding")))
+        .select("v1", "v2", (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine"))
+        .filter(F.col("cosine") >= _NEARDUP_COS)
+        .orderBy("v1", "v2")
+    )
+
+
+# --------------------------------------------------------------------------
 # q56 — text quality stats: token/char counts, stopword + punctuation
 # ratios; integer counts divided as doubles so both engines agree exactly.
 # --------------------------------------------------------------------------

@@ -701,3 +701,136 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_above"))
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q25 — correlated EXISTS: customers holding at least one urgent order.
+# Catalyst decorrelates this to a left-semi join (one shuffle) — no
+# per-row subquery execution.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q25_exists_subquery",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    category="subquery",
+)
+
+
+# --------------------------------------------------------------------------
+# q26 — NOT EXISTS (anti-join decorrelation): parts never ordered.
+# NOT EXISTS rather than NOT IN — identical here, but null-safe by
+# construction (NOT IN returns zero rows if the subquery yields a null).
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q26_not_exists",
+    """
+    SELECT p_brand, COUNT(*) AS n_unsold
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+    )
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    category="subquery",
+)
+
+
+# --------------------------------------------------------------------------
+# q27 — pivot: order counts per priority, one column per order year.
+# Spark's groupBy().pivot() with explicit values (explicit values skip
+# the extra distinct-scan pass and keep the output schema static — a
+# requirement for writing pivoted results at scale).
+# --------------------------------------------------------------------------
+
+_PIVOT_YEARS = (1995, 1996, 1997)
+
+
+@query(
+    "q27_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {', '.join(f"CAST(SUM(CASE WHEN year(o_orderdate) = {y} THEN 1 ELSE 0 END) AS BIGINT) AS y{y}" for y in _PIVOT_YEARS)}
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="pivot",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders").withColumn("yr", F.year("o_orderdate"))
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("yr", list(_PIVOT_YEARS))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(str(y)), F.lit(0)).alias(f"y{y}") for y in _PIVOT_YEARS],
+    )
+    return out.orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# q28 — unpivot (stack): wide per-row metrics to long (metric, value)
+# pairs. The inverse of q27; stack() is codegen'd, no Python involved.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q28_unpivot",
+    """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+      FROM customer
+    ) WHERE c_custkey <= 100
+    ORDER BY c_custkey, metric
+    """,
+    category="pivot",
+)
+
+
+# --------------------------------------------------------------------------
+# q29 — latest-row-per-key dedup (the CDC/compaction pattern): keep each
+# user's most recent event. row_number over (key ORDER BY ts DESC) = 1 —
+# one shuffle on the key; at scale this replaces a self-join-on-max-ts
+# formulation that reads the fact table twice.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q29_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    category="dedup",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )

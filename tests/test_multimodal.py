@@ -1,0 +1,61 @@
+"""Multimodal column plumbing: mapInPandas decode schema/batch shape,
+row expansion, and null-payload handling (functions/multimodal.py)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dicom_metadata_extractor_serverless_datalake_spark.functions import (
+    audio_features,
+    frame_sample,
+    image_features,
+    with_payload,
+)
+
+
+def _docs(spark, sf_dir, n=20):
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n)
+
+
+def test_image_features_schema_and_determinism(spark, sf_dir):
+    df = image_features(with_payload(_docs(spark, sf_dir).select("doc_id", "text")))
+    assert {"width", "height", "n_channels", "mean_intensity"} <= set(df.columns)
+    rows = {r.doc_id: (r.width, r.height, r.n_channels) for r in df.collect()}
+    rows2 = {r.doc_id: (r.width, r.height, r.n_channels) for r in df.collect()}
+    assert rows == rows2 and len(rows) > 0
+    for w, h, c in rows.values():
+        assert 1 <= w <= 512 and 1 <= h <= 512 and 1 <= c <= 3
+
+
+def test_audio_features(spark, sf_dir):
+    df = audio_features(with_payload(_docs(spark, sf_dir).select("doc_id", "text")))
+    for r in df.select("sample_rate", "n_samples", "duration_s", "rms").collect():
+        assert r.sample_rate in (8000, 16000, 44100, 48000)
+        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-9
+        assert 0.0 <= r.rms <= 1.0
+
+
+def test_frame_sample_expansion(spark, sf_dir):
+    base = with_payload(_docs(spark, sf_dir).select("doc_id", "text"))
+    frames = frame_sample(base)
+    pdf = frames.toPandas()
+    # each doc yields exactly n_frames rows with frame_idx 0..n_frames-1
+    for doc_id, grp in pdf.groupby("doc_id"):
+        n = grp["n_frames"].iloc[0]
+        assert sorted(grp["frame_idx"]) == list(range(n))
+        assert grp["frame_digest"].nunique() == n
+
+
+def test_null_payload_rows_survive(spark):
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("content", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(1, b"abc"), (2, None)], schema)
+    out = image_features(df).toPandas().set_index("doc_id")
+    assert pd.isna(out.loc[2, "width"])
+    assert out.loc[1, "width"] >= 1
+    # frame_sample drops null payloads (no frames to emit)
+    assert frame_sample(df, id_cols=("doc_id",)).count() > 0
+    assert 2 not in set(frame_sample(df).toPandas()["doc_id"])
