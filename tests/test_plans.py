@@ -1,0 +1,59 @@
+"""Physical-plan contracts for scale-critical corpus queries: predicate
+pushdown, column pruning, broadcast dimension joins, no cartesians.
+These are the properties that decide 100 TB viability; a regression here
+is a performance bug even while results stay correct."""
+
+from dicom_metadata_extractor_serverless_datalake_spark.plans import (
+    broadcast_join_count,
+    has_cartesian,
+    pushed_filters,
+    read_schema_columns,
+)
+from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+
+def _q(name, spark, sf_dir):
+    return QUERIES[name].spark_fn(spark, sf_dir)
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    df = _q("q01_pricing_summary", spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    (cols,) = read_schema_columns(df)
+    # 16-column lineitem: the scan must read only what q01 touches
+    assert len(cols) <= 7 and "l_comment" not in cols
+
+
+def test_q04_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = _q("q04_star_join", spark, sf_dir)
+    # customer/nation/region/orders all broadcast against the fact scan
+    assert broadcast_join_count(df) == 4
+    assert not has_cartesian(df)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q02_filter_reaches_scan(spark, sf_dir):
+    df = _q("q02_filter_project", spark, sf_dir)
+    joined = " ".join(pushed_filters(df))
+    assert "l_shipdate" in joined and "l_quantity" in joined
+
+
+def test_q22_topk_no_global_sort(spark, sf_dir):
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q22_top_k", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q50_dedup_single_shuffle(spark, sf_dir):
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import exchange_count
+
+    df = _q("q50_dedup_exact", spark, sf_dir)
+    # one shuffle for the digest groupBy + one for the final orderBy
+    assert exchange_count(df) <= 2
+
+
+def test_q54_query_side_broadcasts(spark, sf_dir):
+    df = _q("q54_cosine_topk", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian(df)
