@@ -834,3 +834,35 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — exact grouped quantiles. Quartiles over integer-valued doubles:
+# both engines' linear interpolation (lerp) is FP-exact there, so the
+# values hash-match. (Scale path for continuous data: approx_percentile
+# with t-digest — approximate, so it would get a rows-only check.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q64_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="agg",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,63 @@
+"""Custom operators: as-of join and skew-mitigation (salted join/agg)
+equal their naive formulations on real testdata."""
+
+from pyspark.sql import functions as F
+
+from dicom_metadata_extractor_serverless_datalake_spark.operators.asof import asof_join
+from dicom_metadata_extractor_serverless_datalake_spark.operators.skew import salted_agg_count, salted_join
+from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = customer.withColumnRenamed("c_custkey", "o_custkey")
+
+    plain = orders.join(cust, "o_custkey").groupBy("c_nationkey").count()
+    salted = salted_join(orders, cust, "o_custkey", salt=8).groupBy("c_nationkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey"), "s_suppkey"
+    )
+    plain = nation.join(supplier, "n_nationkey", "left")
+    salted = salted_join(nation, supplier, "n_nationkey", salt=4, how="left")
+    assert plain.count() == salted.count()
+    p_null = plain.filter(F.col("s_suppkey").isNull()).count()
+    s_null = salted.filter(F.col("s_suppkey").isNull()).count()
+    assert p_null == s_null
+
+
+def test_salted_agg_matches_groupby(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    want = {
+        r["l_orderkey"]: (r["n"], r["total"])
+        for r in li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("total"))
+        .collect()
+    }
+    got = {
+        r["l_orderkey"]: (r["n"], r["total"])
+        for r in salted_agg_count(li, "l_orderkey", "l_quantity", salt=8).collect()
+    }
+    assert got == want
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 7)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 15, "b"), (2, 9, "c")], ["k", "rts", "payload"]
+    )
+    out = {
+        (r["k"], r["ts"]): r["payload"]
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    assert out[(1, 10)] == "a"      # latest rts <= 10 is 8
+    assert out[(1, 20)] == "b"      # latest rts <= 20 is 15
+    assert out[(1, 5)] is None      # nothing at or before 5
+    assert out[(2, 7)] is None      # right row at 9 is after 7

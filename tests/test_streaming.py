@@ -85,3 +85,27 @@ def test_streaming_windows_match_batch(spark, sf_dir, tmp_path_factory):
     n_stream = spark.sql("SELECT count(*) c FROM session_test").collect()[0]["c"]
     n_batch = sessionized_counts(events_batch).count()
     assert n_stream == n_batch > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """At-least-once redelivery: the same events file delivered twice
+    dedups to one copy via dropDuplicatesWithinWatermark on event_id."""
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream, load_table
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming import streaming_dedup
+
+    src = tmp_path_factory.mktemp("dedup_src")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+
+    q = (
+        streaming_dedup(load_stream(spark, str(src), "events"))
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n = spark.sql("SELECT count(*) c FROM dedup_test").collect()[0]["c"]
+    n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n == n_distinct
