@@ -23,13 +23,24 @@ STAR_TABLES = (
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# (appId, sf_dir, name) -> DataFrame. A DataFrame is just a plan — caching
+# it avoids re-reading parquet footers and re-running the nanos fixup on
+# every query construction (the corpus builds hundreds of frames per run).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col]
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -47,11 +58,19 @@ def load_stream(spark: SparkSession, src_dir: str, name: str = "events") -> Data
     return df
 
 
+# appId -> sf_dir currently backing the session's views; re-register only
+# when the target dir changes (views are global per session, so a set-based
+# memo would leave stale views behind when switching dirs back and forth)
+_REGISTERED_DIR: dict[str, str] = {}
+
+
 def register_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every testdata table as a temp view; returns the frames."""
-    out = {}
-    for name in STAR_TABLES:
-        df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+    """Register every testdata table as a temp view (idempotent and
+    memoized per session while the dir is unchanged); returns the frames."""
+    app_id = spark.sparkContext.applicationId
+    frames = {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
+    if _REGISTERED_DIR.get(app_id) != sf_dir:
+        for name, df in frames.items():
+            df.createOrReplaceTempView(name)
+        _REGISTERED_DIR[app_id] = sf_dir
+    return frames
