@@ -106,11 +106,21 @@ def run_ingest(
     lake_path: str,
     quarantine_path: str | None = None,
     table: str | None = None,
+    external: bool = False,
 ) -> DataFrame:
     """Ingest then register/refresh the lake as a catalog table, returning
     the queryable DataFrame (the Glue-table + MSCK step,
-    deploy/serverless.yml:509-567 / README.md:105)."""
+    deploy/serverless.yml:509-567 / README.md:105).
+
+    ``external=True`` registers a persistent partitioned external table
+    (partition pruning + MSCK discovery, the full Glue-table analogue);
+    default is a session-scoped temp view."""
     ingest_batch(spark, input_path, lake_path, quarantine_path)
+    if table and external:
+        from ..sources.catalog import register_external_table
+
+        fq = register_external_table(spark, table, lake_path, PARTITION_COL)
+        return spark.table(fq)
     df = spark.read.parquet(lake_path)
     if table:
         df.createOrReplaceTempView(table)

@@ -1,0 +1,88 @@
+"""Catalog DDL / MSCK / schema evolution (SURVEY §2.A rows 22-24) and
+JSON/CSV query sources (§2.B scans row — the reference ignores these on
+ingest but they remain valid query inputs)."""
+
+from pyspark.sql import functions as F
+
+from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+from dicom_metadata_extractor_serverless_datalake_spark.sources.catalog import (
+    merged_schema_read,
+    register_external_table,
+    repair_table,
+)
+from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+
+def test_external_table_msck_and_pruning(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake"))
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2021-01-01").otherwise("2021-01-02").alias("study_date"),
+    )
+    df.write.partitionBy("study_date").parquet(lake, mode="overwrite")
+
+    fq = register_external_table(spark, "t_lake", lake, "study_date", database="dicom_db")
+    got = spark.sql(f"SELECT count(*) c FROM {fq} WHERE study_date = '2021-01-01'").collect()
+    assert got[0]["c"] == 50
+
+    # partition pruning: the scan must carry a partition filter
+    plan = physical_plan(spark.sql(f"SELECT id FROM {fq} WHERE study_date = '2021-01-01'"))
+    assert "PartitionFilters" in plan and "study_date" in plan
+
+    # late-arriving partition: new directory invisible until MSCK re-run
+    extra = df.filter(F.col("id") < 5).withColumn("study_date", F.lit("2021-02-01"))
+    extra.write.partitionBy("study_date").parquet(lake, mode="append")
+    repair_table(spark, fq)
+    assert spark.sql(f"SELECT count(*) c FROM {fq}").collect()[0]["c"] == 105
+    spark.sql(f"DROP TABLE {fq}")
+
+
+def test_merge_schema_evolution(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("evolve"))
+    spark.range(10).select("id").write.parquet(path + "/batch=1")
+    spark.range(10).select("id", (F.col("id") * 2).alias("extra")).write.parquet(
+        path + "/batch=2"
+    )
+    df = merged_schema_read(spark, path)
+    assert set(df.columns) >= {"id", "extra"}
+    # rows from the old files surface null for the new column
+    assert df.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_json_csv_roundtrip_sources(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("fmt")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.json(str(out / "nation_json"))
+    nation.write.option("header", "true").csv(str(out / "nation_csv"))
+
+    via_json = spark.read.json(str(out / "nation_json"))
+    via_csv = spark.read.option("header", "true").option("inferSchema", "true").csv(
+        str(out / "nation_csv")
+    )
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()}
+    assert {(r.n_nationkey, r.n_name, r.n_regionkey) for r in via_json.collect()} == want
+    assert {(r.n_nationkey, r.n_name, r.n_regionkey) for r in via_csv.collect()} == want
+
+
+def test_ingest_with_external_catalog_table(spark, tmp_path_factory):
+    """Full reference lifecycle with a persistent catalog table: ingest
+    fixtures -> external partitioned table -> MSCK -> pruned SQL."""
+    from dicom_metadata_extractor_serverless_datalake_spark.ingest import run_ingest
+
+    from fixtures import write_fixture_tree
+
+    root = tmp_path_factory.mktemp("cat_in")
+    write_fixture_tree(root)
+    out = tmp_path_factory.mktemp("cat_out")
+    df = run_ingest(
+        spark, str(root), str(out / "lake"), str(out / "quar"),
+        table="dicom_external", external=True,
+    )
+    assert df.count() > 0
+    n = spark.sql(
+        "SELECT count(*) c FROM dicom_external WHERE study_date >= DATE'1990-01-01'"
+    ).collect()[0]["c"]
+    assert 0 < n <= df.count()
+    spark.sql("DROP TABLE dicom_external")
