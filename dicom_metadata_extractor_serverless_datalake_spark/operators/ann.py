@@ -1,0 +1,114 @@
+"""IVF (inverted-file) approximate nearest-neighbor search over an
+embedding column — the k-means-quantized scale path for similarity
+search (complementing the hash-based LSH variant, queries/llm.py q55).
+
+Shape at 100 TB:
+- ``fit_ivf``: train k-means on a *sample* of vectors (k-means|| via
+  Spark ML scales linearly in sample size; centroids are tiny);
+- ``assign_buckets``: one map-side pass stamps every vector with its
+  nearest centroid id — write the corpus partitioned/bucketed by
+  ``bucket`` so a probe reads only matching files;
+- ``ivf_search``: queries probe their ``n_probe`` nearest centroids and
+  score only those buckets: cost O(n * n_probe / k) per query instead
+  of O(n), recall tuned by n_probe.
+
+Centroid distance scoring stays in the JVM (``aggregate``/``zip_with``
+expressions over a broadcast centroid table) — no Python in the
+per-vector hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = "sqrt(" + _DOT.format(a="{c}", b="{c}") + ")"
+
+
+def fit_ivf(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Train the coarse quantizer; returns a small (centroid_id,
+    centroid array<double>) DataFrame (broadcastable)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = vectors if sample_fraction >= 1.0 else vectors.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    ml_df = sample.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(ml_df)
+    spark = vectors.sparkSession
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(cents, "centroid_id int, centroid array<double>")
+
+
+def _nearest_centroids(
+    df: DataFrame, centroids: DataFrame, vec_col: str, n: int, out_col: str
+) -> DataFrame:
+    """Stamp each row with its n nearest centroid ids (euclidean)."""
+    dist2 = (
+        _DOT.format(a=vec_col, b=vec_col)
+        + " - 2 * "
+        + _DOT.format(a=vec_col, b="centroid")
+        + " + "
+        + _DOT.format(a="centroid", b="centroid")
+    )
+    w = Window.partitionBy(*df.columns).orderBy(F.col("_d2").asc(), F.col("centroid_id").asc())
+    scored = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", F.expr(dist2))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+    )
+    return scored.select(*df.columns, F.col("centroid_id").alias(out_col))
+
+
+def assign_buckets(
+    vectors: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus-side: one bucket per vector (its nearest centroid)."""
+    return _nearest_centroids(vectors, centroids, vec_col, 1, "bucket")
+
+
+def ivf_search(
+    queries: DataFrame,
+    bucketed: DataFrame,
+    centroids: DataFrame,
+    query_vec_col: str = "qe",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    top_k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Cosine top-k per query, scanning only the probed buckets.
+
+    Returns (query_id, id, cosine, rank), rank 1..top_k."""
+    probes = _nearest_centroids(queries, centroids, query_vec_col, n_probe, "bucket")
+    dot = _DOT.format(a=query_vec_col, b=vec_col)
+    qn = _NORM.format(c=query_vec_col)
+    en = _NORM.format(c=vec_col)
+    scored = (
+        F.broadcast(probes)
+        .join(bucketed, "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", F.expr(f"({dot}) / (({qn}) * ({en}))"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, id_col, "cosine", "rank")
+        .orderBy(query_id_col, "rank")
+    )

@@ -391,6 +391,22 @@ def _bucket_expr(col: str) -> str:
     return " + ".join(bits)
 
 
+@query("q67_ann_ivf", oracle=None, category="similarity")
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (operators/ann.py): k-means coarse quantizer, probe the 2
+    nearest of 8 centroids per query. Approximate by design -> rows-only
+    check; recall vs the exact q54 is pinned in tests/test_operators.py."""
+    from ..operators.ann import assign_buckets, fit_ivf, ivf_search
+
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    centroids = fit_ivf(emb, k=8)
+    bucketed = assign_buckets(emb, centroids)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_search(q, bucketed, centroids, top_k=_TOP_K, n_probe=2)
+
+
 @query("q55_ann_lsh", oracle=None, category="similarity")
 def q55(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings").withColumn("bucket", F.expr(_bucket_expr("embedding")))

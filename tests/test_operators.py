@@ -61,3 +61,21 @@ def test_asof_join_semantics(spark):
     assert out[(1, 20)] == "b"      # latest rts <= 20 is 15
     assert out[(1, 5)] is None      # nothing at or before 5
     assert out[(2, 7)] is None      # right row at 9 is after 7
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    """IVF with n_probe=2/k=8 must recover most of the exact top-10."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    exact = QUERIES["q54_cosine_topk"].spark_fn(spark, sf_dir).collect()
+    approx = QUERIES["q67_ann_ivf"].spark_fn(spark, sf_dir).collect()
+    want = {(r["q_id"], r["vec_id"]) for r in exact}
+    got = {(r["q_id"], r["vec_id"]) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # scoring agrees with the exact scorer on shared pairs
+    exact_cos = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        k = (r["q_id"], r["vec_id"])
+        if k in exact_cos:
+            assert abs(r["cosine"] - exact_cos[k]) < 1e-9
