@@ -1,4 +1,10 @@
 """Custom operators Spark lacks natively, built as compositions of
 DataFrame ops (SURVEY §2.B 'custom operators' guidance): as-of join,
-dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
-search, text analysis, multimodal column plumbing."""
+skew-mitigation (salted join/agg), IVF approximate nearest-neighbor
+search. The dedup family (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), text analysis, and multimodal plumbing
+live in queries/llm.py and functions/multimodal.py."""
+
+from .ann import assign_buckets, fit_ivf, ivf_search  # noqa: F401
+from .asof import asof_join  # noqa: F401
+from .skew import salted_agg_count, salted_join  # noqa: F401
