@@ -1,0 +1,135 @@
+"""Near-duplicate detection pipeline: MinHash-LSH candidate generation
+followed by exact Jaccard verification — the candidate-then-verify shape
+production dedup runs at corpus scale.
+
+Stage costs at 100 TB:
+1. ``shingle_tokens``: map-only explode, no shuffle;
+2. ``minhash_signatures``: one partial-aggregated shuffle of 16-column
+   signatures (tiny — one row per doc);
+3. ``lsh_candidate_pairs``: groupBy on band signatures; only docs
+   sharing a band collide, so the join is linear-ish in practice;
+4. ``jaccard_verify``: exact intersection/union **only for candidate
+   pairs** — the quadratic step is confined to the (small) candidate
+   set instead of the full corpus.
+
+All hashing uses the md5-derived 31-bit family shared with the corpus
+oracles (queries/llm.py), so every stage is value-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647
+NUM_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = NUM_PERM // N_BANDS
+PERM_A = [1 + 12_347 * i for i in range(NUM_PERM)]
+PERM_B = [7 + 6_791 * i for i in range(NUM_PERM)]
+
+_H31 = "CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % " + str(MERSENNE_P)
+
+_SHINGLES = (
+    "CASE WHEN size(w) >= 3 THEN "
+    "transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))) "
+    "ELSE array() END"
+)
+
+
+def shingle_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, s) word-3-gram shingles per document (with duplicates —
+    callers that need sets apply distinct themselves; MIN-based
+    signatures don't need it)."""
+    return docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    ).select(id_col, F.explode(F.expr(_SHINGLES)).alias("s"))
+
+
+def minhash_signatures(tok: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with NUM_PERM min-hash columns m0..m15."""
+    h = tok.select(id_col, F.expr(_H31).alias("hs"))
+    return h.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(PERM_A[i]) * F.col("hs") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (d1, d2) pairs colliding in at least one LSH band."""
+    bands = None
+    for b in range(N_BANDS):
+        bf = signatures.select(
+            id_col,
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        bands = bf if bands is None else bands.unionByName(bf)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    tok: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only: (d1, d2, jaccard) with
+    jaccard >= threshold. ``tok`` is the full (id, s) shingle stream;
+    it is deduplicated and semi-joined down to candidate docs first, so
+    the set arithmetic touches only candidate members."""
+    cand_docs = (
+        candidates.select(F.col("d1").alias(id_col))
+        .union(candidates.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    sets = tok.join(F.broadcast(cand_docs), id_col, "left_semi").distinct()
+    sizes = sets.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    t1 = sets.select(F.col(id_col).alias("d1"), F.col("s").alias("s1"))
+    t2 = sets.select(F.col(id_col).alias("_d2"), F.col("s").alias("s2"))
+    shared = (
+        candidates.join(t1, "d1")
+        .join(t2, (F.col("d2") == F.col("_d2")) & (F.col("s1") == F.col("s2")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("both_n"))
+    )
+    sa = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    return (
+        shared.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full pipeline: shingle -> sign -> LSH candidates -> verified
+    (d1, d2, jaccard) pairs at or above ``threshold``."""
+    tok = shingle_tokens(docs, id_col, text_col)
+    sigs = minhash_signatures(tok, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    return jaccard_verify(cands, tok, threshold, id_col)

@@ -432,6 +432,72 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q68 — the full candidate-then-verify near-dup pipeline
+# (operators/dedup.py): LSH candidates, then exact Jaccard confined to
+# the candidate set. The production dedup shape: the quadratic step
+# never touches the full corpus.
+# --------------------------------------------------------------------------
+
+_VERIFY_THRESHOLD = 0.8
+
+
+def _neardup_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({PERM_A[i]} * hs + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || '_' || ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+      FROM w3
+    ),
+    h AS (SELECT doc_id, {duck_h31('s')} AS hs FROM tok),
+    mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT c.d1, c.d2, COUNT(*) AS both_n
+      FROM cand c
+      JOIN tok t1 ON t1.doc_id = c.d1
+      JOIN tok t2 ON t2.doc_id = c.d2 AND t2.s = t1.s
+      GROUP BY c.d1, c.d2
+    )
+    SELECT d1, d2,
+           CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) >= {_VERIFY_THRESHOLD}
+    ORDER BY d1, d2
+    """
+
+
+@query("q68_neardup_pipeline", oracle=_neardup_oracle(), category="dedup")
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import neardup_pairs
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    return neardup_pairs(docs, threshold=_VERIFY_THRESHOLD).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
 # q60 — embedding-cosine near-dup pairs: the semantic-dedup primitive.
 # Exact variant on a bounded slice (the oracle-checkable ground truth);
 # the scale path replaces the O(n^2) pair scan with the q55 LSH buckets
