@@ -7,4 +7,11 @@ live in queries/llm.py and functions/multimodal.py."""
 
 from .ann import assign_buckets, fit_ivf, ivf_search  # noqa: F401
 from .asof import asof_join  # noqa: F401
+from .dedup import (  # noqa: F401
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    neardup_pairs,
+    shingle_tokens,
+)
 from .skew import salted_agg_count, salted_join  # noqa: F401

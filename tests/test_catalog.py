@@ -86,3 +86,35 @@ def test_ingest_with_external_catalog_table(spark, tmp_path_factory):
     ).collect()[0]["c"]
     assert 0 < n <= df.count()
     spark.sql("DROP TABLE dicom_external")
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
+    """Co-bucketed fact tables join without a shuffle: the scan feeds the
+    join directly (the write amortized the exchange)."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import exchange_count
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.bucketing import cobucket_join, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=4)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", "l_orderkey", n_buckets=4,
+    )
+    try:
+        joined = cobucket_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        agg = joined.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        # no shuffle for the join AND none for the groupBy (same key)
+        assert exchange_count(agg) == 0
+        # results equal the plain-join formulation
+        plain = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
