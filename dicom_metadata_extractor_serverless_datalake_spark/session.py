@@ -22,12 +22,22 @@ def _ship_package(spark: SparkSession) -> None:
     On a local[] master workers often inherit the driver cwd, which
     masks missing distribution; on a real cluster (and whenever the
     driver runs from another directory) the extraction UDFs need the
-    package shipped explicitly."""
+    package shipped explicitly. The zip is rebuilt whenever any source
+    file is newer than it (stale zips silently run old UDF code)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     parent, name = os.path.split(pkg_dir)
     zip_base = os.path.join(tempfile.gettempdir(), f"{name}_pyfiles")
     zip_path = f"{zip_base}.zip"
-    if not os.path.exists(zip_path):
+    newest_src = max(
+        (
+            os.path.getmtime(os.path.join(dirpath, f))
+            for dirpath, _dirs, files in os.walk(pkg_dir)
+            for f in files
+            if f.endswith(".py")
+        ),
+        default=0.0,
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
         shutil.make_archive(zip_base, "zip", root_dir=parent, base_dir=name)
     try:
         spark.sparkContext.addPyFile(zip_path)
