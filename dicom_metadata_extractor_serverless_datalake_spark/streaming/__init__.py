@@ -8,3 +8,4 @@ from .windows import (  # noqa: F401
     streaming_dedup,
     tumbling_counts,
 )
+from .stateful import running_totals  # noqa: F401

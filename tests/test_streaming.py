@@ -109,3 +109,56 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     n = spark.sql("SELECT count(*) c FROM dedup_test").collect()[0]["c"]
     n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert n == n_distinct
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path_factory):
+    """applyInPandasWithState accumulator: state persists across
+    micro-batches (two files -> two batches via maxFilesPerTrigger) and
+    the final per-user totals equal the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming import running_totals
+
+    events = load_table(spark, sf_dir, "events")
+    # split into two files so availableNow produces multiple batches
+    src = tmp_path_factory.mktemp("state_src")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.subtract(half)
+    half.coalesce(1).write.parquet(str(src / "a"))
+    other.coalesce(1).write.parquet(str(src / "b"))
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        running_totals(stream.select("user_id", "value"))
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last update per user is the running total after all batches
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn"
+            " FROM state_test) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, tot) in want.items():
+        fn_, ft = final[uid]
+        assert fn_ == n and abs(ft - tot) < 1e-6
