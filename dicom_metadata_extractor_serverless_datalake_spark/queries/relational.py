@@ -866,3 +866,26 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — approx_percentile (t-digest-style sketch): the scale path for
+# continuous-valued quantiles (q64 is the exact variant). Approximate by
+# design -> rows-only check; the mergeable sketch is what survives 100 TB
+# (exact percentile needs a full sort per group).
+# --------------------------------------------------------------------------
+
+
+@query("q69_approx_percentile", oracle=None, category="agg")
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("price_pcts"),
+            F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
