@@ -6,5 +6,6 @@ from .multimodal import (  # noqa: F401
     audio_features,
     frame_sample,
     image_features,
+    resize_images,
     with_payload,
 )

@@ -145,6 +145,62 @@ def audio_features(df: DataFrame, payload_col: str = "content") -> DataFrame:
     return df.mapInPandas(decode, schema=schema)
 
 
+RESIZED_FIELDS = T.StructType(
+    [
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    payload_col: str = "content",
+) -> DataFrame:
+    """Append a resized payload column (the preprocessing step before a
+    vision encoder). Real path would decode + resample via PIL; the stub
+    emits a deterministic surrogate payload (md5 digest bytes repeated to
+    a size proportional to the target area) so batch shape, binary
+    output typing, and memory profile are exercised for real."""
+    real = _try_real_image_decoder()
+    schema = T.StructType(list(df.schema.fields) + list(RESIZED_FIELDS.fields))
+    surrogate_len = max(16, (target_width * target_height) // 1024)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    outs.append((None, None, None))
+                    continue
+                payload = bytes(b)
+                if real is not None:  # pragma: no cover - real codec path
+                    import io
+
+                    img = real.open(io.BytesIO(payload)).resize(
+                        (target_width, target_height)
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    outs.append((buf.getvalue(), target_width, target_height))
+                else:
+                    digest = hashlib.md5(payload).digest()
+                    reps = surrogate_len // len(digest) + 1
+                    outs.append(
+                        ((digest * reps)[:surrogate_len], target_width, target_height)
+                    )
+            out = pdf.copy()
+            out["resized"], out["out_width"], out["out_height"] = (
+                zip(*outs) if outs else ([], [], [])
+            )
+            yield out
+
+    return df.mapInPandas(resize, schema=schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "content",

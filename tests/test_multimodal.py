@@ -59,3 +59,20 @@ def test_null_payload_rows_survive(spark):
     # frame_sample drops null payloads (no frames to emit)
     assert frame_sample(df, id_cols=("doc_id",)).count() > 0
     assert 2 not in set(frame_sample(df).toPandas()["doc_id"])
+
+
+def test_resize_images_shape_and_nulls(spark, sf_dir):
+    from dicom_metadata_extractor_serverless_datalake_spark.functions import resize_images
+
+    base = with_payload(_docs(spark, sf_dir).select("doc_id", "text"))
+    out = resize_images(base, target_width=64, target_height=64).select(
+        "doc_id", "resized", "out_width", "out_height"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.out_width == 64 and r.out_height == 64
+        assert isinstance(r.resized, (bytes, bytearray)) and len(r.resized) == max(16, 64 * 64 // 1024)
+    # deterministic across runs
+    again = {r.doc_id: bytes(r.resized) for r in out.collect()}
+    assert {r.doc_id: bytes(r.resized) for r in rows} == again
