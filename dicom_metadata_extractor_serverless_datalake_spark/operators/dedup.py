@@ -59,17 +59,20 @@ def minhash_signatures(tok: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (d1, d2) pairs colliding in at least one LSH band."""
-    bands = None
-    for b in range(N_BANDS):
-        bf = signatures.select(
-            id_col,
-            F.lit(b).alias("band"),
+    """Distinct (d1, d2) pairs colliding in at least one LSH band.
+
+    Bands come from one posexplode over an array of band signatures so
+    the (expensive) signature aggregation executes once — a union of
+    per-band selects would re-run it per branch."""
+    sig_array = F.array(
+        *[
             F.concat_ws(
                 "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-            ).alias("sig"),
-        )
-        bands = bf if bands is None else bands.unionByName(bf)
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = signatures.select(id_col, F.posexplode(sig_array).alias("band", "sig"))
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -195,19 +195,18 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(NUM_PERM)
         ]
     )
-    band_frames = [
-        mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
+    # one posexplode over an array of band signatures: the signature
+    # aggregation runs ONCE (a 4-way union of selects over mh would
+    # re-execute the whole scan+agg per branch)
+    sig_array = F.array(
+        *[
             F.concat_ws(
                 "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-            ).alias("sig"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.posexplode(sig_array).alias("band", "sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
