@@ -40,6 +40,24 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_partitions: int | None = None,
+) -> None:
+    """Write parquet globally range-partitioned and sorted on ``sort_col``
+    — the sorted-lake layout. Each file owns a disjoint key range and is
+    internally sorted, so parquet row-group min/max stats turn range
+    predicates into file- and row-group-level skips (the storage-side
+    complement of predicate pushdown). Range partitioning samples the
+    key distribution, so output files are even under skew."""
+    out = df.repartitionByRange(
+        *( [n_partitions, sort_col] if n_partitions else [sort_col] )
+    ).sortWithinPartitions(sort_col)
+    out.write.mode("overwrite").parquet(path)
+
+
 def cobucket_join(
     spark: SparkSession,
     left_table: str,

@@ -118,3 +118,29 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_range_sorted_write_clusters_keys(spark, sf_dir, tmp_path_factory):
+    """Range-sorted lake: files own disjoint sorted key ranges, so range
+    predicates skip whole files via row-group stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.bucketing import write_range_sorted
+
+    out = str(tmp_path_factory.mktemp("sorted") / "orders")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_range_sorted(orders, out, "o_totalprice", n_partitions=4)
+
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        t = pq.read_table(f, columns=["o_totalprice"])
+        vals = t["o_totalprice"].to_pylist()
+        if vals:
+            assert vals == sorted(vals)  # sorted within file
+            ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint ranges across files
+    assert spark.read.parquet(out).count() == orders.count()
