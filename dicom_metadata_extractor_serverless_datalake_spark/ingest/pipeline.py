@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import INGEST_SCHEMA, PARTITION_COL
+from ..schema import DICOM_METADATA_SCHEMA, INGEST_SCHEMA, PARTITION_COL
 from .extract import extract_records
 
 
@@ -41,10 +41,44 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_df(binary_df: DataFrame) -> DataFrame:
     """(path, content) binary DataFrame -> canonical metadata rows with an
-    ``error`` channel column."""
+    ``error`` channel column. Use when the bytes are already in the plan
+    (e.g. the binaryFile streaming source)."""
     return binary_df.select("path", "content").mapInPandas(
         _extract_batches, schema=INGEST_SCHEMA
     )
+
+
+def extract_from_listing(listing: DataFrame, ranged_cap: int | None = None) -> DataFrame:
+    """(path, size) listing -> canonical metadata rows, reading AND
+    extracting in one Python pass.
+
+    This is the batch-ingest hot path: with a separate read stage the
+    raw bytes make two Arrow round-trips (Python read -> JVM -> Python
+    extract); fused, bytes are opened and parsed in the same worker and
+    only the (small) metadata rows cross back. Per-object I/O (and the
+    10 MB ranged .dcm cap) lives worker-side, exactly where it belongs
+    on a real cluster doing ranged object-store GETs."""
+    from ..sources.binary import DCM_RANGED_READ_BYTES
+    from .archives import IGNORED_EXTS, TAR_EXTS, ZIP_EXTS, eval_ext
+
+    cap = ranged_cap if ranged_cap is not None else DCM_RANGED_READ_BYTES
+    cols = [f.name for f in INGEST_SCHEMA.fields]
+
+    def _read_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for path in pdf["path"]:
+                ext = eval_ext(path)
+                if ext in IGNORED_EXTS:
+                    continue
+                this_cap = None if ext in ZIP_EXTS | TAR_EXTS else cap
+                with open(path, "rb") as fh:
+                    content = fh.read(this_cap) if this_cap else fh.read()
+                rows.extend(extract_records(path, content))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return listing.mapInPandas(_read_extract, schema=INGEST_SCHEMA)
 
 
 def ingest_batch(
@@ -66,13 +100,11 @@ def ingest_batch(
     DLQ contract for empty DICOMDIR), and packs many small objects per
     task. Set ``use_binary_file_source`` for Spark's built-in source."""
     if use_binary_file_source:
-        binary_df = spark.read.format("binaryFile").load(input_path)
+        extracted = extract_df(spark.read.format("binaryFile").load(input_path))
     else:
-        from ..sources.binary import read_binary
+        from ..sources.binary import list_binary_objects
 
-        binary_df = read_binary(spark, input_path)
-
-    extracted = extract_df(binary_df)
+        extracted = extract_from_listing(list_binary_objects(spark, input_path))
     extracted.persist()
     try:
         good = extracted.filter(F.col("error").isNull()).drop("error")
@@ -121,7 +153,10 @@ def run_ingest(
 
         fq = register_external_table(spark, table, lake_path, PARTITION_COL)
         return spark.table(fq)
-    df = spark.read.parquet(lake_path)
+    # explicit schema: an all-quarantined ingest leaves the lake empty,
+    # which would otherwise fail schema inference; it also pins column
+    # types independent of what any one partition happens to contain
+    df = spark.read.schema(DICOM_METADATA_SCHEMA).parquet(lake_path)
     if table:
         df.createOrReplaceTempView(table)
     return df

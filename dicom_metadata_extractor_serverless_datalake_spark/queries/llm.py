@@ -722,3 +722,49 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q70 — edit-distance fuzzy matching (levenshtein): the char-level
+# complement of token-level Jaccard for short-string dedup (titles, IDs).
+# Bounded slice: edit distance is O(len^2) per pair and the pair scan is
+# quadratic — at scale this runs AFTER a blocking stage (LSH buckets or
+# length bands), exactly like q68 confines Jaccard to candidates.
+# --------------------------------------------------------------------------
+
+_LEV_MAX_DOC = 120
+_LEV_PREFIX = 24
+_LEV_THRESHOLD = 10
+
+
+@query(
+    "q70_levenshtein_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substring(text, 1, {_LEV_PREFIX}) AS prefix
+      FROM documents WHERE doc_id < {_LEV_MAX_DOC}
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= {_LEV_THRESHOLD}
+    ORDER BY d1, d2
+    """,
+    category="dedup",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < _LEV_MAX_DOC)
+        .select("doc_id", F.substring("text", 1, _LEV_PREFIX).alias("prefix"))
+    )
+    a = d.select(F.col("doc_id").alias("d1"), F.col("prefix").alias("p1"))
+    b = d.select(F.col("doc_id").alias("d2"), F.col("prefix").alias("p2"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("d1") < F.col("d2"))
+        .withColumn("edit_dist", F.levenshtein("p1", "p2").cast("long"))
+        .filter(F.col("edit_dist") <= _LEV_THRESHOLD)
+        .select("d1", "d2", "edit_dist")
+        .orderBy("d1", "d2")
+    )
