@@ -19,6 +19,7 @@ from . import scalar  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
+from . import training  # noqa: F401,E402
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

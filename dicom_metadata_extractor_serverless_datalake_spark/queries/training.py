@@ -1,0 +1,273 @@
+"""Training-data pipeline corpus: the dataset-preparation operators a
+large-scale LLM training run needs *around* dedup/similarity (llm.py) —
+deterministic splits, stratified sampling, document chunking, PII
+redaction, vocabulary building, epoch shuffling.
+
+Everything is hash-deterministic (no RNG): a split or sample defined as
+``portable_hash(key) % N < rate`` is reproducible across engines, runs,
+and cluster sizes — which is exactly what a training pipeline needs
+(re-running the pipeline must regenerate the *same* train set), and it
+makes every query here DuckDB-oracle-checkable bit-for-bit.
+
+Scale notes: all six are narrow map-side transforms or single-shuffle
+aggregations. The hash-filter pattern (q71/q72) is THE scale answer to
+sampling 100 TB: no coordination, no RNG state, prunes at the scan when
+the key is a partition column. Chunking (q73) is a generate + posexplode
+— row count multiplies but bytes don't (substring slices). Vocabulary
+(q75) is the classic word-count shuffle with map-side partial aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import query, t
+from .llm import duck_h31, spark_h31
+
+# --------------------------------------------------------------------------
+# q71 — deterministic train/val/test split: hash of the stable doc key
+# mod 100 -> 80/10/10. The reference point for "did my pipeline's split
+# drift between runs" is that it CANNOT: same key -> same split forever,
+# independent of partitioning, cluster size, or row order.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q71_train_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {duck_h31("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                  WHEN {duck_h31("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    category="training",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    h = F.expr(spark_h31("CAST(doc_id AS STRING)")) % 100
+    return (
+        t(spark, sf, "documents")
+        .withColumn(
+            "split",
+            F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# q72 — deterministic stratified sampling: per-language keep-rates (e.g.
+# downsample dominant English, keep all of scarce languages) applied as a
+# hash filter. Map-side only — the filter needs no shuffle, no RNG, and
+# at 100 TB no coordination; the tiny rates table would be a broadcast.
+# --------------------------------------------------------------------------
+
+_RATES = {"en": 30, "de": 100, "es": 75, "fr": 100, "zh": 50}
+
+
+@query(
+    "q72_stratified_sample",
+    oracle=f"""
+    WITH kept AS (
+      SELECT lang, n_chars FROM documents
+      WHERE {duck_h31("'s72-' || CAST(doc_id AS VARCHAR)")} % 100 <
+            CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100 WHEN 'es' THEN 75
+                      WHEN 'fr' THEN 100 WHEN 'zh' THEN 50 ELSE 0 END
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    category="training",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    h = F.expr(spark_h31("concat('s72-', CAST(doc_id AS STRING))")) % 100
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(0),
+    )
+    return (
+        t(spark, sf, "documents")
+        .filter(h < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — document chunking: fixed-width character chunks (the token-window
+# analogue) via sequence + posexplode. Bytes don't multiply — each chunk
+# is a substring slice; only row count grows. At scale this is the stage
+# that feeds the tokenizer, and it's embarrassingly parallel.
+# --------------------------------------------------------------------------
+
+_CHUNK = 256
+
+
+@query(
+    "q73_doc_chunking",
+    oracle=f"""
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_id,
+           md5(substring(text, CAST((u.i - 1) * {_CHUNK} + 1 AS BIGINT), {_CHUNK})) AS chunk_digest,
+           CAST(length(substring(text, CAST((u.i - 1) * {_CHUNK} + 1 AS BIGINT), {_CHUNK})) AS BIGINT) AS chunk_len
+    FROM documents,
+         unnest(generate_series(1, CAST(ceil(length(text) / {_CHUNK}.0) AS BIGINT))) AS u(i)
+    WHERE doc_id < 100
+    ORDER BY doc_id, chunk_id
+    """,
+    category="training",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    n_chunks = F.ceil(F.length("text") / F.lit(_CHUNK)).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(f"substring(text, chunk_id * {_CHUNK} + 1, {_CHUNK})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5("chunk").alias("chunk_digest"),
+            F.length("chunk").cast("long").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — PII redaction: regex scrub (numbers/emails/SSN-shaped spans ->
+# placeholder tokens) with per-doc replacement accounting. Pure map-side
+# regexp_replace in whole-stage codegen — the JVM hot path, no Python.
+# The regexes stay in the dialect subset shared by Java regex and RE2.
+# --------------------------------------------------------------------------
+
+_PII_PATTERNS = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]", "<SSN>"),
+    ("[0-9]+", "<NUM>"),
+]
+
+
+@query(
+    "q74_pii_redaction",
+    oracle="""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]', '<SSN>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS clean,
+             text
+      FROM documents
+    )
+    SELECT doc_id, md5(clean) AS clean_digest,
+           CAST(length(text) - length(clean) AS BIGINT) AS delta_chars,
+           CAST(length(clean) - length(replace(clean, '<NUM>', ''))
+                AS BIGINT) / 5 AS n_num_redactions
+    FROM red ORDER BY doc_id
+    """,
+    category="training",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    clean = F.col("text")
+    for pat, repl in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return (
+        t(spark, sf, "documents")
+        .withColumn("clean", clean)
+        .select(
+            "doc_id",
+            F.md5("clean").alias("clean_digest"),
+            (F.length("text") - F.length("clean")).cast("long").alias("delta_chars"),
+            (
+                (F.length("clean") - F.length(F.replace(F.col("clean"), F.lit("<NUM>"), F.lit(""))))
+                / F.lit(5)
+            ).alias("n_num_redactions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 — vocabulary building: top-k tokens by frequency. The word-count
+# shuffle: explode is map-side, the groupBy does partial aggregation
+# before the exchange, top-k is a TakeOrderedAndProject (no full sort).
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+@query(
+    "q75_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS freq FROM tok
+    WHERE token <> ''
+    GROUP BY token ORDER BY freq DESC, token LIMIT {_VOCAB_K}
+    """,
+    category="training",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(_VOCAB_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 — deterministic epoch shuffle: a reproducible global permutation of
+# the dataset, ordered by hash of (seed, key). Changing the seed string
+# reshuffles; the same seed replays the same order on any cluster. At
+# scale this is a single range-partitioned sort — and when only a
+# per-partition shuffle is needed, the sort key doubles as the
+# partitioner key (repartitionByRange on the same hash).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q76_epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY {duck_h31("'epoch1-' || CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS BIGINT) AS position
+    FROM documents ORDER BY position
+    """,
+    category="training",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    h = F.expr(spark_h31("concat('epoch1-', CAST(doc_id AS STRING))"))
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.row_number().over(w).cast("long").alias("position"))
+        .orderBy("position")
+    )
