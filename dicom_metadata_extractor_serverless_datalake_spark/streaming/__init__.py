@@ -9,3 +9,4 @@ from .windows import (  # noqa: F401
     tumbling_counts,
 )
 from .stateful import running_totals  # noqa: F401
+from .joins import enrich_with_dim, interval_join  # noqa: F401

@@ -111,6 +111,93 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     assert n == n_distinct
 
 
+def test_stream_static_enrichment(spark, sf_dir, tmp_path_factory):
+    """Stream-static broadcast join: streamed events enriched against the
+    static customer dim equal the batch join."""
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream, load_table
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming import enrich_with_dim
+
+    src = tmp_path_factory.mktemp("enrich_src")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    stream = load_stream(spark, str(src), "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+
+    q = (
+        enrich_with_dim(stream, dim, "user_id", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in events.join(dim, events.user_id == dim.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 1
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path_factory):
+    """Watermarked stream-stream interval join (errors to the clicks that
+    preceded them within 15 min, same user) equals the batch join."""
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream, load_table
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming import interval_join
+
+    src = tmp_path_factory.mktemp("ssj_src")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+        )
+        errors = df.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("error_id")
+        )
+        return clicks, errors
+
+    sc, se = split(load_stream(spark, str(src), "events"))
+    q = (
+        interval_join(sc, se, "user_id")
+        .select("click_id", "error_id")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["click_id"], r["error_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    bc, be = split(load_table(spark, sf_dir, "events"))
+    want = {
+        (r["click_id"], r["error_id"])
+        for r in bc.join(
+            be,
+            (bc.user_id == be.user_id)
+            & (be.r_ts > bc.l_ts)
+            & (be.r_ts <= F.expr("l_ts + INTERVAL 15 MINUTES")),
+        )
+        .select("click_id", "error_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stateful_running_totals(spark, sf_dir, tmp_path_factory):
     """applyInPandasWithState accumulator: state persists across
     micro-batches (two files -> two batches via maxFilesPerTrigger) and
