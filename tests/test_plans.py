@@ -57,3 +57,34 @@ def test_q54_query_side_broadcasts(spark, sf_dir):
     df = _q("q54_cosine_topk", spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert not has_cartesian(df)
+
+
+def test_q72_sample_filter_is_map_side(spark, sf_dir):
+    """The stratified-sample hash filter must run before the one agg
+    shuffle — sampling 100 TB cannot itself cost a shuffle."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import exchange_count
+
+    df = _q("q72_stratified_sample", spark, sf_dir)
+    # one shuffle for the groupBy, one for the final orderBy — the
+    # hash-filter itself adds none
+    assert exchange_count(df) <= 2
+
+
+def test_q73_chunking_no_shuffle(spark, sf_dir):
+    """Chunking is embarrassingly parallel: generate+posexplode+substring
+    must not exchange (the final orderBy is presentation-only)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import exchange_count
+
+    df = _q("q73_doc_chunking", spark, sf_dir)
+    assert exchange_count(df) <= 1  # only the output sort
+
+
+def test_q75_vocab_partial_agg_and_topk(spark, sf_dir):
+    """Word-count must partial-aggregate map-side (explode multiplies rows
+    ~100x; the exchange must carry combined counts, not raw tokens) and
+    take top-k without a global sort."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q75_vocab_topk", spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert "TakeOrderedAndProject" in plan
