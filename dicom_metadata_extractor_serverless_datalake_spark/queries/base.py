@@ -82,17 +82,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def dsum(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
     """Exact decimal sum surfaced as double: deterministic under any
-    partitioning/order, unlike a native double sum."""
+    partitioning/order, unlike a native double sum.
+
+    Input casts to decimal(18,s) — the widest precision Spark still
+    backs with an unscaled long; Sum's buffer promotes to decimal(28,s)
+    (~1e22 headroom at scale 6), so per-row values stay on the fast
+    path while the accumulator never overflows at 100 TB row counts.
+    Any no-overflow precision gives identical (exact) results, so the
+    oracle side may sum at decimal(28) and still hash-match."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(c.cast(f"decimal(28,{scale})")).cast("double").alias(alias)
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
     )
 
 
 def davg(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return (
-        (F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c))
+        (F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c))
         .alias(alias)
     )
 

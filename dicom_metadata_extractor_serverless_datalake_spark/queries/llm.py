@@ -768,3 +768,43 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
         .select("d1", "d2", "edit_dist")
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# q77 — dedup clustering: connected components over the q52 LSH candidate
+# pairs (operators/cluster.py), the stage that turns near-dup PAIRS into
+# GROUPS so the pipeline keeps one canonical doc per group. The Spark
+# side is iterative min-label propagation; the oracle replays the exact
+# same minhash pipeline then closes it with a recursive CTE.
+# --------------------------------------------------------------------------
+
+
+def _cluster_oracle() -> str:
+    base = _minhash_oracle()
+    tail = "SELECT d1, d2 FROM pairs ORDER BY d1, d2"
+    assert tail in base
+    cluster_sql = """sym AS (
+      SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    labels AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component AS cluster_id,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           node = component AS is_canonical
+    FROM labels ORDER BY doc_id"""
+    return base.replace("pairs AS (", "pairs_base AS (", 1).replace(
+        "    SELECT d1, d2 FROM pairs ORDER BY d1, d2",
+        "    , pairs AS (SELECT * FROM pairs_base),\n    " + cluster_sql, 1
+    ).replace("WITH w3", "WITH RECURSIVE w3", 1)
+
+
+@query("q77_dedup_clusters", oracle=_cluster_oracle(), category="dedup")
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.cluster import dedup_clusters
+
+    pairs = q52(spark, sf)
+    return dedup_clusters(pairs).orderBy("doc_id")

@@ -412,8 +412,8 @@ _STDDEV_ORACLE = """
 @query("q12_agg_stats", oracle=_STDDEV_ORACLE, category="agg")
 def q12(spark: SparkSession, sf: str) -> DataFrame:
     c = F.col("c_acctbal")
-    s = F.sum(c.cast("decimal(28,2)")).cast("double")
-    ss = F.sum((c * c).cast("decimal(28,4)")).cast("double")
+    s = F.sum(c.cast("decimal(18,2)")).cast("double")
+    ss = F.sum((c * c).cast("decimal(18,4)")).cast("double")
     n = F.count(c).cast("double")
     return (
         t(spark, sf, "customer")
@@ -655,7 +655,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 def q23(spark: SparkSession, sf: str) -> DataFrame:
     orders = t(spark, sf, "orders")
     avg_row = orders.agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double") / F.count("*")).alias("a")
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("a")
     )
     return (
         orders.join(F.broadcast(avg_row))
@@ -692,7 +692,7 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey")
     c = t(spark, sf, "customer").withColumn(
         "nation_avg",
-        F.sum(F.col("c_acctbal").cast("decimal(28,2)")).over(w).cast("double")
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double")
         / F.count("*").over(w),
     )
     return (

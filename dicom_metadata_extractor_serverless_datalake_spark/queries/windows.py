@@ -129,7 +129,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.sum(F.col("value").cast("decimal(28,6)")).over(run).cast("double").alias("running_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).over(run).cast("double").alias("running_value"),
             F.count("*").over(last3).alias("n_last3"),
         )
         .orderBy("user_id", "event_id")
@@ -178,7 +178,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
         .orderBy("window_start", "event_type")

@@ -79,3 +79,27 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
         k = (r["q_id"], r["vec_id"])
         if k in exact_cos:
             assert abs(r["cosine"] - exact_cos[k]) < 1e-9
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst-case diameter) plus a 2-clique and a
+    separate pair must resolve to min-id components."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.cluster import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain: all -> 1
+         (10, 11), (10, 12), (11, 12),     # triangle -> 10
+         (20, 21)],                        # pair -> 20
+        ["src", "dst"],
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    rows = {r["doc_id"]: r for r in dedup_clusters(edges, "src", "dst").collect()}
+    assert rows[3]["cluster_id"] == 1 and rows[3]["cluster_size"] == 5
+    assert rows[1]["is_canonical"] and not rows[5]["is_canonical"]
+    assert rows[21]["cluster_id"] == 20 and rows[21]["cluster_size"] == 2
