@@ -15,3 +15,5 @@ from .dedup import (  # noqa: F401
     shingle_tokens,
 )
 from .skew import salted_agg_count, salted_join  # noqa: F401
+from .cluster import connected_components, dedup_clusters  # noqa: F401
+from .compact import compact_lake, compact_partition, partition_file_stats  # noqa: F401

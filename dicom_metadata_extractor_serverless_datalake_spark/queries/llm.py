@@ -808,3 +808,72 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 
     pairs = q52(spark, sf)
     return dedup_clusters(pairs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q78 — int8 scalar quantization of embeddings: the storage/memory scale
+# path for ANN (4x smaller vectors, SIMD-friendly int dot products).
+# Quantize q = clamp(floor(x * 127/S + 0.5)), reconstruct, and report
+# exact integer checksums plus the reconstruction MSE. All arithmetic is
+# element-ordered double left-folds and integer sums, so both engines
+# produce bit-identical values.
+# --------------------------------------------------------------------------
+
+_QSCALE = "0.6"  # fixed symmetric range: |x| < 0.53 on this corpus
+
+
+@query(
+    "q78_embedding_quantization",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                 CAST(floor(CAST(x AS DOUBLE) * 127.0 / {_QSCALE} + 0.5) AS BIGINT)))) AS qv,
+             embedding
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT vec_id,
+             list_sum(qv) AS qsum,
+             list_sum(list_transform(qv, (x, i) -> x * i)) AS qdot,
+             list_reduce(
+               list_transform(range(1, len(qv) + 1), i ->
+                 (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * {_QSCALE} / 127.0)
+                 * (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * {_QSCALE} / 127.0)),
+               (a, b) -> a + b) / 64.0 AS mse
+      FROM q
+    )
+    SELECT vec_id, CAST(qsum AS BIGINT) AS qsum, CAST(qdot AS BIGINT) AS qdot, mse
+    FROM scored ORDER BY vec_id
+    """,
+    category="similarity",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    qv = (
+        f"transform(embedding, x -> greatest(CAST(-127 AS BIGINT), "
+        f"least(CAST(127 AS BIGINT), floor(CAST(x AS DOUBLE) * 127.0D / {_QSCALE}D + 0.5D))))"
+    )
+    # (x - recon)^2 per element, in array order
+    sqerr = (
+        f"zip_with(embedding, qv, (x, qq) -> "
+        f"(CAST(x AS DOUBLE) - CAST(qq AS DOUBLE) * {_QSCALE}D / 127.0D) "
+        f"* (CAST(x AS DOUBLE) - CAST(qq AS DOUBLE) * {_QSCALE}D / 127.0D))"
+    )
+    return (
+        t(spark, sf, "embeddings")
+        .withColumn("qv", F.expr(qv))
+        .select(
+            "vec_id",
+            F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("qsum"),
+            F.expr(
+                "aggregate(zip_with(qv, sequence(CAST(1 AS BIGINT), CAST(size(qv) AS BIGINT)), "
+                "(qq, i) -> qq * i), CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("qdot"),
+            (
+                F.expr(f"aggregate({sqerr}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+                / F.lit(64.0)
+            ).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )

@@ -103,3 +103,40 @@ def test_connected_components_chain_and_islands(spark):
     assert rows[3]["cluster_id"] == 1 and rows[3]["cluster_size"] == 5
     assert rows[1]["is_canonical"] and not rows[5]["is_canonical"]
     assert rows[21]["cluster_id"] == 20 and rows[21]["cluster_size"] == 2
+
+
+def test_compact_partition_preserves_rows(spark, sf_dir, tmp_path_factory):
+    """Compaction rewrites a many-small-files partition into few files
+    with identical content, and leaves small partitions alone."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators import (
+        compact_lake,
+        partition_file_stats,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    lake = str(tmp_path_factory.mktemp("compact") / "lake")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    # simulate many micro-batch writes: 12 files in one partition
+    one_day = events.filter(F.col("day") == "2024-01-01")
+    one_day.repartition(12).write.partitionBy("day").parquet(lake)
+    before = partition_file_stats(lake)["day=2024-01-01"]
+    assert before[0] == 12
+
+    want = sorted(r["event_id"] for r in one_day.collect())
+    done = compact_lake(spark, lake, target_file_bytes=1 << 30, min_files=8)
+    assert done == {"day=2024-01-01": 1}
+    after = partition_file_stats(lake)["day=2024-01-01"]
+    assert after[0] == 1
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(lake).filter(
+            F.col("day") == "2024-01-01"
+        ).collect()
+    )
+    assert got == want
+
+    # below threshold -> untouched
+    assert compact_lake(spark, lake, min_files=8) == {}
