@@ -703,7 +703,7 @@ _TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
     "q59_token_count",
     oracle=f"""
     SELECT source,
-           SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS DOUBLE)
              / COUNT(*) AS avg_tokens
     FROM documents GROUP BY source ORDER BY source

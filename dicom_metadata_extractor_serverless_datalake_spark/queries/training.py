@@ -43,7 +43,7 @@ from .llm import duck_h31, spark_h31
                   ELSE 'test' END AS split
       FROM documents
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM assigned GROUP BY split ORDER BY split
     """,
@@ -87,7 +87,7 @@ _RATES = {"en": 30, "de": 100, "es": 75, "fr": 100, "zh": 50}
             CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100 WHEN 'es' THEN 75
                       WHEN 'fr' THEN 100 WHEN 'zh' THEN 50 ELSE 0 END
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
     FROM kept GROUP BY lang ORDER BY lang
     """,
     category="training",
@@ -270,4 +270,75 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "documents")
         .select("doc_id", F.row_number().over(w).cast("long").alias("position"))
         .orderBy("position")
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — quality-filter funnel: the per-source survival report of a
+# filter cascade (length -> token count -> stopword ratio -> exact-dup
+# keeper). Every training pipeline publishes exactly this table to show
+# where its data went. Single scan: each gate is a flag column and the
+# funnel is conditional sums — the dedup gate is a window min over the
+# content digest, so the whole report costs one shuffle plus the agg.
+# --------------------------------------------------------------------------
+
+_STOPWORDS79 = "('the','a','of','and','to','in','is','it','on','for')"
+
+
+@query(
+    "q79_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+      SELECT source,
+             n_chars BETWEEN 200 AND 20000 AS g_len,
+             len(string_split(text, ' ')) >= 40 AS g_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                      tk -> tk IN {_STOPWORDS79})) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.05 AS g_stop,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS g_keeper
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS after_len,
+           CAST(SUM(CASE WHEN g_len AND g_tok THEN 1 ELSE 0 END) AS BIGINT) AS after_tok,
+           CAST(SUM(CASE WHEN g_len AND g_tok AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS after_stop,
+           CAST(SUM(CASE WHEN g_len AND g_tok AND g_stop AND g_keeper THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    category="training",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), tk -> tk IN {_STOPWORDS79})"))
+    g_len = F.col("n_chars").between(200, 20000)
+    g_tok = n_tok >= 40
+    g_stop = (n_stop.cast("double") / n_tok) >= 0.05
+    g_keeper = F.col("doc_id") == F.min("doc_id").over(
+        W.partitionBy(F.md5("text"))
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).alias  # noqa: E731
+    return (
+        t(spark, sf, "documents")
+        .select(
+            "source",
+            g_len.alias("g_len"),
+            g_tok.alias("g_tok"),
+            g_stop.alias("g_stop"),
+            g_keeper.alias("g_keeper"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            cnt(F.col("g_len"))("after_len"),
+            cnt(F.col("g_len") & F.col("g_tok"))("after_tok"),
+            cnt(F.col("g_len") & F.col("g_tok") & F.col("g_stop"))("after_stop"),
+            cnt(F.col("g_len") & F.col("g_tok") & F.col("g_stop") & F.col("g_keeper"))(
+                "after_dedup"
+            ),
+        )
+        .orderBy("source")
     )

@@ -66,6 +66,27 @@ def test_json_csv_roundtrip_sources(spark, sf_dir, tmp_path_factory):
     assert {(r.n_nationkey, r.n_name, r.n_regionkey) for r in via_csv.collect()} == want
 
 
+def test_orc_roundtrip_source(spark, sf_dir, tmp_path_factory):
+    """ORC read/write (built into Spark): schema and rows survive a
+    round-trip, including nested complex types."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("orc")
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.struct("n_regionkey", F.length("n_name").alias("name_len")).alias("meta"),
+        F.array("n_nationkey", "n_regionkey").alias("keys"),
+    )
+    src.write.orc(str(out / "nation_orc"))
+    back = spark.read.orc(str(out / "nation_orc"))
+    assert [(f.name, f.dataType.simpleString()) for f in back.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in src.schema.fields
+    ]
+    key = lambda r: (r.n_nationkey, r.n_name, r.meta.n_regionkey, tuple(r.keys))  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, src.collect()))
+
+
 def test_ingest_with_external_catalog_table(spark, tmp_path_factory):
     """Full reference lifecycle with a persistent catalog table: ingest
     fixtures -> external partitioned table -> MSCK -> pruned SQL."""
