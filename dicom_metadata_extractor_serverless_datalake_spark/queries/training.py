@@ -342,3 +342,102 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q80 — boilerplate n-gram detection: 5-grams appearing in many distinct
+# documents (headers, footers, license blurbs). The C4/RefinedWeb-style
+# boilerplate pass. Shape: explode -> distinct (doc, gram) -> count
+# distinct docs per gram -> threshold. The distinct is the one shuffle;
+# doc frequency (not raw frequency) is what finds boilerplate, since a
+# gram repeated 100x inside ONE doc is content, not boilerplate.
+# --------------------------------------------------------------------------
+
+# the synthetic corpus is random-word text, so repeated 5-grams are rare:
+# threshold 3 yields a real result set here; production boilerplate
+# passes run the same shape with a much higher bar (e.g. 1% of docs)
+_BP_MIN_DOCS = 3
+
+
+@query(
+    "q80_boilerplate_ngrams",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 4),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+      FROM w
+    )
+    SELECT g AS gram, COUNT(*) AS n_docs
+    FROM grams GROUP BY g HAVING COUNT(*) >= {_BP_MIN_DOCS}
+    ORDER BY n_docs DESC, gram
+    """,
+    category="training",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    five = (
+        "CASE WHEN size(w) >= 5 THEN transform(sequence(1, size(w) - 4), "
+        "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3])) "
+        "ELSE array() END"
+    )
+    grams = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(five)).alias("g"))
+        .distinct()
+    )
+    return (
+        grams.groupBy(F.col("g").alias("gram"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), "gram")
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — join-key skew diagnostic: heavy-hitter report for a join column
+# (frequency + share of total). This is the report you run BEFORE a big
+# join to decide between plain shuffle, broadcast, salting
+# (operators/skew.py), or AQE skew-join. Exact top-k via count + window.
+# --------------------------------------------------------------------------
+
+_SKEW_TOP = 20
+
+
+@query(
+    "q81_skew_report",
+    oracle=f"""
+    WITH freq AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM freq)
+    SELECT key, n, CAST(n AS DOUBLE) / total AS share,
+           CAST(n AS DOUBLE) * n_keys / total AS skew_factor
+    FROM freq, tot
+    ORDER BY n DESC, key LIMIT {_SKEW_TOP}
+    """,
+    category="training",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    freq = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(_SKEW_TOP)
+    )
