@@ -10,3 +10,4 @@ from .windows import (  # noqa: F401
 )
 from .stateful import running_totals  # noqa: F401
 from .joins import enrich_with_dim, interval_join  # noqa: F401
+from .upsert import latest_per_key, read_snapshot, start_upsert_sink  # noqa: F401

@@ -249,3 +249,46 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path_factory):
     for uid, (n, tot) in want.items():
         fn_, ft = final[uid]
         assert fn_ == n and abs(ft - tot) < 1e-6
+
+
+def test_streaming_upsert_latest_per_key(spark, sf_dir, tmp_path_factory):
+    """foreachBatch upsert sink: two micro-batches of events merge into a
+    one-row-per-user snapshot equal to the batch latest-per-key, with
+    old versions pruned."""
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming import read_snapshot, start_upsert_sink
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming.upsert import latest_per_key
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = tmp_path_factory.mktemp("upsert_src")
+    early = events.filter(F.col("event_id") % 2 == 0)
+    late = events.subtract(early)
+    early.coalesce(1).write.parquet(str(src / "a"))
+    late.coalesce(1).write.parquet(str(src / "b"))
+
+    out = tmp_path_factory.mktemp("upsert_out")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = start_upsert_sink(
+        stream,
+        str(out / "snap"),
+        key_cols=["user_id"],
+        order_col="ts",
+        checkpoint_path=str(out / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    snap = read_snapshot(spark, str(out / "snap"))
+    got = {(r["user_id"], r["event_id"]) for r in snap.collect()}
+    want = {
+        (r["user_id"], r["event_id"])
+        for r in latest_per_key(events, ["user_id"], "ts").collect()
+    }
+    assert got == want and len(want) > 0
+    # one row per key
+    assert snap.groupBy("user_id").count().filter("count > 1").count() == 0
