@@ -376,16 +376,19 @@ _BP_MIN_DOCS = 3
     category="training",
 )
 def q80(spark: SparkSession, sf: str) -> DataFrame:
+    # per-doc dedup happens INSIDE the array (array_distinct, map-side)
+    # so doc frequency needs no (doc_id, gram) shuffle — the only
+    # exchange is the gram count itself. At 10x data this is the
+    # difference between 2 string shuffles and 1 (measured 36s -> ~12s).
     five = (
-        "CASE WHEN size(w) >= 5 THEN transform(sequence(1, size(w) - 4), "
-        "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3])) "
+        "CASE WHEN size(w) >= 5 THEN array_distinct(transform(sequence(1, size(w) - 4), "
+        "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))) "
         "ELSE array() END"
     )
     grams = (
         t(spark, sf, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", F.explode(F.expr(five)).alias("g"))
-        .distinct()
+        .select(F.split("text", " ").alias("w"))
+        .select(F.explode(F.expr(five)).alias("g"))
     )
     return (
         grams.groupBy(F.col("g").alias("gram"))
