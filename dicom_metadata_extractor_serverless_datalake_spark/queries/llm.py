@@ -105,9 +105,11 @@ _JACCARD_MAX_DOC = 250
 )
 def q51(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    # array_distinct dedupes within the doc map-side; after explode the
+    # (doc_id, w) rows are already unique, so no distinct shuffle needed
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    ).distinct()
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
