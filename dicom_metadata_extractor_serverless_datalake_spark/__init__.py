@@ -15,3 +15,5 @@ This package re-expresses that dataflow Spark-first:
 """
 
 __version__ = "0.1.0"
+
+from .api import DicomLake  # noqa: F401,E402

@@ -1,0 +1,132 @@
+"""User-facing facade: the reference's end-to-end workflow as one object.
+
+A user of the reference interacts with exactly four things (README.md:
+60-139): drop objects into a source bucket (S3 event -> automatic
+ingestion), query `dicom_db.dicom_metadata` in Athena, re-run MSCK /
+the crawler after new partitions land, and inspect the SQS DLQ for
+failures. ``DicomLake`` is that surface on Spark:
+
+    lake = DicomLake(spark, "/data/lake", quarantine_path="/data/quar")
+    lake.ingest("/incoming/batch1")          # batch replay of events
+    q = lake.watch("/incoming", "/ckpt")     # or: continuous ingestion
+    lake.sql("SELECT modality, COUNT(*) FROM dicom_metadata "
+             "WHERE study_date = DATE'2021-11-03' GROUP BY modality")
+    lake.refresh()                           # the MSCK/crawler step
+    lake.quarantine()                        # the DLQ
+    lake.compact()                           # small-files maintenance
+
+Mapping to the reference: ingest == src/app.py:97-189 (Lambda handler)
+replayed over every object; watch == the S3-event wiring
+(deploy/serverless.yml:195-200); sql == Athena over the Glue table
+(deploy/serverless.yml:509-536); refresh == MSCK REPAIR TABLE
+(README.md:105); quarantine == the SQS DLQ (deploy/serverless.yml:
+123-147). compact has no reference analogue — it undoes the
+small-files layout the reference's one-object-per-Lambda writes
+produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import PARTITION_COL
+
+
+class DicomLake:
+    """A partitioned DICOM-metadata Parquet lake plus its quarantine
+    channel, registered as a queryable table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake_path: str,
+        quarantine_path: str | None = None,
+        table: str = "dicom_metadata",
+        external: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.lake_path = lake_path
+        self.quarantine_path = quarantine_path
+        self.table = table
+        self.external = external
+
+    # -- ingestion ---------------------------------------------------------
+
+    def ingest(self, input_path: str) -> DataFrame:
+        """Batch-ingest every object under input_path (the replay of all
+        S3 ObjectCreated events), then (re-)register the table. Returns
+        the queryable lake DataFrame."""
+        from .ingest import run_ingest
+
+        return run_ingest(
+            self.spark,
+            input_path,
+            self.lake_path,
+            self.quarantine_path,
+            table=self.table,
+            external=self.external,
+        )
+
+    def watch(self, input_path: str, checkpoint_path: str, available_now: bool = False):
+        """Continuous ingestion of newly arriving objects (the S3-event
+        pattern as a Structured Streaming query). Returns the handle."""
+        from .streaming import start_ingest_stream
+
+        return start_ingest_stream(
+            self.spark,
+            input_path,
+            self.lake_path,
+            self.quarantine_path,
+            checkpoint_path=checkpoint_path,
+            available_now=available_now,
+        )
+
+    # -- query surface -----------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """The lake as a DataFrame (fresh read)."""
+        from .schema import DICOM_METADATA_SCHEMA
+
+        if self.external:
+            return self.spark.table(self.table)
+        return self.spark.read.schema(DICOM_METADATA_SCHEMA).parquet(self.lake_path)
+
+    def sql(self, query: str) -> DataFrame:
+        """ANSI SQL over the registered table — the Athena surface."""
+        return self.spark.sql(query)
+
+    def refresh(self) -> None:
+        """Pick up partitions written outside this session — the MSCK
+        REPAIR / crawler step."""
+        if self.external:
+            from .sources.catalog import repair_table
+
+            repair_table(self.spark, self.table)
+        else:
+            self.df().createOrReplaceTempView(self.table)
+
+    # -- operations --------------------------------------------------------
+
+    def quarantine(self) -> DataFrame | None:
+        """Failed-object records (the DLQ): lineage columns + ``error``."""
+        if not self.quarantine_path:
+            return None
+        try:
+            return self.spark.read.parquet(self.quarantine_path)
+        except Exception:
+            return None  # nothing quarantined yet
+
+    def compact(self, target_file_bytes: int = 128 << 20, min_files: int = 8) -> dict[str, int]:
+        """Rewrite small-file partitions (operators/compact.py)."""
+        from .operators import compact_lake
+
+        return compact_lake(
+            self.spark, self.lake_path, target_file_bytes, min_files
+        )
+
+    def partitions(self) -> list[str]:
+        """Partition values present in the lake."""
+        return sorted(
+            r[PARTITION_COL].isoformat()
+            for r in self.df().select(PARTITION_COL).distinct().collect()
+        )

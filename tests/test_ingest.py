@@ -81,3 +81,34 @@ def test_ingest_reference_samples(spark, tmp_path_factory):
     # example.tar.gz and example.tar.bz2 repeat the tar members
     assert n_good == 10
     assert n_bad == 1  # empty DICOMDIR
+
+
+def test_dicom_lake_facade(spark, tmp_path_factory):
+    """The reference's whole user workflow through the DicomLake facade:
+    ingest -> sql -> partitions -> quarantine."""
+    from dicom_metadata_extractor_serverless_datalake_spark import DicomLake
+
+    from fixtures import write_fixture_tree
+
+    root = tmp_path_factory.mktemp("lake_in")
+    write_fixture_tree(root)
+    out = tmp_path_factory.mktemp("lake_out")
+    lake = DicomLake(
+        spark, str(out / "lake"), quarantine_path=str(out / "quar")
+    )
+    df = lake.ingest(str(root))
+    assert df.count() == 10
+    got = {
+        (r["modality"], r["n"])
+        for r in lake.sql(
+            "SELECT modality, COUNT(*) AS n FROM dicom_metadata GROUP BY modality"
+        ).collect()
+    }
+    assert sum(n for _, n in got) == 10
+    want_parts = sorted(
+        r["study_date"].isoformat()
+        for r in df.select("study_date").distinct().collect()
+    )
+    assert lake.partitions() == want_parts and len(want_parts) >= 3
+    quar = lake.quarantine()
+    assert quar is not None and quar.count() == 1
