@@ -112,3 +112,32 @@ def test_dicom_lake_facade(spark, tmp_path_factory):
     assert lake.partitions() == want_parts and len(want_parts) >= 3
     quar = lake.quarantine()
     assert quar is not None and quar.count() == 1
+
+
+def test_dicom_python_datasource(spark, tmp_path_factory):
+    """spark.read.format('dicom'): the extraction pipeline as a native
+    Spark-4 Python data source, equal to the mapInPandas ingest path."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.ingest.pipeline import extract_from_listing
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.binary import list_binary_objects
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.dicom_source import register_dicom_source
+
+    from fixtures import write_fixture_tree
+
+    root = tmp_path_factory.mktemp("ds_in")
+    write_fixture_tree(root)
+    register_dicom_source(spark)
+
+    via_source = spark.read.format("dicom").load(str(root))
+    via_pipeline = extract_from_listing(list_binary_objects(spark, str(root)))
+
+    key = lambda r: (r["source_s3_key"], r["source_s3_archive_path"] or "",  # noqa: E731
+                     r["sop_instance_uid"] or "", (r["error"] or "")[:40])
+    got = sorted(map(key, via_source.collect()))
+    want = sorted(map(key, via_pipeline.collect()))
+    assert got == want and len(got) > 0
+    # schema carries the full canonical shape incl. the error channel
+    assert via_source.schema == via_pipeline.schema
+    # filters compose on the loaded frame
+    assert via_source.filter(F.col("error").isNotNull()).count() >= 1
