@@ -48,6 +48,9 @@ class DicomDataSource(DataSource):
     def reader(self, schema) -> "DicomReader":
         return DicomReader(self.options)
 
+    def streamReader(self, schema) -> "DicomStreamReader":
+        return DicomStreamReader(self.options)
+
 
 class DicomReader(DataSourceReader):
     def __init__(self, options):
@@ -105,3 +108,98 @@ class DicomReader(DataSourceReader):
 def register_dicom_source(spark) -> None:
     """Idempotently register ``format("dicom")`` on this session."""
     spark.dataSource.register(DicomDataSource)
+
+
+# --------------------------------------------------------------------------
+# Streaming variant: readStream.format("dicom") — the S3-event pattern
+# without binaryFile's gaps. Spark's binaryFile stream silently skips
+# zero-byte objects, losing the reference's DLQ contract for empty
+# DICOMDIR (README.md:116); this reader lists with os.stat so empty
+# objects flow through extraction and land in quarantine.
+#
+# Offsets: a (mtime_ns, path)-watermark — JSON dict {"mtime": int,
+# "tail": [names at that mtime]}. Files are discovered when their mtime
+# advances past the watermark (ties broken by the tail set), so the
+# offset stays O(files-at-max-mtime), not O(all files seen). Assumes
+# arrival mtime is monotone per object store listing — the same
+# assumption Spark's own file source makes before compaction. Reading
+# is partition-based (executor-side), packed by bytes like the batch
+# reader.
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+def _list_with_mtime(root: str) -> list[tuple[str, int, int]]:
+    import os
+
+    out = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return [(root, st.st_size, st.st_mtime_ns)]
+    for dirpath, _dirs, files in os.walk(root):
+        for name in sorted(files):
+            full = os.path.join(dirpath, name)
+            st = os.stat(full)
+            out.append((full, st.st_size, st.st_mtime_ns))
+    return out
+
+
+class DicomStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        from .binary import DCM_RANGED_READ_BYTES
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("readStream.format('dicom') requires .load(path)")
+        cap = int(options.get("rangedCap", DCM_RANGED_READ_BYTES))
+        self.ranged_cap = cap if cap > 0 else None
+        self.target_bytes = int(options.get("targetPartitionBytes", 128 << 20))
+
+    def initialOffset(self) -> dict:
+        return {"mtime": -1, "tail": ""}
+
+    def latestOffset(self) -> dict:
+        entries = _list_with_mtime(self.path)
+        if not entries:
+            return {"mtime": -1, "tail": ""}
+        mx = max(e[2] for e in entries)
+        tail = sorted(p for p, _s, m in entries if m == mx)
+        return {"mtime": mx, "tail": "\x00".join(tail)}
+
+    def _new_files(self, start: dict, end: dict) -> list[tuple[str, int]]:
+        s_m, s_tail = start["mtime"], set(filter(None, start["tail"].split("\x00")))
+        e_m, e_tail = end["mtime"], set(filter(None, end["tail"].split("\x00")))
+        out = []
+        for path, size, m in _list_with_mtime(self.path):
+            if m > e_m or (m == e_m and path not in e_tail):
+                continue  # after the end offset
+            if m < s_m or (m == s_m and path in s_tail):
+                continue  # already delivered
+            out.append((path, size))
+        return out
+
+    def partitions(self, start: dict, end: dict) -> list[_FilePack]:
+        new = self._new_files(start, end)
+        packs: list[list[str]] = []
+        sizes: list[int] = []
+        for path, size in sorted(new, key=lambda e: -e[1]):
+            for i, s in enumerate(sizes):
+                if s + size <= self.target_bytes:
+                    packs[i].append(path)
+                    sizes[i] += size
+                    break
+            else:
+                packs.append([path])
+                sizes.append(size)
+        return [_FilePack(p) for p in packs]
+
+    def read(self, partition: _FilePack):
+        reader = DicomReader.__new__(DicomReader)
+        reader.ranged_cap = self.ranged_cap
+        reader.target_bytes = self.target_bytes
+        reader.path = self.path
+        return reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are recomputable from the listing; nothing to clean

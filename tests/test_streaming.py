@@ -292,3 +292,47 @@ def test_streaming_upsert_latest_per_key(spark, sf_dir, tmp_path_factory):
     assert got == want and len(want) > 0
     # one row per key
     assert snap.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_dicom_stream_source_keeps_empty_files(spark, tmp_path_factory):
+    """readStream.format('dicom') restores the DLQ contract binaryFile
+    loses: the 0-byte DICOMDIR is quarantined, and a second batch of
+    late files is picked up incrementally."""
+    import time as _time
+
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.dicom_source import register_dicom_source
+
+    from fixtures import write_fixture_tree
+
+    root = tmp_path_factory.mktemp("dsstream_in")
+    write_fixture_tree(root)
+    register_dicom_source(spark)
+    out = tmp_path_factory.mktemp("dsstream_out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("dicom")
+            .load(str(root))
+            .writeStream.format("parquet")
+            .option("path", str(out / "lake"))
+            .option("checkpointLocation", str(out / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_batch()
+    df = spark.read.parquet(str(out / "lake"))
+    # 10 good rows + 1 quarantined empty DICOMDIR (binaryFile drops it)
+    assert df.filter(F.col("error").isNull()).count() == 10
+    assert df.filter(F.col("error").isNotNull()).count() == 1
+
+    # late arrival: a new file lands -> only it is delivered next batch
+    _time.sleep(0.05)
+    import shutil as _sh
+
+    _sh.copy("/root/reference/sample_dcm/example-0", str(root / "late.dcm"))
+    run_batch()
+    df2 = spark.read.parquet(str(out / "lake"))
+    assert df2.count() == 12
+    assert df2.filter("source_s3_key LIKE '%late.dcm'").count() == 1
