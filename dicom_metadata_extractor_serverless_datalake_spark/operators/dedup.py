@@ -12,8 +12,14 @@ Stage costs at 100 TB:
    pairs** — the quadratic step is confined to the (small) candidate
    set instead of the full corpus.
 
-All hashing uses the md5-derived 31-bit family shared with the corpus
-oracles (queries/llm.py), so every stage is value-checkable in DuckDB.
+Hashing: ``hash_fn="portable"`` (default) uses the md5-derived 31-bit
+family shared with the corpus oracles (queries/llm.py), so every stage
+is value-checkable in DuckDB. ``hash_fn="fast"`` swaps in xxhash64
+masked to the same 31-bit domain — whole-stage-codegen JVM hashing
+with no digest-string materialization. Measured at 10x docs the
+signature stage is explode/shuffle-bound so both modes time alike;
+the fast path pulls ahead when shingles are long (md5 cost scales
+with string bytes) or the permutation count grows.
 """
 
 from __future__ import annotations
@@ -28,7 +34,10 @@ ROWS_PER_BAND = NUM_PERM // N_BANDS
 PERM_A = [1 + 12_347 * i for i in range(NUM_PERM)]
 PERM_B = [7 + 6_791 * i for i in range(NUM_PERM)]
 
-_H31 = "CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % " + str(MERSENNE_P)
+_H31 = {
+    "portable": "CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT) % " + str(MERSENNE_P),
+    "fast": "(xxhash64(s) & " + str(MERSENNE_P) + ")",
+}
 
 _SHINGLES = (
     "CASE WHEN size(w) >= 3 THEN "
@@ -47,9 +56,11 @@ def shingle_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     ).select(id_col, F.explode(F.expr(_SHINGLES)).alias("s"))
 
 
-def minhash_signatures(tok: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    tok: DataFrame, id_col: str = "doc_id", hash_fn: str = "portable"
+) -> DataFrame:
     """One row per doc with NUM_PERM min-hash columns m0..m15."""
-    h = tok.select(id_col, F.expr(_H31).alias("hs"))
+    h = tok.select(id_col, F.expr(_H31[hash_fn]).alias("hs"))
     return h.groupBy(id_col).agg(
         *[
             F.min((F.lit(PERM_A[i]) * F.col("hs") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
@@ -129,10 +140,11 @@ def neardup_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """The full pipeline: shingle -> sign -> LSH candidates -> verified
     (d1, d2, jaccard) pairs at or above ``threshold``."""
     tok = shingle_tokens(docs, id_col, text_col)
-    sigs = minhash_signatures(tok, id_col)
+    sigs = minhash_signatures(tok, id_col, hash_fn)
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_verify(cands, tok, threshold, id_col)

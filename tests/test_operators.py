@@ -140,3 +140,19 @@ def test_compact_partition_preserves_rows(spark, sf_dir, tmp_path_factory):
 
     # below threshold -> untouched
     assert compact_lake(spark, lake, min_files=8) == {}
+
+
+def test_neardup_fast_hash_agrees_with_portable(spark, sf_dir):
+    """hash_fn='fast' (xxhash64) and 'portable' (md5) run the same
+    candidate-then-verify pipeline; exact Jaccard verification filters
+    LSH noise, so verified pairs agree on a strongly-duplicated corpus."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import neardup_pairs
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    portable = {(r["d1"], r["d2"]) for r in neardup_pairs(docs).collect()}
+    fast = {(r["d1"], r["d2"]) for r in neardup_pairs(docs, hash_fn="fast").collect()}
+    assert len(portable) > 0
+    # identical verification criterion; only LSH candidate recall differs
+    overlap = len(portable & fast) / max(len(portable | fast), 1)
+    assert overlap >= 0.9, f"fast/portable overlap {overlap}"
