@@ -156,3 +156,34 @@ def test_neardup_fast_hash_agrees_with_portable(spark, sf_dir):
     # identical verification criterion; only LSH candidate recall differs
     overlap = len(portable & fast) / max(len(portable | fast), 1)
     assert overlap >= 0.9, f"fast/portable overlap {overlap}"
+
+
+def test_udtf_chunk_matches_sql_chunking(spark, sf_dir):
+    """The chunk_text UDTF (LATERAL-joined from SQL) agrees with the
+    JVM-side sequence+posexplode chunking of q73 on digests."""
+    from dicom_metadata_extractor_serverless_datalake_spark.functions.udtf import register_udtfs
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import register_star_schema
+
+    register_udtfs(spark)
+    register_star_schema(spark, sf_dir)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_len"], r["digest"])
+        for r in spark.sql(
+            "SELECT doc_id, c.chunk_id, c.chunk_len, md5(c.chunk) AS digest "
+            "FROM documents, LATERAL chunk_text(text, 256) AS c "
+            "WHERE doc_id < 100"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_len"], r["chunk_digest"])
+        for r in QUERIES["q73_doc_chunking"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # terminate() emits the summary marker row
+    n = spark.sql(
+        "SELECT count(*) AS n FROM (SELECT 'a b c' AS t), LATERAL ws_tokens(t) "
+        "WHERE token = '<EOS>' AND pos = 3"
+    ).collect()[0]["n"]
+    assert n == 1
