@@ -245,10 +245,10 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q76 — deterministic epoch shuffle: a reproducible global permutation of
 # the dataset, ordered by hash of (seed, key). Changing the seed string
-# reshuffles; the same seed replays the same order on any cluster. At
-# scale this is a single range-partitioned sort — and when only a
-# per-partition shuffle is needed, the sort key doubles as the
-# partitioner key (repartitionByRange on the same hash).
+# reshuffles; the same seed replays the same order on any cluster.
+# Positions come from operators/rank.py::global_positions — a parallel
+# range-partitioned numbering, NOT row_number() over a global window
+# (which would collapse every row into one task at scale).
 # --------------------------------------------------------------------------
 
 
@@ -264,11 +264,13 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     category="training",
 )
 def q76(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import global_positions
+
     h = F.expr(spark_h31("concat('epoch1-', CAST(doc_id AS STRING))"))
-    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    d = t(spark, sf, "documents").select("doc_id", h.alias("_h"))
     return (
-        t(spark, sf, "documents")
-        .select("doc_id", F.row_number().over(w).cast("long").alias("position"))
+        global_positions(d, ["_h", "doc_id"])
+        .select("doc_id", "position")
         .orderBy("position")
     )
 

@@ -187,3 +187,24 @@ def test_udtf_chunk_matches_sql_chunking(spark, sf_dir):
         "WHERE token = '<EOS>' AND pos = 3"
     ).collect()[0]["n"]
     assert n == 1
+
+
+def test_global_positions_match_global_row_number(spark, sf_dir):
+    """Two-phase parallel numbering equals row_number() over the global
+    order, for every row."""
+    from pyspark.sql import Window
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators import global_positions
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    got = {
+        r["event_id"]: r["position"]
+        for r in global_positions(ev, ["value", "event_id"]).collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        r["event_id"]: r["rn"]
+        for r in ev.select("event_id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want and len(want) > 100

@@ -88,3 +88,16 @@ def test_q75_vocab_partial_agg_and_topk(spark, sf_dir):
     plan = physical_plan(_q("q75_vocab_topk", spark, sf_dir))
     assert "partial_count" in plan  # map-side combine before the exchange
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q76_no_single_partition_exchange(spark, sf_dir):
+    """Global positions must come from the parallel two-phase numbering,
+    never a row_number over an un-partitioned window (which funnels
+    every row through one task)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    df = _q("q76_epoch_shuffle", spark, sf_dir)
+    plan = physical_plan(df)
+    # the final presentation orderBy is a range exchange; the numbering
+    # itself must not collapse to a single partition
+    assert "Exchange SinglePartition" not in plan
