@@ -51,9 +51,13 @@ sql_query(
     doc="top-N per group: the window + filter form Catalyst can limit-push.",
 )
 
-sql_query(
+# q32: the ordering (s_acctbal, s_suppkey) is a total order, so
+# PERCENT_RANK == (position-1)/(N-1) and CUME_DIST == position/N —
+# computed with the parallel two-phase numbering (operators/rank.py)
+# instead of an un-partitioned window's Exchange SinglePartition.
+@query(
     "q32_percentiles",
-    """
+    oracle="""
     SELECT s_suppkey, s_acctbal,
            PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS pct_rank,
            CUME_DIST()    OVER (ORDER BY s_acctbal, s_suppkey) AS cume
@@ -61,6 +65,18 @@ sql_query(
     """,
     category="window",
 )
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import global_positions
+
+    sup = t(spark, sf, "supplier").select("s_suppkey", "s_acctbal")
+    pos = global_positions(sup, ["s_acctbal", "s_suppkey"])
+    n = sup.count()
+    return pos.select(
+        "s_suppkey",
+        "s_acctbal",
+        ((F.col("position") - 1) / F.lit(n - 1)).alias("pct_rank"),
+        (F.col("position") / F.lit(n)).alias("cume"),
+    ).orderBy("s_suppkey")
 
 
 # --------------------------------------------------------------------------
@@ -137,7 +153,11 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q35 — RANGE frame over a numeric ordering (value-based window).
+# q35 — RANGE frame over a numeric ordering (value-based window). The
+# un-partitioned window IS the feature under test here (its plan funnels
+# through one task); the scale-safe spelling of the same semantics is a
+# banded range self-join (q11's shape) or a partition-by-bucket window
+# with boundary correction.
 # --------------------------------------------------------------------------
 
 sql_query(
