@@ -165,3 +165,25 @@ def test_range_sorted_write_clusters_keys(spark, sf_dir, tmp_path_factory):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint ranges across files
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_corrupt_lake_file_handling(spark, sf_dir, tmp_path_factory):
+    """Ops contract for a damaged lake object: the default read fails
+    loudly; spark.sql.files.ignoreCorruptFiles=true reads through,
+    losing only the damaged file's rows."""
+    import pytest as _pytest
+
+    out = tmp_path_factory.mktemp("corrupt")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.parquet(str(out / "lake"))
+    (out / "lake" / "zzz-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(out / "lake")).count()
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        n = spark.read.parquet(str(out / "lake")).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert n == nation.count()
