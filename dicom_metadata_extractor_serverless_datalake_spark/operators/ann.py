@@ -56,22 +56,37 @@ def fit_ivf(
 def _nearest_centroids(
     df: DataFrame, centroids: DataFrame, vec_col: str, n: int, out_col: str
 ) -> DataFrame:
-    """Stamp each row with its n nearest centroid ids (euclidean)."""
-    dist2 = (
-        _DOT.format(a=vec_col, b=vec_col)
-        + " - 2 * "
-        + _DOT.format(a=vec_col, b="centroid")
-        + " + "
-        + _DOT.format(a="centroid", b="centroid")
+    """Stamp each row with its n nearest centroid ids (euclidean).
+
+    Fully map-side: the centroid table is tiny, so it is inlined as
+    array literals and each row computes a k-element distance array,
+    sorted with (distance, centroid_id) struct ordering for the
+    deterministic tie-break. No join, no shuffle — a cross-join +
+    per-row window here would shuffle the full vector data just to
+    rank k=16 candidates.
+
+    Distances drop the constant |v|^2 term: argmin over centroids only
+    needs -2*(v.c) + |c|^2."""
+    cents = sorted(
+        (r["centroid_id"], list(r["centroid"])) for r in centroids.collect()
     )
-    w = Window.partitionBy(*df.columns).orderBy(F.col("_d2").asc(), F.col("centroid_id").asc())
-    scored = (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("_d2", F.expr(dist2))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
+    dist_exprs = []
+    for cid, cvec in cents:
+        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cvec) + ")"
+        c2 = sum(x * x for x in cvec)
+        dot = _DOT.format(a=vec_col, b=arr)
+        dist_exprs.append(
+            f"named_struct('d', -2 * ({dot}) + CAST({c2!r} AS DOUBLE), 'cid', {cid})"
+        )
+    ranked = (
+        "transform(slice(array_sort(array("
+        + ", ".join(dist_exprs)
+        + f")), 1, {n}), s -> s.cid)"
     )
-    return scored.select(*df.columns, F.col("centroid_id").alias(out_col))
+    out = df.withColumn("_probes", F.expr(ranked))
+    if n == 1:
+        return out.withColumn(out_col, F.col("_probes")[0]).drop("_probes")
+    return out.withColumn(out_col, F.explode("_probes")).drop("_probes")
 
 
 def assign_buckets(
