@@ -101,3 +101,24 @@ def test_q76_no_single_partition_exchange(spark, sf_dir):
     # the final presentation orderBy is a range exchange; the numbering
     # itself must not collapse to a single partition
     assert "Exchange SinglePartition" not in plan
+
+
+def test_no_exchange_carries_heavy_payload_columns(spark, sf_dir):
+    """Corpus-wide contract: no shuffle anywhere moves raw document
+    text, binary payloads, or embedding vectors — scoring/digesting
+    happens before the exchange, so shuffle volume is keyed rows, not
+    corpus bytes. (At 100 TB, an exchange carrying `text` IS the
+    outage.)"""
+    import re
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    heavy = ("embedding#", "text#", "content#", " qe#", "centroid#")
+    offenders = []
+    for name, q in sorted(QUERIES.items()):
+        plan = physical_plan(q.spark_fn(spark, sf_dir))
+        for m in re.finditer(r"Exchange (hash|range)partitioning\([^\n]*", plan):
+            line = m.group(0)
+            if any(c in line for c in heavy):
+                offenders.append((name, line[:90]))
+    assert offenders == []
