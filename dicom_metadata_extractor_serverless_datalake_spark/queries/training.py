@@ -19,7 +19,7 @@ the key is a partition column. Chunking (q73) is a generate + posexplode
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import query, t
