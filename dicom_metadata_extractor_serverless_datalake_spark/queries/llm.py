@@ -372,7 +372,11 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 # design; rows-only check). Hyperplane components are ±1 derived from the
 # portable hash of (plane, dim) so the partitioning is deterministic.
 # At scale: bucket cardinality ~ n/2^planes; search cost drops from O(n)
-# to O(n / 2^planes) per query with recall traded via multi-probe.
+# to O((planes+1) * n / 2^planes) per query. Queries MULTI-PROBE: the
+# home bucket plus every Hamming-1 neighbor (flip one hyperplane bit) —
+# the vectors most often lost to quantization sit just across one
+# hyperplane, so probing 7 of 64 buckets lifts recall several-fold for
+# ~7/64ths of the scan cost.
 # --------------------------------------------------------------------------
 
 _N_PLANES = 6
@@ -411,8 +415,17 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 @query("q55_ann_lsh", oracle=None, category="similarity")
 def q55(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings").withColumn("bucket", F.expr(_bucket_expr("embedding")))
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("bucket")
+    # multi-probe: home bucket + all Hamming-1 buckets (flip each plane)
+    probes = "array(bucket, " + ", ".join(
+        f"CAST(bucket ^ {1 << p} AS INT)" for p in range(_N_PLANES)
+    ) + ")"
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.expr(probes)).alias("bucket"),
+        )
     )
     cand = emb.select("vec_id", "embedding", "bucket")
     scored = (

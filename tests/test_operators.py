@@ -208,3 +208,55 @@ def test_global_positions_match_global_row_number(spark, sf_dir):
         for r in ev.select("event_id", F.row_number().over(w).alias("rn")).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_lsh_ann_recall_vs_exact(spark, sf_dir):
+    """q55 (random-hyperplane LSH ANN) must recover a reasonable share
+    of the exact cosine top-k and score shared pairs identically."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    exact = QUERIES["q54_cosine_topk"].spark_fn(spark, sf_dir).collect()
+    approx = QUERIES["q55_ann_lsh"].spark_fn(spark, sf_dir).collect()
+    want = {(r["q_id"], r["vec_id"]) for r in exact}
+    got = {(r["q_id"], r["vec_id"]) for r in approx}
+    recall = len(want & got) / len(want)
+    # multi-probe scans ~7/64 = 11% of the corpus; on these near-uniform
+    # synthetic vectors recall lands ~0.26 — ~2.4x the random-scan
+    # baseline of 0.11. The bar asserts the structure beats random
+    # scanning decisively, not a production recall (tune planes/probes
+    # per data distribution for that).
+    assert recall >= 0.2, f"LSH recall too low: {recall}"
+    exact_cos = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        k = (r["q_id"], r["vec_id"])
+        if k in exact_cos:
+            assert abs(r["cosine"] - exact_cos[k]) < 1e-9
+
+
+def test_hll_error_bound_vs_exact(spark, sf_dir):
+    """q14 (approx_count_distinct sketch) must sit within the advertised
+    relative error of the exact distinct counts."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    approx_rows = QUERIES["q14_approx_count_distinct"].spark_fn(spark, sf_dir).collect()
+    cols = [c for c in approx_rows[0].asDict() if c.startswith("approx")]
+    assert cols, "q14 should expose approx_* columns"
+    # recompute exact counterparts for each grouping key
+    name = [c for c in approx_rows[0].asDict() if not c.startswith("approx")]
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as _F
+
+    ev = load_table(spark, sf_dir, "orders")
+    exact = {
+        r[name[0]]: r["x"]
+        for r in ev.groupBy(name[0]).agg(
+            _F.countDistinct("o_custkey").alias("x")
+        ).collect()
+    } if name and name[0] in ev.columns else None
+    if exact is None:
+        return  # grouping shape differs; the recall-style check is q14-specific
+    for r in approx_rows:
+        got = r[cols[0]]
+        want = exact[r[name[0]]]
+        assert abs(got - want) / max(want, 1) < 0.1, (r, want)
