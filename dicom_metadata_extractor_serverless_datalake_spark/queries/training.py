@@ -446,3 +446,79 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "key")
         .limit(_SKEW_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# q82 — benchmark decontamination: drop training docs that share any
+# 4-gram with the held-out eval set (the GPT-3-style n-gram overlap
+# rule; production uses 8-13-grams — on this small-vocabulary synthetic
+# corpus 4 gives the same mixed kept/dropped shape). Scale shape: eval sets are tiny, so their distinct n-grams
+# BROADCAST and contamination is a map-side semi-join probe — the
+# training corpus never shuffles. Report kept/dropped per source.
+# --------------------------------------------------------------------------
+
+_EVAL_MAX_DOC = 25  # docs below this id act as the held-out benchmark
+
+
+@query(
+    "q82_decontamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(generate_series(1, len(w) - 3),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+      FROM w
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_EVAL_MAX_DOC}),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id >= {_EVAL_MAX_DOC} AND g IN (SELECT g FROM eval_grams)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id >= {_EVAL_MAX_DOC}
+    GROUP BY d.source ORDER BY d.source
+    """,
+    category="training",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    four = (
+        "CASE WHEN size(w) >= 4 THEN array_distinct(transform(sequence(1, size(w) - 3), "
+        "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2]))) "
+        "ELSE array() END"
+    )
+    grams = (
+        t(spark, sf, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+        .select("doc_id", "source", F.explode(F.expr(four)).alias("g"))
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") < _EVAL_MAX_DOC).select("g").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") >= _EVAL_MAX_DOC)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = t(spark, sf, "documents").filter(F.col("doc_id") >= _EVAL_MAX_DOC)
+    flagged = train.join(
+        F.broadcast(contaminated.withColumn("_hit", F.lit(1))), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
