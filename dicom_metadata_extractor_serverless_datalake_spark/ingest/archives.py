@@ -45,6 +45,21 @@ def is_ignored(key: str) -> bool:
     return eval_ext(key) in IGNORED_EXTS
 
 
+def _decompress_single(ext: str, content: bytes) -> bytes:
+    """Decompress a bare (non-tar) .gz/.bz2/.xz single-member payload."""
+    import bz2
+    import gzip
+    import lzma
+
+    if ext in {".gz", ".tgz"}:
+        return gzip.decompress(content)
+    if ext == ".bz2":
+        return bz2.decompress(content)
+    if ext == ".xz":
+        return lzma.decompress(content)
+    raise tarfile.ReadError(f"not a tar and not bare-compressed: {ext}")
+
+
 def _member_ok(name: str, data: bytes) -> bool:
     if "DICOMDIR" in name.upper():
         return False
@@ -72,19 +87,31 @@ def explode(key: str, content: bytes) -> Iterator[tuple[str, bytes]]:
                     yield info.filename, data
         return
     if ext in TAR_EXTS:
-        with tarfile.open(fileobj=io.BytesIO(content), mode="r:*") as tf:
-            for member in tf:
-                if not member.isfile():
-                    continue
-                if "DICOMDIR" in member.name.upper():
-                    continue  # src/utils/utils.py:35
-                fobj = tf.extractfile(member)
-                if fobj is None:
-                    continue
-                data = fobj.read()
-                if is_dicom(data):
-                    yield member.name, data
-        return
+        try:
+            with tarfile.open(fileobj=io.BytesIO(content), mode="r:*") as tf:
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    if "DICOMDIR" in member.name.upper():
+                        continue  # src/utils/utils.py:35
+                    fobj = tf.extractfile(member)
+                    if fobj is None:
+                        continue
+                    data = fobj.read()
+                    if is_dicom(data):
+                        yield member.name, data
+            return
+        except tarfile.ReadError:
+            # bare (non-tar) compressed single member, e.g. file.dcm.gz:
+            # the reference crashes here (src/utils/utils.py:31-48 assumes
+            # tar); we decompress the single member instead and fall
+            # through to the bare-file path. Unknown/corrupt payloads
+            # still raise -> quarantine.
+            content = _decompress_single(ext, content)
+            base = posixpath.basename(key)
+            stem = base[: base.rfind(".")] if "." in base else base
+            yield stem, content
+            return
     # bare file (.dcm or defaulted): magic enforced downstream by the
     # parser so invalid files quarantine rather than silently drop
     yield posixpath.basename(key), content

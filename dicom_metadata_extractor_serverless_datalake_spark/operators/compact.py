@@ -14,10 +14,14 @@ partition that exceeds a file-count threshold.
 Scale notes: compaction is per-partition independent — on a real
 cluster you run many partitions' rewrites in one job (each partition is
 a task group), and only partitions past the threshold are touched, so
-steady-state cost tracks ingest rate, not lake size. The swap is a
-rename, so concurrent readers see either the old or the new file set
-(with object-store semantics, a manifest/catalog pointer swap replaces
-the rename — the code isolates the swap in one place for that reason).
+steady-state cost tracks ingest rate, not lake size. The replacement
+dir is fully materialized first, then swapped in with a single pair of
+renames: a reader sees the old file set or the complete new one — the
+only exposure is the two-syscall gap between the renames, during which
+a lister may transiently miss the partition (POSIX has no two-dir
+atomic exchange; with object-store semantics a manifest/catalog pointer
+swap replaces the renames — the code isolates the swap in one place for
+that reason).
 """
 
 from __future__ import annotations
@@ -60,20 +64,21 @@ def compact_partition(
     df = spark.read.parquet(pdir)
     tmp = os.path.join(lake_path, f"_compact_{uuid.uuid4().hex}")
     df.coalesce(n_out).write.parquet(tmp)
+    # strip sink markers so the replacement dir holds exactly the data
+    # files BEFORE it goes live — the swap below is then two renames
+    # back-to-back, so a concurrent reader sees either the old file set
+    # or the complete new one, never a partially-populated partition
+    for f in os.listdir(tmp):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(tmp, f))
     swap = os.path.join(lake_path, f"_old_{uuid.uuid4().hex}")
     os.rename(pdir, swap)
     try:
-        # keep only data files from the rewrite (drop _SUCCESS markers)
-        os.makedirs(pdir)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.rename(os.path.join(tmp, f), os.path.join(pdir, f))
+        os.rename(tmp, pdir)
     except Exception:
-        shutil.rmtree(pdir, ignore_errors=True)
         os.rename(swap, pdir)  # roll back
-        raise
-    finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(swap, ignore_errors=True)
     return sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
 

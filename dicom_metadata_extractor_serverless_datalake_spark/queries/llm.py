@@ -225,9 +225,14 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q53 — SimHash (32-bit) near-dup: per-token hash bits vote per position;
+# q53 — SimHash (31-bit) near-dup: per-token hash bits vote per position;
 # docs pair when Hamming distance <= 3. Signature build is linear; the
-# pair scan is the quadratic tail LSH would bucket away at scale.
+# pair scan is BANDED, not quadratic: the signature splits into 4 8-bit
+# bands, and by pigeonhole Hamming <= 3 over 4 bands forces at least one
+# band to match exactly — so candidates come from an equi-join on
+# (band_idx, band_value) and only candidates pay the Hamming check.
+# Same shape as q52's MinHash banding; no BroadcastNestedLoopJoin
+# anywhere in the plan (contract: tests/test_plans.py).
 # --------------------------------------------------------------------------
 
 _HAMMING_MAX = 3
@@ -277,17 +282,33 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
         ).alias("simhash")
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
+    # band the signature: 4 bands of 8 bits; Hamming <= 3 differing bits
+    # across 4 bands leaves >= 1 band untouched (pigeonhole), so an exact
+    # match on any (band_idx, band_value) is a complete candidate set.
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), i -> (simhash >> (i * 8)) & 255)")
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
         .orderBy("d1", "d2")
     )
 
@@ -367,9 +388,39 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _exact_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (q54's plan): the exact ground truth the
+    ANN variants (q55/q67) measure their recall against."""
+    return q54(spark, sf)
+
+
+def _recall_check(ann: DataFrame, exact: DataFrame, min_hits: int) -> DataFrame:
+    """Exact+bound-boolean oracle pattern for ANN: emit per-query result
+    counts (deterministic) plus a corpus-level boolean asserting total
+    recall hits >= min_hits vs the exact top-k. The oracle emits the same
+    shape with TRUE — a hash-checkable row for an approximate operator.
+
+    Corpus-total (not per-query) recall is the asserted quantity because
+    per-query recall has high variance at small scale; min_hits carries a
+    >=3x margin below every measured value (sf0.001 and sf0.01)."""
+    hits = ann.join(
+        exact.select("q_id", "vec_id"), ["q_id", "vec_id"]
+    ).agg(F.count("*").alias("hits_total"))
+    per_q = ann.groupBy("q_id").agg(F.count("*").alias("n_ann"))
+    return (
+        per_q.crossJoin(F.broadcast(hits))
+        .select(
+            "q_id",
+            "n_ann",
+            (F.col("hits_total") >= F.lit(min_hits)).alias("recall_ok"),
+        )
+        .orderBy("q_id")
+    )
+
+
 # --------------------------------------------------------------------------
-# q55 — ANN via random-hyperplane LSH buckets (no oracle: approximate by
-# design; rows-only check). Hyperplane components are ±1 derived from the
+# q55 — ANN via random-hyperplane LSH buckets (hash-checked through
+# _recall_check). Hyperplane components are ±1 derived from the
 # portable hash of (plane, dim) so the partitioning is deterministic.
 # At scale: bucket cardinality ~ n/2^planes; search cost drops from O(n)
 # to O((planes+1) * n / 2^planes) per query. Queries MULTI-PROBE: the
@@ -396,11 +447,33 @@ def _bucket_expr(col: str) -> str:
     return " + ".join(bits)
 
 
-@query("q67_ann_ivf", oracle=None, category="similarity")
+# ANN recall oracle: both ANN variants are approximate by design, so the
+# hash-checked output is the exact+bound-boolean pattern (_recall_check):
+# per-query candidate counts (deterministic: every query fills its top-k)
+# plus a corpus-recall boolean, with the oracle emitting the same counts
+# + TRUE. Measured corpus hits /50: q55 11 (sf0.01) / 13 (sf0.001);
+# q67 28 (sf0.01) / 37 (sf0.001). Thresholds sit >=2.8x below the worst
+# measurement; a random scan would land ~0-1 hits.
+_ANN_ORACLE = f"""
+    SELECT vec_id AS q_id, CAST({_TOP_K} AS BIGINT) AS n_ann,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES} ORDER BY q_id
+    """
+_LSH_MIN_HITS = 3
+_IVF_MIN_HITS = 10
+
+
+@query("q67_ann_ivf", oracle=_ANN_ORACLE, category="similarity")
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (operators/ann.py): k-means coarse quantizer, probe the 2
-    nearest of 8 centroids per query. Approximate by design -> rows-only
-    check; recall vs the exact q54 is pinned in tests/test_operators.py."""
+    nearest of 8 centroids per query. Hash-checked via _recall_check
+    (recall floor vs exact q54); the tighter recall curve is pinned in
+    tests/test_operators.py."""
+    return _recall_check(_ivf_topk(spark, sf), _exact_topk(spark, sf), _IVF_MIN_HITS)
+
+
+def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw IVF neighbor rows (q_id, vec_id, cosine, rank)."""
     from ..operators.ann import assign_buckets, fit_ivf, ivf_search
 
     emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -412,8 +485,13 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_search(q, bucketed, centroids, top_k=_TOP_K, n_probe=2)
 
 
-@query("q55_ann_lsh", oracle=None, category="similarity")
+@query("q55_ann_lsh", oracle=_ANN_ORACLE, category="similarity")
 def q55(spark: SparkSession, sf: str) -> DataFrame:
+    ann = _lsh_topk(spark, sf)
+    return _recall_check(ann, _exact_topk(spark, sf), _LSH_MIN_HITS)
+
+
+def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings").withColumn("bucket", F.expr(_bucket_expr("embedding")))
     # multi-probe: home bucket + all Hamming-1 buckets (flip each plane)
     probes = "array(bucket, " + ", ".join(

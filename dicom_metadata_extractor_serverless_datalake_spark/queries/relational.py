@@ -456,16 +456,40 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# q14 — approx_count_distinct: HLL sketch, no exact oracle by design
-# (rows-only check; the exact twin is q13).
+# q14 — approx_count_distinct: HLL sketch (the 100 TB scale path; q13 is
+# the exact twin). Oracle-checkable via the exact+bound-boolean pattern:
+# we emit the exact distinct count plus a boolean asserting the sketch
+# landed within its configured error bound; the oracle emits the same
+# exact count plus TRUE. A deterministic hash row despite the sketch.
 
 
-@query("q14_approx_count_distinct", oracle=None, category="agg")
+@query(
+    "q14_approx_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="agg",
+)
 def q14(spark: SparkSession, sf: str) -> DataFrame:
     return (
         t(spark, sf, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("n_customers"))
+                / F.col("n_customers")
+                <= F.lit(0.05)
+            ).alias("within_bound"),
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -869,23 +893,55 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q69 — approx_percentile (t-digest-style sketch): the scale path for
-# continuous-valued quantiles (q64 is the exact variant). Approximate by
-# design -> rows-only check; the mergeable sketch is what survives 100 TB
-# (exact percentile needs a full sort per group).
+# q69 — approx_percentile (mergeable quantile sketch): the scale path for
+# continuous-valued quantiles (q64 is the exact variant; exact percentile
+# needs a full sort per group, the sketch is what survives 100 TB).
+# Oracle-checked via the exact+bound-boolean pattern: one scalar row per
+# (group, pct) carrying the exact percentile plus a boolean asserting the
+# sketch value is within 5% relative error; the oracle emits the same
+# exact values + TRUE. Scalar rows only — drivers can hash them.
 # --------------------------------------------------------------------------
 
 
-@query("q69_approx_percentile", oracle=None, category="agg")
+@query(
+    "q69_approx_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS exs
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(([0.5, 0.95, 0.99])[i] AS DOUBLE) AS pct,
+           exs[i] AS exact_price,
+           TRUE AS within_bound
+    FROM q, (SELECT unnest(generate_series(1, 3)) AS i)
+    ORDER BY l_returnflag, pct
+    """,
+    category="agg",
+)
 def q69(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem")
+    pcts = [0.5, 0.95, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("ex"),
+    )
+    pct_arr = F.array(*[F.lit(p) for p in pcts])
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
-            ).alias("price_pcts"),
-            F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        agg.select(
+            "l_returnflag",
+            F.posexplode(F.arrays_zip("ap", "ex")).alias("i", "z"),
         )
-        .orderBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            F.element_at(pct_arr, F.col("i") + 1).alias("pct"),
+            F.col("z.ex").alias("exact_price"),
+            (
+                F.abs(F.col("z.ap") - F.col("z.ex")) / F.col("z.ex") <= F.lit(0.05)
+            ).alias("within_bound"),
+        )
+        .orderBy("l_returnflag", "pct")
     )

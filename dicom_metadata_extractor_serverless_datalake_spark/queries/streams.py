@@ -1,0 +1,184 @@
+"""Streaming-EXECUTED corpus queries: q83-q85 run a real Structured
+Streaming job (file source -> availableNow trigger -> sink) and surface
+the sink contents as the query result, so the driver's oracle check
+covers the streaming execution path itself — not just the batch twins
+q36-q38 (which share window semantics but execute as batch plans).
+
+Reference parity: the reference's "stream" is S3 event notifications
+feeding Lambda (deploy/serverless.yml:31-60); its late/duplicate story
+is re-run MSCK + DLQ (README.md:139). Structured Streaming replaces
+that with watermarked incremental state; these queries pin that
+replacement's *results* to the same SQL the batch engine answers.
+
+Determinism: each run streams the events table through availableNow
+(single micro-batch — no maxFilesPerTrigger is set, so the file source
+drains in one batch), lands in a uniquely-named in-memory sink, and the
+returned DataFrame aggregates that sink. Output equals the batch
+answer, so a plain DuckDB oracle checks the streamed execution.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import query
+
+# --------------------------------------------------------------------------
+# shared plumbing
+# --------------------------------------------------------------------------
+
+
+def _events_stream_src(sf: str, copies: int = 1) -> str:
+    """Materialize a stream-source dir holding ``copies`` copies of the
+    events file (2 copies -> genuine cross-file duplicates for dedup)."""
+    src = tempfile.mkdtemp(prefix="spark_stream_src_")
+    for i in range(copies):
+        shutil.copy(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src, f"events_{i}.parquet"),
+        )
+    return src
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> str:
+    """Drain a streaming frame into a fresh memory sink; returns the
+    sink table name. availableNow => the call is synchronous."""
+    name = "stream_sink_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return name
+
+
+# --------------------------------------------------------------------------
+# q83 — streamed tumbling-window aggregation (streaming/windows.py).
+# Complete output mode: every window is emitted at drain, so the result
+# equals the batch q36 aggregation and the oracle is plain SQL.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q83_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    category="streaming",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from ..streaming.windows import tumbling_counts
+
+    src = _events_stream_src(sf)
+    try:
+        name = _run_to_memory(
+            tumbling_counts(load_stream(spark, src, "events")), "complete"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# q84 — streamed stateful dedup (dropDuplicatesWithinWatermark): the
+# source dir holds TWO copies of the events file, so every event_id
+# arrives twice and the stateful operator must emit it once. The sink
+# then aggregates to per-type counts == the batch counts over ONE copy.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q84_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="streaming",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from ..streaming.windows import streaming_dedup
+
+    src = _events_stream_src(sf, copies=2)
+    try:
+        name = _run_to_memory(
+            streaming_dedup(load_stream(spark, src, "events")), "append"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 — streamed latest-per-key upsert sink (streaming/upsert.py): the
+# foreachBatch CDC-compaction path writes a versioned keyed snapshot;
+# the query returns the snapshot = one current row per user. The oracle
+# replays the same (ts DESC, event_id DESC) merge rule in SQL.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q85_stream_upsert_snapshot",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    category="streaming",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from ..streaming.upsert import read_snapshot, start_upsert_sink
+
+    src = _events_stream_src(sf)
+    snap = tempfile.mkdtemp(prefix="spark_stream_snap_")
+    ckpt = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
+    try:
+        q = start_upsert_sink(
+            load_stream(spark, src, "events"),
+            snapshot_path=snap,
+            key_cols=["user_id"],
+            order_col="ts",
+            checkpoint_path=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        snapshot = read_snapshot(spark, snap)
+        assert snapshot is not None
+        # materialize before the temp snapshot dir is removed
+        rows = snapshot.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        out = rows.cache()
+        out.count()
+        return out.orderBy("user_id")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -35,9 +35,12 @@ def enrich_with_dim(
     """Stream-static join: per-micro-batch broadcast lookup against a
     (small) dimension. No state, no watermark needed — the static side
     is re-read each batch, so slowly-changing dims stay fresh."""
+    # drop the dim side's key by column reference: when stream_key and
+    # dim_key share a name, a string-based drop would remove BOTH copies
+    # (silently losing the stream's join key from the output)
     return stream.join(
         F.broadcast(dim), stream[stream_key] == dim[dim_key], how
-    ).drop(dim_key)
+    ).drop(dim[dim_key])
 
 
 def interval_join(

@@ -33,10 +33,24 @@ from pyspark.sql import functions as F
 
 
 def latest_per_key(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    """One row per key: the row with the greatest ``order_col`` (ties
-    broken arbitrarily but deterministically by the remaining columns'
-    row order within the window sort)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    """One row per key: the row with the greatest ``order_col``. Ties are
+    broken deterministically: the remaining orderable columns (schema
+    order, DESC) extend the window sort, so a replayed/re-executed batch
+    always picks the same row regardless of partitioning or arrival
+    order. (Map-typed columns are unorderable and excluded; rows
+    identical in every orderable column are interchangeable anyway.)"""
+    from pyspark.sql import types as T
+
+    tiebreak = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in key_cols
+        and f.name != order_col
+        and not isinstance(f.dataType, T.MapType)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -44,7 +58,10 @@ def latest_per_key(df: DataFrame, key_cols: list[str], order_col: str) -> DataFr
     )
 
 
-def current_snapshot_version(path: str) -> int | None:
+def current_snapshot_version(path: str, below: int | None = None) -> int | None:
+    """Highest complete version, optionally restricted to versions
+    strictly below ``below`` (replay recovery: a replayed batch N must
+    re-derive from v{N-1}, never read its own half-committed v{N})."""
     best = None
     if not os.path.isdir(path):
         return None
@@ -52,12 +69,16 @@ def current_snapshot_version(path: str) -> int | None:
         if name.startswith("v") and name[1:].isdigit():
             if os.path.exists(os.path.join(path, name, "_SUCCESS")):
                 v = int(name[1:])
+                if below is not None and v >= below:
+                    continue
                 best = v if best is None or v > best else best
     return best
 
 
-def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
-    v = current_snapshot_version(path)
+def read_snapshot(
+    spark: SparkSession, path: str, below: int | None = None
+) -> DataFrame | None:
+    v = current_snapshot_version(path, below=below)
     if v is None:
         return None
     return spark.read.parquet(os.path.join(path, f"v{v}"))
@@ -81,7 +102,11 @@ def start_upsert_sink(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = latest_per_key(batch_df, key_cols, order_col)
-        prev = read_snapshot(spark, snapshot_path)
+        # previous = highest version strictly below this batch id: on a
+        # replay of batch N (crash between v{N} write and checkpoint
+        # commit) the merge must re-derive from v{N-1} — reading v{N}
+        # itself would both double-apply and overwrite a path being read
+        prev = read_snapshot(spark, snapshot_path, below=batch_id)
         merged = latest_per_key(prev.unionByName(delta), key_cols, order_col) if prev is not None else delta
         out = os.path.join(snapshot_path, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(out)

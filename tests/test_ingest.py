@@ -63,6 +63,33 @@ def test_ingest_end_to_end(spark, fixture_dir, tmp_path_factory):
     assert agg.agg(F.sum("n")).collect()[0][0] == counts["lake_rows"]
 
 
+def test_bare_gzip_member_ingests(spark, tmp_path_factory):
+    """A bare (non-tar) gzip-compressed DICOM — file.dcm.gz — must
+    decompress and ingest; the reference crashes on this shape
+    (src/utils/utils.py:31-48 routes .gz through tarfile). Corrupt
+    bare-gzip still quarantines."""
+    import gzip
+
+    from dicom_metadata_extractor_serverless_datalake_spark.ingest.archives import explode
+    from fixtures import make_dcm
+
+    d = make_dcm(7)
+    got = list(explode("s3://b/scan.dcm.gz", gzip.compress(d)))
+    assert got == [("scan.dcm", d)]
+    # corrupt gzip payload still raises -> quarantine path
+    with pytest.raises(Exception):
+        list(explode("s3://b/broken.gz", b"\x1f\x8b\x00garbage"))
+
+    root = tmp_path_factory.mktemp("gz_in")
+    (root / "scan.dcm.gz").write_bytes(gzip.compress(d))
+    (root / "broken.gz").write_bytes(b"\x1f\x8b\x00garbage")
+    out = tmp_path_factory.mktemp("gz_out")
+    n_good, n_bad = ingest_batch(
+        spark, str(root), str(out / "lake"), str(out / "quarantine")
+    )
+    assert (n_good, n_bad) == (1, 1)
+
+
 def test_ingest_reference_samples(spark, tmp_path_factory):
     """Ingest the reference's own sample_dcm/ set and reproduce its
     documented outcome: 8 metadata rows (2 bare + 2 zip + 2 tar + 2 from

@@ -66,9 +66,10 @@ def test_asof_join_semantics(spark):
 def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     """IVF with n_probe=2/k=8 must recover most of the exact top-10."""
     from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _ivf_topk
 
     exact = QUERIES["q54_cosine_topk"].spark_fn(spark, sf_dir).collect()
-    approx = QUERIES["q67_ann_ivf"].spark_fn(spark, sf_dir).collect()
+    approx = _ivf_topk(spark, sf_dir).collect()
     want = {(r["q_id"], r["vec_id"]) for r in exact}
     got = {(r["q_id"], r["vec_id"]) for r in approx}
     recall = len(want & got) / len(want)
@@ -79,6 +80,9 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
         k = (r["q_id"], r["vec_id"])
         if k in exact_cos:
             assert abs(r["cosine"] - exact_cos[k]) < 1e-9
+    # the corpus query wraps this in the recall-floor check: all green
+    summary = QUERIES["q67_ann_ivf"].spark_fn(spark, sf_dir).collect()
+    assert all(r["recall_ok"] for r in summary) and len(summary) > 0
 
 
 def test_connected_components_chain_and_islands(spark):
@@ -215,8 +219,10 @@ def test_lsh_ann_recall_vs_exact(spark, sf_dir):
     of the exact cosine top-k and score shared pairs identically."""
     from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
 
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _lsh_topk
+
     exact = QUERIES["q54_cosine_topk"].spark_fn(spark, sf_dir).collect()
-    approx = QUERIES["q55_ann_lsh"].spark_fn(spark, sf_dir).collect()
+    approx = _lsh_topk(spark, sf_dir).collect()
     want = {(r["q_id"], r["vec_id"]) for r in exact}
     got = {(r["q_id"], r["vec_id"]) for r in approx}
     recall = len(want & got) / len(want)
@@ -231,32 +237,29 @@ def test_lsh_ann_recall_vs_exact(spark, sf_dir):
         k = (r["q_id"], r["vec_id"])
         if k in exact_cos:
             assert abs(r["cosine"] - exact_cos[k]) < 1e-9
+    # the corpus query wraps this in the recall-floor check: all green
+    summary = QUERIES["q55_ann_lsh"].spark_fn(spark, sf_dir).collect()
+    assert all(r["recall_ok"] for r in summary) and len(summary) > 0
 
 
 def test_hll_error_bound_vs_exact(spark, sf_dir):
     """q14 (approx_count_distinct sketch) must sit within the advertised
-    relative error of the exact distinct counts."""
+    relative error of the exact distinct counts: its own within_bound
+    boolean asserts exactly that, and n_customers must equal the
+    independently recomputed exact counts."""
     from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
-
-    approx_rows = QUERIES["q14_approx_count_distinct"].spark_fn(spark, sf_dir).collect()
-    cols = [c for c in approx_rows[0].asDict() if c.startswith("approx")]
-    assert cols, "q14 should expose approx_* columns"
-    # recompute exact counterparts for each grouping key
-    name = [c for c in approx_rows[0].asDict() if not c.startswith("approx")]
     from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
 
     import pyspark.sql.functions as _F
 
+    rows = QUERIES["q14_approx_count_distinct"].spark_fn(spark, sf_dir).collect()
+    assert rows and all(r["within_bound"] for r in rows)
     ev = load_table(spark, sf_dir, "orders")
     exact = {
-        r[name[0]]: r["x"]
-        for r in ev.groupBy(name[0]).agg(
-            _F.countDistinct("o_custkey").alias("x")
-        ).collect()
-    } if name and name[0] in ev.columns else None
-    if exact is None:
-        return  # grouping shape differs; the recall-style check is q14-specific
-    for r in approx_rows:
-        got = r[cols[0]]
-        want = exact[r[name[0]]]
-        assert abs(got - want) / max(want, 1) < 0.1, (r, want)
+        r["o_orderpriority"]: r["x"]
+        for r in ev.groupBy("o_orderpriority")
+        .agg(_F.countDistinct("o_custkey").alias("x"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_customers"] == exact[r["o_orderpriority"]], r

@@ -103,6 +103,18 @@ def test_q76_no_single_partition_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_q53_simhash_banded_no_nested_loop(spark, sf_dir):
+    """SimHash pairing must come from the 4x8-bit band equi-join, never
+    an all-pairs nested-loop: Hamming <= 3 over 4 bands pigeonholes into
+    >= 1 exact band match, so the candidate join is a hash equi-join."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q53_simhash", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_no_exchange_carries_heavy_payload_columns(spark, sf_dir):
     """Corpus-wide contract: no shuffle anywhere moves raw document
     text, binary payloads, or embedding vectors — scoring/digesting

@@ -294,6 +294,46 @@ def test_streaming_upsert_latest_per_key(spark, sf_dir, tmp_path_factory):
     assert snap.groupBy("user_id").count().filter("count > 1").count() == 0
 
 
+def test_upsert_replay_rederives_from_previous_version(spark, tmp_path_factory):
+    """Replay recovery: a replayed batch N must resolve its previous
+    snapshot among versions strictly below N (v{N-1}) — resolving v{N}
+    itself would read the path it is about to overwrite (Spark refuses)
+    and double-apply the batch."""
+    import os
+
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming.upsert import (
+        current_snapshot_version,
+        latest_per_key,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path_factory.mktemp("replay_snap"))
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k int, ord int, payload string"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, 20, "a2"), (3, 5, "c")], "k int, ord int, payload string"
+    )
+    base.write.parquet(os.path.join(snap, "v0"))
+    # batch 1 completed its write but crashed before checkpoint commit
+    latest_per_key(base.unionByName(batch1), ["k"], "ord").write.parquet(
+        os.path.join(snap, "v1")
+    )
+    assert current_snapshot_version(snap) == 1
+    assert current_snapshot_version(snap, below=1) == 0
+
+    # the replay of batch 1: prev must be v0, and overwriting v1 while
+    # reading v0 must succeed (the old bug read v1 and failed here)
+    prev = read_snapshot(spark, snap, below=1)
+    merged = latest_per_key(prev.unionByName(batch1), ["k"], "ord")
+    merged.write.mode("overwrite").parquet(os.path.join(snap, "v1"))
+    got = {
+        (r["k"], r["ord"], r["payload"])
+        for r in read_snapshot(spark, snap).collect()
+    }
+    assert got == {(1, 20, "a2"), (2, 10, "b"), (3, 5, "c")}
+
+
 def test_dicom_stream_source_keeps_empty_files(spark, tmp_path_factory):
     """readStream.format('dicom') restores the DLQ contract binaryFile
     loses: the 0-byte DICOMDIR is quarantined, and a second batch of
