@@ -66,7 +66,8 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q51 — n-gram Jaccard near-dup pairs, exact: explode distinct unigrams,
-# token-blocked self-join, |A∩B| via groupBy, Jaccard from set sizes.
+# token-blocked + length-banded self-join, |A∩B| via groupBy, Jaccard
+# from set sizes carried through the join.
 # Scale path: the token join skews on frequent tokens — at 100 TB this is
 # exactly why MinHash-LSH (q52) exists; this exact variant is the oracle-
 # checkable ground truth for it.
@@ -106,25 +107,39 @@ _JACCARD_MAX_DOC = 250
 def q51(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
     # array_distinct dedupes within the doc map-side; after explode the
-    # (doc_id, w) rows are already unique, so no distinct shuffle needed
+    # (doc_id, n, w) rows are already unique, so no distinct shuffle
+    # needed. The set size n rides along (one int per row) so the join
+    # can length-band and the final Jaccard needs no extra size joins.
     tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("n"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
+    # length-band blocking inside the token join: J >= 0.8 forces
+    # min(|A|,|B|)/max(|A|,|B|) >= 0.8 (both <= both_n <= min, union >=
+    # max), so 5*min >= 4*max prunes candidate pairs lossless-ly and
+    # integer-exactly before the pair aggregation shuffles them.
     shared = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("both_n"))
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
     return (
-        shared.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
-        .withColumn("jaccard", jac)
+        shared.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")
@@ -181,8 +196,10 @@ _SPARK_SHINGLES = (
 )
 
 
-@query("q52_minhash_lsh", oracle=_minhash_oracle(), category="dedup", headline=True)
-def q52(spark: SparkSession, sf: str) -> DataFrame:
+def _minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct (d1, d2) MinHash-LSH candidate pairs over the full
+    documents table — q52's banded equi-join, shared as the blocking
+    stage by q68/q70/q77."""
     docs = t(spark, sf, "documents")
     # no distinct on (doc_id, shingle): MIN() is insensitive to duplicates,
     # and skipping it keeps the shingle strings map-local — the only
@@ -220,8 +237,12 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
-        .orderBy("d1", "d2")
     )
+
+
+@query("q52_minhash_lsh", oracle=_minhash_oracle(), category="dedup", headline=True)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    return _minhash_band_pairs(spark, sf).orderBy("d1", "d2")
 
 
 # --------------------------------------------------------------------------
@@ -590,48 +611,92 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q60 — embedding-cosine near-dup pairs: the semantic-dedup primitive.
-# Exact variant on a bounded slice (the oracle-checkable ground truth);
-# the scale path replaces the O(n^2) pair scan with the q55 LSH buckets
-# (same scoring expression, candidate set restricted to bucket peers).
+# q60 — embedding-cosine near-dup pairs: the semantic-dedup primitive,
+# blocking-first: candidates come from the q55 random-hyperplane LSH
+# buckets (home bucket + every Hamming-1 probe), and only candidates pay
+# the cosine verification — the all-pairs scan is gone. The hyperplanes
+# are md5-derived, so the DuckDB oracle replays the IDENTICAL bucketing
+# and the result hash-matches despite the approximate candidate set.
+# Recall semantics: a pair whose buckets differ in >= 2 hyperplane bits
+# is by-design missed (the production trade; tune planes/probes for
+# recall). The slice bound keeps the oracle cheap, not the Spark plan —
+# the join is an equi-join either way.
 # --------------------------------------------------------------------------
 
-_NEARDUP_COS = 0.95
+# threshold sits in the far tail of the synthetic embedding distribution
+# (pairwise max ~0.47, p99.9 ~0.38) so the result is non-empty but small
+_NEARDUP_COS = 0.40
 _NEARDUP_MAX_VEC = 300
 
 
-@query(
-    "q60_embedding_neardup",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NEARDUP_MAX_VEC}),
-    scored AS (
-      SELECT a.vec_id AS v1, b.vec_id AS v2,
-             list_reduce(
-               list_transform(generate_series(1, len(a.embedding)),
-                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+def _duck_bucket_expr(col: str) -> str:
+    """DuckDB twin of _bucket_expr (identical hyperplane signs + fold
+    order, so bucket ids match Spark's bit-for-bit)."""
+    bits = []
+    for p in range(_N_PLANES):
+        plane_hash = duck_h31(f"'pl{p}_' || CAST(i - 1 AS VARCHAR)")
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, len({col})), "
+            f"i -> CAST({col}[i] AS DOUBLE) * "
+            f"(CAST({plane_hash} % 2 AS DOUBLE) * 2.0 - 1.0)), "
+            f"(x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def _neardup_cos_oracle() -> str:
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(_N_PLANES)]
+    )
+    cos = """list_reduce(
+               list_transform(generate_series(1, len(ea.embedding)),
+                              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
                (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
-                                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(ea.embedding)),
+                                 i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)),
                                  (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
-                                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-                                   (x, y) -> x + y)))
-             AS cosine
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+                * sqrt(list_reduce(list_transform(generate_series(1, len(eb.embedding)),
+                                   i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))"""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, {_duck_bucket_expr('embedding')} AS bucket
+               FROM embeddings WHERE vec_id < {_NEARDUP_MAX_VEC}),
+    probes AS (SELECT vec_id, unnest([{probe_list}]) AS pb FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      FROM probes a JOIN e b ON a.pb = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT v1, v2, {cos} AS cosine
+      FROM cand JOIN e ea ON ea.vec_id = cand.v1
+                JOIN e eb ON eb.vec_id = cand.v2
     )
     SELECT v1, v2, cosine FROM scored
     WHERE cosine >= {_NEARDUP_COS}
     ORDER BY v1, v2
-    """,
-    category="dedup",
-)
+    """
+
+
+@query("q60_embedding_neardup", oracle=_neardup_cos_oracle(), category="dedup")
 def q60(spark: SparkSession, sf: str) -> DataFrame:
-    e = t(spark, sf, "embeddings").filter(F.col("vec_id") < _NEARDUP_MAX_VEC)
-    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("qe"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("embedding"))
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < _NEARDUP_MAX_VEC)
+    e = emb.select("vec_id", "embedding", F.expr(_bucket_expr("embedding")).alias("bucket"))
+    probe_arr = "array(bucket, " + ", ".join(
+        f"CAST(bucket ^ {1 << p} AS INT)" for p in range(_N_PLANES)
+    ) + ")"
+    probes = e.select("vec_id", F.explode(F.expr(probe_arr)).alias("pb"))
+    home = e.select(F.col("vec_id").alias("v2"), F.col("bucket").alias("pb"))
+    cand = (
+        probes.join(home, (probes["pb"] == home["pb"]) & (probes["vec_id"] < home["v2"]))
+        .select(F.col("vec_id").alias("v1"), "v2")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("qe"))
+    eb = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("embedding"))
     return (
-        F.broadcast(a)
-        .join(b, F.col("v1") < F.col("v2"))
+        cand.join(F.broadcast(ea), "v1")
+        .join(F.broadcast(eb), "v2")
         .withColumn("dot", F.expr(_SPARK_DOT))
         .withColumn("qn", F.expr(_SPARK_NORM.format(col="qe")))
         .withColumn("en", F.expr(_SPARK_NORM.format(col="embedding")))
@@ -820,42 +885,45 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q70 — edit-distance fuzzy matching (levenshtein): the char-level
 # complement of token-level Jaccard for short-string dedup (titles, IDs).
-# Bounded slice: edit distance is O(len^2) per pair and the pair scan is
-# quadratic — at scale this runs AFTER a blocking stage (LSH buckets or
-# length bands), exactly like q68 confines Jaccard to candidates.
+# Blocking-first over the FULL corpus: candidates come from the q52
+# MinHash band equi-join (_minhash_band_pairs), and only candidates pay
+# the O(len^2) levenshtein — the same candidate-confinement shape as
+# q68. The oracle replays the identical banding, then the same verify.
 # --------------------------------------------------------------------------
 
-_LEV_MAX_DOC = 120
 _LEV_PREFIX = 24
 _LEV_THRESHOLD = 10
 
 
-@query(
-    "q70_levenshtein_pairs",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, substring(text, 1, {_LEV_PREFIX}) AS prefix
-      FROM documents WHERE doc_id < {_LEV_MAX_DOC}
+def _lev_oracle() -> str:
+    base = _minhash_oracle()
+    tail = "SELECT d1, d2 FROM pairs ORDER BY d1, d2"
+    assert tail in base
+    return base.replace(
+        tail,
+        f"""SELECT p.d1, p.d2,
+           CAST(levenshtein(substring(da.text, 1, {_LEV_PREFIX}),
+                            substring(db.text, 1, {_LEV_PREFIX})) AS BIGINT) AS edit_dist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.d1
+    JOIN documents db ON db.doc_id = p.d2
+    WHERE levenshtein(substring(da.text, 1, {_LEV_PREFIX}),
+                      substring(db.text, 1, {_LEV_PREFIX})) <= {_LEV_THRESHOLD}
+    ORDER BY d1, d2""",
     )
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE levenshtein(a.prefix, b.prefix) <= {_LEV_THRESHOLD}
-    ORDER BY d1, d2
-    """,
-    category="dedup",
-)
+
+
+@query("q70_levenshtein_pairs", oracle=_lev_oracle(), category="dedup")
 def q70(spark: SparkSession, sf: str) -> DataFrame:
-    d = (
-        t(spark, sf, "documents")
-        .filter(F.col("doc_id") < _LEV_MAX_DOC)
-        .select("doc_id", F.substring("text", 1, _LEV_PREFIX).alias("prefix"))
+    pairs = _minhash_band_pairs(spark, sf)
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, _LEV_PREFIX).alias("prefix")
     )
-    a = d.select(F.col("doc_id").alias("d1"), F.col("prefix").alias("p1"))
-    b = d.select(F.col("doc_id").alias("d2"), F.col("prefix").alias("p2"))
+    da = d.select(F.col("doc_id").alias("d1"), F.col("prefix").alias("p1"))
+    db = d.select(F.col("doc_id").alias("d2"), F.col("prefix").alias("p2"))
     return (
-        F.broadcast(a)
-        .join(b, F.col("d1") < F.col("d2"))
+        pairs.join(da, "d1")
+        .join(db, "d2")
         .withColumn("edit_dist", F.levenshtein("p1", "p2").cast("long"))
         .filter(F.col("edit_dist") <= _LEV_THRESHOLD)
         .select("d1", "d2", "edit_dist")

@@ -103,16 +103,28 @@ def test_q76_no_single_partition_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_q53_simhash_banded_no_nested_loop(spark, sf_dir):
-    """SimHash pairing must come from the 4x8-bit band equi-join, never
-    an all-pairs nested-loop: Hamming <= 3 over 4 bands pigeonholes into
-    >= 1 exact band match, so the candidate join is a hash equi-join."""
+def test_dedup_family_banded_no_nested_loop(spark, sf_dir):
+    """Every near-dup pair generator must be blocking-first: candidates
+    from a hash equi-join (SimHash 4x8-bit bands / MinHash LSH bands /
+    hyperplane LSH buckets / token+length bands), never an all-pairs
+    nested-loop scan. q53's pigeonhole: Hamming <= 3 over 4 bands
+    forces >= 1 exact band match."""
     from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
 
-    plan = physical_plan(_q("q53_simhash", spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    for name in (
+        "q53_simhash",
+        "q51_jaccard_pairs",
+        "q60_embedding_neardup",
+        "q70_levenshtein_pairs",
+    ):
+        plan = physical_plan(_q(name, spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        ), name
 
 
 def test_no_exchange_carries_heavy_payload_columns(spark, sf_dir):
