@@ -19,6 +19,7 @@ Scale notes (100 TB target):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -156,6 +157,10 @@ def run_ingest(
     # explicit schema: an all-quarantined ingest leaves the lake empty,
     # which would otherwise fail schema inference; it also pins column
     # types independent of what any one partition happens to contain
+    if "://" not in lake_path or lake_path.startswith("file:"):
+        # an all-quarantined first ingest never wrote the lake; a missing
+        # local dir fails even a schema-pinned read, so materialize it
+        os.makedirs(lake_path.removeprefix("file:"), exist_ok=True)
     df = spark.read.schema(DICOM_METADATA_SCHEMA).parquet(lake_path)
     if table:
         df.createOrReplaceTempView(table)

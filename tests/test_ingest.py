@@ -168,3 +168,23 @@ def test_dicom_python_datasource(spark, tmp_path_factory):
     assert via_source.schema == via_pipeline.schema
     # filters compose on the loaded frame
     assert via_source.filter(F.col("error").isNotNull()).count() >= 1
+
+
+def test_all_quarantined_ingest_yields_empty_lake(spark, tmp_path_factory):
+    """A first ingest where every input is corrupt writes nothing to the
+    lake; run_ingest must still return an empty, correctly-typed frame
+    (and register the view) instead of failing on the missing lake dir."""
+    from dicom_metadata_extractor_serverless_datalake_spark.ingest.pipeline import run_ingest
+
+    root = tmp_path_factory.mktemp("allbad_in")
+    (root / "garbage.dcm").write_bytes(b"\x00garbage" * 50)
+    (root / "bad.zip").write_bytes(b"PK\x03\x04notazip")
+    out = tmp_path_factory.mktemp("allbad_out")
+    df = run_ingest(
+        spark, str(root), str(out / "lake"), str(out / "quar"),
+        table="allbad_meta",
+    )
+    assert df.count() == 0
+    assert df.schema == DICOM_METADATA_SCHEMA
+    assert spark.table("allbad_meta").count() == 0
+    assert spark.read.parquet(str(out / "quar")).count() == 2
