@@ -69,6 +69,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer ShuffledHashJoin over SortMergeJoin when a side can build
+        # a per-task hash map (Catalyst still falls back to SMJ otherwise):
+        # skips sorting both shuffled sides — q04's 60M⋈4.5M fact join
+        # drops 4.5s -> 2.2s at 100x sf0.1 and runs far more steadily
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
