@@ -47,6 +47,13 @@ def main() -> None:
 
     # warm-up: JVM job scheduling + catalog registration
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # scale section FIRST: the 60M-row passes are GC/heap-sensitive and
+    # measurably slower in an aged JVM (q01 warm 5.3s after 21 headline
+    # passes vs 1.1s in a young JVM — same query, same data); the sf0.1
+    # headline queries are overhead-dominated and insensitive to order.
+    scale = _scale_section(spark, QUERIES)
+
     register_star_schema(spark, sf_dir)
 
     names = list(headline_queries()) or list(QUERIES)
@@ -78,7 +85,6 @@ def main() -> None:
         "cold_queries": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
     }
-    scale = _scale_section(spark, QUERIES)
     if scale:
         out["scale"] = scale
     print(json.dumps(out))
@@ -112,10 +118,14 @@ def _scale_section(spark, queries) -> dict | None:
         print(f"scale section skipped: {type(e).__name__}: {e}", file=sys.stderr)
         return None
 
+    # pass-major (interleaved) order: this host has intermittent ~100 s
+    # scheduler stalls, and back-to-back samples of one query would all
+    # land in the same stall window — interleaving decorrelates them so
+    # the per-query min survives. Pass 0 = cold, then min of 3 warm.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in SCALE_QUERIES:
-        for _pass in range(3):  # pass 0 = cold, then min of 2 warm
+    for _pass in range(4):
+        for name in SCALE_QUERIES:
             t0 = time.perf_counter()
             rows = queries[name].spark_fn(spark, scale_dir).collect()
             dt = round(time.perf_counter() - t0, 3)
