@@ -128,6 +128,38 @@ def dsum_expr(col: str | F.Column, scale: int = 2) -> F.Column:
     return (_exact_scaled_sum(c, scale) / F.lit(10**scale)).cast("double")
 
 
+def dsum_limbs(col: str | F.Column, prefix: str, scale: int = 2) -> list[F.Column]:
+    """First level of a two-level exact sum: per-group limb partial sums
+    as plain longs (``{prefix}_hi/_mid/_lo``). Because integer limb sums
+    are associative, re-summing these partials with :func:`dsum_merge`
+    over any regrouping is bit-identical to a single-level :func:`dsum`
+    over the underlying rows — this is what lets an aggregation be
+    pushed below a join (eager aggregation) without losing exactness.
+    The overflow envelope is unchanged (the merged sum covers the same
+    row set, ~8.8e12 rows/group; see module note)."""
+    c = F.col(col) if isinstance(col, str) else col
+    half = F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    s = (c.cast("double") * F.lit(float(10**scale)) + half).cast("long")
+    return [
+        F.sum(F.shiftright(s, 2 * _LIMB_BITS)).alias(f"{prefix}_hi"),
+        F.sum(F.shiftright(s, _LIMB_BITS).bitwiseAND(F.lit(_LIMB_LO - 1))).alias(f"{prefix}_mid"),
+        F.sum(s.bitwiseAND(F.lit(_LIMB_LO - 1))).alias(f"{prefix}_lo"),
+    ]
+
+
+def dsum_merge(prefix: str, alias: str, scale: int = 2) -> F.Column:
+    """Second level of a two-level exact sum: merge ``dsum_limbs``
+    partials across the outer grouping and surface the exact total as
+    double, matching single-level :func:`dsum` bit-for-bit."""
+    dec = lambda c: F.sum(c).cast("decimal(38,0)")  # noqa: E731
+    total = (
+        dec(f"{prefix}_hi") * F.lit(_LIMB_HI)
+        + dec(f"{prefix}_mid") * F.lit(_LIMB_LO)
+        + dec(f"{prefix}_lo")
+    )
+    return (total / F.lit(10**scale)).cast("double").alias(alias)
+
+
 def dsum(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
     """Exact fixed-point sum surfaced as double: deterministic under any
     partitioning/order, unlike a native double sum (see module note on
