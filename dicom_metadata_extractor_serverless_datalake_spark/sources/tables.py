@@ -16,11 +16,28 @@ STAR_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-# reader rejects outright. We read nanos as long (legacy conf) and floor-
-# divide to microseconds — exactly the truncation DuckDB applies reading
-# the same file, so both engines see identical timestamps.
+# events.ts has shipped in two parquet encodings across testdata
+# generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+# rejects outright — read nanos as long via the legacy conf and floor-
+# divide to micros, the same truncation DuckDB applies) and INT64
+# TIMESTAMP_MICROS with isAdjustedToUTC=0 (which Spark 4 infers as
+# TIMESTAMP_NTZ). Both are normalized to TimestampType: NTZ wall-clock
+# values are reinterpreted in the UTC session zone, so values are
+# identical either way, and event-time operators (withWatermark) that
+# reject NTZ work uniformly.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, T.LongType):
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dtype, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
 
 
 # (appId, sf_dir, name) -> DataFrame. A DataFrame is just a plan — caching
@@ -36,10 +53,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
-        field = df.schema[col]
-        if isinstance(field.dataType, T.LongType):
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    df = _normalize_timestamps(df, name)
     _TABLE_CACHE[key] = df
     return df
 
@@ -52,10 +66,7 @@ def load_stream(spark: SparkSession, src_dir: str, name: str = "events") -> Data
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src_dir).schema
     df = spark.readStream.schema(schema).parquet(src_dir)
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-    return df
+    return _normalize_timestamps(df, name)
 
 
 # appId -> sf_dir currently backing the session's views; re-register only
