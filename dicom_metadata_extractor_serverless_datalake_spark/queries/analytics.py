@@ -1,0 +1,616 @@
+"""Large-scale analytics corpus: cohorts, funnels, sessionization,
+time-series gap-fill, mergeable sketches, deterministic sampling,
+robust statistics, exact regression, TF-IDF, and skyline queries.
+
+These extend SURVEY §2.B beyond the reference's Athena-delegated
+surface with the event-analytics and data-quality operators a training
+-data pipeline runs at 100 TB. Every query follows the corpus
+determinism conventions (``queries/base.py``): exact fixed-point sums,
+integer event-time arithmetic, total orders with unique tie-breaks,
+and identical column aliases on both engines.
+
+Scale notes are per-query; the common theme is: aggregate first,
+window over the *shrunk* frame, never window over the raw fact table
+without a partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import dsum_expr, query, sql_query, t
+
+# --------------------------------------------------------------------------
+# q86 — weekly cohort retention over the events stream table.
+#
+# Two aggregations + one equi-join on user_id: first-seen week per user
+# (the cohort), distinct (user, activity-week) pairs, then a (cohort,
+# offset) rollup. At 100 TB both aggs are single-shuffle on user_id and
+# the join co-locates on the same key, so AQE reuses the partitioning.
+# Both engines truncate weeks to ISO Monday; offsets are exact integer
+# day arithmetic (both week columns are Monday-aligned, so days/7 is an
+# exact integer in either division semantics).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q86_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    cohort AS (
+      SELECT user_id, CAST(date_trunc('week', first_day) AS DATE) AS cohort_week FROM first
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week FROM events
+    )
+    SELECT c.cohort_week,
+           CAST((a.act_week - c.cohort_week) / 7 AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="analytics",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+        .select("user_id", F.date_trunc("week", F.col("first_day")).cast("date").alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# q87 — strict sequential funnel (view -> click -> purchase).
+#
+# Each stage is min(ts) *after* the previous stage's timestamp — the
+# correct sequential funnel, not the loose min(A) < min(B) heuristic.
+# Three per-user aggregations chained by equi-joins on user_id: the
+# same single shuffle key throughout, so at scale every stage reuses
+# the user_id partitioning. Shared Spark/DuckDB dialect.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q87_funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS viewed,
+           (SELECT count(*) FROM s2) AS clicked_after_view,
+           (SELECT count(*) FROM s3) AS purchased_after_click
+    """,
+    category="analytics",
+)
+
+
+# --------------------------------------------------------------------------
+# q88 — gap-based sessionization (30-min inactivity) via lag + running
+# sum, the batch twin of session_window (q38) that also yields session
+# *ids* usable downstream. All windows are partitioned by user_id —
+# no global window — and duration math is exact integer microseconds.
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q88_sessionize_lag",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+      FROM d
+    ),
+    ps AS (
+      SELECT user_id, sess_id, count(*) AS n_events,
+             (max(us) - min(us)) / 1000000.0 AS dur_s
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           max(dur_s) AS max_dur_s
+    FROM ps GROUP BY 1 ORDER BY 1
+    """,
+    category="analytics",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    gap = F.col("us") - F.lag("us").over(w)
+    d = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    )
+    sw = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = d.withColumn("sess_id", F.sum("new_sess").over(sw))
+    per_sess = s.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("us") - F.min("us")) / F.lit(1000000.0)).alias("dur_s"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("dur_s").alias("max_dur_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — time-series gap-fill / resample: daily event counts per type
+# with missing days materialized as zero. The calendar spine comes from
+# sequence()+explode over the global [min,max] date bounds — a
+# broadcast-sized frame regardless of fact size — so the only big-data
+# operation is the groupBy count; the grid join is broadcast.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q89_gapfill_daily",
+    oracle="""
+    WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, ty.event_type, COALESCE(daily.n, 0) AS n_events
+    FROM days d CROSS JOIN types ty
+    LEFT JOIN daily ON daily.day = d.day AND daily.event_type = ty.event_type
+    ORDER BY 1, 2
+    """,
+    category="analytics",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    days = (
+        e.agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        F.broadcast(grid)
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
+        .orderBy("day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q90 — mergeable distinct-count sketches: per-day HLL sketches unioned
+# to a global estimate. This is THE scale pattern for distinct counts —
+# partial sketches are tiny, mergeable, and reusable across rollup
+# levels (day -> week -> total) without re-touching the fact table.
+# Oracle-checked with the exact+bound-boolean pattern (Datasketches HLL
+# at default lgK=12 has rel. stderr ~1.6%; 5% is a >3-sigma bound).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q90_hll_partitioned_union",
+    oracle="SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_bound FROM events",
+    category="analytics",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 — deterministic weighted sampling: priority = portable multiplica-
+# tive hash / weight, smallest-k wins, so inclusion odds scale with
+# n_chars but reruns (and both engines) pick the identical sample. The
+# hash is pure int64 arithmetic (no engine hash function), overflow-safe
+# under ANSI: (doc_id % 1000003) * 2654435761 < 2^52. Map-side priority
+# + TakeOrderedAndProject — no shuffle of the full table at scale.
+# Shared Spark/DuckDB dialect.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q91_weighted_sample",
+    """
+    SELECT doc_id, n_chars,
+           CAST((doc_id % 1000003) * 2654435761 % 1000000007 AS DOUBLE) / n_chars
+             AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority, doc_id
+    LIMIT 20
+    """,
+    category="analytics",
+)
+
+
+# --------------------------------------------------------------------------
+# q92 — robust outlier stats per event type: median, MAD, and the count
+# of |x - med| > 3 * 1.4826 * MAD outliers. Two median passes chained by
+# broadcast joins on the tiny per-type frame; medians are exact
+# (interpolating) in both engines, and the threshold multiply is a
+# single identical double op on identical inputs — bit-deterministic.
+# --------------------------------------------------------------------------
+
+_MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency constant)
+
+
+@query(
+    "q92_robust_zscore",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type GROUP BY 1
+    )
+    SELECT e.event_type, max(m.med) AS med, max(d.mad) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > {_MAD_K} * d.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="analytics",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    jj = j.join(F.broadcast(mad), "event_type")
+    return (
+        jj.groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > F.lit(_MAD_K) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — fixed-width histogram of lineitem prices. The bucket expression
+# is explicit floor(x / width) — identical arithmetic in both engines
+# (width_bucket's internal formula is implementation-defined at ulp
+# boundaries) — and the whole query is one map-side projection + one
+# aggregation shuffle on ~20 keys. Shared dialect.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q93_price_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS INT) AS bucket,
+           count(*) AS n,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="analytics",
+)
+
+
+# --------------------------------------------------------------------------
+# q94 — per-group linear regression (value vs. event time) from exact
+# fixed-point component sums. Spark's regr_slope/corr are double
+# aggregates whose result depends on reduction order; instead n, Sx,
+# Sy, Sxx, Sxy, Syy are exact decimal sums (x = integer seconds from
+# 2024-01-01, y rounded to fixed-point) and the closed-form slope/
+# intercept/r2 are computed from those exact components with an
+# identical double expression tree on both engines — deterministic
+# under any partitioning. Single aggregation shuffle on event_type.
+# --------------------------------------------------------------------------
+
+_X_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def _regr_formula(n: str, sx: str, sy: str, sxx: str, sxy: str, syy: str) -> dict[str, str]:
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    varx = f"({n} * {sxx} - {sx} * {sx})"
+    vary = f"({n} * {syy} - {sy} * {sy})"
+    return {
+        "slope": f"{cov} / {varx}",
+        "intercept": f"({sy} - ({cov} / {varx}) * {sx}) / {n}",
+        "r2": f"({cov} * {cov}) / ({varx} * {vary})",
+    }
+
+
+_REGR_F = _regr_formula("n", "sx", "sy", "sxx", "sxy", "syy")
+
+_REGR_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) - {_X_EPOCH} AS x,
+         value AS y
+  FROM events
+),
+comp AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * CAST(x AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM base GROUP BY event_type
+)
+SELECT event_type,
+       {_REGR_F["slope"]} AS slope,
+       {_REGR_F["intercept"]} AS intercept,
+       {_REGR_F["r2"]} AS r2
+FROM comp ORDER BY event_type
+"""
+
+
+@query("q94_regression_exact", oracle=_REGR_ORACLE, category="analytics")
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    base = e.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(_X_EPOCH)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    comp = base.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum_expr(x, 0).alias("sx"),
+        dsum_expr(y, 4).alias("sy"),
+        dsum_expr(x * x.cast("double"), 0).alias("sxx"),
+        dsum_expr(x * y, 4).alias("sxy"),
+        dsum_expr(y * y, 4).alias("syy"),
+    )
+    return comp.selectExpr(
+        "event_type",
+        f"{_REGR_F['slope']} AS slope",
+        f"{_REGR_F['intercept']} AS intercept",
+        f"{_REGR_F['r2']} AS r2",
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q95 — TF-IDF top terms per source. IDF is the exact rational N/df
+# (one integer multiply + one correctly-rounded division — identical in
+# both engines; ln() is NOT cross-libm deterministic, so the classic
+# log form is deliberately avoided; rankings are identical since ln is
+# monotone). The window runs over the aggregated (source, term) frame,
+# partitioned by source — never over raw tokens.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q95_tfidf_topterms",
+    oracle="""
+    WITH terms AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, count(*) AS tf FROM terms
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    idf AS (SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT source) AS nsrc FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             CAST(tf.tf * n.nsrc AS DOUBLE) / idf.df AS score
+      FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
+    )
+    SELECT source, term, tf, score, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3 ORDER BY source, rn
+    """,
+    category="analytics",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    terms = d.select("source", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    nsrc = d.agg(F.countDistinct("source").alias("nsrc"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "term",
+            "tf",
+            ((F.col("tf") * F.col("nsrc")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "tf", "score", "rn")
+        .orderBy("source", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — deterministic mode + exact median per group. mode() in both
+# engines leaves ties unspecified, so the mode is computed explicitly:
+# count per (group, value), then row_number ordered by (count DESC,
+# value) — a total order. Both aggregations shuffle on the group key;
+# the window runs over the aggregated frame. Shared dialect.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q96_mode_median",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity
+             ) AS rn
+      FROM c
+    )
+    SELECT f.l_returnflag, m.mode_qty, f.med_qty, f.n
+    FROM (
+      SELECT l_returnflag, median(l_quantity) AS med_qty, count(*) AS n
+      FROM lineitem GROUP BY 1
+    ) f
+    JOIN m ON f.l_returnflag = m.l_returnflag AND m.rn = 1
+    ORDER BY 1
+    """,
+    category="analytics",
+)
+
+
+# --------------------------------------------------------------------------
+# q97 — decile statistics over orders. The oracle uses ntile(10) over a
+# global order — an Exchange SinglePartition in Spark — so the Spark
+# side instead derives the identical ntile bucket from the parallel
+# two-phase global numbering (operators/rank.py, same machinery as
+# q32/q76): ntile semantics reproduced exactly (first n%k buckets get
+# one extra row). Per-decile averages are exact decimal sums.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q97_decile_stats",
+    oracle="""
+    WITH d AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / count(*)
+             AS avg_price
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    category="analytics",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import global_positions
+
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    pos = global_positions(orders, ["o_totalprice", "o_orderkey"])
+    n = orders.count()
+    k = 10
+    size, rem = divmod(n, k)
+    cut = rem * (size + 1)
+    decile = (
+        F.when(
+            F.col("position") <= cut,
+            ((F.col("position") - 1) / F.lit(size + 1)).cast("long"),
+        )
+        .otherwise(
+            F.lit(rem) + ((F.col("position") - 1 - cut) / F.lit(size)).cast("long")
+        )
+        + 1
+    ).cast("int")
+    return (
+        pos.select("o_totalprice", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            (dsum_expr("o_totalprice", 2) / F.count("*")).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — pareto frontier (skyline): cheapest-size/highest-price parts.
+# The naive skyline is an O(n^2) NOT EXISTS anti-join; this is the
+# scalable 2-D form: group to per-size maxima first (the frame shrinks
+# to |distinct sizes|), then one running-max window over that tiny
+# frame. A point survives iff it strictly beats every strictly-smaller
+# size's best price. Shared dialect.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q98_pareto_frontier",
+    """
+    WITH m AS (
+      SELECT p_size, max(p_retailprice) AS best_price FROM part GROUP BY p_size
+    ),
+    f AS (
+      SELECT p_size, best_price,
+             max(best_price) OVER (
+               ORDER BY p_size RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_best
+      FROM m
+    )
+    SELECT p_size, best_price FROM f
+    WHERE prev_best IS NULL OR best_price > prev_best
+    ORDER BY p_size
+    """,
+    category="analytics",
+)

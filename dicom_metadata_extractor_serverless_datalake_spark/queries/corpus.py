@@ -21,59 +21,70 @@ from . import multimodal  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import training  # noqa: F401,E402
 from . import streams  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
-# driver-oracle verification is least established go first: the LLM/
-# multimodal/UDF/training families plus the queries whose oracles were
-# reworked this round (q14/q45/q69 exact+bound-boolean pattern, q53
-# banding, ANN recall checks). Everything already verified green in
-# round 1 follows in its natural family order.
+# driver-oracle verification is least established go first. Round-3
+# window (50 entries): the two streaming queries that failed round 2 on
+# the TIMESTAMP_NTZ testdata regeneration (fixed in sources/tables.py),
+# the 13 new analytics queries (q86-q98), then the 35 queries that fell
+# outside round 2's 50-query window (all green in round 1). Everything
+# with a green round-2 row follows in family order.
 _PRIORITY = [
-    # dedup / similarity / text / clustering / quantization
-    "q49_distinct_math",
-    "q50_dedup_exact",
-    "q51_jaccard_pairs",
-    "q52_minhash_lsh",
-    "q53_simhash",
-    "q54_cosine_topk",
-    "q67_ann_ivf",
-    "q55_ann_lsh",
-    "q68_neardup_pipeline",
-    "q60_embedding_neardup",
-    "q56_text_stats",
-    "q57_language_id",
-    "q58_fingerprint",
-    "q59_token_count",
-    "q70_levenshtein_pairs",
-    "q77_dedup_clusters",
-    "q78_embedding_quantization",
-    # multimodal
-    "q61_image_features",
-    "q62_frame_sample",
-    "q63_modality_rollup",
-    # pandas-UDF surface
-    "q65_grouped_map_pandas",
-    "q66_grouped_agg_pandas",
-    # training prep
-    "q71_train_split",
-    "q72_stratified_sample",
-    "q73_doc_chunking",
-    "q74_pii_redaction",
-    "q75_vocab_topk",
-    "q76_epoch_shuffle",
-    "q79_filter_funnel",
-    "q80_boilerplate_ngrams",
-    "q81_skew_report",
-    "q82_decontamination",
-    # streaming-executed twins (availableNow micro-batch execution)
+    # streaming-executed twins that errored in round 2 (NTZ event time)
     "q83_stream_tumbling",
     "q84_stream_dedup",
-    "q85_stream_upsert_snapshot",
-    # oracles reworked this round
-    "q14_approx_count_distinct",
-    "q45_json",
-    "q69_approx_percentile",
+    # new round-3 analytics family
+    "q86_cohort_retention",
+    "q87_funnel_steps",
+    "q88_sessionize_lag",
+    "q89_gapfill_daily",
+    "q90_hll_partitioned_union",
+    "q91_weighted_sample",
+    "q92_robust_zscore",
+    "q93_price_histogram",
+    "q94_regression_exact",
+    "q95_tfidf_topterms",
+    "q96_mode_median",
+    "q97_decile_stats",
+    "q98_pareto_frontier",
+    # green in round 1 but outside round 2's window
+    "q13_count_distinct",
+    "q15_rollup",
+    "q16_cube",
+    "q17_grouping_sets",
+    "q18_collect_sorted",
+    "q19_union_all",
+    "q20_intersect",
+    "q21_except",
+    "q22_top_k",
+    "q23_scalar_subquery",
+    "q24_groupwise_compare",
+    "q25_exists_subquery",
+    "q26_not_exists",
+    "q27_pivot",
+    "q28_unpivot",
+    "q29_latest_per_key",
+    "q30_ranking",
+    "q31_top_n_per_group",
+    "q32_percentiles",
+    "q33_lag_lead",
+    "q34_running_sum",
+    "q35_range_frame",
+    "q36_tumbling_window",
+    "q37_sliding_window",
+    "q38_session_window",
+    "q39_asof_join",
+    "q40_string_funcs",
+    "q41_regexp",
+    "q42_date_funcs",
+    "q43_conditional",
+    "q44_null_funcs",
+    "q46_array_funcs",
+    "q47_struct_map",
+    "q48_binary_funcs",
+    "q64_quantiles",
 ]
 
 
