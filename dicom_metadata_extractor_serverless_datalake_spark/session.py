@@ -74,6 +74,18 @@ def get_spark(
         # skips sorting both shuffled sides — q04's 60M⋈4.5M fact join
         # drops 4.5s -> 2.2s at 100x sf0.1 and runs far more steadily
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # runtime (bloom) semi-join reduction: when a selective filter
+        # sits on one side of a shuffle join, build a bloom of its join
+        # keys and prune the other side AT THE SCAN — Catalyst places the
+        # might_contain() below intermediate aggregates, so q04's eager
+        # per-order aggregation only processes lineitem rows whose order
+        # survives the date filter (~30%): 3.55s -> ~1.0s at 60M rows.
+        # Thresholds widened from the 10MB/10GB defaults because local
+        # plan-size estimates are far below a real cluster's; the bloom
+        # itself stays <= 8MB (maxNumBits default)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+        .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
