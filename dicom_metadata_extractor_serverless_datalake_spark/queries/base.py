@@ -107,13 +107,43 @@ _LIMB_LO = 1 << _LIMB_BITS
 _LIMB_HI = 1 << (2 * _LIMB_BITS)
 
 
-def _exact_scaled_sum(c: F.Column, scale: int) -> F.Column:
+def _n_limbs(max_abs: float | None, scale: int) -> int:
+    """Limb count for an exact sum of values bounded by ``max_abs``.
+
+    A declared per-row bound lets the decomposition shed limbs without
+    shrinking the ~8.8e12 rows/group overflow envelope (see module
+    note): scaled values < 2^19 sum safely in ONE long (overflow at
+    2^44 rows/group); < 2^40 split into two 20-bit-aligned limbs
+    (lo < 2^20, hi < 2^20 -> 2^43 rows/group). Unbounded columns keep
+    the full three-limb form (< 2^60 scaled). Fewer limbs = fewer
+    aggregate buffers = measurably faster wide aggregations (q01 runs
+    15 three-limb sums without this).
+    """
+    if max_abs is None:
+        return 3
+    scaled = abs(max_abs) * (10**scale)
+    if scaled < float(1 << 19):
+        return 1
+    if scaled < float(1 << 40):
+        return 2
+    return 3
+
+
+def _exact_scaled_sum(c: F.Column, scale: int, max_abs: float | None = None) -> F.Column:
     """Exact SUM(round(c * 10^scale)) as decimal(38,0) via long limbs."""
     half = F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
     s = (c.cast("double") * F.lit(float(10**scale)) + half).cast("long")
+    n = _n_limbs(max_abs, scale)
+    if n == 1:
+        return F.sum(s).cast("decimal(38,0)")
+    lo = F.sum(s.bitwiseAND(F.lit(_LIMB_LO - 1)))
+    if n == 2:
+        # s = (s >> 20) * 2^20 + (s & mask) holds for negatives too
+        # (arithmetic shift = floor division, mask = mod 2^20)
+        hi = F.sum(F.shiftright(s, _LIMB_BITS))
+        return hi.cast("decimal(38,0)") * F.lit(_LIMB_LO) + lo.cast("decimal(38,0)")
     hi = F.sum(F.shiftright(s, 2 * _LIMB_BITS))
     mid = F.sum(F.shiftright(s, _LIMB_BITS).bitwiseAND(F.lit(_LIMB_LO - 1)))
-    lo = F.sum(s.bitwiseAND(F.lit(_LIMB_LO - 1)))
     return (
         hi.cast("decimal(38,0)") * F.lit(_LIMB_HI)
         + mid.cast("decimal(38,0)") * F.lit(_LIMB_LO)
@@ -121,14 +151,18 @@ def _exact_scaled_sum(c: F.Column, scale: int) -> F.Column:
     )
 
 
-def dsum_expr(col: str | F.Column, scale: int = 2) -> F.Column:
+def dsum_expr(
+    col: str | F.Column, scale: int = 2, max_abs: float | None = None
+) -> F.Column:
     """Unaliased exact fixed-point sum as double, for use inside larger
     expressions (variance formulas, scalar subqueries)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (_exact_scaled_sum(c, scale) / F.lit(10**scale)).cast("double")
+    return (_exact_scaled_sum(c, scale, max_abs) / F.lit(10**scale)).cast("double")
 
 
-def dsum_limbs(col: str | F.Column, prefix: str, scale: int = 2) -> list[F.Column]:
+def dsum_limbs(
+    col: str | F.Column, prefix: str, scale: int = 2, max_abs: float | None = None
+) -> list[F.Column]:
     """First level of a two-level exact sum: per-group limb partial sums
     as plain longs (``{prefix}_hi/_mid/_lo``). Because integer limb sums
     are associative, re-summing these partials with :func:`dsum_merge`
@@ -140,37 +174,61 @@ def dsum_limbs(col: str | F.Column, prefix: str, scale: int = 2) -> list[F.Colum
     c = F.col(col) if isinstance(col, str) else col
     half = F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
     s = (c.cast("double") * F.lit(float(10**scale)) + half).cast("long")
+    n = _n_limbs(max_abs, scale)
+    out = [F.sum(s.bitwiseAND(F.lit(_LIMB_LO - 1))).alias(f"{prefix}_lo")]
+    if n == 1:
+        return [F.sum(s).alias(f"{prefix}_lo")]
+    if n == 2:
+        return [F.sum(F.shiftright(s, _LIMB_BITS)).alias(f"{prefix}_hi"), *out]
     return [
         F.sum(F.shiftright(s, 2 * _LIMB_BITS)).alias(f"{prefix}_hi"),
         F.sum(F.shiftright(s, _LIMB_BITS).bitwiseAND(F.lit(_LIMB_LO - 1))).alias(f"{prefix}_mid"),
-        F.sum(s.bitwiseAND(F.lit(_LIMB_LO - 1))).alias(f"{prefix}_lo"),
+        *out,
     ]
 
 
-def dsum_merge(prefix: str, alias: str, scale: int = 2) -> F.Column:
+def dsum_merge(
+    prefix: str, alias: str, scale: int = 2, max_abs: float | None = None
+) -> F.Column:
     """Second level of a two-level exact sum: merge ``dsum_limbs``
     partials across the outer grouping and surface the exact total as
-    double, matching single-level :func:`dsum` bit-for-bit."""
+    double, matching single-level :func:`dsum` bit-for-bit. ``max_abs``
+    must match the ``dsum_limbs`` call (it selects which limb columns
+    exist); the per-outer-group overflow envelope is the same as the
+    single-level form since the merged sum covers the same row set."""
     dec = lambda c: F.sum(c).cast("decimal(38,0)")  # noqa: E731
-    total = (
-        dec(f"{prefix}_hi") * F.lit(_LIMB_HI)
-        + dec(f"{prefix}_mid") * F.lit(_LIMB_LO)
-        + dec(f"{prefix}_lo")
-    )
+    n = _n_limbs(max_abs, scale)
+    if n == 1:
+        total = dec(f"{prefix}_lo")
+    elif n == 2:
+        total = dec(f"{prefix}_hi") * F.lit(_LIMB_LO) + dec(f"{prefix}_lo")
+    else:
+        total = (
+            dec(f"{prefix}_hi") * F.lit(_LIMB_HI)
+            + dec(f"{prefix}_mid") * F.lit(_LIMB_LO)
+            + dec(f"{prefix}_lo")
+        )
     return (total / F.lit(10**scale)).cast("double").alias(alias)
 
 
-def dsum(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
+def dsum(
+    col: str | F.Column, alias: str, scale: int = 2, max_abs: float | None = None
+) -> F.Column:
     """Exact fixed-point sum surfaced as double: deterministic under any
     partitioning/order, unlike a native double sum (see module note on
     the long-limb decomposition). The oracle side sums at decimal(28)
-    and still hash-matches because both sides are exact."""
-    return dsum_expr(col, scale).alias(alias)
+    and still hash-matches because both sides are exact. ``max_abs``
+    (a per-row |value| bound known from the schema/domain) lets the
+    decomposition drop to 2 or 1 limbs — same exactness, same
+    ~8.8e12 rows/group envelope, fewer aggregate buffers."""
+    return dsum_expr(col, scale, max_abs).alias(alias)
 
 
-def davg(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
+def davg(
+    col: str | F.Column, alias: str, scale: int = 2, max_abs: float | None = None
+) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
-    return (dsum_expr(c, scale) / F.count(c)).alias(alias)
+    return (dsum_expr(c, scale, max_abs) / F.count(c)).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:

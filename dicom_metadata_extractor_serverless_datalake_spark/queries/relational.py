@@ -60,13 +60,13 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price", 4),
-            dsum(charge, "sum_charge", 6),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            dsum("l_quantity", "sum_qty", max_abs=4e3),
+            dsum("l_extendedprice", "sum_base_price", max_abs=1e7),
+            dsum(disc_price, "sum_disc_price", 4, max_abs=1e7),
+            dsum(charge, "sum_charge", 6, max_abs=1e6),
+            davg("l_quantity", "avg_qty", max_abs=4e3),
+            davg("l_extendedprice", "avg_price", max_abs=1e7),
+            davg("l_discount", "avg_disc", max_abs=10.0),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -131,7 +131,10 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(dsum("o_totalprice", "total_revenue"), F.count("*").alias("n_orders"))
+        .agg(
+            dsum("o_totalprice", "total_revenue", max_abs=1e7),
+            F.count("*").alias("n_orders"),
+        )
         .orderBy("c_mktsegment")
     )
 
@@ -179,7 +182,7 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     lineitem = t(spark, sf, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_order = lineitem.groupBy("l_orderkey").agg(
-        *dsum_limbs(revenue, "rev", 4), F.count(F.lit(1)).alias("nl")
+        *dsum_limbs(revenue, "rev", 4, max_abs=1e7), F.count(F.lit(1)).alias("nl")
     )
     joined = (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
@@ -189,7 +192,7 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         joined.groupBy("r_name", "n_name")
-        .agg(dsum_merge("rev", "revenue", 4), F.sum("nl").alias("n_lines"))
+        .agg(dsum_merge("rev", "revenue", 4, max_abs=1e7), F.sum("nl").alias("n_lines"))
         .orderBy("r_name", "n_name")
     )
 

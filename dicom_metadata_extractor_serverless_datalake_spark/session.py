@@ -74,18 +74,16 @@ def get_spark(
         # skips sorting both shuffled sides — q04's 60M⋈4.5M fact join
         # drops 4.5s -> 2.2s at 100x sf0.1 and runs far more steadily
         .config("spark.sql.join.preferSortMergeJoin", "false")
-        # runtime (bloom) semi-join reduction: when a selective filter
-        # sits on one side of a shuffle join, build a bloom of its join
-        # keys and prune the other side AT THE SCAN — Catalyst places the
-        # might_contain() below intermediate aggregates, so q04's eager
-        # per-order aggregation only processes lineitem rows whose order
-        # survives the date filter (~30%): 3.55s -> ~1.0s at 60M rows.
-        # Thresholds widened from the 10MB/10GB defaults because local
-        # plan-size estimates are far below a real cluster's; the bloom
-        # itself stays <= 8MB (maxNumBits default)
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
-        .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1MB")
+        # Runtime bloom-filter join reduction stays at Spark defaults
+        # (off for plans this size). Measured on q04 at 60M rows with a
+        # 5-round interleaved A/B: ON min 3.61s vs OFF min 2.55s — the
+        # blocking bloom-build subquery (scan+agg of 4.6M filtered
+        # orders) plus xxhash64 probes on 60M lineitem rows cost more
+        # than the ~70% agg-input reduction saves, because the eager
+        # per-order aggregation is already cheap per row. On a real
+        # cluster where the pruned side pays network shuffle, the
+        # default thresholds re-enable it exactly when the sides are
+        # big enough to win.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
