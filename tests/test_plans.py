@@ -146,3 +146,54 @@ def test_no_exchange_carries_heavy_payload_columns(spark, sf_dir):
             if any(c in line for c in heavy):
                 offenders.append((name, line[:90]))
     assert offenders == []
+
+
+def test_q89_calendar_grid_broadcasts(spark, sf_dir):
+    """The gap-fill calendar spine (days x types) is broadcast-sized by
+    construction; the left join against daily counts must be a
+    broadcast join, never a shuffle of the aggregated fact side."""
+    df = _q("q89_gapfill_daily", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian(df)
+
+
+def test_q91_weighted_sample_topk_no_global_sort(spark, sf_dir):
+    """Deterministic weighted sampling is map-side priority + top-k:
+    TakeOrderedAndProject, no full sort exchange of the table."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q91_weighted_sample", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q95_tfidf_window_is_partitioned(spark, sf_dir):
+    """TF-IDF's top-3 window must partition by source over the
+    aggregated (source, term) frame — no single-partition funnel."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q95_tfidf_topterms", spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q97_decile_no_single_partition_exchange(spark, sf_dir):
+    """ntile(10) over a global order would funnel every row through one
+    task; the decile must come from the parallel two-phase numbering
+    (same contract as q76/q32)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q97_decile_stats", spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q98_skyline_windows_after_groupby(spark, sf_dir):
+    """The pareto frontier must shrink to per-size maxima BEFORE its
+    running-max window: the window's input is the grouped frame (one
+    row per distinct size), so the single-partition window is bounded
+    by |domain(p_size)|, not |part|. Contract: a partial aggregate
+    appears below the window, and no nested-loop/cartesian join."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q98_pareto_frontier", spark, sf_dir))
+    assert "partial_max" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
