@@ -7,7 +7,7 @@ JSON line:
 
 Methodology: one untimed warm-up pass executes every headline query
 end-to-end (absorbing JVM/codegen/Python-worker startup and OS page
-cache), then the reported number is the per-query MIN over two timed
+cache), then the reported number is the per-query MIN over three timed
 steady-state passes — this host shows intermittent ~100 s scheduler
 stalls, and min-of-N is the standard way to read sustained throughput
 through that noise (a stall can only inflate a sample, never deflate
@@ -67,7 +67,7 @@ def main() -> None:
         _ = len(rows)
 
     times: dict[str, float] = {}
-    for _pass in range(2):  # steady-state: per-query min of 2 passes
+    for _pass in range(3):  # steady-state: per-query min of 3 passes
         for name in names:
             t0 = time.perf_counter()
             rows = QUERIES[name].spark_fn(spark, sf_dir).collect()
