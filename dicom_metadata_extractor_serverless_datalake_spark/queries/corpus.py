@@ -49,6 +49,9 @@ _PRIORITY = [
     "q96_mode_median",
     "q97_decile_stats",
     "q98_pareto_frontier",
+    # new round-3 streaming-executed queries (stateful + session state)
+    "q99_stream_stateful_totals",
+    "q100_stream_session_window",
     # green in round 1 but outside round 2's window
     "q13_count_distinct",
     "q15_rollup",
@@ -83,8 +86,8 @@ _PRIORITY = [
     "q44_null_funcs",
     "q46_array_funcs",
     "q47_struct_map",
-    "q48_binary_funcs",
-    "q64_quantiles",
+    # q48/q64 (green in round 1) yield their window slots to q99/q100,
+    # which have no driver row yet; they register right after the window
 ]
 
 

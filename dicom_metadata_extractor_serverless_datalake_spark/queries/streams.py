@@ -182,3 +182,120 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q99 — streamed CUSTOM STATEFUL operator (applyInPandasWithState): per-
+# user running (count, total) accumulated in integer cents inside the
+# state handle, so the result is order-independent and exact — a float
+# accumulator would hash differently under shuffle reordering. With an
+# availableNow drain the source is one micro-batch, so each user emits
+# exactly one final accumulator row == the batch aggregate, and a plain
+# SQL oracle checks the stateful execution path end-to-end. State is
+# partitioned by user_id (scales with executors) and checkpointed.
+# --------------------------------------------------------------------------
+
+_STATEFUL_STATE = "n_events BIGINT, total_cents BIGINT"
+_STATEFUL_OUT = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+
+
+def _exact_totals_update(key, batches, state):
+    import math
+
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += int(len(pdf))
+        # half-away-from-zero at 2 decimals, same rounding as the
+        # oracle's CAST(value AS DECIMAL(18,2)) (values are positive)
+        cents += int(sum(int(math.floor(v * 100.0 + 0.5)) for v in pdf["value"]))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
+
+
+@query(
+    "q99_stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    category="streaming",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src = _events_stream_src(sf)
+    try:
+        stateful = (
+            load_stream(spark, src, "events")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _exact_totals_update,
+                outputStructType=_STATEFUL_OUT,
+                stateStructType=_STATEFUL_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = _run_to_memory(stateful, "update")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# q100 — streamed session windows (merge-on-watermark session state):
+# the streaming twin of batch q38, EXECUTED as a stream. Session-window
+# state merges adjacent sessions as events arrive and the complete-mode
+# drain emits the final merged sessions — same result as the batch
+# gaps-and-islands oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q100_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from ..streaming.windows import sessionized_counts
+
+    src = _events_stream_src(sf)
+    try:
+        name = _run_to_memory(
+            sessionized_counts(load_stream(spark, src, "events"), gap="10 minutes"),
+            "complete",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).orderBy("user_id", "session_start")
