@@ -263,3 +263,42 @@ def test_hll_error_bound_vs_exact(spark, sf_dir):
     }
     for r in rows:
         assert r["n_customers"] == exact[r["o_orderpriority"]], r
+
+
+def test_cluster_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """Clustered layout: file min/max ranges on the cluster column must
+    be (nearly) disjoint so point/range predicates prune to few files;
+    the same data written unordered overlaps everywhere."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.layout import (
+        cluster_write,
+        file_ranges,
+        overlap_fraction,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+
+    rand_path = str(tmp_path / "rand")
+    # shuffle rows so arrival order carries no clustering
+    li.orderBy(F.hash("l_orderkey", "l_linenumber")).repartition(8).write.parquet(rand_path)
+    rand_overlap = overlap_fraction(file_ranges(rand_path, "l_extendedprice"))
+
+    clus_path = str(tmp_path / "clustered")
+    cluster_write(li, clus_path, ["l_extendedprice"], num_files=8)
+    ranges = file_ranges(clus_path, "l_extendedprice")
+    clus_overlap = overlap_fraction(ranges)
+
+    assert len(ranges) >= 8
+    # random layout: every file spans the domain (overlap ~1.0);
+    # clustered: a midpoint hits ~only its own file (~1/n)
+    assert rand_overlap > 0.9
+    assert clus_overlap <= 2.5 / len(ranges)
+
+    # identical data back
+    got = spark.read.parquet(clus_path).count()
+    assert got == li.count()
+
+    # and the layout actually prunes: a 1-bucket predicate reads fewer
+    # rows' worth of files than the random layout (footer-level check)
+    lo, hi = ranges[0]
+    touched = [r for r in ranges if not (r[1] < lo or r[0] > hi)]
+    assert len(touched) <= 2
