@@ -16,27 +16,27 @@ STAR_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# events.ts has shipped in two parquet encodings across testdata
-# generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
-# rejects outright — read nanos as long via the legacy conf and floor-
-# divide to micros, the same truncation DuckDB applies) and INT64
-# TIMESTAMP_MICROS with isAdjustedToUTC=0 (which Spark 4 infers as
-# TIMESTAMP_NTZ). Both are normalized to TimestampType: NTZ wall-clock
-# values are reinterpreted in the UTC session zone, so values are
-# identical either way, and event-time operators (withWatermark) that
-# reject NTZ work uniformly.
+# Timestamp columns have shipped in multiple parquet encodings across
+# testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's
+# vectorized reader rejects outright — read nanos as long via the
+# legacy conf and floor-divide to micros, the same truncation DuckDB
+# applies) and INT64 TIMESTAMP_MICROS with isAdjustedToUTC=0 (which
+# Spark 4 infers as TIMESTAMP_NTZ). Every timestamp-ish column in every
+# table is normalized to TimestampType: NTZ wall-clock values are
+# reinterpreted in the UTC session zone, so values are identical either
+# way, and event-time operators (withWatermark) that reject NTZ work
+# uniformly. The nanos-as-long case is matched per known column name
+# (a bare LongType is otherwise indistinguishable from a real long).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
-        if col not in df.columns:
-            continue
-        dtype = df.schema[col].dataType
-        if isinstance(dtype, T.LongType):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-        elif isinstance(dtype, T.TimestampNTZType):
-            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 
