@@ -614,3 +614,188 @@ sql_query(
     """,
     category="analytics",
 )
+
+
+# --------------------------------------------------------------------------
+# q101 — banded temporal proximity self-join: (click, purchase) pairs of
+# the same user within 5 minutes. The naive form is an inequality self-
+# join (nested-loop at scale); here time is bucketed to the window width
+# and the click side explodes to its bucket and the next, making the
+# join a pure equi-join on (user_id, bucket) — each true pair matches in
+# exactly one bucket offset, so no dedup pass is needed. The exact
+# interval predicate then filters candidates. This is THE scale shape
+# for temporal correlation joins: shuffle keyed by (user, time-band),
+# never all-pairs.
+# --------------------------------------------------------------------------
+
+_PROX_US = 5 * 60 * 1_000_000  # 5-minute proximity window
+
+
+@query(
+    "q101_time_proximity_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= {_PROX_US}
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    category="analytics",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    bucket = (F.col("us") / F.lit(_PROX_US)).cast("long")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("us").alias("c_us"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
+        bucket.alias("bucket"),
+    )
+    gap = F.col("p_us") - F.col("c_us")
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user) & (clicks.bucket == purchases.bucket),
+        )
+        .filter((gap >= 0) & (gap <= _PROX_US))
+        .select("click_id", "purchase_id", "user_id", gap.alias("gap_us"))
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q102 — rolling 7-day distinct users via sketch REUSE: per-day HLL
+# sketches are built once (one pass over the facts), then every sliding
+# window unions its 7 day-sketches — overlapping windows never re-touch
+# the fact table. This is why mergeable sketches matter at 100 TB:
+# day sketches are a few KB each, and any rollup (7-day, 30-day,
+# month-to-date) is a join over sketch rows. Exact+bound oracle as q90.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q102_rolling_distinct_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    ends AS (
+      SELECT CAST(unnest(generate_series(lo + INTERVAL 6 DAY, hi, INTERVAL 1 DAY)) AS DATE)
+               AS window_end
+      FROM b
+    )
+    SELECT w.window_end, count(DISTINCT e.user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM ends w
+    JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN w.window_end - 6 AND w.window_end
+    GROUP BY w.window_end ORDER BY w.window_end
+    """,
+    category="analytics",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(F.to_date("ts").alias("day"), "user_id")
+    # one pass: per-day sketch + the window ends each day contributes to
+    daily = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    bounds = e.agg(
+        (F.date_add(F.min("day"), 6)).alias("first_end"), F.max("day").alias("hi")
+    )
+    contrib = (
+        daily.crossJoin(F.broadcast(bounds))
+        .select(
+            "sk",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("day"), F.col("first_end")),
+                    F.least(F.date_add(F.col("day"), 6), F.col("hi")),
+                )
+            ).alias("window_end"),
+        )
+    )
+    approx = contrib.groupBy("window_end").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    # exact side (for the bound check; the sketch path above is the point)
+    exact = (
+        e.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("day") >= F.date_sub(F.col("first_end"), 6)) & (F.col("day") <= F.col("hi"))
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("day"), F.col("first_end")),
+                    F.least(F.date_add(F.col("day"), 6), F.col("hi")),
+                )
+            ).alias("window_end"),
+        )
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(approx, "window_end")
+        .select(
+            "window_end",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_bound"),
+        )
+        .orderBy("window_end")
+    )
+
+
+# --------------------------------------------------------------------------
+# q103 — semi-structured VARIANT path: parse the JSON props column into
+# Spark 4's VARIANT type once, then typed-path extraction
+# (variant_get) feeds grouping and exact aggregation. VARIANT's binary
+# encoding makes repeated path access O(paths) instead of re-parsing
+# text per expression — the modern lakehouse answer to schemaless
+# columns (vs. the extra_tags map the ingest schema uses).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q103_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS total_k,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10)
+             AS BIGINT) AS k_decades
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    category="analytics",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("total_k"),
+            F.countDistinct((k / 10).cast("long")).alias("k_decades"),
+        )
+        .orderBy("event_type")
+    )

@@ -52,6 +52,10 @@ _PRIORITY = [
     # new round-3 streaming-executed queries (stateful + session state)
     "q99_stream_stateful_totals",
     "q100_stream_session_window",
+    # new round-3 join/sketch/variant queries
+    "q101_time_proximity_join",
+    "q102_rolling_distinct_sketch",
+    "q103_variant_json",
     # green in round 1 but outside round 2's window
     "q13_count_distinct",
     "q15_rollup",
@@ -83,11 +87,8 @@ _PRIORITY = [
     "q41_regexp",
     "q42_date_funcs",
     "q43_conditional",
-    "q44_null_funcs",
-    "q46_array_funcs",
-    "q47_struct_map",
-    # q48/q64 (green in round 1) yield their window slots to q99/q100,
-    # which have no driver row yet; they register right after the window
+    # q44/q46/q47/q48/q64 (green in round 1) yield their window slots to
+    # q99-q103, which have no driver row yet; they register right after
 ]
 
 

@@ -197,3 +197,18 @@ def test_q98_skyline_windows_after_groupby(spark, sf_dir):
     assert "partial_max" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q101_proximity_join_is_equi_join(spark, sf_dir):
+    """The 5-minute proximity self-join must execute as a hash equi-join
+    on (user, time-band) — never a nested-loop over the inequality."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q101_time_proximity_join", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
