@@ -187,3 +187,23 @@ def test_corrupt_lake_file_handling(spark, sf_dir, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     assert n == nation.count()
+
+
+def test_analyze_table_records_stats(spark, tmp_path):
+    """ANALYZE TABLE must land row-count/size statistics in the catalog
+    (the CBO's input) and column-level ndv/min/max when asked."""
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.catalog import analyze_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df.write.mode("overwrite").saveAsTable("stats_probe")
+    try:
+        stats = analyze_table(spark, "stats_probe", columns=["o_custkey", "o_totalprice"])
+        assert "Statistics" in stats
+        assert "rows" in stats["Statistics"]
+        desc = spark.sql(
+            "DESCRIBE EXTENDED stats_probe o_custkey"
+        ).collect()
+        info = {r.info_name: r.info_value for r in desc}
+        assert info.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")
