@@ -94,11 +94,52 @@ def make_doc_scale(out: str, factor: int, src: str = SRC, spark=None) -> None:
     eu.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
 
+def make_events_scale(out: str, factor: int, src: str = SRC, spark=None) -> None:
+    """Replicate events ``factor`` times: copy i shifts event_id by
+    i*(max+1) and ts by i*31 days, extending the same user population
+    longitudinally — sessionization/cohort/proximity state stays
+    realistic (per-user density per month is unchanged; the timeline
+    grows), instead of stacking 100 identical copies into one month."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = spark or _spark()
+    os.makedirs(out, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(src, f"{t}.parquet"), dst)
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    # raw read may infer TIMESTAMP_NTZ (testdata encoding, see
+    # sources/tables.py) — normalize so event-time arithmetic resolves
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    base = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(factor):
+        p = ev.withColumn("event_id", F.col("event_id") + F.lit(i * base))
+        if i:
+            p = p.withColumn(
+                "ts", F.timestamp_micros(F.unix_micros("ts") + F.lit(i * 31 * 86400 * 1_000_000))
+            )
+        parts.append(p)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+
+_MAKERS = {"rel": make_rel_scale, "doc": make_doc_scale, "events": make_events_scale}
+_PROBES = {"rel": "lineitem.parquet", "doc": "documents.parquet", "events": "events.parquet"}
+
+
 def ensure(path: str, kind: str, factor: int) -> str:
-    """Generate ``path`` if missing; returns path. kind: 'rel' | 'doc'."""
-    probe = os.path.join(path, "lineitem.parquet" if kind == "rel" else "documents.parquet")
+    """Generate ``path`` if missing; returns path. kind: 'rel' | 'doc' | 'events'."""
+    probe = os.path.join(path, _PROBES[kind])
     if not os.path.exists(probe):
-        (make_rel_scale if kind == "rel" else make_doc_scale)(path, factor)
+        _MAKERS[kind](path, factor)
     return path
 
 
@@ -106,5 +147,5 @@ if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "rel"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfsynth1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    (make_rel_scale if kind == "rel" else make_doc_scale)(out, factor)
+    _MAKERS[kind](out, factor)
     print(f"wrote {out} ({kind} x{factor})")
