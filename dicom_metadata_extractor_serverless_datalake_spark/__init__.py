@@ -17,3 +17,4 @@ This package re-expresses that dataflow Spark-first:
 __version__ = "0.1.0"
 
 from .api import DicomLake  # noqa: F401,E402
+from .pipeline import TextCorpus  # noqa: F401,E402

@@ -1,0 +1,165 @@
+"""Composable training-data pipeline facade over the corpus operators.
+
+``TextCorpus`` chains the LLM-data-prep stages the corpus queries
+exercise individually (exact dedup q50, near-dedup q52/q68/q77,
+quality filtering q79, PII redaction q74, chunking q73, deterministic
+splits q71) into one lazily-planned DataFrame pipeline:
+
+    corpus = TextCorpus(docs)                       # any (id, text) frame
+    clean = (corpus.dedup_exact()
+                   .dedup_near(threshold=0.8)
+                   .quality_filter(min_chars=100)
+                   .redact_pii())
+    splits = clean.split({"train": 90, "val": 5, "test": 5}, salt="v1")
+    chunks = clean.chunk(512)
+
+Every stage is a pure DataFrame transformation — nothing executes until
+an action, so Catalyst optimizes across stage boundaries (e.g. the
+quality filter's length predicate pushes below the dedup join output).
+All randomness is deterministic hashing (md5-derived, salted), so a
+pipeline re-run — or a different cluster/partitioning — produces the
+identical corpus. Scale posture mirrors the corpus queries: digest
+groupBys shuffle keyed rows (never raw text), near-dedup is
+LSH-banded (no all-pairs), filters/redaction/chunking are map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .queries.llm import spark_h31
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]", "<SSN>"),
+    ("[0-9]+", "<NUM>"),
+]
+
+
+class TextCorpus:
+    """A document set flowing through training-data prep stages.
+
+    ``df`` needs an id column and a text column (defaults ``doc_id`` /
+    ``text``); all other columns ride along untouched."""
+
+    def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _with(self, df: DataFrame) -> "TextCorpus":
+        return TextCorpus(df, self.id_col, self.text_col)
+
+    # ---- dedup ----
+
+    def dedup_exact(self) -> "TextCorpus":
+        """Keep one doc (min id) per exact content digest — one shuffle
+        keyed by the 32-byte digest, never the text (q50's shape)."""
+        did, text = self.id_col, self.text_col
+        keep = (
+            self.df.select(F.sha2(F.col(text), 256).alias("_digest"), F.col(did))
+            .groupBy("_digest")
+            .agg(F.min(did).alias(did))
+            .select(did)
+        )
+        return self._with(self.df.join(keep, did, "left_semi"))
+
+    def dedup_near(self, threshold: float = 0.8) -> "TextCorpus":
+        """Drop near-duplicates: LSH-banded candidate pairs, Jaccard-
+        verified at ``threshold``, clustered by connected components,
+        keeping each cluster's canonical (min-id) doc. Non-candidates
+        never pay a comparison (q52 -> q68 -> q77's shape)."""
+        from .operators.cluster import dedup_clusters
+        from .operators.dedup import neardup_pairs
+
+        pairs = neardup_pairs(
+            self.df, threshold=threshold, id_col=self.id_col, text_col=self.text_col
+        )
+        losers = (
+            dedup_clusters(pairs)
+            .filter(~F.col("is_canonical"))
+            .select(F.col("doc_id").alias(self.id_col))
+        )
+        return self._with(self.df.join(losers, self.id_col, "left_anti"))
+
+    # ---- filtering / cleaning ----
+
+    def quality_filter(
+        self,
+        min_chars: int = 50,
+        max_chars: int | None = None,
+        max_symbol_ratio: float = 0.3,
+    ) -> "TextCorpus":
+        """Map-side quality gates (q79's funnel stages): length bounds
+        and non-alphanumeric symbol ratio."""
+        text = F.col(self.text_col)
+        length = F.length(text)
+        pred = length >= min_chars
+        if max_chars is not None:
+            pred = pred & (length <= max_chars)
+        stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+        pred = pred & (F.length(stripped) <= max_symbol_ratio * length)
+        return self._with(self.df.filter(pred))
+
+    def redact_pii(self) -> "TextCorpus":
+        """Regex PII scrub (emails / SSN-shaped spans / numbers ->
+        placeholders), pure codegen regexp_replace (q74)."""
+        clean = F.col(self.text_col)
+        for pat, repl in PII_PATTERNS:
+            clean = F.regexp_replace(clean, pat, repl)
+        return self._with(self.df.withColumn(self.text_col, clean))
+
+    # ---- structuring ----
+
+    def chunk(self, chunk_chars: int = 512) -> DataFrame:
+        """Fixed-size character chunks, embarrassingly parallel
+        (posexplode over a per-doc sequence, q73): returns (id,
+        chunk_id, chunk)."""
+        did, text = self.id_col, self.text_col
+        n_chunks = F.ceil(F.length(text) / F.lit(chunk_chars)).cast("int")
+        return (
+            self.df.select(
+                did,
+                text,
+                F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+            )
+            .select(
+                did,
+                F.col("chunk_id").cast("long").alias("chunk_id"),
+                F.expr(
+                    f"substring({text}, chunk_id * {chunk_chars} + 1, {chunk_chars})"
+                ).alias("chunk"),
+            )
+        )
+
+    def split(self, weights: dict[str, int], salt: str = "") -> dict[str, DataFrame]:
+        """Deterministic hash split (q71): ``weights`` are integer
+        percentages summing to 100; the salted md5 of the id decides
+        membership, so the split is stable under re-runs, repartitioning
+        and incremental appends."""
+        total = sum(weights.values())
+        if total != 100:
+            raise ValueError(f"split weights must sum to 100, got {total}")
+        h = (
+            F.expr(spark_h31(f"concat('{salt}', CAST({self.id_col} AS STRING))")) % 100
+        )
+        out: dict[str, DataFrame] = {}
+        lo = 0
+        for name, pct in weights.items():
+            out[name] = self.df.filter((h >= lo) & (h < lo + pct))
+            lo += pct
+        return out
+
+    # ---- reporting ----
+
+    def stats(self) -> DataFrame:
+        """One-row corpus summary (docs, chars, length quartiles)."""
+        text = F.col(self.text_col)
+        return self.df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(text)).alias("total_chars"),
+            F.min(F.length(text)).alias("min_chars"),
+            F.expr(f"percentile(length({self.text_col}), 0.5)").alias("median_chars"),
+            F.max(F.length(text)).alias("max_chars"),
+        )

@@ -1,0 +1,103 @@
+"""End-to-end tests for the TextCorpus training-data pipeline facade:
+stage composition, determinism, and agreement with the corpus-query
+implementations of the same stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dicom_metadata_extractor_serverless_datalake_spark.pipeline import TextCorpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_dedup_exact_keeps_min_id_per_digest(spark, docs):
+    # plant exact duplicates with higher ids
+    dupes = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    c = TextCorpus(docs.unionByName(dupes)).dedup_exact()
+    out = c.df
+    assert out.count() == docs.count()
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_dedup_near_drops_only_cluster_losers(spark, docs):
+    before = docs.count()
+    c = TextCorpus(docs).dedup_near(threshold=0.8)
+    after = c.df.count()
+    assert after <= before
+    # canonical docs of every near-dup cluster survive: rerunning the
+    # same dedup is a fixpoint
+    again = TextCorpus(c.df).dedup_near(threshold=0.8).df.count()
+    assert again == after
+
+
+def test_quality_filter_and_redaction_compose(spark, docs):
+    c = (
+        TextCorpus(docs)
+        .quality_filter(min_chars=100, max_symbol_ratio=0.3)
+        .redact_pii()
+    )
+    out = c.df
+    assert out.filter(F.length("text") < 100).count() == 0
+    # all digit runs got replaced
+    assert out.filter(F.col("text").rlike("[0-9]")).count() == 0
+
+
+def test_split_is_deterministic_partition_and_exhaustive(spark, docs):
+    c = TextCorpus(docs)
+    s = c.split({"train": 80, "val": 10, "test": 10}, salt="s1")
+    n = docs.count()
+    counts = {k: v.count() for k, v in s.items()}
+    assert sum(counts.values()) == n
+    # disjoint
+    assert s["train"].join(s["val"], "doc_id").count() == 0
+    # deterministic across re-construction
+    s2 = TextCorpus(docs).split({"train": 80, "val": 10, "test": 10}, salt="s1")
+    assert s2["train"].count() == counts["train"]
+    # different salt -> different membership (overwhelmingly likely)
+    s3 = c.split({"train": 80, "val": 10, "test": 10}, salt="other")
+    diff = s["train"].join(s3["train"], "doc_id", "left_anti").count()
+    assert diff > 0
+
+
+def test_split_weights_validated(docs):
+    with pytest.raises(ValueError):
+        TextCorpus(docs).split({"a": 50, "b": 40})
+
+
+def test_chunk_round_trips_text(spark, docs):
+    sample = docs.filter(F.col("doc_id") < 50)
+    chunks = TextCorpus(sample).chunk(128)
+    # rebuilding each doc from its chunks in chunk_id order must give
+    # back the original text exactly
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("rebuilt")
+        )
+    )
+    j = sample.join(rebuilt, "doc_id")
+    assert j.filter(F.col("text") != F.col("rebuilt")).count() == 0
+
+
+def test_full_pipeline_end_to_end(spark, docs):
+    clean = (
+        TextCorpus(docs)
+        .dedup_exact()
+        .quality_filter(min_chars=60)
+        .redact_pii()
+    )
+    stats = clean.stats().collect()[0]
+    assert stats.n_docs > 0 and stats.min_chars >= 0
+    splits = clean.split({"train": 90, "val": 5, "test": 5}, salt="e2e")
+    assert sum(df.count() for df in splits.values()) == stats.n_docs
