@@ -24,10 +24,13 @@ from .base import dsum_expr, query, sql_query, t
 # --------------------------------------------------------------------------
 # q86 — weekly cohort retention over the events stream table.
 #
-# Two aggregations + one equi-join on user_id: first-seen week per user
-# (the cohort), distinct (user, activity-week) pairs, then a (cohort,
-# offset) rollup. At 100 TB both aggs are single-shuffle on user_id and
-# the join co-locates on the same key, so AQE reuses the partitioning.
+# ONE shuffle on user_id computes both the cohort (min first day) and
+# the distinct activity weeks (collect_set over week-truncated dates —
+# bounded by the calendar, a few dozen values per user regardless of
+# event count, and built map-side by the partial aggregate); explode +
+# one rollup shuffle on (cohort, offset) finishes. The naive form —
+# separate cohort agg, distinct, and a join — costs 3 keyed shuffles of
+# the fact table; this costs 1 plus a rollup of |users| rows.
 # Both engines truncate weeks to ISO Monday; offsets are exact integer
 # day arithmetic (both week columns are Monday-aligned, so days/7 is an
 # exact integer in either division semantics).
@@ -56,16 +59,14 @@ from .base import dsum_expr, query, sql_query, t
 )
 def q86(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
-    cohort = (
-        e.groupBy("user_id")
-        .agg(F.min(F.to_date("ts")).alias("first_day"))
-        .select("user_id", F.date_trunc("week", F.col("first_day")).cast("date").alias("cohort_week"))
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts")).cast("date")).alias("weeks"),
     )
-    activity = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
-    ).distinct()
     return (
-        activity.join(cohort, "user_id")
+        per_user.select(
+            "user_id", "cohort_week", F.explode("weeks").alias("act_week")
+        )
         .groupBy(
             "cohort_week",
             (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
