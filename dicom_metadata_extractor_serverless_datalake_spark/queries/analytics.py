@@ -800,3 +800,81 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — prefix-filtered set-similarity join (the ppjoin/SSJoin family):
+# the OTHER scalable blocking scheme for Jaccard joins, complementary to
+# MinHash banding (q52). Tokens get a global rarity order (frequency
+# asc, token asc); a doc with n tokens exposes only its first
+# n - ceil(t*n) + 1 rarest tokens as join keys. Completeness is exact,
+# not probabilistic: if J(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)),
+# and by pigeonhole the smallest common token sits inside BOTH prefixes
+# — so the prefix-prefix equi-join loses no qualifying pair, while
+# frequent tokens (the quadratic blowup in a naive token join) never
+# become join keys. A lossless length-ratio filter prunes further
+# before the distinct. Verification = exact Jaccard on candidates only
+# (operators/dedup.py). The oracle runs the unfiltered exact token join
+# — identical output proves the filter lossless on real data.
+# --------------------------------------------------------------------------
+
+_PF_T = 0.8
+
+
+@query(
+    "q104_prefix_filter_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS both_n
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) >= {_PF_T}
+    ORDER BY d1, d2
+    """,
+    category="dedup",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import jaccard_verify
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("f"))
+    ranked = tok.join(freq, "w")
+    wdoc = Window.partitionBy("doc_id").orderBy("f", "w")
+    wn = Window.partitionBy("doc_id")
+    pref = (
+        ranked.withColumn("pos", F.row_number().over(wdoc))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(_PF_T) * F.col("n")) + 1)
+    )
+    a = pref.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"), "w")
+    b = pref.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"), "w")
+    cands = (
+        a.join(b, "w")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            # lossless length filter: J >= t forces t*|B| <= |A| (o <= |A|,
+            # union >= |B|), integer-exact via ceil
+            & (F.col("na") >= F.ceil(F.lit(_PF_T) * F.col("nb")))
+            & (F.col("nb") >= F.ceil(F.lit(_PF_T) * F.col("na")))
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    verified = jaccard_verify(
+        cands, tok.select("doc_id", F.col("w").alias("s")), _PF_T
+    )
+    return verified.orderBy("d1", "d2")

@@ -56,6 +56,7 @@ _PRIORITY = [
     "q101_time_proximity_join",
     "q102_rolling_distinct_sketch",
     "q103_variant_json",
+    "q104_prefix_filter_join",
     # green in round 1 but outside round 2's window
     "q13_count_distinct",
     "q15_rollup",
@@ -86,9 +87,9 @@ _PRIORITY = [
     "q40_string_funcs",
     "q41_regexp",
     "q42_date_funcs",
-    "q43_conditional",
-    # q44/q46/q47/q48/q64 (green in round 1) yield their window slots to
-    # q99-q103, which have no driver row yet; they register right after
+    # q43/q44/q46/q47/q48/q64 (green in round 1) yield their window
+    # slots to q99-q104, which have no driver row yet; they register
+    # right after the window
 ]
 
 

@@ -212,3 +212,13 @@ def test_q101_proximity_join_is_equi_join(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_q104_prefix_filter_equi_join_only(spark, sf_dir):
+    """The prefix-filtered similarity join must stay hash equi-joins on
+    tokens — the whole point is that no all-pairs comparison exists."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q104_prefix_filter_join", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
