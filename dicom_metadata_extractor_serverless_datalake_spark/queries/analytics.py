@@ -878,3 +878,53 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         cands, tok.select("doc_id", F.col("w").alias("s")), _PF_T
     )
     return verified.orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+# q105 — event-transition matrix (first-order Markov over per-user event
+# sequences): lead() within user orders the stream once, the transition
+# rollup is one tiny-keyed aggregation, and probabilities are exact
+# rationals (count/total — single correctly-rounded division, identical
+# in both engines). The partitioned window never funnels: state is
+# per-user, the rollup key space is |event_types|^2.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q105_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    totals AS (SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM trans GROUP BY src)
+    SELECT trans.src, trans.dst, trans.n,
+           CAST(trans.n AS DOUBLE) / totals.total AS p
+    FROM trans JOIN totals ON trans.src = totals.src
+    ORDER BY trans.src, trans.dst
+    """,
+    category="analytics",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf, "events").select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    )
+    trans = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    wtot = Window.partitionBy("src")
+    return (
+        trans.withColumn("p", F.col("n").cast("double") / F.sum("n").over(wtot))
+        .select("src", "dst", "n", "p")
+        .orderBy("src", "dst")
+    )
