@@ -928,3 +928,55 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
         .select("src", "dst", "n", "p")
         .orderBy("src", "dst")
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — data-quality constraint audit (the Deequ/dbt-test shape): one
+# pass per table computes null-rate / uniqueness / range checks, plus
+# NOT EXISTS referential-integrity probes between fact and dimension.
+# Each check is a row (check_name, violations), so the audit scales by
+# adding rows, not columns, and a scheduler can diff successive audits.
+# FK checks are anti-join-shaped (hash equi-join); everything else is
+# a map-side FILTER aggregate. Shared Spark/DuckDB dialect.
+# --------------------------------------------------------------------------
+
+sql_query(
+    "q106_data_quality_audit",
+    """
+    SELECT 'orders_custkey_null' AS check_name,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+             SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    FROM orders o
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    FROM lineitem l
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 100)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_event_id_dupes',
+           CAST(SUM(n - 1) AS BIGINT)
+    FROM (SELECT event_id, COUNT(*) AS n FROM events GROUP BY event_id) d
+    UNION ALL
+    SELECT 'events_value_negative',
+           COUNT(*) FILTER (WHERE value < 0)
+    FROM events
+    UNION ALL
+    SELECT 'documents_empty_text',
+           COUNT(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+    FROM documents
+    ORDER BY check_name
+    """,
+    category="analytics",
+)
