@@ -980,3 +980,68 @@ sql_query(
     """,
     category="analytics",
 )
+
+
+# --------------------------------------------------------------------------
+# q107 — mergeable quantile sketches (KLL): per-day sketches of the
+# value stream merged into one global sketch, answering p50/p95/p99
+# without the per-group sort an exact median costs (the scale answer to
+# q92's exact-median note in BASELINE.md). Day sketches are a few KB;
+# the rollup reduces over sketch ROWS (collect_list + reduce with the
+# binary kll_sketch_merge), so month/quarter/any-window quantiles reuse
+# them without re-touching facts. KLL quantile results are rank-bounded
+# (not value-bounded) and the sketch is randomized, so the oracle check
+# is the rank bound itself: the exact fraction of values <= q̂ must sit
+# within p ± 0.05 (KLL k=200 rank stderr ~1.65%) — a deterministic
+# boolean even though q̂ varies per run.
+# --------------------------------------------------------------------------
+
+_KLL_PS = (0.5, 0.95, 0.99)
+
+
+@query(
+    "q107_kll_quantile_rollup",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS p, TRUE AS rank_ok
+    UNION ALL SELECT CAST(0.95 AS DOUBLE), TRUE
+    UNION ALL SELECT CAST(0.99 AS DOUBLE), TRUE
+    ORDER BY p
+    """,
+    category="analytics",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(F.to_date("ts").alias("day"), "value")
+    daily = e.groupBy("day").agg(F.kll_sketch_agg_double("value").alias("sk"))
+    merged = daily.agg(F.collect_list("sk").alias("sks")).selectExpr(
+        "reduce(slice(sks, 2, size(sks) - 1), sks[0],"
+        " (acc, x) -> kll_sketch_merge_double(acc, x)) AS m"
+    )
+    qhat = merged.selectExpr(
+        *[
+            f"kll_sketch_get_quantile_double(m, {p}) AS q{i}"
+            for i, p in enumerate(_KLL_PS)
+        ]
+    )
+    ranks = e.crossJoin(F.broadcast(qhat)).agg(
+        *[
+            (
+                F.sum(F.when(F.col("value") <= F.col(f"q{i}"), 1).otherwise(0))
+                / F.count("*")
+            ).alias(f"r{i}")
+            for i in range(len(_KLL_PS))
+        ]
+    )
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                (F.abs(F.col(f"r{i}") - F.lit(p)) <= 0.05).alias("rank_ok"),
+            )
+            for i, p in enumerate(_KLL_PS)
+        ]
+    )
+    return (
+        ranks.select(F.explode(checks).alias("s"))
+        .select("s.p", "s.rank_ok")
+        .orderBy("p")
+    )
