@@ -1045,3 +1045,86 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         .select("s.p", "s.rank_ok")
         .orderBy("p")
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — theta-sketch set algebra over user audiences: distinct users
+# who clicked OR purchased (union), AND purchased (intersection), and
+# clicked but never purchased (difference), estimated from two per-type
+# sketches. This is the capability HLL fundamentally lacks — HLL unions
+# only; theta sketches close the set algebra, so audience overlap /
+# exclusion questions become sketch-row arithmetic instead of fact
+# re-scans. Error bound checked against exact counts relative to the
+# union size (theta default k=4096 => ~1.6% stderr; sets this small run
+# in the sketch's exact mode).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q108_theta_set_algebra",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT op, exact, TRUE AS within_bound FROM (
+      SELECT 'difference' AS op,
+             CAST(SUM(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact
+      FROM flags
+      UNION ALL
+      SELECT 'intersection',
+             CAST(SUM(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags
+      UNION ALL
+      SELECT 'union',
+             CAST(SUM(CASE WHEN c = 1 OR p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags
+    ) ORDER BY op
+    """,
+    category="analytics",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    csk = (
+        e.filter(F.col("event_type") == "click")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("csk"))
+    )
+    psk = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("psk"))
+    )
+    ests = csk.crossJoin(F.broadcast(psk)).selectExpr(
+        "theta_sketch_estimate(theta_union(csk, psk)) AS est_union",
+        "theta_sketch_estimate(theta_intersection(csk, psk)) AS est_intersection",
+        "theta_sketch_estimate(theta_difference(csk, psk)) AS est_difference",
+    )
+    flags = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    exact = flags.agg(
+        F.sum(F.when((F.col("c") == 1) & (F.col("p") == 0), 1).otherwise(0)).alias("x_difference"),
+        F.sum(F.when((F.col("c") == 1) & (F.col("p") == 1), 1).otherwise(0)).alias("x_intersection"),
+        F.sum(F.when((F.col("c") == 1) | (F.col("p") == 1), 1).otherwise(0)).alias("x_union"),
+    )
+    joined = exact.crossJoin(F.broadcast(ests))
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(op).alias("op"),
+                F.col(f"x_{op}").cast("long").alias("exact"),
+                (
+                    F.abs(F.col(f"est_{op}") - F.col(f"x_{op}"))
+                    <= F.lit(0.05) * F.col("x_union")
+                ).alias("within_bound"),
+            )
+            for op in ("difference", "intersection", "union")
+        ]
+    )
+    return (
+        joined.select(F.explode(checks).alias("s"))
+        .select("s.op", "s.exact", "s.within_bound")
+        .orderBy("op")
+    )
