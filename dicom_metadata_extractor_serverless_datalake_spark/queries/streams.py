@@ -299,3 +299,63 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# --------------------------------------------------------------------------
+# q109 — streamed STREAM-STREAM interval join (streaming/joins.py): two
+# watermarked views of the live event stream (clicks, purchases)
+# correlate on user_id within a (0, 5 min] event-time interval — the
+# join whose state stays finite only because of the time bound. Inner
+# matches emit as both sides arrive, so the availableNow drain yields
+# exactly the batch answer and a plain SQL oracle checks the stateful
+# stream-stream execution path.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q109_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    category="streaming",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from ..streaming.joins import interval_join
+
+    src = _events_stream_src(sf)
+    try:
+        ev = load_stream(spark, src, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("r_ts"),
+        )
+        joined = interval_join(
+            clicks,
+            purchases,
+            key="user_id",
+            lower="INTERVAL 0 SECONDS",
+            upper="INTERVAL 5 MINUTES",
+            watermark="30 minutes",
+        ).select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+        )
+        name = _run_to_memory(joined, "append")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).orderBy("click_id", "purchase_id")
