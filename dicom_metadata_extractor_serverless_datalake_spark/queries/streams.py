@@ -359,3 +359,43 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+# --------------------------------------------------------------------------
+# q110 — streamed STREAM-STATIC enrichment (streaming/joins.py): the
+# live event stream broadcast-joins the customer dimension per
+# micro-batch (no stream-side shuffle, no state; dim updates are picked
+# up on the next batch), then rolls up by market segment. The oracle is
+# the identical batch join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q110_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="streaming",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream, load_table
+    from ..streaming.joins import enrich_with_dim
+
+    src = _events_stream_src(sf)
+    try:
+        ev = load_stream(spark, src, "events")
+        dim = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+        enriched = enrich_with_dim(ev, dim, "user_id", "c_custkey", how="inner")
+        name = _run_to_memory(
+            enriched.select(F.col("c_mktsegment").alias("segment")), "append"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("segment")
+    )
