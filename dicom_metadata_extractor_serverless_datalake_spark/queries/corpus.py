@@ -57,6 +57,12 @@ _PRIORITY = [
     "q102_rolling_distinct_sketch",
     "q103_variant_json",
     "q104_prefix_filter_join",
+    "q105_event_transitions",
+    "q106_data_quality_audit",
+    "q107_kll_quantile_rollup",
+    "q108_theta_set_algebra",
+    "q109_stream_interval_join",
+    "q110_stream_static_enrich",
     # green in round 1 but outside round 2's window
     "q13_count_distinct",
     "q15_rollup",
@@ -78,17 +84,13 @@ _PRIORITY = [
     "q31_top_n_per_group",
     "q32_percentiles",
     "q33_lag_lead",
-    "q34_running_sum",
     "q35_range_frame",
     "q36_tumbling_window",
     "q37_sliding_window",
     "q38_session_window",
     "q39_asof_join",
-    "q40_string_funcs",
-    "q41_regexp",
-    "q42_date_funcs",
-    # q43/q44/q46/q47/q48/q64 (green in round 1) yield their window
-    # slots to q99-q104, which have no driver row yet; they register
+    # q34/q40-q44/q46-q48/q64 (all green in round 1) yield their window
+    # slots to q99-q110, which have no driver row yet; they register
     # right after the window
 ]
 
