@@ -63,6 +63,9 @@ _PRIORITY = [
     "q108_theta_set_algebra",
     "q109_stream_interval_join",
     "q110_stream_static_enrich",
+    "q111_audio_features",
+    "q112_multimodal_neardup",
+    "q113_udtf_lateral",
     # green in round 1 but outside round 2's window
     "q13_count_distinct",
     "q15_rollup",

@@ -97,3 +97,110 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q111 — audio feature extraction through the same Arrow-batched
+# mapInPandas path as q61 (stub decoder: sample rate from a 4-way hash
+# pick, sample count, exact int/int duration division, 16-bit rms
+# normalization). The oracle replays the digest arithmetic in SQL, so a
+# hash match proves the Python-worker round-trip bit-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q111_audio_features",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id < {_N_DOCS}
+    )
+    SELECT doc_id,
+           CAST(CASE CAST('0x' || substr(hx, 1, 1) AS BIGINT) % 4
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 44100 ELSE 48000 END AS INTEGER) AS sample_rate,
+           CAST(CAST('0x' || substr(hx, 2, 8) AS BIGINT) % 10000000 AS BIGINT)
+             AS n_samples,
+           CAST(CAST('0x' || substr(hx, 2, 8) AS BIGINT) % 10000000 AS DOUBLE)
+             / (CASE CAST('0x' || substr(hx, 1, 1) AS BIGINT) % 4
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 44100 ELSE 48000 END) AS duration_s,
+           CAST(CAST('0x' || substr(hx, 10, 4) AS BIGINT) AS DOUBLE) / 65535.0 AS rms
+    FROM h ORDER BY doc_id
+    """,
+    category="multimodal",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.multimodal import audio_features
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < _N_DOCS)
+    feat = audio_features(with_payload(docs.select("doc_id", "text")))
+    return feat.select(
+        "doc_id", "sample_rate", "n_samples", "duration_s", "rms"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q112 — multimodal near-dup detection: perceptual-hash-style blocking
+# over decoded image features. Candidates come from an equi-join on the
+# coarse feature bucket (channels, width//128, height//128) — the pHash
+# band analogue — and only candidates pay the intensity-distance check.
+# Same blocking-first contract as the text dedup family, applied to the
+# binary-column pipeline.
+# --------------------------------------------------------------------------
+
+_INTENSITY_EPS = 8.0
+
+_Q112_FEAT = """
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 512 + 1 AS INTEGER) AS width,
+             CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 512 + 1 AS INTEGER) AS height,
+             CAST(CAST('0x' || substr(md5(text), 9, 1) AS BIGINT) % 3 + 1 AS INTEGER) AS n_channels,
+             CAST(CAST('0x' || substr(md5(text), 10, 4) AS BIGINT) % 256 AS DOUBLE) AS mean_intensity
+      FROM documents WHERE doc_id < {n}
+"""
+
+
+@query(
+    "q112_multimodal_neardup",
+    oracle=f"""
+    WITH f AS ({_Q112_FEAT.format(n=_N_DOCS)})
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           abs(a.mean_intensity - b.mean_intensity) AS intensity_gap
+    FROM f a JOIN f b
+      ON a.n_channels = b.n_channels
+     AND a.width // 128 = b.width // 128
+     AND a.height // 128 = b.height // 128
+     AND a.doc_id < b.doc_id
+    WHERE abs(a.mean_intensity - b.mean_intensity) <= {_INTENSITY_EPS}
+    ORDER BY d1, d2
+    """,
+    category="multimodal",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < _N_DOCS)
+    feat = image_features(with_payload(docs.select("doc_id", "text"))).select(
+        "doc_id",
+        "n_channels",
+        F.expr("width div 128").alias("wb"),
+        F.expr("height div 128").alias("hb"),
+        "mean_intensity",
+    )
+    a = feat.alias("a")
+    b = feat.alias("b")
+    gap = F.abs(F.col("a.mean_intensity") - F.col("b.mean_intensity"))
+    return (
+        a.join(
+            b,
+            (F.col("a.n_channels") == F.col("b.n_channels"))
+            & (F.col("a.wb") == F.col("b.wb"))
+            & (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(gap <= _INTENSITY_EPS)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            gap.alias("intensity_gap"),
+        )
+        .orderBy("d1", "d2")
+    )

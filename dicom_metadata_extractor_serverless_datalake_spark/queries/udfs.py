@@ -81,3 +81,50 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
         .agg(total_chars("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — Python UDTF via LATERAL SQL: the registered chunk_text UDTF
+# (functions/udtf.py) expands each document into fixed-width chunks
+# inside a SQL query — the table-function surface (one row in, N rows
+# out) the archive-explode ingest path uses, here driven from SQL. The
+# oracle replays the same chunking with substr arithmetic, so a hash
+# match proves the UDTF row-expansion path exact.
+# --------------------------------------------------------------------------
+
+_UDTF_WIDTH = 200
+_UDTF_DOCS = 100
+
+
+@query(
+    "q113_udtf_lateral",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(ceil(length(text) / {_UDTF_WIDTH}.0) AS INT) AS nc
+      FROM documents WHERE doc_id < {_UDTF_DOCS}
+    ),
+    g AS (SELECT doc_id, text, unnest(generate_series(1, nc)) AS i FROM d)
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_id,
+           md5(substr(text, (i - 1) * {_UDTF_WIDTH} + 1, {_UDTF_WIDTH})) AS chunk_digest,
+           CAST(length(substr(text, (i - 1) * {_UDTF_WIDTH} + 1, {_UDTF_WIDTH})) AS BIGINT)
+             AS chunk_len
+    FROM g ORDER BY doc_id, chunk_id
+    """,
+    category="udf",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.udtf import register_udtfs
+    from ..sources.tables import register_star_schema
+
+    register_star_schema(spark, sf)
+    register_udtfs(spark)
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_id, md5(c.chunk) AS chunk_digest, c.chunk_len
+        FROM documents, LATERAL chunk_text(text, {_UDTF_WIDTH}) AS c
+        WHERE doc_id < {_UDTF_DOCS}
+        ORDER BY doc_id, chunk_id
+        """
+    )
