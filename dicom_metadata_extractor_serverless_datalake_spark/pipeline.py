@@ -151,6 +151,22 @@ class TextCorpus:
             lo += pct
         return out
 
+    # ---- materialization ----
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "TextCorpus":
+        """Cache the current stage's output. Call after the expensive
+        stages (near-dedup) and before fan-out consumers (split() makes
+        one pass per partition name; without persisting, each pass
+        re-runs the whole upstream pipeline)."""
+        from pyspark import StorageLevel
+
+        self.df = self.df.persist(getattr(StorageLevel, storage_level))
+        return self
+
+    def unpersist(self) -> "TextCorpus":
+        self.df = self.df.unpersist()
+        return self
+
     # ---- reporting ----
 
     def stats(self) -> DataFrame:

@@ -101,3 +101,13 @@ def test_full_pipeline_end_to_end(spark, docs):
     assert stats.n_docs > 0 and stats.min_chars >= 0
     splits = clean.split({"train": 90, "val": 5, "test": 5}, salt="e2e")
     assert sum(df.count() for df in splits.values()) == stats.n_docs
+
+
+def test_persist_caches_and_chains(spark, docs):
+    c = TextCorpus(docs).dedup_exact().persist()
+    try:
+        assert c.df.count() == c.df.count()
+        assert c.df.storageLevel.useMemory or c.df.storageLevel.useDisk
+    finally:
+        c.unpersist()
+    assert not (c.df.storageLevel.useMemory or c.df.storageLevel.useDisk)
