@@ -65,16 +65,24 @@ class TextCorpus:
         )
         return self._with(self.df.join(keep, did, "left_semi"))
 
-    def dedup_near(self, threshold: float = 0.8) -> "TextCorpus":
+    def dedup_near(self, threshold: float = 0.8, hash_fn: str = "fast") -> "TextCorpus":
         """Drop near-duplicates: LSH-banded candidate pairs, Jaccard-
         verified at ``threshold``, clustered by connected components,
         keeping each cluster's canonical (min-id) doc. Non-candidates
-        never pay a comparison (q52 -> q68 -> q77's shape)."""
+        never pay a comparison (q52 -> q68 -> q77's shape). Defaults to
+        the xxhash64 MinHash ("fast", ~1.5-2x the md5-derived portable
+        hash at 50k docs, identical verified output — the portable mode
+        exists for cross-engine oracle replay, which a production
+        pipeline doesn't need)."""
         from .operators.cluster import dedup_clusters
         from .operators.dedup import neardup_pairs
 
         pairs = neardup_pairs(
-            self.df, threshold=threshold, id_col=self.id_col, text_col=self.text_col
+            self.df,
+            threshold=threshold,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            hash_fn=hash_fn,
         )
         losers = (
             dedup_clusters(pairs)
