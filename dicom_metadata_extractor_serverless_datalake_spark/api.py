@@ -124,6 +124,16 @@ class DicomLake:
             self.spark, self.lake_path, target_file_bytes, min_files
         )
 
+    def analyze(self, columns: list[str] | None = None) -> dict[str, str]:
+        """Collect catalog statistics on the lake table for CBO/AQE
+        (sources/catalog.py::analyze_table). Requires an external
+        (catalog-registered) lake."""
+        from .sources.catalog import analyze_table
+
+        if not self.external:
+            raise ValueError("analyze() needs a catalog-registered lake (external=True)")
+        return analyze_table(self.spark, self.table, columns)
+
     def partitions(self) -> list[str]:
         """Partition values present in the lake."""
         return sorted(

@@ -222,3 +222,13 @@ def test_q104_prefix_filter_equi_join_only(spark, sf_dir):
     plan = physical_plan(_q("q104_prefix_filter_join", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q112_multimodal_neardup_equi_join_only(spark, sf_dir):
+    """Blocking-first applies to binary columns too: the feature-bucket
+    candidate join must be a hash equi-join, never all-pairs."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q112_multimodal_neardup", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
