@@ -106,6 +106,11 @@ def test_ingest_with_external_catalog_table(spark, tmp_path_factory):
         "SELECT count(*) c FROM dicom_external WHERE study_date >= DATE'1990-01-01'"
     ).collect()[0]["c"]
     assert 0 < n <= df.count()
+    # CBO statistics on the registered lake table
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.catalog import analyze_table
+
+    stats = analyze_table(spark, "dicom_external", columns=["modality"])
+    assert "rows" in stats.get("Statistics", "")
     spark.sql("DROP TABLE dicom_external")
 
 
