@@ -28,12 +28,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .queries.llm import spark_h31
+from .queries.llm import MERSENNE_P
 
+# Default scrub: emails, SSN-shaped spans, and LONG digit runs (>= 7
+# digits: phone/account/credit-card shaped). Short runs — years, dates,
+# quantities, version numbers — survive; redacting every digit run is
+# lossy for training text and is opt-in via redact_pii(all_numbers=True).
 PII_PATTERNS: list[tuple[str, str]] = [
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
     ("[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]", "<SSN>"),
-    ("[0-9]+", "<NUM>"),
+    ("[0-9]{7,}", "<NUM>"),
 ]
 
 
@@ -110,11 +114,21 @@ class TextCorpus:
         pred = pred & (F.length(stripped) <= max_symbol_ratio * length)
         return self._with(self.df.filter(pred))
 
-    def redact_pii(self) -> "TextCorpus":
-        """Regex PII scrub (emails / SSN-shaped spans / numbers ->
-        placeholders), pure codegen regexp_replace (q74)."""
+    def redact_pii(
+        self,
+        patterns: list[tuple[str, str]] | None = None,
+        all_numbers: bool = False,
+    ) -> "TextCorpus":
+        """Regex PII scrub (emails / SSN-shaped spans / long digit runs
+        -> placeholders), pure codegen regexp_replace (q74). Short digit
+        runs (dates, quantities, versions) are preserved by default;
+        ``all_numbers=True`` restores the scorched-earth every-digit-run
+        mode, ``patterns`` replaces the rule set entirely."""
+        rules = list(PII_PATTERNS) if patterns is None else list(patterns)
+        if all_numbers and patterns is None:
+            rules[-1] = ("[0-9]+", "<NUM>")
         clean = F.col(self.text_col)
-        for pat, repl in PII_PATTERNS:
+        for pat, repl in rules:
             clean = F.regexp_replace(clean, pat, repl)
         return self._with(self.df.withColumn(self.text_col, clean))
 
@@ -126,8 +140,12 @@ class TextCorpus:
         chunk_id, chunk)."""
         did, text = self.id_col, self.text_col
         n_chunks = F.ceil(F.length(text) / F.lit(chunk_chars)).cast("int")
+        # Emptiness policy: zero-length (or null) docs emit ZERO chunks.
+        # Without the filter, n_chunks=0 would make sequence(0, -1)
+        # produce the descending [0, -1] and emit two spurious empty rows.
         return (
-            self.df.select(
+            self.df.filter(F.length(text) > 0)
+            .select(
                 did,
                 text,
                 F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
@@ -149,8 +167,15 @@ class TextCorpus:
         total = sum(weights.values())
         if total != 100:
             raise ValueError(f"split weights must sum to 100, got {total}")
+        # Column-API build of the h31 hash (conv/substr/md5) — same
+        # values as the SQL-string form the corpus oracles use, but the
+        # salt and id column are passed as values, never interpolated
+        # into SQL text (a quote in the salt must not break parsing).
+        salted = F.concat(F.lit(salt), F.col(self.id_col).cast("string"))
         h = (
-            F.expr(spark_h31(f"concat('{salt}', CAST({self.id_col} AS STRING))")) % 100
+            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+            % MERSENNE_P
+            % 100
         )
         out: dict[str, DataFrame] = {}
         lo = 0

@@ -188,16 +188,36 @@ def dsum_limbs(
 
 
 def dsum_merge(
-    prefix: str, alias: str, scale: int = 2, max_abs: float | None = None
+    prefix: str,
+    alias: str,
+    scale: int = 2,
+    max_abs: float | None = None,
+    df: DataFrame | None = None,
 ) -> F.Column:
     """Second level of a two-level exact sum: merge ``dsum_limbs``
     partials across the outer grouping and surface the exact total as
-    double, matching single-level :func:`dsum` bit-for-bit. ``max_abs``
-    must match the ``dsum_limbs`` call (it selects which limb columns
-    exist); the per-outer-group overflow envelope is the same as the
-    single-level form since the merged sum covers the same row set."""
+    double, matching single-level :func:`dsum` bit-for-bit. Pass ``df``
+    (the frame holding the partials) to derive the limb width from which
+    ``{prefix}_hi/_mid/_lo`` columns actually exist — ``_lo`` exists at
+    every width, so a ``max_abs`` that disagrees with the ``dsum_limbs``
+    call would otherwise silently drop the high limbs. With ``df`` the
+    mismatch raises instead; the per-outer-group overflow envelope is
+    the same as the single-level form since the merged sum covers the
+    same row set."""
     dec = lambda c: F.sum(c).cast("decimal(38,0)")  # noqa: E731
     n = _n_limbs(max_abs, scale)
+    if df is not None:
+        cols = set(df.columns)
+        present = 1 + (f"{prefix}_hi" in cols) + (f"{prefix}_mid" in cols)
+        if f"{prefix}_lo" not in cols:
+            raise ValueError(f"dsum_merge: no {prefix}_lo column in input frame")
+        if max_abs is not None and present != n:
+            raise ValueError(
+                f"dsum_merge: frame has {present} '{prefix}' limb column(s) "
+                f"but max_abs={max_abs!r} selects {n} — it must match the "
+                f"dsum_limbs call that built them"
+            )
+        n = present
     if n == 1:
         total = dec(f"{prefix}_lo")
     elif n == 2:

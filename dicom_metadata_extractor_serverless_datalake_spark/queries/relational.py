@@ -192,7 +192,10 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         joined.groupBy("r_name", "n_name")
-        .agg(dsum_merge("rev", "revenue", 4, max_abs=1e7), F.sum("nl").alias("n_lines"))
+        .agg(
+            dsum_merge("rev", "revenue", 4, max_abs=1e7, df=joined),
+            F.sum("nl").alias("n_lines"),
+        )
         .orderBy("r_name", "n_name")
     )
 

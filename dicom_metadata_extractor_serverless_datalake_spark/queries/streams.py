@@ -10,11 +10,15 @@ is re-run MSCK + DLQ (README.md:139). Structured Streaming replaces
 that with watermarked incremental state; these queries pin that
 replacement's *results* to the same SQL the batch engine answers.
 
-Determinism: each run streams the events table through availableNow
-(single micro-batch — no maxFilesPerTrigger is set, so the file source
-drains in one batch), lands in a uniquely-named in-memory sink, and the
-returned DataFrame aggregates that sink. Output equals the batch
-answer, so a plain DuckDB oracle checks the streamed execution.
+Determinism: each run streams the events table through availableNow,
+lands in a uniquely-named in-memory sink, and the returned DataFrame
+aggregates that sink. The stateful queries (q84 dedup, q99 custom
+state) split the source into event-time-ordered files and cap
+``maxFilesPerTrigger`` so the drain takes MULTIPLE micro-batches —
+watermark advance, cross-batch state carry-over, and state eviction
+are on the certified path, not just single-batch semantics. Output
+still equals the batch answer, so a plain DuckDB oracle checks the
+streamed execution.
 """
 
 from __future__ import annotations
@@ -34,21 +38,78 @@ from .base import query
 # --------------------------------------------------------------------------
 
 
-def _events_stream_src(sf: str, copies: int = 1) -> str:
-    """Materialize a stream-source dir holding ``copies`` copies of the
-    events file (2 copies -> genuine cross-file duplicates for dedup)."""
+def _events_stream_src(
+    sf: str, copies: int = 1, time_splits: int = 1
+) -> tuple[str, float]:
+    """Materialize a stream-source dir; returns ``(dir, span_seconds)``
+    where span is the table's event-time extent (0.0 when not computed).
+
+    ``copies`` > 1 plants genuine duplicates (every event arrives that
+    many times). ``time_splits`` > 1 slices the table into contiguous
+    event-time ranges, one file per (range, copy), so a
+    ``maxFilesPerTrigger=1`` reader replays the stream in event-time
+    order across multiple micro-batches with genuinely advancing
+    watermarks. File order is pinned with strictly increasing mtimes
+    (the file source orders pending files by modification time).
+    Handles both a single ``events.parquet`` file and a directory of
+    part files (the scale generator writes Spark output directories)."""
     src = tempfile.mkdtemp(prefix="spark_stream_src_")
-    for i in range(copies):
-        shutil.copy(
-            os.path.join(sf, "events.parquet"),
-            os.path.join(src, f"events_{i}.parquet"),
+    path = os.path.join(sf, "events.parquet")
+    mtime = 1_000_000_000.0
+
+    def _stamp(dst: str) -> None:
+        nonlocal mtime
+        os.utime(dst, (mtime, mtime))
+        mtime += 2.0
+
+    if time_splits <= 1:
+        parts = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
         )
-    return src
+        for i in range(copies):
+            for j, part in enumerate(parts):
+                dst = os.path.join(src, f"events_{i}_{j}.parquet")
+                shutil.copy(part, dst)
+                _stamp(dst)
+        return src, 0.0
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    table = pads.dataset(path, format="parquet").to_table()
+    ts = table.column("ts")
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    delta = hi - lo
+    span = delta.total_seconds() if hasattr(delta, "total_seconds") else float(delta)
+    for s in range(time_splits):
+        # slice s covers [lo + s/k * span, lo + (s+1)/k * span)
+        lo_b = lo + delta * s / time_splits
+        hi_b = lo + delta * (s + 1) / time_splits
+        mask = pc.and_(
+            pc.greater_equal(ts, lo_b),
+            pc.less(ts, hi_b) if s < time_splits - 1 else pc.less_equal(ts, hi_b),
+        )
+        chunk = table.filter(mask)
+        if chunk.num_rows == 0:
+            continue
+        for i in range(copies):
+            dst = os.path.join(src, f"events_r{s}_{i}.parquet")
+            pq.write_table(chunk, dst)
+            _stamp(dst)
+    return src, span
 
 
-def _run_to_memory(stream_df: DataFrame, output_mode: str) -> str:
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> tuple[str, int]:
     """Drain a streaming frame into a fresh memory sink; returns the
-    sink table name. availableNow => the call is synchronous."""
+    sink table name and the number of micro-batches executed
+    (availableNow => the call is synchronous)."""
     name = "stream_sink_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
     q = (
@@ -60,8 +121,10 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> str:
         .start()
     )
     q.awaitTermination(600)
+    last = q.lastProgress
+    n_batches = int(last["batchId"]) + 1 if last else 0
     shutil.rmtree(ckpt, ignore_errors=True)
-    return name
+    return name, n_batches
 
 
 # --------------------------------------------------------------------------
@@ -84,9 +147,9 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
     from ..streaming.windows import tumbling_counts
 
-    src = _events_stream_src(sf)
+    src, _ = _events_stream_src(sf)
     try:
-        name = _run_to_memory(
+        name, _ = _run_to_memory(
             tumbling_counts(load_stream(spark, src, "events")), "complete"
         )
     finally:
@@ -95,10 +158,16 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q84 — streamed stateful dedup (dropDuplicatesWithinWatermark): the
-# source dir holds TWO copies of the events file, so every event_id
-# arrives twice and the stateful operator must emit it once. The sink
-# then aggregates to per-type counts == the batch counts over ONE copy.
+# q84 — streamed stateful dedup (dropDuplicatesWithinWatermark) across
+# MULTIPLE micro-batches: the source is split into 3 event-time ranges
+# x 2 copies (6 files, mtime-ordered, maxFilesPerTrigger=1 => 6
+# batches), so every event_id arrives twice in ADJACENT batches and the
+# stateful operator must dedup it across the batch boundary while the
+# watermark genuinely advances (delay ~= 0.43 x span: wide enough that
+# a range's second copy is never late or evicted — each copy lands
+# within one range-width of the first — narrow enough that range-0
+# state IS evicted while range 2 processes). The sink then aggregates
+# to per-type counts == the batch counts over ONE copy.
 # --------------------------------------------------------------------------
 
 
@@ -114,11 +183,17 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
     from ..streaming.windows import streaming_dedup
 
-    src = _events_stream_src(sf, copies=2)
+    src, span = _events_stream_src(sf, copies=2, time_splits=3)
+    delay = max(int(span / 3 + span * 0.1), 60)
     try:
-        name = _run_to_memory(
-            streaming_dedup(load_stream(spark, src, "events")), "append"
+        name, n_batches = _run_to_memory(
+            streaming_dedup(
+                load_stream(spark, src, "events", max_files_per_trigger=1),
+                watermark=f"{delay} seconds",
+            ),
+            "append",
         )
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return (
@@ -154,7 +229,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
     from ..streaming.upsert import read_snapshot, start_upsert_sink
 
-    src = _events_stream_src(sf)
+    src, _ = _events_stream_src(sf)
     snap = tempfile.mkdtemp(prefix="spark_stream_snap_")
     ckpt = tempfile.mkdtemp(prefix="spark_stream_ckpt_")
     try:
@@ -185,14 +260,19 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q99 — streamed CUSTOM STATEFUL operator (applyInPandasWithState): per-
-# user running (count, total) accumulated in integer cents inside the
-# state handle, so the result is order-independent and exact — a float
-# accumulator would hash differently under shuffle reordering. With an
-# availableNow drain the source is one micro-batch, so each user emits
-# exactly one final accumulator row == the batch aggregate, and a plain
-# SQL oracle checks the stateful execution path end-to-end. State is
-# partitioned by user_id (scales with executors) and checkpointed.
+# q99 — streamed CUSTOM STATEFUL operator (applyInPandasWithState) across
+# MULTIPLE micro-batches: per-user running (count, total) accumulated in
+# integer cents inside the state handle, so the result is order- and
+# batching-independent and exact — a float accumulator would hash
+# differently under shuffle reordering. The source is split into 3
+# event-time ranges (maxFilesPerTrigger=1 => 3 batches), so state
+# carries across batch boundaries and update mode emits one PARTIAL
+# accumulator row per (user, batch-with-activity); the memory sink
+# appends them all, and the query takes each user's final accumulator
+# (max n_events — strictly monotone per emission) == the batch
+# aggregate. A plain SQL oracle checks the multi-batch stateful
+# execution path end-to-end. State is partitioned by user_id (scales
+# with executors) and checkpointed.
 # --------------------------------------------------------------------------
 
 _STATEFUL_STATE = "n_events BIGINT, total_cents BIGINT"
@@ -231,10 +311,10 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..sources.tables import load_stream
 
-    src = _events_stream_src(sf)
+    src, _ = _events_stream_src(sf, time_splits=3)
     try:
         stateful = (
-            load_stream(spark, src, "events")
+            load_stream(spark, src, "events", max_files_per_trigger=1)
             .groupBy("user_id")
             .applyInPandasWithState(
                 _exact_totals_update,
@@ -244,10 +324,21 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
         )
-        name = _run_to_memory(stateful, "update")
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
     finally:
         shutil.rmtree(src, ignore_errors=True)
-    return spark.table(name).orderBy("user_id")
+    # each user's FINAL accumulator: n_events strictly increases per
+    # emission, so max-per-user selects the last micro-batch's row
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -290,9 +381,9 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
     from ..streaming.windows import sessionized_counts
 
-    src = _events_stream_src(sf)
+    src, _ = _events_stream_src(sf)
     try:
-        name = _run_to_memory(
+        name, _ = _run_to_memory(
             sessionized_counts(load_stream(spark, src, "events"), gap="10 minutes"),
             "complete",
         )
@@ -331,7 +422,7 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
     from ..streaming.joins import interval_join
 
-    src = _events_stream_src(sf)
+    src, _ = _events_stream_src(sf)
     try:
         ev = load_stream(spark, src, "events")
         clicks = ev.filter(F.col("event_type") == "click").select(
@@ -355,7 +446,7 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
             (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
         )
-        name = _run_to_memory(joined, "append")
+        name, _ = _run_to_memory(joined, "append")
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("click_id", "purchase_id")
@@ -383,12 +474,12 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream, load_table
     from ..streaming.joins import enrich_with_dim
 
-    src = _events_stream_src(sf)
+    src, _ = _events_stream_src(sf)
     try:
         ev = load_stream(spark, src, "events")
         dim = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
         enriched = enrich_with_dim(ev, dim, "user_id", "c_custkey", how="inner")
-        name = _run_to_memory(
+        name, _ = _run_to_memory(
             enriched.select(F.col("c_mktsegment").alias("segment")), "append"
         )
     finally:

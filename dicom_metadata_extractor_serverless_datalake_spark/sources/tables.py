@@ -58,14 +58,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_stream(spark: SparkSession, src_dir: str, name: str = "events") -> DataFrame:
+def load_stream(
+    spark: SparkSession,
+    src_dir: str,
+    name: str = "events",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming twin of ``load_table``: a file-source stream over a
     directory of parquet files with the same nanos->micros normalization
     (streaming sources require an explicit schema, so we take it from a
-    batch read of the same directory)."""
+    batch read of the same directory). ``max_files_per_trigger`` caps
+    files per micro-batch — with an availableNow trigger the source then
+    drains in MULTIPLE batches (files in modification-time order), which
+    is how the streaming corpus queries exercise cross-batch state."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src_dir).schema
-    df = spark.readStream.schema(schema).parquet(src_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(src_dir)
     return _normalize_timestamps(df, name)
 
 

@@ -39,12 +39,29 @@ def test_quality_filter_and_redaction_compose(spark, docs):
     c = (
         TextCorpus(docs)
         .quality_filter(min_chars=100, max_symbol_ratio=0.3)
-        .redact_pii()
+        .redact_pii(all_numbers=True)
     )
     out = c.df
     assert out.filter(F.length("text") < 100).count() == 0
-    # all digit runs got replaced
+    # all digit runs got replaced in the opt-in scorched-earth mode
     assert out.filter(F.col("text").rlike("[0-9]")).count() == 0
+
+
+def test_redact_pii_default_preserves_short_digit_runs(spark):
+    rows = [
+        (1, "released on 2024-03-15 version 2.1 with 42 fixes"),
+        (2, "call 5551234567 or mail a.b@example.com ssn 123-45-6789"),
+    ]
+    out = {
+        r.doc_id: r.text
+        for r in TextCorpus(spark.createDataFrame(rows, "doc_id int, text string"))
+        .redact_pii()
+        .df.collect()
+    }
+    # dates / versions / small quantities survive the default scrub
+    assert out[1] == "released on 2024-03-15 version 2.1 with 42 fixes"
+    # phone-shaped long runs, emails and SSN-shaped spans do not
+    assert out[2] == "call <NUM> or mail <EMAIL> ssn <SSN>"
 
 
 def test_split_is_deterministic_partition_and_exhaustive(spark, docs):
@@ -88,6 +105,19 @@ def test_chunk_round_trips_text(spark, docs):
     )
     j = sample.join(rebuilt, "doc_id")
     assert j.filter(F.col("text") != F.col("rebuilt")).count() == 0
+
+
+def test_chunk_empty_docs_emit_no_rows(spark):
+    rows = [(1, ""), (2, None), (3, "abc")]
+    chunks = TextCorpus(spark.createDataFrame(rows, "doc_id int, text string")).chunk(2)
+    got = sorted((r.doc_id, r.chunk_id, r.chunk) for r in chunks.collect())
+    assert got == [(3, 0, "ab"), (3, 1, "c")]
+
+
+def test_split_salt_with_quote_is_safe(spark, docs):
+    sample = docs.limit(200)
+    s = TextCorpus(sample).split({"a": 50, "b": 50}, salt="it's v1")
+    assert sum(df.count() for df in s.values()) == sample.count()
 
 
 def test_full_pipeline_end_to_end(spark, docs):
