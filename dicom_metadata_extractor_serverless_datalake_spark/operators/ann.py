@@ -53,23 +53,43 @@ def fit_ivf(
     return spark.createDataFrame(cents, "centroid_id int, centroid array<double>")
 
 
+# Past this k, per-centroid expression unrolling stops paying: Catalyst
+# plan size and codegen grow linearly in k while the runtime loop is the
+# same work. The matrix path keeps plan size O(1) expressions + one
+# O(k*dim) constant (data, not code).
+_UNROLL_MAX_K = 32
+
+
 def _nearest_centroids(
     df: DataFrame, centroids: DataFrame, vec_col: str, n: int, out_col: str
 ) -> DataFrame:
     """Stamp each row with its n nearest centroid ids (euclidean).
 
-    Fully map-side: the centroid table is tiny, so it is inlined as
-    array literals and each row computes a k-element distance array,
-    sorted with (distance, centroid_id) struct ordering for the
-    deterministic tie-break. No join, no shuffle — a cross-join +
-    per-row window here would shuffle the full vector data just to
-    rank k=16 candidates.
+    Fully map-side in both regimes — no join, no shuffle (a cross-join
+    + per-row window would shuffle the full vector data just to rank k
+    candidates, and a broadcast-nested-loop + min_by re-aggregation
+    would shuffle each embedding through the argmin):
 
-    Distances drop the constant |v|^2 term: argmin over centroids only
-    needs -2*(v.c) + |c|^2."""
+    - k <= _UNROLL_MAX_K: distances unrolled as per-centroid constant-
+      folded expressions (fastest codegen at IVF's typical coarse k);
+    - k > _UNROLL_MAX_K: the centroid matrix rides along as ONE nested
+      array literal (a single Catalyst constant — plan/codegen size
+      stays O(1) in k) and a runtime ``transform`` over ``sequence(0,
+      k-1)`` computes the k distances per row. This is the shape that
+      survives IVF's realistic parameterization (k in the thousands,
+      dim in the hundreds => the constant is a few MB of task binary,
+      equivalent to a broadcast variable, while unrolling would emit
+      thousands of expressions).
+
+    Both regimes sort (distance, centroid_id) structs for the
+    deterministic tie-break, and both drop the constant |v|^2 term:
+    argmin over centroids only needs -2*(v.c) + |c|^2."""
     cents = sorted(
         (r["centroid_id"], list(r["centroid"])) for r in centroids.collect()
     )
+    k = len(cents)
+    if k > _UNROLL_MAX_K:
+        return _nearest_centroids_matrix(df, cents, vec_col, n, out_col)
     dist_exprs = []
     for cid, cvec in cents:
         arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cvec) + ")"
@@ -84,6 +104,43 @@ def _nearest_centroids(
         + f")), 1, {n}), s -> s.cid)"
     )
     out = df.withColumn("_probes", F.expr(ranked))
+    if n == 1:
+        return out.withColumn(out_col, F.col("_probes")[0]).drop("_probes")
+    return out.withColumn(out_col, F.explode("_probes")).drop("_probes")
+
+
+def _nearest_centroids_matrix(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    n: int,
+    out_col: str,
+) -> DataFrame:
+    """Large-k assignment: centroid matrix as a single array<array<
+    double>> literal, distances via a runtime loop. ``cents`` must be
+    sorted by centroid_id and contiguous from 0 (fit_ivf guarantees
+    both), so the loop index IS the centroid id."""
+    assert [cid for cid, _ in cents] == list(range(len(cents)))
+    k = len(cents)
+    cent_mat = F.lit([c for _, c in cents])
+    c2 = F.lit([float(sum(x * x for x in c)) for _, c in cents])
+    v = F.col(vec_col).cast("array<double>")
+
+    def dist_struct(i: F.Column) -> F.Column:
+        at = (i + F.lit(1)).cast("int")
+        dot = F.aggregate(
+            F.zip_with(v, F.element_at(cent_mat, at), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            (F.lit(-2.0) * dot + F.element_at(c2, at)).alias("d"),
+            i.alias("cid"),
+        )
+
+    structs = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist_struct)
+    ranked = F.transform(F.slice(F.array_sort(structs), 1, n), lambda s: s["cid"])
+    out = df.withColumn("_probes", ranked)
     if n == 1:
         return out.withColumn(out_col, F.col("_probes")[0]).drop("_probes")
     return out.withColumn(out_col, F.explode("_probes")).drop("_probes")

@@ -337,6 +337,63 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q114 — SKETCH-MODE robust z-score: the production variant of q92.
+# q92's two exact medians are per-group sorts — the steepest 100x
+# scaler in the analytics family (7.3x wall for 100x rows, BASELINE.md)
+# — so the scale path swaps both for approx_percentile (a mergeable
+# sketch aggregate: map-side partial sketches, merge on the reduce
+# side, no per-group sort anywhere). Exactness claims move into the
+# result itself, q107/q14-style: the query emits per-type BOOLEAN rank
+# checks (the approximate median must sit within +/-5% rank of 0.5 on
+# the value distribution, likewise the approximate MAD on the
+# deviation distribution), and the oracle pins those booleans TRUE.
+# The sketch's rank error at accuracy 10000 is ~1e-4, so the 5% bound
+# certifies correctness with vast margin while staying hash-stable.
+# --------------------------------------------------------------------------
+
+# rank error <= 1/accuracy = 0.1% against a 5% check bound (50x margin);
+# accuracy drives partial-sketch size, so this is also the shuffle knob
+_APPROX_ACC = 1_000
+
+
+@query(
+    "q114_robust_zscore_sketch",
+    oracle="""
+    SELECT event_type, TRUE AS med_rank_ok, TRUE AS mad_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="analytics",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(_APPROX_ACC)).alias("med_hat")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.approx_percentile(
+            F.abs(F.col("value") - F.col("med_hat")), F.lit(0.5), F.lit(_APPROX_ACC)
+        ).alias("mad_hat")
+    )
+    jj = j.join(F.broadcast(mad), "event_type")
+    checks = jj.groupBy("event_type").agg(
+        F.avg((F.col("value") <= F.col("med_hat")).cast("double")).alias("r_med"),
+        F.avg(
+            (F.abs(F.col("value") - F.col("med_hat")) <= F.col("mad_hat")).cast(
+                "double"
+            )
+        ).alias("r_mad"),
+    )
+    return (
+        checks.select(
+            "event_type",
+            (F.abs(F.col("r_med") - 0.5) <= 0.05).alias("med_rank_ok"),
+            (F.abs(F.col("r_mad") - 0.5) <= 0.05).alias("mad_rank_ok"),
+        ).orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # q93 — fixed-width histogram of lineitem prices. The bucket expression
 # is explicit floor(x / width) — identical arithmetic in both engines
 # (width_bucket's internal formula is implementation-defined at ulp
@@ -845,6 +902,8 @@ _PF_T = 0.8
     category="dedup",
 )
 def q104(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from ..operators.dedup import jaccard_verify
 
     docs = t(spark, sf, "documents")
@@ -855,10 +914,22 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     ranked = tok.join(freq, "w")
     wdoc = Window.partitionBy("doc_id").orderBy("f", "w")
     wn = Window.partitionBy("doc_id")
+    # pref feeds BOTH sides of the self-join; unpersisted, each side
+    # re-derives the freq aggregation + join + two window passes from
+    # scratch (the round-3 plan audit measured 47 exchanges for this
+    # query, mostly that duplication — persisting drops it to 22).
+    # pref is the RIGHT frame to pin: it is expensive to recompute and
+    # small (prefix tokens only, ~1/(1-t) of a doc's tokens). tok is
+    # deliberately NOT persisted — it is one map-side scan+explode
+    # (zero exchanges, cheap to recompute) but LARGER than the source
+    # corpus once exploded, so materializing it at 100 TB would cost
+    # more storage than the recompute saves. MEMORY_AND_DISK keeps the
+    # pinned blocks LRU-evictable.
     pref = (
         ranked.withColumn("pos", F.row_number().over(wdoc))
         .withColumn("n", F.count("*").over(wn))
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(_PF_T) * F.col("n")) + 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = pref.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"), "w")
     b = pref.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"), "w")

@@ -85,6 +85,42 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     assert all(r["recall_ok"] for r in summary) and len(summary) > 0
 
 
+def test_ivf_large_k_uses_matrix_literal_not_unrolled_plan(spark, sf_dir):
+    """Past _UNROLL_MAX_K the assignment must ride a single centroid-
+    matrix literal: O(1) expressions in the plan (vs k unrolled
+    named_structs), still zero joins/shuffles, and bit-identical
+    assignments to a numpy brute-force argmin."""
+    import numpy as np
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.ann import assign_buckets, fit_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_ivf(emb, k=256, seed=7)
+    assert cents.count() == 256
+    assigned = assign_buckets(emb, cents)
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(assigned)
+    # one zip_with inside the transform lambda — not one per centroid
+    assert plan.count("zip_with") <= 4, "per-centroid expression unrolling leaked in"
+    assert "named_struct" not in plan
+    # assignment stays map-side: no shuffle, no join of any kind
+    for op in ("Exchange", "BroadcastNestedLoop", "CartesianProduct", "Join"):
+        assert op not in plan, f"assignment plan gained a {op}"
+
+    # ground truth: numpy argmin over squared euclidean, ties -> min cid
+    c = np.array(
+        [r["centroid"] for r in cents.orderBy("centroid_id").collect()], dtype=np.float64
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    want = {r["vec_id"]: int(b) for r, b in zip(rows, d.argmin(axis=1))}
+    got = {r["vec_id"]: r["bucket"] for r in assigned.collect()}
+    assert got == want
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain (worst-case diameter) plus a 2-clique and a
     separate pair must resolve to min-id components."""

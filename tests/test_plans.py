@@ -216,12 +216,17 @@ def test_q101_proximity_join_is_equi_join(spark, sf_dir):
 
 def test_q104_prefix_filter_equi_join_only(spark, sf_dir):
     """The prefix-filtered similarity join must stay hash equi-joins on
-    tokens — the whole point is that no all-pairs comparison exists."""
-    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+    tokens — the whole point is that no all-pairs comparison exists.
+    The persisted prefix frame keeps the self-join from re-deriving the
+    rarity ranking twice: the exchange count must not regress toward
+    the unpersisted plan's 47."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import exchange_count, physical_plan
 
-    plan = physical_plan(_q("q104_prefix_filter_join", spark, sf_dir))
+    df = _q("q104_prefix_filter_join", spark, sf_dir)
+    plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert exchange_count(df) <= 25
 
 
 def test_q112_multimodal_neardup_equi_join_only(spark, sf_dir):
