@@ -124,10 +124,13 @@ def _scale_section(spark, queries) -> dict | None:
     # pass-major (interleaved) order: this host has intermittent ~100 s
     # scheduler stalls, and back-to-back samples of one query would all
     # land in the same stall window — interleaving decorrelates them so
-    # the per-query min survives. Pass 0 = cold, then min of 3 warm.
+    # the per-query min survives. Pass 0 = cold, then min of 5 warm
+    # (round-3 driver run measured q01 at 0.97 s where a quiet run of
+    # the same binary records 0.43 s — ambient noise inflates Spark's
+    # min far more than DuckDB's, so both sides get 5 warm samples).
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for _pass in range(4):
+    for _pass in range(6):
         for name in SCALE_QUERIES:
             t0 = time.perf_counter()
             rows = queries[name].spark_fn(spark, scale_dir).collect()
@@ -148,15 +151,13 @@ def _scale_section(spark, queries) -> dict | None:
             if os.path.isdir(p):
                 p = os.path.join(p, "*.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        for name in SCALE_QUERIES:
-            best = None
-            for _pass in range(3):
+        for _pass in range(6):
+            for name in SCALE_QUERIES:
                 t0 = time.perf_counter()
                 con.execute(queries[name].oracle).fetchall()
                 dt = round(time.perf_counter() - t0, 3)
-                if _pass and (best is None or dt < best):
-                    best = dt
-            duck[name] = best
+                if _pass and (name not in duck or dt < duck[name]):
+                    duck[name] = dt
     except Exception as e:  # noqa: BLE001
         print(f"scale duckdb side skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -173,16 +174,20 @@ def _scale_section(spark, queries) -> dict | None:
         section["ratio_vs_duckdb"] = round(
             sum(times.values()) / max(sum(duck.values()), 1e-9), 2
         )
+        section["ratio_per_query"] = {
+            n: round(times[n] / max(duck[n], 1e-9), 2) for n in times if n in duck
+        }
     return section
 
 
 def _crossover_section(spark, queries) -> dict | None:
-    """Opt-in (SPARK_GRAFT_XOVER=1): q01 at 600M lineitem rows (10x the
-    scale section, ~10 GB parquet) vs DuckDB on the same files — the
-    point where the data term fully dominates Spark's fixed overhead.
-    Measured 2026-08-13: Spark 3.37s steady vs DuckDB 2.29s = 1.47x
-    (BASELINE.md "crossover"). Off by default: first run writes ~10 GB."""
-    if os.environ.get("SPARK_GRAFT_XOVER", "0") != "1":
+    """q01 at 600M lineitem rows (10x the scale section, ~10 GB parquet)
+    vs DuckDB on the same files — the point where the data term fully
+    dominates Spark's fixed overhead. Measured 2026-08-13: Spark 3.37s
+    steady vs DuckDB 2.29s = 1.47x (BASELINE.md "crossover"). On by
+    default so the per-round BENCH json carries the data-dominated
+    comparison; SPARK_GRAFT_XOVER=0 skips it (first run writes ~10 GB)."""
+    if os.environ.get("SPARK_GRAFT_XOVER", "1") != "1":
         return None
     xdir = os.environ.get("SPARK_GRAFT_XOVER_DIR", "/tmp/sfsynth100")
     try:
@@ -195,13 +200,18 @@ def _crossover_section(spark, queries) -> dict | None:
         os.makedirs(xdir, exist_ok=True)
         li_path = os.path.join(xdir, "lineitem.parquet")
         if not os.path.exists(os.path.join(li_path, "_SUCCESS")):
+            # replicate 10x in ONE scan (explode of a 10-element range)
+            # rather than a 10-way union of scans — same deterministic
+            # content, ~10x less read volume during the build
             li = spark.read.parquet(os.path.join(base10, "lineitem.parquet"))
             base = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-            parts = [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * base)) for i in range(10)]
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-            u.write.mode("overwrite").parquet(li_path)
+            (
+                li.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
+                .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep").cast("long") * F.lit(base))
+                .drop("__rep")
+                .write.mode("overwrite")
+                .parquet(li_path)
+            )
         for t in SCALE_TABLES:
             dst = os.path.join(xdir, f"{t}.parquet")
             if not os.path.exists(dst):
@@ -212,7 +222,7 @@ def _crossover_section(spark, queries) -> dict | None:
 
     q = queries["q01_pricing_summary"]
     spark_times = []
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.perf_counter()
         q.spark_fn(spark, xdir).collect()
         spark_times.append(round(time.perf_counter() - t0, 3))
@@ -226,7 +236,7 @@ def _crossover_section(spark, queries) -> dict | None:
             f"read_parquet('{os.path.join(xdir, 'lineitem.parquet', '*.parquet')}')"
         )
         duck_times = []
-        for _ in range(3):
+        for _ in range(6):
             t0 = time.perf_counter()
             con.execute(q.oracle).fetchall()
             duck_times.append(round(time.perf_counter() - t0, 3))

@@ -58,6 +58,7 @@ _PRIORITY = [
     "q84_stream_dedup",
     "q99_stream_stateful_totals",
     "q114_robust_zscore_sketch",
+    "q115_stats_broadcast_join",
     # least-recently-verified round-2 greens (LLM/dedup/training family)
     "q50_dedup_exact",
     "q51_jaccard_pairs",
@@ -88,10 +89,11 @@ _PRIORITY = [
     "q78_embedding_quantization",
     "q79_filter_funnel",
     "q80_boilerplate_ngrams",
+    # ^ exactly 50 entries (q115, new this round, takes the 50th slot;
+    # q81 slides to round 5). q81/q82/q85/q45/q49/q14 + q01-q12 (green
+    # r02) and the r03-green analytics/streaming families follow and
+    # rotate into round 5.
     "q81_skew_report",
-    # ^ exactly 50 entries. q82/q85/q45/q49/q14 + q01-q12 (green r02)
-    # and the r03-green analytics/streaming families follow and rotate
-    # into round 5.
     "q82_decontamination",
     "q85_stream_upsert_snapshot",
     "q45_json",

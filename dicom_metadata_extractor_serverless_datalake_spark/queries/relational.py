@@ -9,6 +9,8 @@ oracle), and filters written so Catalyst pushes them into the scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -972,3 +974,80 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q115 — cost-based optimization from catalog statistics. The orders side
+# lives as a CATALOG table (not a bare path read): ANALYZE TABLE row-count
+# + column min/max statistics let Catalyst's CBO estimate the o_totalprice
+# filter's output at ~4% of the table and pick a BROADCAST join for a side
+# whose raw file size would have forced a shuffle join. No broadcast()
+# hint appears anywhere in the query — the flip is purely statistics-
+# driven (tests/test_plans.py pins both sides of the flip on a session
+# with a constrained broadcast threshold). At 100 TB this is the
+# difference between shuffling a filtered dimension and broadcasting it;
+# the reference has no statistics story at all (Athena reads Glue table
+# properties only if a crawler wrote them).
+# --------------------------------------------------------------------------
+
+STATS_TABLE = "q115_orders"
+STATS_PRICE_FLOOR = 499_000.0
+
+
+def prepare_stats_table(
+    spark: SparkSession, sf: str, analyze: bool = True, table: str = STATS_TABLE
+) -> str:
+    """Materialize orders as a managed catalog table; with ``analyze``,
+    collect the table + column statistics the CBO plans from."""
+    import shutil
+
+    from ..sources.catalog import analyze_table
+
+    # a crashed prior run can leave the managed location on disk without
+    # a catalog entry — clear both before writing
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(loc.removeprefix("file:"), table.lower()), ignore_errors=True
+    )
+    t(spark, sf, "orders").write.mode("overwrite").saveAsTable(table)
+    if analyze:
+        analyze_table(spark, table, ["o_totalprice", "o_orderkey", "o_orderpriority"])
+    return table
+
+
+def stats_join(spark: SparkSession, sf: str, table: str = STATS_TABLE) -> DataFrame:
+    """lineitem ⋈ (orders WHERE o_totalprice > floor) via the catalog
+    table — the join strategy is left entirely to the optimizer."""
+    orders = (
+        spark.table(table)
+        .filter(F.col("o_totalprice") > F.lit(STATS_PRICE_FLOOR))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice", "total_price", max_abs=1e7),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q115_stats_broadcast_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice', 'total_price')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 499000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="catalog",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    table = prepare_stats_table(spark, sf, analyze=True)
+    return stats_join(spark, sf, table)

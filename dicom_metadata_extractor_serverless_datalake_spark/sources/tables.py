@@ -40,14 +40,18 @@ def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
-# (appId, sf_dir, name) -> DataFrame. A DataFrame is just a plan — caching
-# it avoids re-reading parquet footers and re-running the nanos fixup on
-# every query construction (the corpus builds hundreds of frames per run).
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (appId, session, sf_dir, name) -> DataFrame. A DataFrame is just a plan —
+# caching it avoids re-reading parquet footers and re-running the nanos
+# fixup on every query construction (the corpus builds hundreds of frames
+# per run). Keyed by the SESSION, not just the application: sibling
+# sessions (spark.newSession()) share an appId but plan under their own
+# SQLConf, and a DataFrame is bound to the session that built it — a
+# cross-session cache hit would silently plan under the wrong conf.
+_TABLE_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

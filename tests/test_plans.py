@@ -237,3 +237,47 @@ def test_q112_multimodal_neardup_equi_join_only(spark, sf_dir):
     plan = physical_plan(_q("q112_multimodal_neardup", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q115_catalog_stats_flip_join_to_broadcast(spark, sf_dir):
+    """CBO statistics must FLIP the join strategy: on a session whose
+    broadcast threshold is below the orders file size, the un-analyzed
+    catalog table plans as a shuffle join (size estimate = raw bytes,
+    filters don't shrink it), and after ANALYZE TABLE ... FOR COLUMNS
+    the ~4% o_totalprice selectivity estimate drops the side under the
+    threshold and the SAME query plans as a broadcast join — no hint
+    anywhere. This is the statistics story a 100 TB lake needs: filtered
+    dimensions broadcast because the optimizer can prove they're small."""
+    import os
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.relational import (
+        prepare_stats_table,
+        stats_join,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.catalog import analyze_table
+
+    s2 = spark.newSession()  # scoped conf: shared catalog, own SQLConf
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+
+    table = prepare_stats_table(s2, sf_dir, analyze=False, table="q115_orders_flip")
+    # threshold strictly below the un-analyzed estimate (file size scaled
+    # by column pruning, unshrunk by the filter): that side must NOT
+    # broadcast, while the post-ANALYZE ~0.2%-selectivity estimate must
+    from pyspark.sql import functions as SF
+
+    side = (
+        s2.table(table)
+        .filter(SF.col("o_totalprice") > 499000.0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    no_stats_estimate = int(
+        side._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", str(no_stats_estimate // 2))
+    before = stats_join(s2, sf_dir, table=table)
+    assert broadcast_join_count(before) == 0, "without stats the side must shuffle"
+
+    analyze_table(s2, table, ["o_totalprice", "o_orderkey", "o_orderpriority"])
+    after = stats_join(s2, sf_dir, table=table)
+    assert broadcast_join_count(after) >= 1, "column stats must flip to broadcast"
+    assert not has_cartesian(after)
