@@ -39,11 +39,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) pair list -> (node, component) where component is the
     minimum node id reachable from ``node``. Nodes appearing only in
     ``edges`` are covered; isolated nodes (no edges) are the caller's
-    trivial case (component = self) and are not emitted here."""
+    trivial case (component = self) and are not emitted here.
+
+    The loop EARLY-EXITS at the fixpoint (zero label changes) rather
+    than running ``max_iter`` rounds — for dedup graphs (near-clique
+    clusters, diameter ~2-3) that is 3-4 rounds, and each skipped
+    round saves an edge-join + min-groupBy pass over the full graph.
+    Pass ``stats`` (a dict) to receive ``rounds`` and the per-round
+    ``changed`` counts for profiling."""
     # undirected: keep both orientations once, deduped
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -59,6 +67,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["changed"] = []
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -76,6 +87,9 @@ def connected_components(
         ).localCheckpoint(eager=True)
         n_changed = new_labels.filter("changed").count()
         labels = new_labels.drop("changed")
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["changed"].append(n_changed)
         if n_changed == 0:
             break
 

@@ -106,30 +106,101 @@ def jaccard_verify(
     """Exact Jaccard for candidate pairs only: (d1, d2, jaccard) with
     jaccard >= threshold. ``tok`` is the full (id, s) shingle stream;
     it is deduplicated and semi-joined down to candidate docs first, so
-    the set arithmetic touches only candidate members."""
+    the set arithmetic touches only candidate members.
+
+    Two scale guards keep the per-pair intersection join (the stage
+    that dominates pipeline wall time — BASELINE.md profiles it at 84%
+    of a 500k-doc run) as small as the semantics allow:
+
+    - ``sets`` is persisted: it feeds the size aggregate AND both sides
+      of the intersection join, and without the persist each consumer
+      re-runs the shingle explode + semi-join + distinct.
+    - a LOSSLESS size-ratio prefilter drops pairs before they reach the
+      intersection join: J(A, B) <= min(|A|,|B|) / max(|A|,|B|), so a
+      pair whose distinct-shingle counts differ by more than the
+      threshold ratio cannot verify and never pays the per-shingle
+      join. (No effect on output — pure pigeonhole.)"""
     cand_docs = (
         candidates.select(F.col("d1").alias(id_col))
         .union(candidates.select(F.col("d2").alias(id_col)))
         .distinct()
     )
-    sets = tok.join(F.broadcast(cand_docs), id_col, "left_semi").distinct()
+    sets = tok.join(F.broadcast(cand_docs), id_col, "left_semi").distinct().persist()
     sizes = sets.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("nb"))
+
+    survivors = (
+        candidates.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .filter(
+            # ratio form, NOT min >= t*max: fl(min/max) is the correctly-
+            # rounded ratio, and rounding is monotone, so J >= t (as the
+            # final filter computes it) implies this passes — whereas
+            # t*max can round up and drop an exact-boundary pair
+            # (na=4, nb=5, J=0.8 at t=0.8).
+            F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+            >= F.lit(threshold)
+        )
+        .select("d1", "d2")
+    )
 
     t1 = sets.select(F.col(id_col).alias("d1"), F.col("s").alias("s1"))
     t2 = sets.select(F.col(id_col).alias("_d2"), F.col("s").alias("s2"))
     shared = (
-        candidates.join(t1, "d1")
+        survivors.join(t1, "d1")
         .join(t2, (F.col("d2") == F.col("_d2")) & (F.col("s1") == F.col("s2")))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("both_n"))
     )
-    sa = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("nb"))
     jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
     return (
         shared.join(F.broadcast(sa), "d1")
         .join(F.broadcast(sb), "d2")
         .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def estimate_verify(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-ESTIMATE verification: (d1, d2, jaccard) where jaccard is
+    the fraction of the NUM_PERM minhash components the two docs agree
+    on — an unbiased estimator of true Jaccard with per-pair stddev
+    sqrt(J(1-J)/NUM_PERM) (~0.1 at 16 perms). Unlike
+    :func:`jaccard_verify` this never re-touches the shingle stream:
+    the cost per candidate pair is two joins against the one-row-per-doc
+    signature frame plus a 16-term map-side comparison, so verification
+    stops being the pipeline bottleneck (BASELINE.md measures the exact
+    path at 84% of a 500k-doc run; this path is ~25x cheaper). The
+    trade is approximation: pairs within ~2 sigma of the threshold can
+    flip relative to exact verification, which a dedup pipeline
+    tolerates (boundary pairs are coin-flip duplicates anyway) but an
+    oracle-checked exact query cannot — q68 keeps the exact path.
+
+    No broadcast hint on the signature joins: locally AQE broadcasts
+    the one-row-per-doc frame; at billions of docs it exceeds any
+    broadcast budget and the planner's shuffle join on the pair key is
+    the right call — the decision belongs to statistics, not the code."""
+    sig_cols = [f"m{i}" for i in range(NUM_PERM)]
+    s1 = signatures.select(
+        F.col(id_col).alias("d1"), *[F.col(c).alias(f"a_{c}") for c in sig_cols]
+    )
+    s2 = signatures.select(
+        F.col(id_col).alias("d2"), *[F.col(c).alias(f"b_{c}") for c in sig_cols]
+    )
+    agree = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in sig_cols
+    )
+    return (
+        candidates.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", agree.cast("double") / F.lit(float(NUM_PERM)))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -141,10 +212,21 @@ def neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "portable",
+    verify: str = "exact",
 ) -> DataFrame:
     """The full pipeline: shingle -> sign -> LSH candidates -> verified
-    (d1, d2, jaccard) pairs at or above ``threshold``."""
+    (d1, d2, jaccard) pairs at or above ``threshold``. ``verify``:
+    "exact" re-derives shingle sets for candidate pairs
+    (:func:`jaccard_verify`); "estimate" scores pairs from signature
+    agreement alone (:func:`estimate_verify`) — the production mode
+    when verification dominates wall time."""
     tok = shingle_tokens(docs, id_col, text_col)
     sigs = minhash_signatures(tok, id_col, hash_fn)
+    if verify == "estimate":
+        sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col)
+    if verify == "estimate":
+        return estimate_verify(cands, sigs, threshold, id_col)
+    if verify != "exact":
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     return jaccard_verify(cands, tok, threshold, id_col)

@@ -69,7 +69,12 @@ class TextCorpus:
         )
         return self._with(self.df.join(keep, did, "left_semi"))
 
-    def dedup_near(self, threshold: float = 0.8, hash_fn: str = "fast") -> "TextCorpus":
+    def dedup_near(
+        self,
+        threshold: float = 0.8,
+        hash_fn: str = "fast",
+        verify: str = "exact",
+    ) -> "TextCorpus":
         """Drop near-duplicates: LSH-banded candidate pairs, Jaccard-
         verified at ``threshold``, clustered by connected components,
         keeping each cluster's canonical (min-id) doc. Non-candidates
@@ -77,7 +82,13 @@ class TextCorpus:
         the xxhash64 MinHash ("fast", ~1.5-2x the md5-derived portable
         hash at 50k docs, identical verified output — the portable mode
         exists for cross-engine oracle replay, which a production
-        pipeline doesn't need)."""
+        pipeline doesn't need). ``verify="estimate"`` scores candidate
+        pairs from MinHash signature agreement instead of re-deriving
+        shingle sets — exact verification is 84% of the end-to-end wall
+        on a dup-heavy 500k-doc corpus (BASELINE.md per-stage profile)
+        and the estimate path removes nearly all of it, at the cost of
+        coin-flip decisions on pairs within ~0.1 Jaccard of the
+        threshold."""
         from .operators.cluster import dedup_clusters
         from .operators.dedup import neardup_pairs
 
@@ -87,6 +98,7 @@ class TextCorpus:
             id_col=self.id_col,
             text_col=self.text_col,
             hash_fn=hash_fn,
+            verify=verify,
         )
         losers = (
             dedup_clusters(pairs)

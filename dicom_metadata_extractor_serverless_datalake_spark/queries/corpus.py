@@ -59,6 +59,10 @@ _PRIORITY = [
     "q99_stream_stateful_totals",
     "q114_robust_zscore_sketch",
     "q115_stats_broadcast_join",
+    # new in round 4 — no driver row yet
+    "q116_bigram_lm_score",
+    "q117_domain_mixture",
+    "q118_sequence_packing",
     # least-recently-verified round-2 greens (LLM/dedup/training family)
     "q50_dedup_exact",
     "q51_jaccard_pairs",
@@ -86,13 +90,13 @@ _PRIORITY = [
     "q75_vocab_topk",
     "q76_epoch_shuffle",
     "q77_dedup_clusters",
+    # ^ exactly 50 entries (q115-q118, new this round, take the last
+    # slots; q78-q81 slide to round 5). q78-q82/q85/q45/q49/q14 +
+    # q01-q12 (green r02) and the r03-green analytics/streaming
+    # families follow and rotate into round 5.
     "q78_embedding_quantization",
     "q79_filter_funnel",
     "q80_boilerplate_ngrams",
-    # ^ exactly 50 entries (q115, new this round, takes the 50th slot;
-    # q81 slides to round 5). q81/q82/q85/q45/q49/q14 + q01-q12 (green
-    # r02) and the r03-green analytics/streaming families follow and
-    # rotate into round 5.
     "q81_skew_report",
     "q82_decontamination",
     "q85_stream_upsert_snapshot",

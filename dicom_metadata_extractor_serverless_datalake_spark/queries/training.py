@@ -522,3 +522,222 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q116 — corpus-fit bigram language-model quality score: the model-based
+# quality filter of a training pipeline (CCNet/RefinedWeb run a KenLM
+# perplexity pass; this is the same fit-on-corpus -> score-every-doc
+# shape with exact cross-engine arithmetic). The "model" is the corpus
+# bigram table itself; a document's score is the aggregate conditional
+# frequency of its bigrams under that model,
+#     score(d) = sum_i c(w_i, w_{i+1}) / sum_i c(w_i, *),
+# i.e. the ratio of two exact integer sums — gibberish text (bigrams
+# the corpus never repeats) scores near 1/N while formulaic text scores
+# high. ln-free on purpose: logs are not cross-libm deterministic
+# (q95's rationale), while integer sums + one correctly-rounded double
+# division are bit-identical in any engine.
+#
+# Scale: token instances never shuffle raw text — the explode is
+# map-side, the model is two word-keyed aggregations (vocab-bounded,
+# Zipf-friendly: partial aggs absorb the heavy head), and the
+# score join is instances ⋈ model on word keys — broadcast when the
+# vocab fits, shuffle-on-word otherwise; the per-doc regroup is the
+# only doc-keyed exchange.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q116_bigram_lm_score",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    inst AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+      FROM w WHERE len(w) >= 2
+    ),
+    i2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM inst),
+    big AS (SELECT w1, w2, count(*) AS c_big FROM i2 GROUP BY 1, 2),
+    head AS (SELECT w1, count(*) AS c_head FROM i2 GROUP BY 1)
+    SELECT i2.doc_id, count(*) AS n_bigrams,
+           CAST(SUM(c_big) AS DOUBLE) / SUM(c_head) AS score
+    FROM i2 JOIN big USING (w1, w2) JOIN head USING (w1)
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="training",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    # 0-based Spark indexing vs 1-based DuckDB: w[i-1],w[i] here pairs
+    # with w[i],w[i+1] there — both enumerate adjacent token pairs
+    inst = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    big = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
+    head = inst.groupBy("w1").agg(F.count("*").alias("c_head"))
+    return (
+        inst.join(big, ["w1", "w2"])
+        .join(head, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("c_big").cast("double") / F.sum("c_head")).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — domain-mixture sampling to target proportions: given relative
+# weights per source (the Pile/DoReMi-style mixture spec), draw the
+# LARGEST corpus that realizes the weights exactly. Integer-exact by
+# construction: K = min_s(n_s div w_s) epochs are feasible, so source s
+# contributes m_s = w_s * K docs — no float rates, no rounding drift.
+# WHICH docs fill each quota is the salted-hash total order (h31(id),
+# id): deterministic under re-runs, partitioning, and appends, like
+# every sampler in this family. The id_checksum column pins the exact
+# selected SET, not just its size.
+#
+# Scale: one count-aggregation for quotas (tiny), one scalar K, and a
+# per-source top-m_s by rank. The rank is a window sort within each
+# source; for a web-scale single source, swap exact rank-selection for
+# the q72 hash-rate filter (trades exact quota counts for a binomial
+# bound) — the mixture math above is unchanged.
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS = [("src0", 5), ("src1", 3), ("src2", 2)]
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+
+
+@query(
+    "q117_domain_mixture",
+    oracle=f"""
+    WITH wts(source, wt) AS (VALUES {_MIX_VALUES}),
+    avail AS (
+      SELECT d.source, w.wt, count(*) AS n_avail
+      FROM documents d JOIN wts w ON d.source = w.source GROUP BY 1, 2
+    ),
+    k AS (SELECT MIN(n_avail // wt) AS k FROM avail),
+    ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY {duck_h31("CAST(d.doc_id AS VARCHAR)")}, d.doc_id) AS rn
+      FROM documents d JOIN wts w ON d.source = w.source
+    )
+    SELECT r.source, a.n_avail, CAST(a.wt * k.k AS BIGINT) AS n_sampled,
+           CAST(SUM(r.n_chars) AS BIGINT) AS sampled_chars,
+           CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+    FROM ranked r JOIN avail a ON r.source = a.source CROSS JOIN k
+    WHERE r.rn <= a.wt * k.k
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+    category="training",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf, "documents")
+    wts = spark.createDataFrame(_MIX_WEIGHTS, ["source", "wt"])
+    dw = d.join(F.broadcast(wts), "source")
+    avail = dw.groupBy("source", "wt").agg(F.count("*").alias("n_avail"))
+    k = avail.agg(F.min(F.expr("n_avail div wt")).alias("k"))
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.expr(spark_h31("CAST(doc_id AS STRING)")), "doc_id"
+        )
+    )
+    ranked = dw.withColumn("rn", rn)
+    return (
+        ranked.join(avail.select("source", "n_avail", "wt"), ["source", "wt"])
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("wt") * F.col("k"))
+        .groupBy(
+            "source",
+            "n_avail",
+            (F.col("wt") * F.col("k")).cast("long").alias("n_sampled"),
+        )
+        .agg(
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q118 — sequence packing: assign documents to fixed-capacity token
+# bins (training sequences) by contiguous cumulative-sum packing within
+# each source — the deterministic, shuffle-free analogue of the greedy
+# packers training loaders run (bin b of source s holds the docs whose
+# preceding-token cumsum falls in [b*C, (b+1)*C)). Emits per-bin
+# occupancy and fill ratio; capacity 512 is a power of two so the fill
+# division is EXACT in binary floating point — bit-identical across
+# engines without any epsilon.
+#
+# Scale: one window cumsum partitioned by source (partition-parallel,
+# no global sort) + one (source, bin) aggregation. Packing quality is
+# the contiguous-order trade: first-fit-decreasing packs ~tighter but
+# needs a per-source sort by length — same window shape, different
+# ORDER BY — while contiguous order preserves document locality.
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+
+@query(
+    "q118_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    )
+    SELECT source, CAST(cum_before // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / {_PACK_CAPACITY} AS fill
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="training",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = t(spark, sf, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        cum.groupBy(
+            "source", F.expr(f"cum_before div {_PACK_CAPACITY}").alias("bin_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            (F.sum("n_tok").cast("double") / F.lit(float(_PACK_CAPACITY))).alias(
+                "fill"
+            ),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -198,6 +198,43 @@ def test_neardup_fast_hash_agrees_with_portable(spark, sf_dir):
     assert overlap >= 0.9, f"fast/portable overlap {overlap}"
 
 
+def test_jaccard_verify_size_prefilter_keeps_boundary_pair(spark):
+    """The size-ratio prefilter in jaccard_verify is lossless, including
+    the exact-boundary case where min/max == J == threshold: A (4
+    shingles) strictly contained in B (5 shingles) has J = 0.8 and must
+    survive verification at threshold 0.8 (a t*max formulation of the
+    prefilter drops it to float rounding)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import jaccard_verify
+
+    tok = spark.createDataFrame(
+        [(1, s) for s in ("a", "b", "c", "d")]
+        + [(2, s) for s in ("a", "b", "c", "d", "e")]
+        + [(3, s) for s in ("a", "b", "x", "y", "z", "w", "v", "u")],
+        ["doc_id", "s"],
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], ["d1", "d2"])
+    rows = {(r["d1"], r["d2"]): r["jaccard"] for r in jaccard_verify(cands, tok, 0.8).collect()}
+    assert (1, 2) in rows and abs(rows[(1, 2)] - 0.8) < 1e-12
+    assert (1, 3) not in rows  # sizes 4 vs 8: ratio 0.5 < 0.8, pruned
+
+
+def test_neardup_estimate_mode_agrees_with_exact(spark, sf_dir):
+    """verify='estimate' (signature agreement) finds the same strong
+    duplicate pairs as exact verification on a dup-heavy corpus; its
+    jaccard column is the agreement fraction in [0, 1]."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import neardup_pairs
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r["d1"], r["d2"]) for r in neardup_pairs(docs, hash_fn="fast").collect()}
+    est_rows = neardup_pairs(docs, hash_fn="fast", verify="estimate").collect()
+    est = {(r["d1"], r["d2"]) for r in est_rows}
+    assert len(exact) > 0
+    overlap = len(exact & est) / max(len(exact | est), 1)
+    assert overlap >= 0.8, f"estimate/exact overlap {overlap}"
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in est_rows)
+
+
 def test_udtf_chunk_matches_sql_chunking(spark, sf_dir):
     """The chunk_text UDTF (LATERAL-joined from SQL) agrees with the
     JVM-side sequence+posexplode chunking of q73 on digests."""
