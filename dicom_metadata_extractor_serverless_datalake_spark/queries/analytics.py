@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import dsum_expr, query, sql_query, t
+from .base import dsum_expr, query, sql_dsum, sql_query, t
 
 # --------------------------------------------------------------------------
 # q86 — weekly cohort retention over the events stream table.
@@ -1198,4 +1198,60 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
         joined.select(F.explode(checks).alias("s"))
         .select("s.op", "s.exact", "s.within_bound")
         .orderBy("op")
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 — incremental view maintenance: a per-(event_type, day) rollup
+# maintained as MERGEABLE PARTIAL STATE. The query aggregates the
+# pre-cutoff events and the post-cutoff delta SEPARATELY into partial
+# states (count + exact long-limb value sums), then merges the two
+# state sets — the union-then-re-aggregate step an incremental pipeline
+# runs on every new batch instead of rescanning history. The oracle is
+# the DIRECT full aggregation over all events: a hash match proves
+# merge(partial(base), partial(delta)) == full(base ∪ delta)
+# bit-for-bit, which is THE correctness obligation of IVM (and of q99's
+# streaming state accumulation, whose batch twin this is — integer limb
+# sums are associative/commutative, so merge order and batch boundaries
+# cannot change the answer; a plain double sum would drift here).
+#
+# Scale: at 100 TB the base never rescans — its partial state is ~one
+# row per (type, day) group. Each increment costs one delta scan + a
+# groups-sized merge shuffle. The same mechanism is why dsum_limbs
+# partials can be stored in a lake table and compacted/merged freely.
+# --------------------------------------------------------------------------
+
+_IVM_CUTOFF = "TIMESTAMP '2024-01-20 00:00:00'"
+
+
+@query(
+    "q119_incremental_rollup",
+    oracle=f"""
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+           {sql_dsum('value', 'total_value', 4)}
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="analytics",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    from .base import dsum_limbs, dsum_merge
+
+    e = t(spark, sf, "events").select("event_type", "ts", "value")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count("*").alias("n"),
+            *dsum_limbs("value", "v", 4, max_abs=1e3),
+        )
+
+    base = partial(e.filter(F.col("ts") < F.expr(_IVM_CUTOFF)))
+    delta = partial(e.filter(F.col("ts") >= F.expr(_IVM_CUTOFF)))
+    states = base.unionByName(delta)
+    return (
+        states.groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            dsum_merge("v", "total_value", 4, max_abs=1e3, df=states),
+        )
+        .orderBy("event_type", "day")
     )

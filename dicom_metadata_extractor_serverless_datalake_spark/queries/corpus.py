@@ -63,6 +63,7 @@ _PRIORITY = [
     "q116_bigram_lm_score",
     "q117_domain_mixture",
     "q118_sequence_packing",
+    "q119_incremental_rollup",
     # least-recently-verified round-2 greens (LLM/dedup/training family)
     "q50_dedup_exact",
     "q51_jaccard_pairs",
@@ -89,11 +90,11 @@ _PRIORITY = [
     "q74_pii_redaction",
     "q75_vocab_topk",
     "q76_epoch_shuffle",
-    "q77_dedup_clusters",
-    # ^ exactly 50 entries (q115-q118, new this round, take the last
-    # slots; q78-q81 slide to round 5). q78-q82/q85/q45/q49/q14 +
+    # ^ exactly 50 entries (q115-q119, new this round, take the last
+    # slots; q77-q81 slide to round 5). q77-q82/q85/q45/q49/q14 +
     # q01-q12 (green r02) and the r03-green analytics/streaming
     # families follow and rotate into round 5.
+    "q77_dedup_clusters",
     "q78_embedding_quantization",
     "q79_filter_funnel",
     "q80_boilerplate_ngrams",
