@@ -52,13 +52,23 @@ def connected_components(
     round saves an edge-join + min-groupBy pass over the full graph.
     Pass ``stats`` (a dict) to receive ``rounds`` and the per-round
     ``changed`` counts for profiling."""
-    # undirected: keep both orientations once, deduped
+    # undirected: keep both orientations once, deduped.
+    # PERSISTED pre-partitioned on the join key b — persist (not
+    # localCheckpoint) on purpose: an InMemoryRelation carries its
+    # outputPartitioning into every round's join, so the EDGE SET —
+    # the big side, |E| rows — is shuffled ONCE here and never again,
+    # while a checkpoint's Scan ExistingRDD forgets the partitioning
+    # and re-exchanges all edges every round (measured 1.9x slower at
+    # 26M edges, BASELINE.md). Edges are static across rounds so there
+    # is no lineage growth to truncate; labels keep localCheckpoint
+    # because they change per round.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("b")
+        .persist()
     )
-    sym = sym.localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -93,6 +103,9 @@ def connected_components(
         if n_changed == 0:
             break
 
+    # the final labels checkpoint is materialized (eager + the count
+    # action above), so the edge cache can be dropped before returning
+    sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
