@@ -13,12 +13,14 @@ replacement's *results* to the same SQL the batch engine answers.
 Determinism: each run streams the events table through availableNow,
 lands in a uniquely-named in-memory sink, and the returned DataFrame
 aggregates that sink. The stateful queries (q84 dedup, q99 custom
-state) split the source into event-time-ordered files and cap
-``maxFilesPerTrigger`` so the drain takes MULTIPLE micro-batches —
-watermark advance, cross-batch state carry-over, and state eviction
-are on the certified path, not just single-batch semantics. Output
-still equals the batch answer, so a plain DuckDB oracle checks the
-streamed execution.
+state, q100 session windows, q109 stream-stream interval join) split
+the source into event-time-ordered files and cap ``maxFilesPerTrigger``
+so the drain takes MULTIPLE micro-batches — watermark advance,
+cross-batch state carry-over (session merge across batch boundaries,
+buffered join state matching later batches), and state eviction are on
+the certified path, not just single-batch semantics. Output still
+equals the batch answer, so a plain DuckDB oracle checks the streamed
+execution.
 """
 
 from __future__ import annotations
@@ -381,12 +383,21 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
     from ..streaming.windows import sessionized_counts
 
-    src, _ = _events_stream_src(sf)
+    # event-time-ordered slices, one file per micro-batch: sessions that
+    # straddle a batch boundary must be MERGED by the session-window
+    # state machine across batches (complete mode re-emits the full,
+    # merged result at the final batch), not just computed within one
+    # drain — the oracle equality certifies cross-batch session merge
+    src, _ = _events_stream_src(sf, time_splits=3)
     try:
-        name, _ = _run_to_memory(
-            sessionized_counts(load_stream(spark, src, "events"), gap="10 minutes"),
+        name, n_batches = _run_to_memory(
+            sessionized_counts(
+                load_stream(spark, src, "events", max_files_per_trigger=1),
+                gap="10 minutes",
+            ),
             "complete",
         )
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("user_id", "session_start")
@@ -422,9 +433,14 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
     from ..streaming.joins import interval_join
 
-    src, _ = _events_stream_src(sf)
+    # 3 event-time-ordered micro-batches: click state buffered in batch
+    # N must still match purchases arriving in batch N+1 (the 30-minute
+    # watermark exceeds the 5-minute join upper bound, so no candidate
+    # click is evicted before its match window closes — eviction of
+    # older state across batches is exactly what this exercises)
+    src, _ = _events_stream_src(sf, time_splits=3)
     try:
-        ev = load_stream(spark, src, "events")
+        ev = load_stream(spark, src, "events", max_files_per_trigger=1)
         clicks = ev.filter(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts")
         )
@@ -446,7 +462,8 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
             (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
         )
-        name, _ = _run_to_memory(joined, "append")
+        name, n_batches = _run_to_memory(joined, "append")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("click_id", "purchase_id")
