@@ -1255,3 +1255,124 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — degree-oriented triangle counting + global clustering
+# coefficient over the user co-engagement graph (edge = two users
+# active in the same (event_type, hour) bucket). Graph metrics like
+# this are the standard diagnostic over similarity/dedup graphs
+# (dense triangle neighborhoods = near-clique dup clusters).
+#
+# The scale pattern is the orientation trick (MR triangle counting,
+# Suri & Vassilvitskii WWW'11): orient every edge from its
+# (degree, id)-smaller endpoint to the larger, so each triangle is
+# counted exactly once from its smallest vertex and — the point — the
+# path-join fan-out per vertex is bounded by OUT-degree, which
+# orientation caps at O(sqrt(m)) even when raw degrees are power-law.
+# Wedge counts come from the degree table alone (sum d*(d-1)/2, exact
+# integers); the clustering coefficient 3T/wedges is one correctly-
+# rounded double division. The bucket self-join is the only quadratic
+# step and is confined per (type, hour) bucket — the same
+# blocking-first posture as the dedup family.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q120_triangle_count",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp, user_id FROM events
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM du a JOIN du b
+        ON a.event_type = b.event_type AND a.grp = b.grp AND a.user_id < b.user_id
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM o p1 JOIN o p2 ON p1.t = p2.s
+      JOIN o p3 ON p3.s = p1.s AND p3.t = p2.t
+    ),
+    wed AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           wed.wedges,
+           3.0 * tri.n_tri / wed.wedges AS clustering
+    FROM tri CROSS JOIN wed
+    """,
+    category="analytics",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    du = (
+        t(spark, sf, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("grp"), "user_id")
+        .distinct()
+    )
+    a, b = du.alias("a"), du.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = (
+        e.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    p1, p2, p3 = o.alias("p1"), o.alias("p2"), o.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p1.t") == F.col("p2.s"))
+        .join(
+            p3,
+            (F.col("p3.s") == F.col("p1.s")) & (F.col("p3.t") == F.col("p2.t")),
+        )
+        .agg(F.count("*").alias("n_tri"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("wedges")
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(wed)
+        .crossJoin(n_nodes)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            "wedges",
+            (F.lit(3.0) * F.col("n_tri") / F.col("wedges")).alias("clustering"),
+        )
+    )

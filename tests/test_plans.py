@@ -281,3 +281,43 @@ def test_q115_catalog_stats_flip_join_to_broadcast(spark, sf_dir):
     after = stats_join(s2, sf_dir, table=table)
     assert broadcast_join_count(after) >= 1, "column stats must flip to broadcast"
     assert not has_cartesian(after)
+
+
+def test_cc_edge_partitioning_reused_across_rounds(spark):
+    """connected_components' per-round join must NOT re-shuffle the edge
+    set: the persisted repartition('b') edge cache carries its
+    outputPartitioning into the join, so the only edge-side operator
+    above the in-memory scan is the join itself (a localCheckpoint here
+    would forget the partitioning and re-exchange all edges every round
+    — the 1.9x regression BASELINE.md measures at 26M edges)."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(10_000).select(
+            (F.col("id") % 500).alias("a"), (F.col("id") % 700).alias("b")
+        )
+        sym = edges.repartition("b").persist()
+        sym.count()
+        labels = spark.range(700).select(
+            F.col("id").alias("node"), F.col("id").alias("label")
+        )
+        round1 = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        plan = round1._jdf.queryExecution().executedPlan().toString()
+        # the InMemoryRelation block echoes its own build plan (which
+        # legitimately contains the one-time repartition exchange); the
+        # contract is about the RUNTIME plan above the cache scan: one
+        # exchange for the (unpartitioned) labels side, one for the
+        # groupBy output — and NONE re-shuffling the persisted edges
+        runtime = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in runtime, plan
+        assert runtime.count("Exchange hashpartitioning(b#") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        sym.unpersist()
