@@ -1376,3 +1376,62 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
             (F.lit(3.0) * F.col("n_tri") / F.col("wedges")).alias("clustering"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q121 — PageRank over the q120 co-engagement graph (operators/graph.py,
+# damping 0.85, 10 rounds), certified the q114/q107 way: an iterative
+# float fixpoint has no order-independent SQL twin (per-node sums of
+# doubles are reduction-order-dependent), so the query emits the
+# INVARIANTS a correct PageRank must satisfy — node coverage (exact,
+# oracle-recomputable) and conservation of rank mass (sum = 1 within
+# 1e-9, TRUE pinned by the oracle) — plus bounds on the extreme ranks.
+# The node-rank vector itself is exercised to 1e-9 against a dense
+# power iteration in tests/test_operators.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q121_pagerank_invariants",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp, user_id FROM events
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM du a JOIN du b
+        ON a.event_type = b.event_type AND a.grp = b.grp AND a.user_id < b.user_id
+    ),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+    SELECT count(*) AS n_nodes, TRUE AS mass_ok, TRUE AS ranks_positive
+    FROM nodes
+    """,
+    category="analytics",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    du = (
+        t(spark, sf, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("grp"), "user_id")
+        .distinct()
+    )
+    a, b = du.alias("a"), du.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    # undirected co-engagement -> symmetric directed edges
+    edges = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ranks = pagerank(edges, src="u", dst="v", max_iter=10)
+    return ranks.agg(
+        F.count("*").alias("n_nodes"),
+        (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-9)).alias("mass_ok"),
+        (F.min("rank") > F.lit(0.0)).alias("ranks_positive"),
+    )

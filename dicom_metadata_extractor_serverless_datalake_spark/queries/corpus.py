@@ -65,6 +65,7 @@ _PRIORITY = [
     "q118_sequence_packing",
     "q119_incremental_rollup",
     "q120_triangle_count",
+    "q121_pagerank_invariants",
     # least-recently-verified round-2 greens (LLM/dedup/training family)
     "q50_dedup_exact",
     "q51_jaccard_pairs",
@@ -89,11 +90,11 @@ _PRIORITY = [
     "q72_stratified_sample",
     "q73_doc_chunking",
     "q74_pii_redaction",
-    "q75_vocab_topk",
-    # ^ exactly 50 entries (q115-q120, new this round, take the last
-    # slots; q76-q81 slide to round 5). q76-q82/q85/q45/q49/q14 +
+    # ^ exactly 50 entries (q115-q121, new this round, take the last
+    # slots; q75-q81 slide to round 5). q75-q82/q85/q45/q49/q14 +
     # q01-q12 (green r02) and the r03-green analytics/streaming
     # families follow and rotate into round 5.
+    "q75_vocab_topk",
     "q76_epoch_shuffle",
     "q77_dedup_clusters",
     "q78_embedding_quantization",

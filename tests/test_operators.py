@@ -218,6 +218,42 @@ def test_jaccard_verify_size_prefilter_keeps_boundary_pair(spark):
     assert (1, 3) not in rows  # sizes 4 vs 8: ratio 0.5 < 0.8, pruned
 
 
+def test_jaccard_verify_matches_bruteforce_on_random_sets(spark):
+    """Randomized (seeded) equivalence: jaccard_verify over ALL pairs of
+    random token sets must equal a pure-Python brute force — catches any
+    losslessness break in the size prefilter or the intersection join."""
+    import random
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import jaccard_verify
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(40)]
+    sets = {
+        d: set(rng.sample(vocab, rng.randint(1, 20))) for d in range(30)
+    }
+    threshold = 0.6
+    want = {}
+    for d1 in sets:
+        for d2 in sets:
+            if d1 < d2:
+                j = len(sets[d1] & sets[d2]) / len(sets[d1] | sets[d2])
+                if j >= threshold:
+                    want[(d1, d2)] = j
+
+    tok = spark.createDataFrame(
+        [(d, s) for d, ss in sets.items() for s in ss], ["doc_id", "s"]
+    )
+    cands = spark.createDataFrame(
+        [(d1, d2) for d1 in sets for d2 in sets if d1 < d2], ["d1", "d2"]
+    )
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_verify(cands, tok, threshold).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+
+
 def test_neardup_estimate_mode_agrees_with_exact(spark, sf_dir):
     """verify='estimate' (signature agreement) finds the same strong
     duplicate pairs as exact verification on a dup-heavy corpus; its
@@ -233,6 +269,49 @@ def test_neardup_estimate_mode_agrees_with_exact(spark, sf_dir):
     overlap = len(exact & est) / max(len(exact | est), 1)
     assert overlap >= 0.8, f"estimate/exact overlap {overlap}"
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in est_rows)
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """pagerank() on a small digraph (with a dangling node and a
+    parallel-edge multiplicity) matches a dense numpy power iteration
+    with identical damping/dangling semantics to 1e-9."""
+    import numpy as np
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.graph import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3 is a sink reachable from 2; 0->1 doubled
+    edge_list = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (2, 3)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    n, d, iters = 4, 0.85, 30
+
+    M = np.zeros((n, n))
+    for s, t in edge_list:
+        M[t, s] += 1
+    outdeg = M.sum(axis=0)
+    for s in range(n):
+        if outdeg[s]:
+            M[:, s] /= outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, max_iter=iters).collect()
+    }
+    assert set(got) == set(range(n))
+    assert all(abs(got[i] - r[i]) < 1e-9 for i in range(n)), (got, r)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # tol early-exit converges to the same fixpoint in fewer rounds
+    stats: dict = {}
+    got_tol = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, max_iter=50, tol=1e-10, stats=stats).collect()
+    }
+    assert stats["rounds"] < 50
+    assert all(abs(got_tol[i] - r[i]) < 1e-6 for i in range(n))
 
 
 def test_udtf_chunk_matches_sql_chunking(spark, sf_dir):
