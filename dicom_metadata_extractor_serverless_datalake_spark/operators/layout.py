@@ -94,3 +94,41 @@ def overlap_fraction(ranges: list[tuple]) -> float:
         mid = lo + (hi - lo) / 2
         hits += sum(1 for a, b in ranges if a <= mid <= b)
     return hits / (len(ranges) ** 2)
+
+
+def prune_files(path: str, column: str, lo, hi) -> tuple[list[str], int]:
+    """Reader-side data skipping: the data files under ``path`` whose
+    footer [min, max] on ``column`` intersects ``[lo, hi)``, plus the
+    total file count. The returned list is what a skipping scan reads;
+    footer statistics are trusted the same way a lakehouse stats index
+    is (the writer produced them transactionally with the data).
+
+    At 100 TB the stats live in a table/manifest instead of being
+    re-walked per query — this helper IS that manifest build (one
+    footer read per file, no data pages touched), kept inline here
+    because the corpus data fits one listing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    keep: list[str] = []
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            fp = os.path.join(root, f)
+            md = pq.ParquetFile(fp).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics is not None:
+                        s = col.statistics
+                        fmin = s.min if fmin is None or s.min < fmin else fmin
+                        fmax = s.max if fmax is None or s.max > fmax else fmax
+            # no stats -> cannot prove exclusion -> must read (safety)
+            if fmin is None or (fmax >= lo and fmin < hi):
+                keep.append(fp)
+    return keep, total

@@ -1435,3 +1435,301 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-9)).alias("mass_ok"),
         (F.min("rank") > F.lit(0.0)).alias("ranks_positive"),
     )
+
+
+# --------------------------------------------------------------------------
+# q126 — marketing attribution: credit each 'purchase' conversion to
+# the user's preceding touch event (click/view/signup) under BOTH
+# last-touch and first-touch models, then roll revenue up per channel.
+# The per-user event timeline is one window pass (last/first IGNORE
+# NULLS over rows-preceding frames — no self-join, no per-user
+# collect), revenue is an exact fixed-point sum, and conversions with
+# no prior touch land in an explicit '(none)' channel so the rollup
+# partitions the conversion set exactly.
+#
+# 100 TB shape: a single shuffle on user_id for the window (the
+# sessionize/funnel partitioning, reusable across the event-analytics
+# family), then a channels-sized aggregation. Total order on the
+# output via channel.
+# --------------------------------------------------------------------------
+
+_TOUCH = "('click', 'view', 'signup')"
+
+
+@query(
+    "q126_attribution",
+    oracle=f"""
+    WITH tl AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN {_TOUCH} THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+             first_value(CASE WHEN event_type IN {_TOUCH} THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      FROM events
+    ),
+    conv AS (SELECT * FROM tl WHERE event_type = 'purchase'),
+    lastc AS (
+      SELECT COALESCE(last_touch, '(none)') AS channel,
+             count(*) AS last_touch_conversions,
+             {sql_dsum('value', 'last_touch_revenue', 4)}
+      FROM conv GROUP BY 1
+    ),
+    firstc AS (
+      SELECT COALESCE(first_touch, '(none)') AS channel,
+             count(*) AS first_touch_conversions
+      FROM conv GROUP BY 1
+    )
+    SELECT l.channel, l.last_touch_conversions, l.last_touch_revenue,
+           COALESCE(f.first_touch_conversions, 0) AS first_touch_conversions
+    FROM lastc l LEFT JOIN firstc f USING (channel)
+    ORDER BY channel
+    """,
+    category="analytics",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    from .base import dsum
+
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tl = t(spark, sf, "events").select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    conv = tl.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("last_touch", F.lit("(none)")).alias("channel"),
+        F.coalesce("first_touch", F.lit("(none)")).alias("fchannel"),
+        "value",
+    )
+    last = conv.groupBy("channel").agg(
+        F.count("*").alias("last_touch_conversions"),
+        dsum("value", "last_touch_revenue", 4, max_abs=1e3),
+    )
+    first = conv.groupBy(F.col("fchannel").alias("channel")).agg(
+        F.count("*").alias("first_touch_conversions")
+    )
+    return (
+        last.join(first, "channel", "left")
+        .select(
+            "channel",
+            "last_touch_conversions",
+            "last_touch_revenue",
+            F.coalesce("first_touch_conversions", F.lit(0)).alias(
+                "first_touch_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# q122 — frequent-items heavy hitters via distributed Misra-Gries
+# (operators/heavyhitters.py), completing the mergeable-sketch family
+# (q90 HLL distinct, q107 KLL quantiles, q108 theta set algebra) with
+# the frequency member. Certified the q107/q114 way: the MG estimates
+# depend on partitioning (any sketch's do), but its DETERMINISTIC
+# guarantees do not — every token with true count strictly above
+# N/(k+1) must be present in the merged summary, and every estimate
+# must bracket the true count within the computed decrement budget.
+# The query emits those checks per true-heavy token against exact
+# counts; the oracle recomputes the exact counts and pins the checks
+# TRUE. Membership threshold uses integer arithmetic (cnt * (k+1) > N)
+# so both engines select the identical row set.
+#
+# 100 TB: the MG pass is map-side (one sequential scan per partition,
+# Arrow-batched); the merge shuffles <= k+1 rows per partition. The
+# exact-count side exists only to certify at oracle scale.
+# --------------------------------------------------------------------------
+
+_MG_K = 64
+
+
+@query(
+    "q122_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    toks AS (SELECT tok FROM tok WHERE tok <> ''),
+    cnt AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, n_exact, TRUE AS found_ok, TRUE AS bound_ok
+    FROM cnt CROSS JOIN tot
+    WHERE n_exact * {_MG_K + 1} > n
+    ORDER BY tok
+    """,
+    category="analytics",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.heavyhitters import misra_gries
+
+    toks = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    total = exact.agg(F.sum("n_exact").alias("n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_exact") * (_MG_K + 1) > F.col("n"))
+        .select("tok", "n_exact")
+    )
+    mg = misra_gries(toks, "tok", k=_MG_K).withColumnRenamed("item", "tok")
+    return (
+        heavy.join(F.broadcast(mg), "tok", "left")
+        .select(
+            "tok",
+            "n_exact",
+            F.col("est").isNotNull().alias("found_ok"),
+            F.coalesce(
+                (F.col("est") <= F.col("n_exact"))
+                & (F.col("n_exact") <= F.col("est") + F.col("err_bound")),
+                F.lit(False),
+            ).alias("bound_ok"),
+        )
+        .orderBy("tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# q123 — SCD2 dimension maintenance (operators/merge.py), certified by
+# its IVM property: the Spark side builds the customer-priority SCD2
+# table INCREMENTALLY — full build over pre-cutoff changes, then
+# scd2_merge of the post-cutoff delta (rebuilding only delta keys) —
+# while the oracle runs the direct full build over all changes in SQL.
+# A hash match proves merge(build(base), delta) == build(base ∪ delta)
+# row-for-row, the exact obligation of an incrementally-maintained
+# dimension (q119's partial-state argument, applied to interval
+# semantics instead of sums). Change stream: each customer's order
+# priority over time (orders: eff = o_orderdate, seq = o_orderkey),
+# consecutive same-priority runs collapsed.
+# --------------------------------------------------------------------------
+
+_SCD2_CUTOFF = "TIMESTAMP '1998-01-01 00:00:00'"
+
+
+@query(
+    "q123_scd2_merge",
+    oracle=f"""
+    WITH ch AS (
+      SELECT o_custkey AS key, o_orderpriority AS attr,
+             o_orderdate AS eff, o_orderkey AS seq
+      FROM orders
+    ),
+    runs AS (
+      SELECT key, attr, eff, seq,
+             lag(attr) OVER (PARTITION BY key ORDER BY eff, seq) AS prev
+      FROM ch
+    ),
+    chg AS (SELECT key, attr, eff, seq FROM runs WHERE prev IS NULL OR attr <> prev)
+    SELECT key AS c_custkey, attr AS priority, eff AS valid_from,
+           lead(eff) OVER (PARTITION BY key ORDER BY eff, seq) AS valid_to,
+           (lead(eff) OVER (PARTITION BY key ORDER BY eff, seq) IS NULL) AS is_current
+    FROM chg
+    ORDER BY c_custkey, valid_from, seq
+    """,
+    category="analytics",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.merge import scd2_build, scd2_merge
+
+    ch = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("eff"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    base = scd2_build(ch.filter(F.col("eff") < F.expr(_SCD2_CUTOFF)))
+    merged = scd2_merge(base, ch.filter(F.col("eff") >= F.expr(_SCD2_CUTOFF)))
+    return merged.select(
+        F.col("key").alias("c_custkey"),
+        F.col("attr").alias("priority"),
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "seq",
+    ).orderBy("c_custkey", "valid_from", "seq").drop("seq")
+
+
+# --------------------------------------------------------------------------
+# q124 — data-skipping scan over a clustered layout: the READ side of
+# operators/layout.py. The events table is written once per sf as a
+# ts-clustered parquet layout (cluster_write: range partition + sort,
+# 8 files with near-disjoint ts ranges), then a one-week range query
+# runs as a SKIPPING SCAN — parquet footer min/max decide which files
+# can contain matching rows (prune_files), Spark reads ONLY those, and
+# the residual predicate still applies exactly. The oracle computes the
+# same aggregate over the ORIGINAL table — a hash match proves the
+# pruning is lossless (a dropped file that contained matching rows
+# would change the count) — and pins pruned_ok TRUE (the scan must
+# actually have skipped files, or the test is vacuous).
+#
+# This is the lakehouse stats-index pattern (Delta/Iceberg data
+# skipping) expressed Spark-native: at 100 TB the footer walk becomes
+# a manifest table maintained at write time; the query-side contract —
+# skip by [min,max] intersection, never skip without stats — is
+# identical. Complements q22/q47's row-group pushdown (which needs the
+# same clustering to bite) with FILE-level elimination that saves the
+# open/footer cost pushdown still pays.
+# --------------------------------------------------------------------------
+
+_SKIP_LO = "2024-01-08 00:00:00"
+_SKIP_HI = "2024-01-15 00:00:00"
+
+
+@query(
+    "q124_data_skipping",
+    oracle=f"""
+    SELECT count(*) AS n_events,
+           {sql_dsum('value', 'total_value', 4)},
+           TRUE AS pruned_ok
+    FROM events
+    WHERE ts >= TIMESTAMP '{_SKIP_LO}' AND ts < TIMESTAMP '{_SKIP_HI}'
+    """,
+    category="analytics",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime
+    import os
+
+    from ..operators.layout import cluster_write, prune_files
+    from .base import dsum
+
+    layout = os.path.join(
+        "/tmp", f"spark_graft_skip_{os.path.basename(sf.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        # materialized pruning key: Spark's parquet writer emits NO
+        # footer statistics for TIMESTAMP_NTZ columns, so the layout
+        # carries the epoch-micros twin `_skip_us` (plain INT64 -> full
+        # min/max stats) as the stats-index column — the same move
+        # lakehouse tables make when the natural clustering key's type
+        # defeats the stats machinery.
+        ev = t(spark, sf, "events").withColumn(
+            "_skip_us", F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+        )
+        cluster_write(ev, layout, ["_skip_us"], num_files=8)
+    lo = datetime.datetime.fromisoformat(_SKIP_LO)
+    hi = datetime.datetime.fromisoformat(_SKIP_HI)
+    utc = datetime.timezone.utc
+    lo_us = int(lo.replace(tzinfo=utc).timestamp() * 1_000_000)
+    hi_us = int(hi.replace(tzinfo=utc).timestamp() * 1_000_000)
+    files, total = prune_files(layout, "_skip_us", lo_us, hi_us)
+    scan = spark.read.parquet(*files) if files else t(spark, sf, "events").limit(0)
+    return scan.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value", 4, max_abs=1e3),
+        F.lit(len(files) < total).alias("pruned_ok"),
+    )

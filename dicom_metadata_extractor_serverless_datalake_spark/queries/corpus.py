@@ -66,6 +66,13 @@ _PRIORITY = [
     "q119_incremental_rollup",
     "q120_triangle_count",
     "q121_pagerank_invariants",
+    "q122_heavy_hitters",
+    "q123_scd2_merge",
+    "q124_data_skipping",
+    "q125_collocation_lift",
+    "q126_attribution",
+    "q127_survivorship",
+    "q128_containment_join",
     # least-recently-verified round-2 greens (LLM/dedup/training family)
     "q50_dedup_exact",
     "q51_jaccard_pairs",
@@ -83,6 +90,10 @@ _PRIORITY = [
     "q63_modality_rollup",
     "q65_grouped_map_pandas",
     "q66_grouped_agg_pandas",
+    # ^ exactly 50 entries (q122-q128, new this round, take the last
+    # slots; q68-q74 slide to round 5). q68-q82/q85/q45/q49/q14 +
+    # q01-q12 (green r02) and the r03-green analytics/streaming
+    # families follow and rotate into round 5.
     "q68_neardup_pipeline",
     "q69_approx_percentile",
     "q70_levenshtein_pairs",
@@ -90,10 +101,6 @@ _PRIORITY = [
     "q72_stratified_sample",
     "q73_doc_chunking",
     "q74_pii_redaction",
-    # ^ exactly 50 entries (q115-q121, new this round, take the last
-    # slots; q75-q81 slide to round 5). q75-q82/q85/q45/q49/q14 +
-    # q01-q12 (green r02) and the r03-green analytics/streaming
-    # families follow and rotate into round 5.
     "q75_vocab_topk",
     "q76_epoch_shuffle",
     "q77_dedup_clusters",

@@ -1038,3 +1038,278 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q125 — bigram collocation mining by lift (PMI without the log). The
+# standard corpus-analysis pass for boilerplate phrases and multiword
+# expressions: lift(w1,w2) = P(w1,w2) / (P(w1) * P(w2)), which orders
+# identically to PMI (log is monotone) while staying inside correctly-
+# rounded double *,/ — an IEEE-identical expression tree on both
+# engines, where log()'s ulp behavior is implementation-defined. All
+# counts are exact integers (one bigram-count shuffle + one unigram-
+# count shuffle, both map-side combined); the three corpus totals are
+# scalar broadcasts. Bigrams materialize from the token array with a
+# size-guarded transform (no sequence(0,-1) descending trap on 1-token
+# docs). Top-20 by (lift, w1, w2) with min support 5 — a total order,
+# so LIMIT is deterministic.
+#
+# 100 TB shape: token explode is map-side; the only shuffles carry
+# (token, count) / (bigram, count) pairs — vocabulary-sized, never
+# corpus bytes. Reference has no text analytics at all (SURVEY §2.B);
+# this extends the q56-q59 text family.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q125_collocation_lift",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT p[1] AS w1, p[2] AS w2
+      FROM d, unnest(list_zip(w, w[2:])) AS u(p)
+      WHERE p[1] <> '' AND p[2] IS NOT NULL AND p[2] <> ''
+    ),
+    uni AS (
+      SELECT tok, count(*) AS n_tok
+      FROM (SELECT unnest(w) AS tok FROM d) WHERE tok <> '' GROUP BY 1
+    ),
+    bgc AS (SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY 1, 2),
+    tot AS (
+      SELECT (SELECT CAST(sum(n_tok) AS DOUBLE) FROM uni) AS nu,
+             (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS nbg
+    )
+    SELECT w1, w2, n_xy,
+           CAST(n_xy AS DOUBLE) * nu * nu / (nbg * CAST(u1.n_tok AS DOUBLE) * CAST(u2.n_tok AS DOUBLE)) AS lift
+    FROM bgc JOIN uni u1 ON bgc.w1 = u1.tok JOIN uni u2 ON bgc.w2 = u2.tok
+    CROSS JOIN tot
+    WHERE n_xy >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+    category="text",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents").select(F.split("text", " ").alias("w"))
+    bg = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = (
+        d.select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    tot = F.broadcast(
+        uni.agg(F.sum("n_tok").cast("double").alias("nu")).crossJoin(
+            bg.agg(F.count("*").cast("double").alias("nbg"))
+        )
+    )
+    u1 = F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n1")))
+    u2 = F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n2")))
+    return (
+        bgc.filter(F.col("n_xy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (
+                F.col("n_xy").cast("double") * F.col("nu") * F.col("nu")
+                / (F.col("nbg") * F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q127 — survivorship (golden-record selection): after dedup
+# clustering — here the 40-char boilerplate-prefix fingerprint, which
+# actually produces multi-member clusters on this corpus where exact
+# full-text dup groups are empty — pick ONE canonical document per
+# multi-member cluster by a deterministic rule cascade: prefer
+# lang='en', then longest text, then smallest doc_id, and report the
+# survivor with cluster evidence. This is the entity-resolution step a
+# curation pipeline runs right after dedup: dedup finds the cluster,
+# survivorship decides which copy feeds training. One digest shuffle
+# (never text payloads beyond the fingerprint) + a per-cluster
+# row_number over clusters that are tiny by construction.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q127_survivorship",
+    oracle="""
+    WITH ranked AS (
+      SELECT md5(substr(text, 1, 40)) AS digest, doc_id, lang, source, n_chars,
+             count(*) OVER (PARTITION BY md5(substr(text, 1, 40))) AS n_members,
+             row_number() OVER (
+               PARTITION BY md5(substr(text, 1, 40))
+               ORDER BY (lang = 'en') DESC, n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT digest, doc_id AS survivor_id, lang AS survivor_lang,
+           source AS survivor_source, n_chars AS survivor_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    ORDER BY digest
+    """,
+    category="dedup",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("digest")
+    ranked = (
+        t(spark, sf, "documents")
+        .select(
+            F.md5(F.substring("text", 1, 40)).alias("digest"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .withColumn("n_members", F.count("*").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.desc(F.col("lang") == "en"), F.desc("n_chars"), "doc_id")
+            ),
+        )
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "digest",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("lang").alias("survivor_lang"),
+            F.col("source").alias("survivor_source"),
+            F.col("n_chars").alias("survivor_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("digest")
+    )
+
+
+# --------------------------------------------------------------------------
+# q128 — containment join (asymmetric set similarity): find ordered
+# pairs (a, b) where containment C(a,b) = |S(a) ∩ S(b)| / |S(a)| >= 0.8
+# over 3-gram shingle sets — i.e. document a is (near-)contained in b.
+# Jaccard dedup (q51/q104) misses this class: a paragraph fully
+# embedded in a long document has high containment but low Jaccard,
+# and partial-copy detection is exactly what curation needs for quote/
+# boilerplate/subset-document removal. Shingles (q52's 3-gram unit),
+# not unigrams: token-level sets over a small vocabulary make every
+# document "contain" every other; 3-gram sets discriminate.
+#
+# Blocking is EXACT-COMPLETE by pigeonhole (the ppjoin prefix argument
+# adapted to the asymmetric threshold): C(a,b) >= t means b misses at
+# most |a| - ceil(t*|a|) of a's shingles, so a's
+# (|a| - ceil(t*|a|) + 1) globally-rarest shingles (rarity =
+# (doc-frequency, shingle) rank) must hit b in at least one. The
+# threshold and prefix length are computed in INTEGER arithmetic
+# (n_common * 5 >= n_tok * 4, ceil(4n/5) = (4n+4) div 5) — no float
+# boundary can disagree between engines or drop the C = 0.8 edge case.
+# Candidates = a's prefix shingles equi-joined against b's full shingle
+# list (no-BNLJ contract, tests/test_plans.py); the exact intersection
+# verify is an equi-join on (b, shingle) confined to candidates.
+# Shuffles carry (doc_id, shingle-hash-sized) rows, never document
+# text.
+# --------------------------------------------------------------------------
+
+_CONT_MIN_TOK = 10
+
+
+@query(
+    "q128_containment_join",
+    oracle=f"""
+    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tk AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tok
+      FROM w3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+    inter AS (
+      SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS n_common
+      FROM tk ta JOIN tk tb ON ta.tok = tb.tok AND ta.doc_id <> tb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_tok AS DOUBLE) AS containment
+    FROM inter
+    JOIN sz sa ON inter.a = sa.doc_id
+    WHERE sa.n_tok >= {_CONT_MIN_TOK}
+      AND n_common * 5 >= sa.n_tok * 4
+    ORDER BY a, b
+    """,
+    category="dedup",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    tk = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode_outer(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .distinct()
+        .persist()
+    )
+    sz = tk.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (
+        tk.join(dfreq, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(sz, "doc_id")
+    )
+    # integer prefix length n - ceil(4n/5) + 1; docs below the size
+    # floor never emit (matches the oracle filter on sa.n_tok)
+    prefix = ranked.filter(
+        (F.col("n_tok") >= _CONT_MIN_TOK)
+        & (
+            F.col("rn")
+            <= F.col("n_tok") - F.expr("(4 * n_tok + 4) div 5") + F.lit(1)
+        )
+    ).select(F.col("doc_id").alias("a"), "tok")
+    cand = (
+        prefix.join(tk.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact intersection confined to candidates: equi-join on (b, tok)
+    # so per-pair work is |S(a)| hash probes, never |a| x |b| pairs
+    inter = (
+        cand.join(tk.select(F.col("doc_id").alias("a"), "tok"), "a")
+        .join(tk.select(F.col("doc_id").alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("a"), "n_tok"), "a")
+        .filter(F.col("n_common") * 5 >= F.col("n_tok") * 4)
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_tok").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("a", "b")
+    )

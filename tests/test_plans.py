@@ -321,3 +321,25 @@ def test_cc_edge_partitioning_reused_across_rounds(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         sym.unpersist()
+
+
+def test_q128_containment_equi_join_only(spark, sf_dir):
+    """Containment join: candidates from the rarest-prefix equi-join,
+    intersection verify equi-joined on (doc, token) — never an
+    all-pairs scan."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q128_containment_join", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q123_scd2_merge_rebuilds_only_delta_keys(spark, sf_dir):
+    """The incremental SCD2 path must pass untouched keys through an
+    anti-join, not re-sort the whole dimension; the rebuild side joins
+    on the delta key set (semi/anti pair), so the plan carries both."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q123_scd2_merge", spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
