@@ -132,3 +132,78 @@ def prune_files(path: str, column: str, lo, hi) -> tuple[list[str], int]:
             if fmin is None or (fmax >= lo and fmin < hi):
                 keep.append(fp)
     return keep, total
+
+
+def zorder_column(cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of ``cols`` (non-negative ints,
+    ``bits`` significant bits each) as a single BIGINT Column — the
+    multi-dimensional clustering key. Linear clustering (cluster_write
+    on one column) makes file ranges disjoint on ONE dimension; sorting
+    by the interleaved key makes every file cover a small HYPERCUBE of
+    the key space, so per-file [min, max] footer stats on EACH
+    dimension column stay narrow and a multi-column box predicate
+    prunes on all of them at once (the OPTIMIZE ... ZORDER BY pattern).
+
+    Built as a pure bit expression (shift/and/or) — whole-stage
+    codegen, no UDF. 2 cols x 16 bits -> 32-bit z-value.
+    """
+    from pyspark.sql import functions as F
+
+    terms = []
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            # bit b of col i lands at interleaved position b*n + (n-1-i)
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(F.col(c).cast("bigint"), b).bitwiseAND(F.lit(1)),
+                    b * n + (n - 1 - i),
+                )
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def prune_files_multi(path: str, preds: list[tuple]) -> tuple[list[str], int]:
+    """Multi-dimension data skipping: keep the files whose footer
+    [min, max] intersects ``[lo, hi)`` on EVERY (column, lo, hi) in
+    ``preds`` — the box-predicate reader for a z-ordered layout. A file
+    lacking stats on any predicate column cannot be excluded (safety).
+    Returns (files_to_read, total_file_count)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    keep: list[str] = []
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            fp = os.path.join(root, f)
+            md = pq.ParquetFile(fp).metadata
+            ranges: dict[str, tuple] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        continue
+                    name = col.path_in_schema
+                    cur = ranges.get(name)
+                    ranges[name] = (
+                        s.min if cur is None or s.min < cur[0] else cur[0],
+                        s.max if cur is None or s.max > cur[1] else cur[1],
+                    )
+            excluded = False
+            for cname, lo, hi in preds:
+                r = ranges.get(cname)
+                if r is not None and (r[1] < lo or r[0] >= hi):
+                    excluded = True
+                    break
+            if not excluded:
+                keep.append(fp)
+    return keep, total

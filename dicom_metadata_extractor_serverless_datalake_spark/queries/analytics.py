@@ -1733,3 +1733,92 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         dsum("value", "total_value", 4, max_abs=1e3),
         F.lit(len(files) < total).alias("pruned_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — multi-dimensional data skipping over a Z-ORDERED layout: the
+# box-predicate companion to q124's linear clustering. The events table
+# is written once per sf sorted by the Morton interleave of
+# (user_id, minutes-since-epoch) — operators/layout.py zorder_column —
+# so every file covers a small hypercube of the (user, time) space and
+# its footer [min, max] stays narrow on BOTH dimensions. A
+# user-range x time-range box query then prunes files on both columns
+# at once (prune_files_multi); linear ts-clustering would prune only
+# the time axis and read every file for a tight user slice. The oracle
+# recomputes the aggregate over the original table (lossless-pruning
+# proof, as in q124) and pins pruned_ok TRUE.
+#
+# The time dimension prunes on the same `_skip_us` epoch-micros stats
+# twin as q124 (Spark writes no footer stats for TIMESTAMP_NTZ);
+# user_id is a plain int64 with native stats. Z-value is a pure
+# shift/and/or expression — codegen, no UDF, one range-exchange write.
+# --------------------------------------------------------------------------
+
+_ZO_U_LO, _ZO_U_HI = 30, 60
+_ZO_T_LO = "2024-01-08 00:00:00"
+_ZO_T_HI = "2024-01-22 00:00:00"
+
+
+@query(
+    "q130_zorder_skipping",
+    oracle=f"""
+    SELECT count(*) AS n_events,
+           {sql_dsum('value', 'total_value', 4)},
+           TRUE AS pruned_ok
+    FROM events
+    WHERE user_id >= {_ZO_U_LO} AND user_id < {_ZO_U_HI}
+      AND ts >= TIMESTAMP '{_ZO_T_LO}' AND ts < TIMESTAMP '{_ZO_T_HI}'
+    """,
+    category="analytics",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime
+    import os
+
+    from ..operators.layout import prune_files_multi, zorder_column
+    from .base import dsum
+
+    layout = os.path.join(
+        "/tmp", f"spark_graft_zorder_{os.path.basename(sf.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        ev = t(spark, sf, "events").withColumn(
+            "_skip_us", F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+        )
+        # minutes since a fixed epoch floor keeps the time dimension in
+        # 16 bits over the table's span (one month ~ 43k minutes)
+        t0_us = 1704067200000000  # 2024-01-01 00:00:00 UTC
+        ev = ev.withColumn(
+            "_zmin", ((F.col("_skip_us") - F.lit(t0_us)) / F.lit(60_000_000)).cast("bigint")
+        ).withColumn("_z", zorder_column(["user_id", "_zmin"], bits=16))
+        (
+            ev.repartitionByRange(16, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", "_zmin")
+            .write.mode("overwrite")
+            .parquet(layout)
+        )
+    utc = datetime.timezone.utc
+    lo_us = int(
+        datetime.datetime.fromisoformat(_ZO_T_LO).replace(tzinfo=utc).timestamp() * 1e6
+    )
+    hi_us = int(
+        datetime.datetime.fromisoformat(_ZO_T_HI).replace(tzinfo=utc).timestamp() * 1e6
+    )
+    files, total = prune_files_multi(
+        layout,
+        [("user_id", _ZO_U_LO, _ZO_U_HI), ("_skip_us", lo_us, hi_us)],
+    )
+    scan = spark.read.parquet(*files) if files else t(spark, sf, "events").limit(0)
+    lo_ts = datetime.datetime.fromisoformat(_ZO_T_LO)
+    hi_ts = datetime.datetime.fromisoformat(_ZO_T_HI)
+    return scan.filter(
+        (F.col("user_id") >= _ZO_U_LO)
+        & (F.col("user_id") < _ZO_U_HI)
+        & (F.col("ts") >= F.lit(lo_ts))
+        & (F.col("ts") < F.lit(hi_ts))
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value", 4, max_abs=1e3),
+        F.lit(len(files) < total).alias("pruned_ok"),
+    )

@@ -73,6 +73,8 @@ _PRIORITY = [
     "q126_attribution",
     "q127_survivorship",
     "q128_containment_join",
+    "q129_stream_heavy_hitters",
+    "q130_zorder_skipping",
     # least-recently-verified round-2 greens (LLM/dedup/training family)
     "q50_dedup_exact",
     "q51_jaccard_pairs",
@@ -88,12 +90,12 @@ _PRIORITY = [
     "q61_image_features",
     "q62_frame_sample",
     "q63_modality_rollup",
-    "q65_grouped_map_pandas",
-    "q66_grouped_agg_pandas",
-    # ^ exactly 50 entries (q122-q128, new this round, take the last
-    # slots; q68-q74 slide to round 5). q68-q82/q85/q45/q49/q14 +
+    # ^ exactly 50 entries (q122-q130, new this round, take the last
+    # slots; q65-q74 slide to round 5). q65-q82/q85/q45/q49/q14 +
     # q01-q12 (green r02) and the r03-green analytics/streaming
     # families follow and rotate into round 5.
+    "q65_grouped_map_pandas",
+    "q66_grouped_agg_pandas",
     "q68_neardup_pipeline",
     "q69_approx_percentile",
     "q70_levenshtein_pairs",

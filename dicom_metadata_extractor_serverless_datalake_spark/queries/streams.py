@@ -507,3 +507,161 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# q129 — STREAMING heavy hitters: the operators/heavyhitters.py
+# Misra-Gries summary as bounded-memory streaming state, maintained
+# across micro-batches with applyInPandasWithState. Items (user ids)
+# are hash-partitioned into _HH_GROUPS groups by the PORTABLE h31 hash,
+# so each group's state is an independent k-counter MG summary over its
+# own item subset (an item's full count lives entirely in one group —
+# that is what makes the per-group MG guarantee apply verbatim). State
+# per group is O(k) forever, whatever the stream length: the property
+# that makes frequency tracking feasible on an unbounded stream where
+# exact per-key counts (q99's shape) grow with cardinality.
+#
+# Certified the q122 way, with the group-local threshold: any item
+# whose true count strictly exceeds its group's decrement budget
+# (<= n_g/(k+1)) must be present with est <= true <= est + budget. The
+# row set — items with cnt * (k+1) > n_g — is integer arithmetic over
+# the portable hash, so both engines select identical rows; the oracle
+# pins found_ok/bound_ok TRUE. The multi-batch drain (time_splits=3,
+# maxFilesPerTrigger=1) makes cross-batch counter carry-over and
+# decrement accounting the thing being certified.
+# --------------------------------------------------------------------------
+
+_HH_K = 4
+_HH_GROUPS = 32
+
+_HH_OUT = (
+    "grp long, user_id long, est long, n_rows long, budget long"
+)
+_HH_STATE = "items array<long>, counts array<long>, n_rows long"
+
+
+def _mg_stream_update(key, batches, state):
+    import pandas as pd
+
+    k = 4  # _HH_K (executor-side constant; keep in sync)
+    if state.exists:
+        items, counts, n_rows = state.get
+        mg = dict(zip(items, counts))
+    else:
+        mg, n_rows = {}, 0
+    for pdf in batches:
+        for item in pdf["user_id"]:
+            item = int(item)
+            n_rows += 1
+            if item in mg:
+                mg[item] += 1
+            elif len(mg) < k:
+                mg[item] = 1
+            else:
+                dead = []
+                for it in mg:
+                    mg[it] -= 1
+                    if mg[it] == 0:
+                        dead.append(it)
+                for it in dead:
+                    del mg[it]
+    state.update((list(mg.keys()), list(mg.values()), n_rows))
+    budget = n_rows - sum(mg.values())
+    items = [*mg.keys(), None]
+    ests = [*mg.values(), 0]
+    yield pd.DataFrame(
+        {
+            "grp": [key[0]] * len(items),
+            "user_id": items,
+            "est": ests,
+            "n_rows": [n_rows] * len(items),
+            "budget": [budget] * len(items),
+        }
+    )
+
+
+from .llm import duck_h31, spark_h31  # portable hash, shared constants
+
+_SPARK_H31_UID = spark_h31("CAST(user_id AS STRING)")
+_DUCK_H31_UID = duck_h31("CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "q129_stream_heavy_hitters",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, count(*) AS n_exact,
+             ({_DUCK_H31_UID}) % {_HH_GROUPS} AS grp
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT grp, sum(n_exact) AS n_g FROM c GROUP BY 1)
+    SELECT user_id, n_exact, TRUE AS found_ok, TRUE AS bound_ok
+    FROM c JOIN g USING (grp)
+    WHERE n_exact * {_HH_K + 1} > n_g
+    ORDER BY user_id
+    """,
+    category="streaming",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream, load_table
+
+    spark_grp = f"({_SPARK_H31_UID}) % {_HH_GROUPS}"
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .withColumn("grp", F.expr(spark_grp))
+            .groupBy("grp")
+            .applyInPandasWithState(
+                _mg_stream_update,
+                outputStructType=_HH_OUT,
+                stateStructType=_HH_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    rows = spark.table(name)
+    from pyspark.sql import Window
+
+    latest = rows.withColumn(
+        "_maxn", F.max("n_rows").over(Window.partitionBy("grp"))
+    ).filter(F.col("n_rows") == F.col("_maxn"))
+    summary = latest.filter(F.col("user_id").isNotNull() & (F.col("est") > 0)).select(
+        "grp", "user_id", "est"
+    )
+    budgets = latest.groupBy("grp").agg(
+        F.expr(f"max(budget) div {_HH_K + 1}").alias("err_g")
+    )
+
+    exact = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .withColumn("grp", F.expr(spark_grp))
+    )
+    n_g = exact.groupBy("grp").agg(F.sum("n_exact").alias("n_g"))
+    heavy = exact.join(n_g, "grp").filter(
+        F.col("n_exact") * (_HH_K + 1) > F.col("n_g")
+    )
+    return (
+        heavy.join(summary, ["grp", "user_id"], "left")
+        .join(budgets, "grp", "left")
+        .select(
+            "user_id",
+            "n_exact",
+            F.col("est").isNotNull().alias("found_ok"),
+            F.coalesce(
+                (F.col("est") <= F.col("n_exact"))
+                & (F.col("n_exact") <= F.col("est") + F.col("err_g")),
+                F.lit(False),
+            ).alias("bound_ok"),
+        )
+        .orderBy("user_id")
+    )
