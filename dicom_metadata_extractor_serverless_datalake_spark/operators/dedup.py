@@ -230,3 +230,85 @@ def neardup_pairs(
     if verify != "exact":
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     return jaccard_verify(cands, tok, threshold, id_col)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shingles: int = 10,
+) -> DataFrame:
+    """Ordered near-containment pairs (a, b, n_a, n_b, containment):
+    |S(a) ∩ S(b)| / |S(a)| >= threshold over distinct 3-gram shingle
+    sets — document ``a`` is (near-)contained in ``b``. The partial-copy
+    class Jaccard dedup misses: a paragraph embedded in a long document
+    scores high containment but low Jaccard.
+
+    Exact-complete prefix blocking (pigeonhole, q128): a's
+    (n_a - ceil(t * n_a) + 1) globally-rarest shingles must hit any
+    qualifying b at least once, so candidates come from an equi-join of
+    a's prefix against b's full shingle list; the exact intersection
+    verify is equi-joined on (b, shingle) and confined to candidates.
+    Threshold and prefix length use INTEGER arithmetic (exact at the
+    t = p/q boundary). Docs under ``min_shingles`` never emit as ``a``
+    (containment over tiny sets is noise) but still serve as ``b``.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    tp, tq = frac.numerator, frac.denominator
+    tk = (
+        shingle_tokens(docs, id_col, text_col)
+        .withColumnRenamed("s", "tok")
+        .distinct()  # containment is over shingle SETS
+        .persist()
+    )
+    sz = tk.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    ranked = (
+        tk.join(dfreq, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "tok")),
+        )
+        .join(sz, id_col)
+    )
+    # prefix length n - ceil(tp*n/tq) + 1, all-integer
+    prefix = ranked.filter(
+        (F.col("n_tok") >= min_shingles)
+        & (
+            F.col("rn")
+            <= F.col("n_tok")
+            - F.expr(f"({tp} * n_tok + {tq - 1}) div {tq}")
+            + F.lit(1)
+        )
+    ).select(F.col(id_col).alias("a"), "tok")
+    cand = (
+        prefix.join(tk.select(F.col(id_col).alias("b"), "tok"), "tok")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(tk.select(F.col(id_col).alias("a"), "tok"), "a")
+        .join(tk.select(F.col(id_col).alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sz.select(F.col(id_col).alias("a"), F.col("n_tok").alias("n_a")), "a")
+        .join(sz.select(F.col(id_col).alias("b"), F.col("n_tok").alias("n_b")), "b")
+        .filter(F.col("n_common") * tq >= F.col("n_a") * tp)
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_b",
+            (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )

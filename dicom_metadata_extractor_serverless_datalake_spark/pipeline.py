@@ -107,6 +107,37 @@ class TextCorpus:
         )
         return self._with(self.df.join(losers, self.id_col, "left_anti"))
 
+    def dedup_contained(
+        self, threshold: float = 0.8, min_shingles: int = 10
+    ) -> "TextCorpus":
+        """Drop documents (near-)CONTAINED in another document: shingle
+        containment |S(a) ∩ S(b)| / |S(a)| >= threshold — the
+        partial-copy class (quotes, excerpts, subset pages) that
+        Jaccard near-dedup misses because the longer document dilutes
+        the union. Candidates come from the exact-complete rarest-
+        prefix blocking (operators/dedup.py containment_pairs, q128's
+        shape); a doc is dropped only when contained in a LARGER
+        (shingle-count, id)-ordered survivor, so mutual-containment
+        pairs keep exactly one and chains keep their maximal element."""
+        from .operators.dedup import containment_pairs
+
+        pairs = containment_pairs(
+            self.df,
+            threshold=threshold,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            min_shingles=min_shingles,
+        )
+        losers = (
+            pairs.filter(
+                F.struct(F.col("n_a"), F.col("a"))
+                < F.struct(F.col("n_b"), F.col("b"))
+            )
+            .select(F.col("a").alias(self.id_col))
+            .distinct()
+        )
+        return self._with(self.df.join(losers, self.id_col, "left_anti"))
+
     # ---- filtering / cleaning ----
 
     def quality_filter(

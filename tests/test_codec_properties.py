@@ -96,3 +96,52 @@ def test_missing_tags_yield_nulls_not_schema_drift(keys):
     row = flatten(codec.parse_dicom(codec.write_dicom(tags)), _LINEAGE)
     # the row always carries the full canonical column set
     assert set(row.keys()) == {f.name for f in INGEST_SCHEMA.fields}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries partition summaries (operators/heavyhitters.py): the
+# deterministic guarantee must hold for ANY stream, partitioning, and k —
+# pure-Python property test over the partition kernel + the sum-merge the
+# Spark side performs (mergeable-summaries theorem).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=12), max_size=400),
+    k=st.integers(min_value=1, max_value=8),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_misra_gries_bounds_any_stream_any_partitioning(stream, k, n_parts):
+    import pandas as pd
+
+    from collections import Counter
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.heavyhitters import _mg_partition
+
+    # split the stream into contiguous partitions
+    chunk = max(1, -(-len(stream) // n_parts))
+    parts = [stream[i : i + chunk] for i in range(0, len(stream), chunk)] or [[]]
+
+    merged: Counter = Counter()
+    err = 0
+    for p in parts:
+        [out] = list(_mg_partition(k, "item")(iter([pd.DataFrame({"item": p})])))
+        budget = int(out["part_budget"].iloc[0]) if len(out) else 0
+        assert budget % (k + 1) == 0  # decrement-all removes exactly k+1 units
+        err += budget // (k + 1)
+        for item, est in zip(out["item"], out["est"]):
+            if item is not None and not pd.isna(item) and est > 0:
+                merged[int(item)] += int(est)
+
+    exact = Counter(stream)
+    n = len(stream)
+    assert err <= n // (k + 1)
+    for item, cnt in exact.items():
+        if cnt > err:  # guarantee 1: true-heavy items are present
+            assert item in merged, (item, cnt, err)
+    for item, est in merged.items():  # guarantee 2: bracketing
+        assert est <= exact[item] <= est + err, (item, est, exact[item], err)

@@ -141,3 +141,24 @@ def test_persist_caches_and_chains(spark, docs):
     finally:
         c.unpersist()
     assert not (c.df.storageLevel.useMemory or c.df.storageLevel.useDisk)
+
+
+def test_dedup_contained_drops_embedded_doc_keeps_container(spark):
+    base = " ".join(f"w{i} x{i} y{i}" for i in range(30))  # 90 tokens
+    para = " ".join(f"w{i} x{i} y{i}" for i in range(10, 20))  # verbatim slice
+    other = " ".join(f"z{i} q{i} r{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, para), (3, other)], "doc_id long, text string"
+    )
+    out = TextCorpus(docs).dedup_contained(threshold=0.8).df
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 3]  # the embedded paragraph goes, container stays
+
+
+def test_dedup_contained_mutual_pair_keeps_exactly_one(spark):
+    a = " ".join(f"t{i} u{i} v{i}" for i in range(20))
+    b = a + " extra tail"  # near-identical, containment both ways >= 0.8
+    docs = spark.createDataFrame([(7, a), (8, b)], "doc_id long, text string")
+    out = TextCorpus(docs).dedup_contained(threshold=0.8).df
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [8]  # larger shingle set survives
