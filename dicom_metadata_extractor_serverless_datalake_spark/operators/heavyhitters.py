@@ -40,28 +40,34 @@ from pyspark.sql import functions as F
 
 
 def _mg_partition(k: int, col: str):
-    """Per-partition Misra-Gries: k counters, decrement-all on overflow."""
+    """Per-partition Misra-Gries: k counters, batch-merged.
+
+    Vectorized form of the classic one-item-at-a-time update: each
+    Arrow batch is exact-counted with ``value_counts`` (C speed), the
+    mini-summary is added into the running counters, and the counter
+    set is truncated back to k by subtracting the (k+1)-th largest
+    count from every counter and dropping non-positives — the
+    mergeable-summaries reduction (Agarwal et al., PODS'12). Each
+    truncation that subtracts s removes >= s*(k+1) count units, so the
+    emitted budget (n_rows - retained weight) over-counts the removed
+    mass and ``budget div (k+1)`` remains a valid per-item undercount
+    bound — the same guarantee as the sequential update, 10-100x
+    faster (a pure-Python per-row loop was 12x SLOWER than the exact
+    JVM groupBy at 85M tokens; this path is batch-C-speed)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[object, int] = {}
         n_rows = 0
         for pdf in batches:
-            for item in pdf[col]:
-                n_rows += 1
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all: each such step removes k+1 count
-                    # units (this new item's plus one from each counter)
-                    dead = []
-                    for it in counters:
-                        counters[it] -= 1
-                        if counters[it] == 0:
-                            dead.append(it)
-                    for it in dead:
-                        del counters[it]
+            vc = pdf[col].value_counts()
+            n_rows += int(vc.sum())
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                s = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    it: c - s for it, c in counters.items() if c - s > 0
+                }
         weight = sum(counters.values())
         # one sentinel row (item NULL, est 0) always carries the budget:
         # a partition can end with ZERO retained counters yet a nonzero

@@ -550,21 +550,19 @@ def _mg_stream_update(key, batches, state):
     else:
         mg, n_rows = {}, 0
     for pdf in batches:
-        for item in pdf["user_id"]:
+        # batch-merged MG update (same reduction as the batch operator,
+        # operators/heavyhitters.py): exact value_counts per Arrow
+        # batch, then truncate back to k by subtracting the (k+1)-th
+        # largest — removes >= s*(k+1) units per subtraction s, so the
+        # (n_rows - weight) budget stays a valid undercount bound
+        vc = pdf["user_id"].value_counts()
+        n_rows += int(vc.sum())
+        for item, c in vc.items():
             item = int(item)
-            n_rows += 1
-            if item in mg:
-                mg[item] += 1
-            elif len(mg) < k:
-                mg[item] = 1
-            else:
-                dead = []
-                for it in mg:
-                    mg[it] -= 1
-                    if mg[it] == 0:
-                        dead.append(it)
-                for it in dead:
-                    del mg[it]
+            mg[item] = mg.get(item, 0) + int(c)
+        if len(mg) > k:
+            s = sorted(mg.values(), reverse=True)[k]
+            mg = {it: c - s for it, c in mg.items() if c - s > 0}
     state.update((list(mg.keys()), list(mg.values()), n_rows))
     budget = n_rows - sum(mg.values())
     items = [*mg.keys(), None]

@@ -131,7 +131,7 @@ def test_misra_gries_bounds_any_stream_any_partitioning(stream, k, n_parts):
     for p in parts:
         [out] = list(_mg_partition(k, "item")(iter([pd.DataFrame({"item": p})])))
         budget = int(out["part_budget"].iloc[0]) if len(out) else 0
-        assert budget % (k + 1) == 0  # decrement-all removes exactly k+1 units
+        assert budget >= 0  # truncation can only remove mass
         err += budget // (k + 1)
         for item, est in zip(out["item"], out["est"]):
             if item is not None and not pd.isna(item) and est > 0:
