@@ -75,6 +75,7 @@ _PRIORITY = [
     "q128_containment_join",
     "q129_stream_heavy_hitters",
     "q130_zorder_skipping",
+    "q131_ann_pq",
     # least-recently-verified round-2 greens (LLM/dedup/training family)
     "q50_dedup_exact",
     "q51_jaccard_pairs",
@@ -89,11 +90,11 @@ _PRIORITY = [
     "q60_embedding_neardup",
     "q61_image_features",
     "q62_frame_sample",
-    "q63_modality_rollup",
-    # ^ exactly 50 entries (q122-q130, new this round, take the last
-    # slots; q65-q74 slide to round 5). q65-q82/q85/q45/q49/q14 +
+    # ^ exactly 50 entries (q122-q131, new this round, take the last
+    # slots; q63-q74 slide to round 5). q63-q82/q85/q45/q49/q14 +
     # q01-q12 (green r02) and the r03-green analytics/streaming
     # families follow and rotate into round 5.
+    "q63_modality_rollup",
     "q65_grouped_map_pandas",
     "q66_grouped_agg_pandas",
     "q68_neardup_pipeline",

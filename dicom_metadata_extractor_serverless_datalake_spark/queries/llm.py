@@ -1313,3 +1313,37 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+# --------------------------------------------------------------------------
+# q131 — PQ (product-quantization) ANN: the memory-compression member
+# of the similarity family (q54 exact / q55 LSH buckets / q67 IVF
+# pruning / q131 PQ codes). operators/pq.py: per-subspace codebooks fit
+# on a deterministic sample, one map-side encode pass (codebook as a
+# single nested array literal — the plan-size lesson from the IVF
+# fix), ADC scoring as m table lookups per vector inside codegen, and
+# an exact-cosine re-rank of the ADC top-C (candidate-then-verify).
+# Certified like q55/q67: recall floor vs the exact cosine top-k under
+# the boolean oracle; the tighter recall curve is pinned in
+# tests/test_operators.py.
+# --------------------------------------------------------------------------
+
+# measured 50/50 recall hits at sf0.001 AND sf0.01 (m=16, k=16,
+# refine=100); the floor keeps a >3x margin like q55/q67
+_PQ_MIN_HITS = 15
+
+
+@query("q131_ann_pq", oracle=_ANN_ORACLE, category="similarity")
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.pq import encode_pq, fit_pq, pq_search
+
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    books = fit_pq(emb, m=16, k=16)
+    codes = encode_pq(emb, books).select("vec_id", "codes")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    ann = pq_search(
+        q, codes, books, vectors=emb, top_k=_TOP_K, refine=100
+    )
+    return _recall_check(ann, _exact_topk(spark, sf), _PQ_MIN_HITS)

@@ -584,3 +584,31 @@ def test_prune_files_lossless_and_effective(spark, sf_dir, tmp_path):
     )
     want = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).count()
     assert got == want
+
+
+def test_pq_ann_recall_and_code_compression(spark, sf_dir):
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.pq import encode_pq, fit_pq, pq_search
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _exact_topk
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = fit_pq(emb, m=16, k=16)
+    assert len(books) == 16 and len(books[0]) == 16 and len(books[0][0]) == 4
+    codes = encode_pq(emb, books).select("vec_id", "codes")
+    row = codes.first()
+    # 16 codes (one byte each at k<=256) for a 64-float vector: 16x
+    assert len(row["codes"]) == 16
+    assert all(0 <= c < 16 for c in row["codes"])
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    exact = _exact_topk(spark, sf_dir).select("q_id", "vec_id")
+    refined = pq_search(q, codes, books, vectors=emb, top_k=10, refine=100)
+    hits = refined.join(exact, ["q_id", "vec_id"]).count()
+    assert hits >= 45  # measured 50/50 at this corpus; slack for refit drift
+    # ADC-only ordering is real signal, not noise: far above the ~1/50
+    # expectation of random top-10s
+    adc = pq_search(q, codes, books, top_k=10)
+    adc_hits = adc.join(exact, ["q_id", "vec_id"]).count()
+    assert adc_hits >= 15
