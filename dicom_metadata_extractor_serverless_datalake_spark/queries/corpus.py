@@ -22,6 +22,7 @@ from . import udfs  # noqa: F401,E402
 from . import training  # noqa: F401,E402
 from . import streams  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
+from . import mining  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -93,7 +94,17 @@ _PRIORITY = [
     # ^ exactly 50 entries (q122-q131, new this round, take the last
     # slots; q63-q74 slide to round 5). q63-q82/q85/q45/q49/q14 +
     # q01-q12 (green r02) and the r03-green analytics/streaming
-    # families follow and rotate into round 5.
+    # families follow and rotate into round 5, led by the round-4b
+    # mining/IR additions q132-q139 (locally oracle-verified, no
+    # driver row yet).
+    "q132_countmin_freq",
+    "q133_dimension_colsim",
+    "q134_sorted_neighborhood",
+    "q135_inverted_index",
+    "q136_tv_drift",
+    "q137_rrf_hybrid",
+    "q138_winsorized_stats",
+    "q139_bloom_decontaminate",
     "q63_modality_rollup",
     "q65_grouped_map_pandas",
     "q66_grouped_agg_pandas",

@@ -1,0 +1,738 @@
+"""Round-4 mining/IR additions: linear-sketch frequencies, exact
+column similarity, sorted-neighborhood dedup, inverted indexing,
+distribution-drift detection, hybrid rank fusion, winsorized robust
+stats, and bloom-filter decontamination.
+
+These extend the training-data-pipeline surface (SURVEY.md §2.B,
+LLM-pipeline extensions) past what the reference delegates to Athena
+(the reference is a per-object ETL, /root/reference/src/app.py:97-189,
+with no analytics of its own). Every query follows the corpus
+conventions in queries/base.py: identical aliases both sides, exact
+integer/fixed-point arithmetic wherever a float reduction would be
+order-dependent, total orderings with unique tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import dsum, dsum_expr, query, sql_dsum, t
+
+# --------------------------------------------------------------------------
+# q132 — Count-Min sketch frequency estimates (operators/countmin.py),
+# certified with the q122 exact+bound-boolean pattern: the probe set is
+# the exact top-20 bigrams (deterministic tie-break), the sketch
+# estimates each, and the output carries the exact count plus two
+# booleans — ge_ok (CM can only over-count: est >= exact, guaranteed)
+# and tight_ok (est <= exact + 8*N/width; per-probe failure probability
+# (1/8)^depth = 3e-5 — the Cormode-Muthukrishnan Markov bound, far
+# inside margin at every tested sf). The oracle emits the same exact
+# counts with TRUE literals, so a missing key, an under-estimate, or a
+# blown bound all hash-mismatch.
+#
+# Scale shape: the sketch is a fixed depth x width aggregate whatever N
+# is — the build shuffles (r, bucket) int pairs after map-side partial
+# aggregation, the probe side broadcasts the sketch. Complements q122
+# (Misra-Gries: deterministic bound, no deletions) with the LINEAR
+# sketch (mergeable by addition, supports weighted/negative updates).
+# --------------------------------------------------------------------------
+
+_CM_WIDTH = 1024
+_CM_DEPTH = 5
+_CM_TOPN = 20
+
+
+@query(
+    "q132_countmin_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ),
+    cnt AS (SELECT bigram, count(*) AS n_exact FROM bg GROUP BY 1),
+    top AS (
+      SELECT bigram, n_exact FROM cnt
+      ORDER BY n_exact DESC, bigram LIMIT {_CM_TOPN}
+    )
+    SELECT bigram, n_exact, TRUE AS ge_ok, TRUE AS tight_ok
+    FROM top ORDER BY n_exact DESC, bigram
+    """,
+    category="sketch",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.countmin import count_min_build, count_min_estimate
+
+    ws = t(spark, sf, "documents").select(F.split("text", " ").alias("ws"))
+    bg = ws.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    lambda a, b: F.when(
+                        (a != "") & (b != ""), F.concat_ws(" ", a, b)
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("bigram")
+    )
+    sketch = count_min_build(bg, "bigram", _CM_WIDTH, _CM_DEPTH)
+    exact = bg.groupBy("bigram").agg(F.count("*").alias("n_exact"))
+    total = exact.agg(F.sum("n_exact").alias("n"))
+    top = exact.orderBy(F.col("n_exact").desc(), "bigram").limit(_CM_TOPN)
+    est = count_min_estimate(sketch, top, "bigram", _CM_WIDTH, _CM_DEPTH)
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "n_exact",
+            (F.col("est") >= F.col("n_exact")).alias("ge_ok"),
+            (
+                F.col("est") * F.lit(_CM_WIDTH)
+                <= F.col("n_exact") * F.lit(_CM_WIDTH) + F.lit(8) * F.col("n")
+            ).alias("tight_ok"),
+        )
+        .orderBy(F.col("n_exact").desc(), "bigram")
+    )
+
+
+# --------------------------------------------------------------------------
+# q133 — all-pairs DIMENSION similarity of the embedding matrix via the
+# exact gram operator (operators/gram.py): which embedding dimensions
+# co-vary. The d x d gram A^T A is accumulated map-side in numpy (the
+# A^T A / DIMSUM shape: shuffle volume d*(d+1)/2 integer cells PER
+# PARTITION, independent of row count), each per-row product floored to
+# a 1e-6 fixed-point grid so the sum is order-free-exact and an
+# engine-independent oracle reproduces it bit-for-bit. Cosine between
+# dimensions i,j = S_ij / sqrt(S_ii * S_jj) — derived from exact
+# integers with only correctly-rounded IEEE ops (sqrt, div), so the
+# doubles hash-match too.
+# --------------------------------------------------------------------------
+
+_GRAM_DIM = 64
+_GRAM_SCALE = 6
+_COLSIM_TOPK = 15
+
+
+@query(
+    "q133_dimension_colsim",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(floor(a.x * b.x * 1000000.0) AS DECIMAL(38,0))) AS s
+      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    d AS (SELECT i, s AS sii FROM g WHERE i = j)
+    SELECT g.i, g.j,
+           CAST(g.s AS DOUBLE)
+             / sqrt(CAST(da.sii AS DOUBLE) * CAST(db.sii AS DOUBLE)) AS cos_ij
+    FROM g JOIN d da ON g.i = da.i JOIN d db ON g.j = db.i
+    WHERE g.i < g.j
+    ORDER BY abs(cos_ij) DESC, g.i, g.j
+    LIMIT {_COLSIM_TOPK}
+    """,
+    category="similarity",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.gram import gram_matrix
+
+    g = gram_matrix(
+        t(spark, sf, "embeddings"), "embedding", _GRAM_DIM, _GRAM_SCALE
+    )
+    diag = g.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d_i"), F.col("s").alias("sii")
+    )
+    cos = (
+        g.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(diag), F.col("i") == F.col("d_i"))
+        .drop("d_i")
+        .withColumnRenamed("sii", "sa")
+        .join(F.broadcast(diag), F.col("j") == F.col("d_i"))
+        .drop("d_i")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s").cast("double")
+                / F.sqrt(F.col("sa").cast("double") * F.col("sii").cast("double"))
+            ).alias("cos_ij"),
+        )
+    )
+    return cos.orderBy(F.abs(F.col("cos_ij")).desc(), "i", "j").limit(_COLSIM_TOPK)
+
+
+# --------------------------------------------------------------------------
+# q134 — sorted-neighborhood near-dup detection (Hernandez & Stolfo's
+# merge/purge method): ONE global sort by a content key brings likely
+# duplicates adjacent, each record pairs only with its w following
+# neighbors (lead), and the exact Jaccard verify runs on that
+# linear-size candidate set. The content key — the doc's sorted
+# distinct-token string — is word-order-insensitive, so shuffled
+# near-dups still sort together.
+#
+# This is the LINEAR-candidate alternative to LSH (q52): no banding
+# tables, no signature tuning; cost is one range-partitioned sort +
+# w*N candidate verifies. Neighbor pairing deliberately avoids the
+# unpartitioned lead() window (Exchange SinglePartition): rows get
+# parallel global positions (operators/rank.py — range partition +
+# per-partition offsets), each row emits probe keys position+1..w, and
+# ONE int equi-join recovers exactly the lead-window pairs, partition
+# boundaries included. Verification reuses the q51 token-join confined
+# to candidates.
+# --------------------------------------------------------------------------
+
+_SNM_W = 2
+_SNM_TAU = 0.8
+
+
+@query(
+    "q134_sorted_neighborhood",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(array_to_string(list_sort(list_distinct(
+                 string_split(text, ' '))), ' '), 1, 40) AS k
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2
+      FROM keyed WINDOW w AS (ORDER BY k, doc_id)
+    ),
+    cand AS (
+      SELECT doc_id AS a, n1 AS b FROM ordered WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id AS a, n2 AS b FROM ordered WHERE n2 IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, w, len(ws) AS n FROM (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents
+      ), unnest(ws) AS u(w)
+    ),
+    shared AS (
+      SELECT c.a AS d1, c.b AS d2, ta.n AS na, tb.n AS nb,
+             count(*) AS both_n
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.a
+      JOIN tok tb ON tb.doc_id = c.b AND tb.w = ta.w
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT least(d1, d2) AS d1, greatest(d1, d2) AS d2,
+           CAST(both_n AS DOUBLE) / (na + nb - both_n) AS jac
+    FROM shared
+    WHERE CAST(both_n AS DOUBLE) / (na + nb - both_n) >= {_SNM_TAU}
+    ORDER BY d1, d2
+    """,
+    category="dedup",
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+            1,
+            40,
+        ).alias("k"),
+    )
+    from ..operators.rank import global_positions
+
+    pos = global_positions(keyed, ["k", "doc_id"], position_col="p").select(
+        "doc_id", "p"
+    )
+    probes = pos.select(
+        F.col("doc_id").alias("a"),
+        F.explode(
+            F.array(*[F.col("p") + F.lit(i) for i in range(1, _SNM_W + 1)])
+        ).alias("p"),
+    )
+    cand = probes.join(
+        pos.select(F.col("doc_id").alias("b"), "p"), "p"
+    ).select("a", "b")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("n"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    shared = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("b")) & (F.col("tb.w") == F.col("ta.w")),
+        )
+        .groupBy(
+            F.col("a").alias("d1_raw"),
+            F.col("b").alias("d2_raw"),
+            F.col("ta.n").alias("na"),
+            F.col("tb.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("both_n"))
+    )
+    jac = F.col("both_n").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("both_n")
+    )
+    return (
+        shared.withColumn("jac", jac)
+        .filter(F.col("jac") >= _SNM_TAU)
+        .select(
+            F.least("d1_raw", "d2_raw").alias("d1"),
+            F.greatest("d1_raw", "d2_raw").alias("d2"),
+            "jac",
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q135 — positional inverted index build: the IR core structure (term
+# -> document frequency, total term frequency, top-scoring postings)
+# as one exploded aggregation. Terms are word BIGRAMS (the unigram
+# vocabulary of this corpus is tiny). The posting list is capped at
+# the top 3 docs by (tf desc, doc_id desc) — a sorted ARRAY column,
+# exercising deterministic nested-type hashing. At scale: explode ->
+# one (term, doc) partial-agg shuffle -> one term agg; posting caps
+# keep the reduced row bounded regardless of document count.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q135_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS term
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM bg GROUP BY 1, 2)
+    SELECT term,
+           count(*) AS n_docs,
+           SUM(tf) AS tf_total,
+           (list(doc_id ORDER BY tf DESC, doc_id DESC))[1:3] AS top_docs
+    FROM tf
+    GROUP BY term
+    HAVING count(*) >= 25
+    ORDER BY term
+    """,
+    category="text",
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    ws = t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    lambda a, b: F.when(
+                        (a != "") & (b != ""), F.concat_ws(" ", a, b)
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("term"),
+    )
+    tf = bg.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tf").alias("tf_total"),
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct("tf", "doc_id")), asc=False
+                    ),
+                    1,
+                    3,
+                ),
+                lambda s: s.getField("doc_id"),
+            ).alias("top_docs"),
+        )
+        .filter(F.col("n_docs") >= 25)
+        .orderBy("term")
+    )
+
+
+# --------------------------------------------------------------------------
+# q136 — day-over-day distribution drift via EXACT total-variation
+# distance. TV(P_d, P_{d-1}) = 1/2 * sum_types |p - q| is the standard
+# drift alarm for monitoring a production event pipeline; computed here
+# with the integer cross-multiplication
+#   sum |c_cur * N_prev - c_prev * N_cur| / (2 * N_cur * N_prev)
+# so the reduction is an exact integer sum (order-free) and the single
+# final division is a correctly-rounded IEEE op — hash-stable without
+# any log/exp (KL's logs are libm-dependent across engines; TV is not).
+#
+# Scale shape: contributions are emitted twice (to the day itself and
+# to the following day) in ONE pass — a union of two projections of the
+# same per-(day,type) count table — then a single (day,type) shuffle
+# and a day-level agg; day totals ride the same aggregates, no
+# self-join of the fact table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q136_tv_drift",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT d, event_type, c AS cur, 0 AS prev FROM cnt
+      UNION ALL
+      SELECT d + 1, event_type, 0, c FROM cnt
+    ),
+    pairs AS (
+      SELECT d, event_type, SUM(cur) AS cur, SUM(prev) AS prev
+      FROM contrib GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT d, SUM(cur) AS n_cur, SUM(prev) AS n_prev FROM pairs GROUP BY 1
+    )
+    SELECT p.d AS day,
+           CAST(SUM(abs(p.cur * t.n_prev - p.prev * t.n_cur)) AS DOUBLE)
+             / (2.0 * t.n_cur * t.n_prev) AS tv
+    FROM pairs p JOIN tot t ON p.d = t.d
+    WHERE t.n_cur > 0 AND t.n_prev > 0
+    GROUP BY p.d, t.n_cur, t.n_prev
+    ORDER BY day
+    """,
+    category="analytics",
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    cnt = (
+        t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    contrib = cnt.select(
+        "d", "event_type", F.col("c").alias("cur"), F.lit(0).alias("prev")
+    ).unionAll(
+        cnt.select(
+            F.date_add("d", 1).alias("d"),
+            "event_type",
+            F.lit(0).alias("cur"),
+            F.col("c").alias("prev"),
+        )
+    )
+    pairs = contrib.groupBy("d", "event_type").agg(
+        F.sum("cur").alias("cur"), F.sum("prev").alias("prev")
+    )
+    tot = pairs.groupBy("d").agg(
+        F.sum("cur").alias("n_cur"), F.sum("prev").alias("n_prev")
+    )
+    return (
+        pairs.join(F.broadcast(tot), "d")
+        .filter((F.col("n_cur") > 0) & (F.col("n_prev") > 0))
+        .groupBy(F.col("d").alias("day"), "n_cur", "n_prev")
+        .agg(
+            (
+                F.sum(
+                    F.abs(
+                        F.col("cur") * F.col("n_prev")
+                        - F.col("prev") * F.col("n_cur")
+                    )
+                ).cast("double")
+                / (F.lit(2.0) * F.col("n_cur") * F.col("n_prev"))
+            ).alias("tv")
+        )
+        .select("day", "tv")
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q137 — reciprocal-rank fusion of a keyword ranking and an embedding
+# ranking (the standard hybrid-search combiner: RRF(d) = sum_r
+# 1/(K + rank_r(d)), Cormack et al. SIGIR'09, K=60). The keyword score
+# is an integer-scaled tf*idf (tf * (1e6*N div df) — integer div makes
+# the per-term contribution and its sum exact and order-free); the
+# embedding ranking is cosine vs a fixed probe vector via the q54
+# sequential-reduce idiom. Ranks are integers; the fused score is a
+# two-term sum of reciprocals written in fixed order — deterministic
+# IEEE arithmetic, no float aggregation anywhere.
+#
+# Scale shape: keyword side is explode -> (term,doc) agg with the tiny
+# probe-term df map broadcast; embedding side is a map-side score +
+# one global window for rank (at 100 TB the global row_number becomes
+# the parallel numbering of operators/rank.py; here the ranked set is
+# already small). Inner join of two ranked lists on the shared id.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TERMS = ("query", "join", "window")
+_RRF_PROBE_ID = 7
+_RRF_TOPN = 20
+
+
+@query(
+    "q137_rrf_hybrid",
+    oracle=f"""
+    WITH n_docs AS (SELECT count(*) AS n FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ('query', 'join', 'window') GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    kw AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf * ((1000000 * n.n) // df.df)) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n_docs n
+      GROUP BY 1
+    ),
+    kwrank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_kw
+      FROM kw
+    ),
+    probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = {_RRF_PROBE_ID}),
+    emb AS (
+      SELECT e.vec_id,
+             list_reduce(
+               list_transform(generate_series(1, len(p.pe)),
+                              i -> CAST(p.pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(p.pe)),
+                                 i -> CAST(p.pe[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))
+             AS cosine
+      FROM embeddings e CROSS JOIN probe p
+    ),
+    embrank AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_emb
+      FROM emb
+    )
+    SELECT k.doc_id, k.r_kw, e.r_emb,
+           1.0 / ({_RRF_K} + k.r_kw) + 1.0 / ({_RRF_K} + e.r_emb) AS rrf
+    FROM kwrank k JOIN embrank e ON e.vec_id = k.doc_id
+    ORDER BY rrf DESC, k.doc_id
+    LIMIT {_RRF_TOPN}
+    """,
+    category="similarity",
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    emb = t(spark, sf, "embeddings")
+    n_docs = docs.agg(F.count("*").alias("n"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = (
+        tok.filter(F.col("w").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    kw = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("(1000000 * n) div df")).alias("score")
+        )
+    )
+    kwrank = kw.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("r_kw"),
+    )
+    probe = emb.filter(F.col("vec_id") == _RRF_PROBE_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    from .llm import _SPARK_DOT, _SPARK_NORM
+
+    scored = (
+        emb.crossJoin(F.broadcast(probe))
+        .withColumn("dot", F.expr(_SPARK_DOT))
+        .withColumn("qn", F.expr(_SPARK_NORM.format(col="qe")))
+        .withColumn("en", F.expr(_SPARK_NORM.format(col="embedding")))
+        .select(
+            "vec_id", (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine")
+        )
+    )
+    embrank = scored.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("r_emb"),
+    )
+    fused = kwrank.join(embrank, F.col("vec_id") == F.col("doc_id")).select(
+        "doc_id",
+        "r_kw",
+        "r_emb",
+        (
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_kw"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_emb"))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPN)
+
+
+# --------------------------------------------------------------------------
+# q138 — winsorized robust statistics per group: clip each value into
+# its group's exact [p05, p95] percentile band, then recompute the mean
+# over the clipped values. The outlier-robust summary every data-quality
+# dashboard runs; two aggregation passes (the classic exact shape:
+# percentile frame broadcast back onto the rows — same pattern as the
+# q92 exact median). The clipped sum goes through dsum at scale 6
+# (clip boundaries are interpolated doubles, so 2 decimals would sit on
+# rounding boundaries; 6 puts the grid far below them).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q138_winsorized_stats",
+    oracle=f"""
+    WITH pct AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS p05,
+             quantile_cont(c_acctbal, 0.95) AS p95
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_mktsegment, p.p05, p.p95,
+           count(*) AS n_rows,
+           {sql_dsum('greatest(p.p05, least(p.p95, c.c_acctbal))', 'wins_sum', 6)},
+           CAST(SUM(CAST(greatest(p.p05, least(p.p95, c.c_acctbal)) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*) AS wins_mean
+    FROM customer c JOIN pct p ON c.c_mktsegment = p.c_mktsegment
+    GROUP BY 1, 2, 3
+    ORDER BY c.c_mktsegment
+    """,
+    category="analytics",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    pct = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+    )
+    clipped = cust.join(F.broadcast(pct), "c_mktsegment").withColumn(
+        "wv", F.greatest("p05", F.least("p95", F.col("c_acctbal")))
+    )
+    return (
+        clipped.groupBy("c_mktsegment", "p05", "p95")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("wv", "wins_sum", scale=6, max_abs=20000.0),
+            (dsum_expr("wv", scale=6, max_abs=20000.0) / F.count("*")).alias(
+                "wins_mean"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q139 — bloom-filter decontamination: membership pruning against an
+# eval/benchmark set WITHOUT shuffling the corpus against it. Texts
+# are digested map-side (sha2-256 — the q50 exact-dedup convention:
+# shuffles carry 64-char digests, never corpus bytes); the eval set's
+# digests expand to k hash positions (a distributed bloom bitmap: the
+# distinct position set, <= k*|S| ints, broadcast); corpus docs probe
+# all k positions and only docs hitting ALL k are candidates — bloom
+# guarantees zero false negatives, so the digest equi-join confined to
+# candidates yields EXACTLY the true contamination count. The output
+# is all-exact (doc/eval/contaminated/clean counts) — a dropped true
+# positive would undercount n_contaminated and hash-mismatch, so the
+# green row certifies the bloom path end-to-end. False positives only
+# cost verify work and are removed by it.
+#
+# Scale: |bitmap| ~ k*|S| ints regardless of corpus size; the corpus
+# side is one map-side digest+probe, a broadcast position join, and
+# one candidate-confined digest join — the q82 broadcast
+# decontamination shape with the membership test compressed to ints.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 17
+_BLOOM_K = 4
+
+
+@query(
+    "q139_bloom_decontaminate",
+    oracle="""
+    WITH eval_set AS (
+      SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0
+    ),
+    contam AS (
+      SELECT count(*) AS n_contaminated
+      FROM documents d WHERE EXISTS (
+        SELECT 1 FROM eval_set e WHERE e.text = d.text
+      )
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM eval_set) AS n_eval,
+           n_contaminated,
+           (SELECT count(*) FROM documents) - n_contaminated AS n_clean
+    FROM contam
+    """,
+    category="dedup",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    dig = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("dg"))
+    eval_set = dig.filter(F.col("doc_id") % 7 == 0).select("dg").distinct()
+
+    def positions(col: str) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_BLOOM_M))
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    bitmap = eval_set.select(F.explode(positions("dg")).alias("pos")).distinct()
+    probed = dig.select(
+        "doc_id", "dg", F.posexplode(positions("dg")).alias("slot", "pos")
+    )
+    cand = (
+        probed.join(F.broadcast(bitmap), "pos")
+        .groupBy("doc_id", "dg")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == _BLOOM_K)
+        .select("doc_id", "dg")
+    )
+    contaminated = cand.join(
+        eval_set.withColumnRenamed("dg", "edg"),
+        F.col("dg") == F.col("edg"),
+        "left_semi",
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_eval = eval_set.agg(F.count("*").alias("n_eval"))
+    n_con = contaminated.agg(F.count("*").alias("n_contaminated"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_eval))
+        .crossJoin(F.broadcast(n_con))
+        .select(
+            "n_docs",
+            "n_eval",
+            "n_contaminated",
+            (F.col("n_docs") - F.col("n_contaminated")).alias("n_clean"),
+        )
+    )

@@ -612,3 +612,51 @@ def test_pq_ann_recall_and_code_compression(spark, sf_dir):
     adc = pq_search(q, codes, books, top_k=10)
     adc_hits = adc.join(exact, ["q_id", "vec_id"]).count()
     assert adc_hits >= 15
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    """CM guarantee: est >= true for EVERY key (collisions only add).
+    Checked over a skewed synthetic stream; also checks the linearity
+    property — the sketch of the union equals cell-wise sum of the
+    shard sketches (build over a repartitioned frame must equal the
+    1-partition build, since groupBy-sum is the merge)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.countmin import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), (F.col("id") % 100 * (F.col("id") % 7)).cast("string")).alias("key")
+    )
+    width, depth = 64, 4  # deliberately tight: collisions guaranteed
+    sketch = count_min_build(df, "key", width, depth)
+    exact = df.groupBy("key").agg(F.count("*").alias("true_n"))
+    est = count_min_estimate(sketch, exact, "key", width, depth)
+    bad = est.filter(F.col("est") < F.col("true_n")).count()
+    assert bad == 0
+
+    # linearity / merge-invariance under partitioning
+    s1 = count_min_build(df.coalesce(1), "key", width, depth)
+    s8 = count_min_build(df.repartition(8), "key", width, depth)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s8.collect()))
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """The map-side gram accumulation equals the single-threaded numpy
+    computation exactly (fixed-point floor grid), under any
+    partitioning."""
+    import numpy as np
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.gram import gram_matrix
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(500, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "embedding array<float>"
+    ).repartition(7)
+    g = {(r["i"], r["j"]): int(r["s"]) for r in gram_matrix(df, "embedding", 8, 6).collect()}
+    xd = x.astype(np.float64)
+    for i in range(8):
+        for j in range(i, 8):
+            expect = int(np.floor(xd[:, i] * xd[:, j] * 1e6).astype(np.int64).sum())
+            assert g[(i, j)] == expect, (i, j)

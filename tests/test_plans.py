@@ -343,3 +343,49 @@ def test_q123_scd2_merge_rebuilds_only_delta_keys(spark, sf_dir):
     plan = physical_plan(_q("q123_scd2_merge", spark, sf_dir))
     assert "LeftAnti" in plan
     assert "LeftSemi" in plan
+
+
+def test_q134_snm_no_single_partition_window(spark, sf_dir):
+    """Sorted-neighborhood pairing must come from parallel global
+    numbering + an int equi-join, never an unpartitioned lead() window
+    (Exchange SinglePartition funnels the whole corpus through one
+    task)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q134_sorted_neighborhood", spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q133_gram_shuffles_cells_not_vectors(spark, sf_dir):
+    """The gram operator accumulates d x d partials map-side
+    (mapInPandas); no exchange may carry the embedding column — shuffle
+    volume is integer cells, independent of row count."""
+    import re
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q133_dimension_colsim", spark, sf_dir))
+    for m in re.finditer(r"Exchange (hash|range)partitioning\([^\n]*", plan):
+        assert "embedding#" not in m.group(0), m.group(0)
+
+
+def test_q139_bloom_bitmap_broadcast_no_text_shuffle(spark, sf_dir):
+    """Bloom decontamination: the position bitmap joins broadcast; no
+    exchange carries raw text (digests only — the q50 convention)."""
+    import re
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    df = _q("q139_bloom_decontaminate", spark, sf_dir)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    for m in re.finditer(r"Exchange (hash|range)partitioning\([^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_q132_countmin_probe_broadcasts_sketch(spark, sf_dir):
+    """The CM sketch is a fixed depth x width cell table: the probe
+    join must broadcast it, never shuffle the probe side against it."""
+    df = _q("q132_countmin_freq", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
