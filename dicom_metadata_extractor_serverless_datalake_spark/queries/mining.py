@@ -736,3 +736,249 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_contaminated")).alias("n_clean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — seasonal decomposition + anomaly flags on the daily event
+# series: 7-day centered moving-average trend, day-of-week seasonal
+# means, and a deviation flag — the monitoring pass every production
+# ingest pipeline runs over its own volume metrics. All windows operate
+# on the AGGREGATED daily frame (bounded by calendar days, not event
+# count), so the global ordering is trivially small at any corpus
+# scale; the raw-event pass is one groupBy(day). Exactness: window and
+# group sums are integer counts; trend/seasonal means are single
+# int/int divisions (correctly-rounded IEEE, engine-portable); the
+# anomaly predicate |n - trend| > 0.1*trend is evaluated as the
+# integer cross-multiplication 10*|n*wcnt - wsum| > wsum*wcnt... 
+# reduced to 10*|n*wcnt - wsum| > wsum (both sides scaled by wcnt),
+# so the flag never touches floats.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q140_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    trendw AS (
+      SELECT day, n,
+             SUM(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+             COUNT(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt,
+             dayofweek(day) AS dow
+      FROM daily
+    ),
+    dows AS (
+      SELECT dow, SUM(n) AS dsum, COUNT(*) AS dcnt
+      FROM trendw GROUP BY 1
+    )
+    SELECT t.day, t.n,
+           CAST(t.wsum AS DOUBLE) / t.wcnt AS trend,
+           CAST(d.dsum AS DOUBLE) / d.dcnt AS dow_mean,
+           (10 * abs(t.n * t.wcnt - t.wsum) > t.wsum) AS anomaly
+    FROM trendw t JOIN dows d ON t.dow = d.dow
+    ORDER BY t.day
+    """,
+    category="analytics",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        t(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trendw = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("wsum"),
+        F.count("n").over(w).alias("wcnt"),
+        F.dayofweek("day").alias("dow"),
+    )
+    dows = trendw.groupBy("dow").agg(
+        F.sum("n").alias("dsum"), F.count("*").alias("dcnt")
+    )
+    return (
+        trendw.join(F.broadcast(dows), "dow")
+        .select(
+            "day",
+            "n",
+            (F.col("wsum").cast("double") / F.col("wcnt")).alias("trend"),
+            (F.col("dsum").cast("double") / F.col("dcnt")).alias("dow_mean"),
+            (
+                F.lit(10) * F.abs(F.col("n") * F.col("wcnt") - F.col("wsum"))
+                > F.col("wsum")
+            ).alias("anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q141 — equi-join cardinality estimation from two Count-Min sketches
+# (operators/countmin.py count_min_inner_product): |customer JOIN
+# supplier ON nationkey| priced WITHOUT touching either table beyond
+# one sketch-building scan each — the fixed-size-summary join
+# estimator an optimizer uses before committing to a join strategy.
+# Certified with the exact+bound-boolean pattern: the exact join size
+# is computed join-free as sum_key cntC(key)*cntS(key) (count both
+# sides, join the 25-row count tables, sum products — never the rows);
+# the CM estimate must satisfy est >= exact (guaranteed: collision
+# cross-terms only add) and est <= exact + 8*Nc*Ns/width (Markov,
+# failure (1/8)^depth = 3e-5). Scale: both sketches are depth x width
+# cell tables whatever the table sizes; the estimate is a
+# broadcast-sized sketch join.
+# --------------------------------------------------------------------------
+
+_JS_WIDTH = 64
+_JS_DEPTH = 5
+
+
+@query(
+    "q141_join_size_sketch",
+    oracle=f"""
+    WITH cc AS (SELECT c_nationkey AS k, count(*) AS c FROM customer GROUP BY 1),
+    ss AS (SELECT s_nationkey AS k, count(*) AS c FROM supplier GROUP BY 1),
+    ex AS (
+      SELECT SUM(cc.c * ss.c) AS exact_join_size
+      FROM cc JOIN ss ON cc.k = ss.k
+    )
+    SELECT exact_join_size,
+           (SELECT count(*) FROM customer) AS n_left,
+           (SELECT count(*) FROM supplier) AS n_right,
+           TRUE AS ge_ok, TRUE AS tight_ok
+    FROM ex
+    """,
+    category="sketch",
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.countmin import count_min_build, count_min_inner_product
+
+    cust = t(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("string").alias("k")
+    )
+    supp = t(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("string").alias("k")
+    )
+    sa = count_min_build(cust, "k", _JS_WIDTH, _JS_DEPTH)
+    sb = count_min_build(supp, "k", _JS_WIDTH, _JS_DEPTH)
+    est = count_min_inner_product(sa, sb)
+
+    cc = cust.groupBy("k").agg(F.count("*").alias("c"))
+    ss = supp.groupBy("k").agg(F.count("*").alias("c_s"))
+    exact = (
+        cc.join(ss, "k")
+        .agg(F.sum(F.col("c") * F.col("c_s")).alias("exact_join_size"))
+    )
+    nl = cust.agg(F.count("*").alias("n_left"))
+    nr = supp.agg(F.count("*").alias("n_right"))
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "exact_join_size",
+            "n_left",
+            "n_right",
+            (F.col("est") >= F.col("exact_join_size")).alias("ge_ok"),
+            (
+                F.col("est") * F.lit(_JS_WIDTH)
+                <= F.col("exact_join_size") * F.lit(_JS_WIDTH)
+                + F.lit(8) * F.col("n_left") * F.col("n_right")
+            ).alias("tight_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q142 — frequent brand pairs per order (market-basket mining with
+# a-priori pruning): baskets are the distinct part brands per order;
+# brands below the support floor are pruned BEFORE pair generation
+# (the a-priori property: a pair can only be frequent if both members
+# are), then each pruned basket emits its C(m,2) ordered pairs
+# map-side from the sorted item array — no self-join of the exploded
+# item table (the naive SQL shape, which shuffles items twice and
+# blows up on large baskets pre-pruning). One collect_set shuffle +
+# one pair-count shuffle; the frequent-singleton array is
+# broadcast-attached. Support ratio is an int/int division.
+# --------------------------------------------------------------------------
+
+_MB_MINSUP = 40  # support floor = n_baskets / 40 (2.5%)
+
+
+@query(
+    "q142_frequent_pairs",
+    oracle=f"""
+    WITH it AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM it),
+    f1 AS (
+      SELECT p_brand FROM it GROUP BY 1
+      HAVING count(*) * {_MB_MINSUP} >= (SELECT nb FROM n)
+    ),
+    it2 AS (SELECT it.l_orderkey, it.p_brand FROM it JOIN f1 USING (p_brand)),
+    pairs AS (
+      SELECT a.p_brand AS b1, b.p_brand AS b2, count(*) AS supp
+      FROM it2 a JOIN it2 b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT b1, b2, supp, CAST(supp AS DOUBLE) / nb AS support
+    FROM pairs, n
+    WHERE supp * {_MB_MINSUP} >= nb
+    ORDER BY b1, b2
+    """,
+    category="analytics",
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf, "part").select("p_partkey", "p_brand")
+    it = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = it.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("items")
+    )
+    nb = baskets.agg(F.count("*").alias("nb"))
+    f1 = (
+        it.groupBy("p_brand")
+        .agg(F.count("*").alias("c1"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c1") * _MB_MINSUP >= F.col("nb"))
+        .agg(F.sort_array(F.collect_list("p_brand")).alias("fb"))
+    )
+    pruned = (
+        baskets.crossJoin(F.broadcast(f1))
+        .select(
+            "l_orderkey", F.array_intersect("items", "fb").alias("it")
+        )
+        .filter(F.size("it") >= 2)
+    )
+    # map-side ordered-pair expansion from the sorted item array
+    pairs = pruned.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(it) - 1), i -> "
+                "transform(slice(it, i + 1, size(it) - i), "
+                "x -> struct(element_at(it, i) AS b1, x AS b2))))"
+            )
+        ).alias("pr")
+    ).select("pr.b1", "pr.b2")
+    return (
+        pairs.groupBy("b1", "b2")
+        .agg(F.count("*").alias("supp"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("supp") * _MB_MINSUP >= F.col("nb"))
+        .select(
+            "b1",
+            "b2",
+            "supp",
+            (F.col("supp").cast("double") / F.col("nb")).alias("support"),
+        )
+        .orderBy("b1", "b2")
+    )

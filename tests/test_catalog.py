@@ -212,3 +212,47 @@ def test_analyze_table_records_stats(spark, tmp_path):
         assert info.get("distinct_count") not in (None, "NULL")
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_probe")
+
+
+def test_bucketed_marker_layout_roundtrip(spark, tmp_path):
+    """A dataset dir shipping a {name}.bucketed.json marker makes
+    load_table register an external bucketed table over the SAME
+    parquet files: rows identical to a plain read, and groupBy on the
+    bucket column plans with NO exchange (the point of the layout)."""
+    import json
+
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    loc = str(tmp_path / "lineitem.bucketed")
+    spark.sql("DROP TABLE IF EXISTS bucketed_probe")
+    (
+        src.write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", loc)
+        .format("parquet")
+        .saveAsTable("bucketed_probe")
+    )
+    (tmp_path / "lineitem.bucketed.json").write_text(
+        json.dumps(
+            {
+                "location": loc,
+                "bucket_col": "l_orderkey",
+                "sort_col": "l_orderkey",
+                "num_buckets": 4,
+                "schema_ddl": src.schema.toDDL(),
+            }
+        )
+    )
+    try:
+        df = load_table(spark, str(tmp_path), "lineitem")
+        assert df.count() == src.count()
+        agg = df.groupBy("l_orderkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # plain-read parity on an aggregate
+        a = sorted(map(tuple, agg.collect()))
+        b = sorted(map(tuple, src.groupBy("l_orderkey").count().collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_probe")
