@@ -722,19 +722,20 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         eval_set.withColumnRenamed("dg", "edg"),
         F.col("dg") == F.col("edg"),
         "left_semi",
-    )
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    n_eval = eval_set.agg(F.count("*").alias("n_eval"))
-    n_con = contaminated.agg(F.count("*").alias("n_contaminated"))
-    return (
-        n_docs.crossJoin(F.broadcast(n_eval))
-        .crossJoin(F.broadcast(n_con))
-        .select(
-            "n_docs",
-            "n_eval",
-            "n_contaminated",
-            (F.col("n_docs") - F.col("n_contaminated")).alias("n_clean"),
-        )
+    ).select("doc_id", F.lit(1).alias("is_c"))
+    # one aggregate over the flagged corpus — n_eval rides the same
+    # pass as a conditional distinct count, so no 1-row scalar-attach
+    # joins appear anywhere in the plan
+    flags = dig.join(contaminated, "doc_id", "left")
+    return flags.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 7 == 0, F.col("dg"))
+        ).alias("n_eval"),
+        F.sum(F.coalesce(F.col("is_c"), F.lit(0))).alias("n_contaminated"),
+        (
+            F.count("*") - F.sum(F.coalesce(F.col("is_c"), F.lit(0)))
+        ).alias("n_clean"),
     )
 
 
