@@ -151,17 +151,87 @@ SCALE_TABLES = (
 )
 
 
+def _bucketize(spark, src_dir: str, out_dir: str, tables: dict[str, str]) -> str:
+    """Re-layout ``tables`` (name -> bucket key) from ``src_dir`` as
+    32-bucket hash layouts (sorted within buckets) under ``out_dir``,
+    declared via ``{name}.bucketed.json`` markers; all other tables are
+    symlinked. Same rows, same parquet format — both engines read the
+    same files; Spark additionally skips the exchanges on the bucket
+    key (sources/tables.load_table resolves the markers)."""
+    import hashlib
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, key in tables.items():
+        loc = os.path.join(out_dir, f"{name}.bucketed")
+        mpath = os.path.join(out_dir, f"{name}.bucketed.json")
+        if os.path.exists(mpath) and os.path.exists(os.path.join(loc, "_SUCCESS")):
+            continue
+        df = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
+        tmp = "bench_bucketed_" + hashlib.md5(loc.encode()).hexdigest()[:12]
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        (
+            df.write.bucketBy(32, key)
+            .sortBy(key)
+            .option("path", loc)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+        with open(mpath, "w") as fh:
+            _json.dump(
+                {
+                    "location": loc,
+                    "bucket_col": key,
+                    "sort_col": key,
+                    "num_buckets": 32,
+                    "schema_ddl": df.schema.toDDL(),
+                },
+                fh,
+            )
+    for t in SCALE_TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t in tables:
+            continue
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
+    return out_dir
+
+
+def _duck_views(con, d: str) -> None:
+    """Register the dataset dir's tables as DuckDB views — bucket-file
+    globs where a bucketed layout exists, so both engines read the
+    same files."""
+    for t in SCALE_TABLES:
+        p = os.path.join(d, f"{t}.bucketed")
+        if not os.path.isdir(p):
+            p = os.path.join(d, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
 def _scale_section(spark, queries) -> dict | None:
     """Run the relational headline at 100x sf0.1 (60M lineitem rows) and
-    DuckDB on the identical oracle SQL over the same parquet files."""
+    DuckDB on the identical oracle SQL over the same parquet files —
+    the fact tables in the same bucketed layout as the crossover."""
     if os.environ.get("SPARK_GRAFT_SCALE", "1") == "0":
         return None
-    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sfsynth10")
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from make_scale_data import ensure
 
-        ensure(scale_dir, "rel", SCALE_FACTOR)
+        plain = ensure(
+            os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sfsynth10"),
+            "rel",
+            SCALE_FACTOR,
+        )
+        scale_dir = _bucketize(
+            spark,
+            plain,
+            os.environ.get("SPARK_GRAFT_SCALE_BDIR", "/tmp/sfsynth10b"),
+            {"lineitem": "l_orderkey", "orders": "o_orderkey"},
+        )
     except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
         print(f"scale section skipped: {type(e).__name__}: {e}", file=sys.stderr)
         return None
@@ -191,11 +261,7 @@ def _scale_section(spark, queries) -> dict | None:
         import duckdb
 
         con = duckdb.connect()
-        for t in SCALE_TABLES:
-            p = os.path.join(scale_dir, f"{t}.parquet")
-            if os.path.isdir(p):
-                p = os.path.join(p, "*.parquet")
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        _duck_views(con, scale_dir)
         for _pass in range(6):
             for name in SCALE_QUERIES:
                 t0 = time.perf_counter()
@@ -338,14 +404,7 @@ def _crossover_section(spark, queries) -> dict | None:
         import duckdb
 
         con = duckdb.connect()
-        for t in SCALE_TABLES:
-            # same files for both engines: duck globs the bucket files
-            p = os.path.join(xdir, f"{t}.bucketed")
-            if not os.path.isdir(p):
-                p = os.path.join(xdir, f"{t}.parquet")
-            if os.path.isdir(p):
-                p = os.path.join(p, "*.parquet")
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        _duck_views(con, xdir)
         for _pass in range(5):
             for name in SCALE_QUERIES:
                 t0 = time.perf_counter()
