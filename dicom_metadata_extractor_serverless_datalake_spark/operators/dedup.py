@@ -312,3 +312,51 @@ def containment_pairs(
             ),
         )
     )
+
+
+def snm_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    key_chars: int = 40,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (a, b): the merge/purge
+    method (Hernandez & Stolfo, SIGMOD'95) — ONE global sort by a
+    word-order-insensitive content key (the doc's sorted distinct-token
+    string, truncated) brings likely duplicates adjacent; each record
+    pairs with only its ``window`` following neighbors. Candidate
+    volume is window * N — LINEAR, vs LSH's banding tables — at the
+    cost of missing duplicates whose keys diverge in the first
+    ``key_chars`` characters.
+
+    Scale shape: positions come from the parallel global numbering
+    operator (range partition + per-partition offsets — no
+    single-partition window), and neighbor pairing is ONE int
+    equi-join on position+i probe keys, partition boundaries included.
+    Pair with ``jaccard_verify``/``estimate_verify`` for the
+    verification stage, exactly like the LSH candidate path."""
+    from .rank import global_positions
+
+    keyed = df.select(
+        F.col(id_col),
+        F.substring(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
+            ),
+            1,
+            key_chars,
+        ).alias("_k"),
+    )
+    pos = global_positions(keyed, ["_k", id_col], position_col="_p").select(
+        F.col(id_col), F.col("_p")
+    )
+    probes = pos.select(
+        F.col(id_col).alias("a"),
+        F.explode(
+            F.array(*[F.col("_p") + F.lit(i) for i in range(1, window + 1)])
+        ).alias("_p"),
+    )
+    return probes.join(
+        pos.select(F.col(id_col).alias("b"), "_p"), "_p"
+    ).select("a", "b")

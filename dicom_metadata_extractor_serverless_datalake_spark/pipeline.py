@@ -107,6 +107,44 @@ class TextCorpus:
         )
         return self._with(self.df.join(losers, self.id_col, "left_anti"))
 
+    def dedup_snm(
+        self, threshold: float = 0.8, window: int = 2, key_chars: int = 40
+    ) -> "TextCorpus":
+        """Near-dedup via the sorted-neighborhood (merge/purge) method:
+        one global content-key sort, each doc pairs with its ``window``
+        following neighbors, exact shingle-Jaccard verify at
+        ``threshold``, connected-component clustering, keep the min-id
+        canonical per cluster (q134's candidate shape + q68/q77's
+        verify/cluster stages). Candidate volume is window * N —
+        linear and tuning-free where LSH needs signature/band choices —
+        at the cost of missing near-dups whose sorted-token keys
+        diverge within ``key_chars``; prefer ``dedup_near`` when recall
+        matters more than simplicity."""
+        from .operators.cluster import dedup_clusters
+        from .operators.dedup import (
+            jaccard_verify,
+            shingle_tokens,
+            snm_candidates,
+        )
+
+        cand = snm_candidates(
+            self.df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            window=window,
+            key_chars=key_chars,
+        ).select(F.col("a").alias("d1"), F.col("b").alias("d2"))
+        tok = shingle_tokens(self.df, id_col=self.id_col, text_col=self.text_col)
+        pairs = jaccard_verify(
+            cand, tok, threshold=threshold, id_col=self.id_col
+        )
+        losers = (
+            dedup_clusters(pairs)
+            .filter(~F.col("is_canonical"))
+            .select(F.col("doc_id").alias(self.id_col))
+        )
+        return self._with(self.df.join(losers, self.id_col, "left_anti"))
+
     def dedup_contained(
         self, threshold: float = 0.8, min_shingles: int = 10
     ) -> "TextCorpus":

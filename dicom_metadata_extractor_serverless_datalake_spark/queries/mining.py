@@ -238,29 +238,10 @@ _SNM_TAU = 0.8
     category="dedup",
 )
 def q134(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
-    keyed = docs.select(
-        "doc_id",
-        F.substring(
-            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
-            1,
-            40,
-        ).alias("k"),
-    )
-    from ..operators.rank import global_positions
+    from ..operators.dedup import snm_candidates
 
-    pos = global_positions(keyed, ["k", "doc_id"], position_col="p").select(
-        "doc_id", "p"
-    )
-    probes = pos.select(
-        F.col("doc_id").alias("a"),
-        F.explode(
-            F.array(*[F.col("p") + F.lit(i) for i in range(1, _SNM_W + 1)])
-        ).alias("p"),
-    )
-    cand = probes.join(
-        pos.select(F.col("doc_id").alias("b"), "p"), "p"
-    ).select("a", "b")
+    docs = t(spark, sf, "documents")
+    cand = snm_candidates(docs, window=_SNM_W, key_chars=40)
     tok = docs.select(
         "doc_id",
         F.size(F.array_distinct(F.split("text", " "))).alias("n"),

@@ -162,3 +162,28 @@ def test_dedup_contained_mutual_pair_keeps_exactly_one(spark):
     out = TextCorpus(docs).dedup_contained(threshold=0.8).df
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [8]  # larger shingle set survives
+
+
+def test_dedup_snm_drops_planted_near_dups(spark):
+    """SNM near-dedup on a corpus with DISTINCTIVE content keys: each
+    near-dup shares its source's sorted-token key prefix, sorts
+    adjacent, verifies, and the min-id canonical survives. (On a
+    near-degenerate key space — e.g. a tiny shared vocabulary — SNM's
+    window can miss pairs; that recall limit is documented on the
+    operator and is why dedup_near exists.)"""
+    rows = []
+    for i in range(30):
+        words = [f"w{i:02d}x{j}" for j in range(12)]
+        rows.append((i, " ".join(words)))
+        # near-dup: same word multiset minus one, one added -> J ~ 11/13
+        rows.append((1_000_000 + i, " ".join(words[:-1] + [f"w{i:02d}zz"])))
+    both = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TextCorpus(both).dedup_snm(threshold=0.6).df
+    ids1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert all(i < 1_000_000 for i in ids1)
+    assert len(ids1) == 30
+    ids2 = sorted(
+        r.doc_id
+        for r in TextCorpus(both).dedup_snm(threshold=0.6).df.select("doc_id").collect()
+    )
+    assert ids1 == ids2
