@@ -77,26 +77,10 @@ _PRIORITY = [
     "q129_stream_heavy_hitters",
     "q130_zorder_skipping",
     "q131_ann_pq",
-    # least-recently-verified round-2 greens (LLM/dedup/training family)
-    "q50_dedup_exact",
-    "q51_jaccard_pairs",
-    "q52_minhash_lsh",
-    "q53_simhash",
-    "q54_cosine_topk",
-    "q55_ann_lsh",
-    "q56_text_stats",
-    "q57_language_id",
-    "q58_fingerprint",
-    "q59_token_count",
-    "q60_embedding_neardup",
-    "q61_image_features",
-    "q62_frame_sample",
-    # ^ exactly 50 entries (q122-q131, new this round, take the last
-    # slots; q63-q74 slide to round 5). q63-q82/q85/q45/q49/q14 +
-    # q01-q12 (green r02) and the r03-green analytics/streaming
-    # families follow and rotate into round 5, led by the round-4b
-    # mining/IR additions q132-q139 (locally oracle-verified, no
-    # driver row yet).
+    # round-4b mining/IR additions — NEVER driver-verified, so they
+    # outrank re-verification of the r02-green LLM family for the
+    # remaining window slots (all are locally oracle-EXACT at
+    # sf0.001/0.01/0.1)
     "q132_countmin_freq",
     "q133_dimension_colsim",
     "q134_sorted_neighborhood",
@@ -108,6 +92,25 @@ _PRIORITY = [
     "q140_seasonal_anomaly",
     "q141_join_size_sketch",
     "q142_frequent_pairs",
+    "q143_stream_tv_drift",
+    # one flagship LLM representative keeps a fresh row
+    "q52_minhash_lsh",
+    # ^ exactly 50 entries. The rest of the LLM family (q50, q51,
+    # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
+    # and the r03-green analytics/streaming families follow and rotate
+    # into round 5's window.
+    "q50_dedup_exact",
+    "q51_jaccard_pairs",
+    "q53_simhash",
+    "q54_cosine_topk",
+    "q55_ann_lsh",
+    "q56_text_stats",
+    "q57_language_id",
+    "q58_fingerprint",
+    "q59_token_count",
+    "q60_embedding_neardup",
+    "q61_image_features",
+    "q62_frame_sample",
     "q63_modality_rollup",
     "q65_grouped_map_pandas",
     "q66_grouped_agg_pandas",

@@ -304,7 +304,7 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
     tf AS (SELECT term, doc_id, count(*) AS tf FROM bg GROUP BY 1, 2)
     SELECT term,
            count(*) AS n_docs,
-           SUM(tf) AS tf_total,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
            (list(doc_id ORDER BY tf DESC, doc_id DESC))[1:3] AS top_docs
     FROM tf
     GROUP BY term
@@ -409,6 +409,14 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
+    return tv_from_daily_counts(cnt)
+
+
+def tv_from_daily_counts(cnt: DataFrame) -> DataFrame:
+    """Exact day-over-day total-variation distance from a per-(day,
+    type) count frame ``(d date, event_type, c long)`` — the algebra
+    half of q136, shared with the streaming-executed q143 (which feeds
+    it counts accumulated by a streaming window aggregation)."""
     contrib = cnt.select(
         "d", "event_type", F.col("c").alias("cur"), F.lit(0).alias("prev")
     ).unionAll(
@@ -823,7 +831,7 @@ _JS_DEPTH = 5
     WITH cc AS (SELECT c_nationkey AS k, count(*) AS c FROM customer GROUP BY 1),
     ss AS (SELECT s_nationkey AS k, count(*) AS c FROM supplier GROUP BY 1),
     ex AS (
-      SELECT SUM(cc.c * ss.c) AS exact_join_size
+      SELECT CAST(SUM(cc.c * ss.c) AS BIGINT) AS exact_join_size
       FROM cc JOIN ss ON cc.k = ss.k
     )
     SELECT exact_join_size,

@@ -663,3 +663,67 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — streaming-executed distribution-drift monitor: the per-(day,
+# type) counts that feed the exact TV-distance algebra (q136's
+# tv_from_daily_counts) are accumulated by a STREAMING daily-window
+# aggregation across multiple micro-batches (time-split source,
+# maxFilesPerTrigger=1 => the count state for a day is built
+# incrementally as batches arrive and re-emitted complete at drain).
+# This is the production posture for a pipeline-health drift alarm —
+# counts maintained incrementally by the stream, the day-over-day
+# comparison computed over the always-current state — certified
+# against the same batch SQL oracle as q136.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q143_stream_tv_drift",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT d, event_type, c AS cur, 0 AS prev FROM cnt
+      UNION ALL
+      SELECT d + 1, event_type, 0, c FROM cnt
+    ),
+    pairs AS (
+      SELECT d, event_type, SUM(cur) AS cur, SUM(prev) AS prev
+      FROM contrib GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT d, SUM(cur) AS n_cur, SUM(prev) AS n_prev FROM pairs GROUP BY 1
+    )
+    SELECT p.d AS day,
+           CAST(SUM(abs(p.cur * t.n_prev - p.prev * t.n_cur)) AS DOUBLE)
+             / (2.0 * t.n_cur * t.n_prev) AS tv
+    FROM pairs p JOIN tot t ON p.d = t.d
+    WHERE t.n_cur > 0 AND t.n_prev > 0
+    GROUP BY p.d, t.n_cur, t.n_prev
+    ORDER BY day
+    """,
+    category="streaming",
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from .mining import tv_from_daily_counts
+
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stream = load_stream(spark, src, "events", max_files_per_trigger=1)
+        agg = stream.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        ).agg(F.count("*").alias("c"))
+        name, n_batches = _run_to_memory(agg, "complete")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    cnt = spark.table(name).select(
+        F.col("w.start").cast("date").alias("d"), "event_type", "c"
+    )
+    return tv_from_daily_counts(cnt)
