@@ -236,45 +236,53 @@ def _scale_section(spark, queries) -> dict | None:
         print(f"scale section skipped: {type(e).__name__}: {e}", file=sys.stderr)
         return None
 
-    # pass-major (interleaved) order: this host has intermittent ~100 s
-    # scheduler stalls, and back-to-back samples of one query would all
-    # land in the same stall window — interleaving decorrelates them so
-    # the per-query min survives. Pass 0 = cold, then min of 5 warm
-    # (round-3 driver run measured q01 at 0.97 s where a quiet run of
-    # the same binary records 0.43 s — ambient noise inflates Spark's
-    # min far more than DuckDB's, so both sides get 5 warm samples).
+    section = _measure_both(spark, queries, scale_dir, n_passes=6)
+    section = {
+        "factor_vs_sf0.1": SCALE_FACTOR,
+        "lineitem_rows": 60_000_000,
+        **section,
+    }
+    return section
+
+
+def _measure_both(spark, queries, data_dir: str, n_passes: int) -> dict:
+    """Interleaved two-engine measurement: each pass runs every query
+    on Spark THEN the identical oracle SQL on DuckDB, so both engines
+    sample the SAME ambient-noise windows (this host has intermittent
+    ~100 s scheduler stalls; engine-separated loops minutes apart let a
+    stall inflate one engine's min and not the other's — measured
+    same-code crossover ratios swung 1.64 -> 2.93 between runs under
+    engine-separated sampling). Pass 0 is cold (recorded, excluded from
+    mins); per-query result is the min over the remaining passes."""
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for _pass in range(6):
+    duck: dict[str, float] = {}
+    con = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        _duck_views(con, data_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"duckdb side skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    for _pass in range(n_passes):
         for name in SCALE_QUERIES:
             t0 = time.perf_counter()
-            rows = queries[name].spark_fn(spark, scale_dir).collect()
+            rows = queries[name].spark_fn(spark, data_dir).collect()
             dt = round(time.perf_counter() - t0, 3)
             if _pass == 0:
                 cold[name] = dt
             elif name not in times or dt < times[name]:
                 times[name] = dt
             _ = len(rows)
-
-    duck: dict[str, float] = {}
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        _duck_views(con, scale_dir)
-        for _pass in range(6):
+        if con is not None:
             for name in SCALE_QUERIES:
                 t0 = time.perf_counter()
                 con.execute(queries[name].oracle).fetchall()
                 dt = round(time.perf_counter() - t0, 3)
                 if _pass and (name not in duck or dt < duck[name]):
                     duck[name] = dt
-    except Exception as e:  # noqa: BLE001
-        print(f"scale duckdb side skipped: {type(e).__name__}: {e}", file=sys.stderr)
-
-    section = {
-        "factor_vs_sf0.1": SCALE_FACTOR,
-        "lineitem_rows": 60_000_000,
+    section: dict = {
         "queries": times,
         "cold_queries": cold,
         "total_sec": round(sum(times.values()), 3),
@@ -385,52 +393,12 @@ def _crossover_section(spark, queries) -> dict | None:
         print(f"crossover section skipped: {type(e).__name__}: {e}", file=sys.stderr)
         return None
 
-    # pass-major interleaving, same rationale as the scale section
-    times: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for _pass in range(5):
-        for name in SCALE_QUERIES:
-            t0 = time.perf_counter()
-            rows = queries[name].spark_fn(spark, xdir).collect()
-            dt = round(time.perf_counter() - t0, 3)
-            if _pass == 0:
-                cold[name] = dt
-            elif name not in times or dt < times[name]:
-                times[name] = dt
-            _ = len(rows)
-
-    duck: dict[str, float] = {}
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        _duck_views(con, xdir)
-        for _pass in range(5):
-            for name in SCALE_QUERIES:
-                t0 = time.perf_counter()
-                con.execute(queries[name].oracle).fetchall()
-                dt = round(time.perf_counter() - t0, 3)
-                if _pass and (name not in duck or dt < duck[name]):
-                    duck[name] = dt
-    except Exception as e:  # noqa: BLE001
-        print(f"crossover duckdb side skipped: {type(e).__name__}: {e}", file=sys.stderr)
-
+    section = _measure_both(spark, queries, xdir, n_passes=7)
     section = {
         "lineitem_rows": 600_000_000,
         "orders_rows": 150_000_000,
-        "queries": times,
-        "cold_queries": cold,
-        "total_sec": round(sum(times.values()), 3),
+        **section,
     }
-    if duck:
-        section["duckdb_same_sql"] = duck
-        section["duckdb_total_sec"] = round(sum(duck.values()), 3)
-        section["ratio_vs_duckdb"] = round(
-            sum(times.values()) / max(sum(duck.values()), 1e-9), 2
-        )
-        section["ratio_per_query"] = {
-            n: round(times[n] / max(duck[n], 1e-9), 2) for n in times if n in duck
-        }
     return section
 
 

@@ -20,7 +20,10 @@ the keys; probing broadcasts the sketch (kilobytes). At 100 TB the
 build is one scan + one fixed-size-output shuffle; nothing driver-side.
 
 Hashes are Spark's ``xxhash64(col, seed)`` — deterministic across runs,
-partitionings, and cluster sizes, so estimates are reproducible.
+partitionings, and cluster sizes, so estimates are reproducible. NULL
+keys hash to the per-row seed value, so NULL behaves as one ordinary
+(estimable) key rather than being dropped — the over-count guarantee
+holds for it like any other.
 
 The reference (per-object ETL, src/app.py:97-189) has no frequency
 analytics; this extends the mergeable-sketch family (q90 HLL, q107
