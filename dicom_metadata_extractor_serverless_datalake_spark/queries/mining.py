@@ -738,10 +738,9 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
 # scale; the raw-event pass is one groupBy(day). Exactness: window and
 # group sums are integer counts; trend/seasonal means are single
 # int/int divisions (correctly-rounded IEEE, engine-portable); the
-# anomaly predicate |n - trend| > 0.1*trend is evaluated as the
-# integer cross-multiplication 10*|n*wcnt - wsum| > wsum*wcnt... 
-# reduced to 10*|n*wcnt - wsum| > wsum (both sides scaled by wcnt),
-# so the flag never touches floats.
+# anomaly predicate |n - trend| > 0.1*trend, with trend = wsum/wcnt,
+# multiplies through by wcnt to the all-integer form
+# 10*|n*wcnt - wsum| > wsum, so the flag never touches floats.
 # --------------------------------------------------------------------------
 
 
