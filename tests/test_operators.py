@@ -660,3 +660,78 @@ def test_gram_matrix_matches_numpy(spark):
         for j in range(i, 8):
             expect = int(np.floor(xd[:, i] * xd[:, j] * 1e6).astype(np.int64).sum())
             assert g[(i, j)] == expect, (i, j)
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("width,depth,nkeys", [(16, 3, 400), (64, 4, 2000), (256, 5, 50)])
+def test_count_min_guarantee_across_configs(spark, width, depth, nkeys):
+    """CM's one-sided guarantee (est >= true, for EVERY key including
+    keys colliding in every row) must hold at any (width, depth) —
+    tight widths force heavy collisions, wide ones exercise the sparse
+    path."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.countmin import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from pyspark.sql import functions as FF
+
+    df = spark.range(0, 6000).select(
+        FF.concat(FF.lit("k"), (FF.col("id") % nkeys).cast("string")).alias("key")
+    )
+    sketch = count_min_build(df, "key", width, depth)
+    exact = df.groupBy("key").agg(FF.count("*").alias("true_n"))
+    est = count_min_estimate(sketch, exact, "key", width, depth)
+    assert est.filter(FF.col("est") < FF.col("true_n")).count() == 0
+    # total sketch mass per row r equals N exactly (linearity)
+    per_row = sketch.groupBy("r").agg(FF.sum("cnt").alias("m")).collect()
+    assert all(r["m"] == 6000 for r in per_row) and len(per_row) == depth
+
+
+@_pt.mark.parametrize("dim,n,seed", [(3, 50, 0), (8, 500, 7), (17, 200, 42)])
+def test_gram_matrix_matches_numpy_shapes(spark, dim, n, seed):
+    """Exact gram equality with single-threaded numpy across odd
+    dimensions, sizes, and partitionings (order-free fixed-point
+    floor grid)."""
+    import numpy as np
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.gram import gram_matrix
+
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(scale=2.0, size=(n, dim))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "embedding array<float>"
+    ).repartition(5)
+    g = {(r["i"], r["j"]): int(r["s"]) for r in gram_matrix(df, "embedding", dim, 6).collect()}
+    xd = x.astype(np.float64)
+    for i in range(dim):
+        for j in range(i, dim):
+            expect = int(np.floor(xd[:, i] * xd[:, j] * 1e6).astype(np.int64).sum())
+            assert g[(i, j)] == expect, (i, j)
+    assert len(g) == dim * (dim + 1) // 2
+
+
+def test_tv_distance_bounds_and_identity(spark):
+    """TV algebra properties on constructed daily counts: tv in [0, 1],
+    tv == 0 for identical day distributions, tv == 1 for disjoint
+    supports."""
+    import datetime as dt
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.mining import (
+        tv_from_daily_counts,
+    )
+
+    d0, d1, d2 = (dt.date(2024, 1, i) for i in (1, 2, 3))
+    rows = [
+        # day0 -> day1: identical distribution (scaled 2x) => tv 0
+        (d0, "a", 10), (d0, "b", 30),
+        (d1, "a", 20), (d1, "b", 60),
+        # day1 -> day2: disjoint support => tv 1
+        (d2, "c", 5),
+    ]
+    cnt = spark.createDataFrame(rows, "d date, event_type string, c long")
+    out = {r["day"]: r["tv"] for r in tv_from_daily_counts(cnt).collect()}
+    assert out[d1] == 0.0
+    assert out[d2] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in out.values())
