@@ -376,3 +376,55 @@ def test_dicom_stream_source_keeps_empty_files(spark, tmp_path_factory):
     df2 = spark.read.parquet(str(out / "lake"))
     assert df2.count() == 12
     assert df2.filter("source_s3_key LIKE '%late.dcm'").count() == 1
+
+
+def test_corpus_stream_dedups_across_micro_batches(spark, tmp_path):
+    """Continuous corpus ingest: exact duplicates arriving in LATER
+    micro-batches are dropped by streaming dedup state (one digest per
+    unique doc), the lake holds exactly the unique texts, and the drain
+    genuinely spans multiple batches (maxFilesPerTrigger=1)."""
+    import os
+    import time
+
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming.corpus_stream import (
+        start_corpus_stream,
+    )
+
+    src = tmp_path / "src"
+    lake = tmp_path / "lake"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    base = [(i, f"doc text number {i}") for i in range(20)]
+    dupes = [(100 + i, f"doc text number {i}") for i in range(10)]  # same TEXT, new ids
+    fresh = [(200 + i, f"late unique {i}") for i in range(5)]
+    import glob
+    import shutil
+
+    mt = 1_000_000_000
+    stage = tmp_path / "stage"
+    for k, rows in enumerate((base, dupes, fresh)):
+        d = str(stage / f"b{k}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = str(src / f"f{k}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mt + k * 60, mt + k * 60))
+    q = start_corpus_stream(
+        spark,
+        str(src),
+        str(lake),
+        str(ckpt),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    n_batches = int(q.lastProgress["batchId"]) + 1
+    assert n_batches >= 3, n_batches
+    out = spark.read.parquet(str(lake))
+    texts = [r.text for r in out.select("text").collect()]
+    assert sorted(texts) == sorted({t for _i, t in base + dupes + fresh})
+    assert out.count() == 25  # 20 base + 5 late uniques; 10 dupes dropped
+    # re-run over the same source is idempotent (checkpoint replay)
+    q2 = start_corpus_stream(spark, str(src), str(lake), str(ckpt), max_files_per_trigger=1)
+    q2.awaitTermination(600)
+    time.sleep(0.2)
+    assert spark.read.parquet(str(lake)).count() == 25
