@@ -23,6 +23,7 @@ from . import training  # noqa: F401,E402
 from . import streams  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import mining  # noqa: F401,E402
+from . import curation  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -95,7 +96,13 @@ _PRIORITY = [
     "q143_stream_tv_drift",
     # one flagship LLM representative keeps a fresh row
     "q52_minhash_lsh",
-    # ^ exactly 50 entries. The rest of the LLM family (q50, q51,
+    # ^ exactly 50 entries (the driver window). The round-4c curation
+    # family lands just past the window boundary: never driver-
+    # verified, locally oracle-exact, first in line for round 5.
+    "q144_ngram_decontaminate",
+    "q145_intradoc_repetition",
+    "q146_semantic_dedup",
+    # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate
     # into round 5's window.
