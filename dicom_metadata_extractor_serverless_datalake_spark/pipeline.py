@@ -195,6 +195,95 @@ class TextCorpus:
         pred = pred & (F.length(stripped) <= max_symbol_ratio * length)
         return self._with(self.df.filter(pred))
 
+    def decontaminate(
+        self,
+        eval_df: DataFrame,
+        n: int = 5,
+        eval_text_col: str = "text",
+    ) -> "TextCorpus":
+        """Drop documents sharing ANY word ``n``-gram with the held-out
+        eval set (the q144 rule, GPT-3-style). The eval side is gram-
+        exploded and distinct'd once; the corpus side streams through a
+        left-anti join keyed by the gram string — shuffles carry
+        (gram, doc_id) pairs, never document bodies, and a production
+        eval set (thousands of docs) broadcasts outright."""
+
+        def grams(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+            g = df.select(
+                *([F.col(id_col)] if id_col else []),
+                F.split(F.col(text_col), " ").alias("w"),
+            ).filter(F.size("w") >= n)
+            return g.select(
+                *([id_col] if id_col else []),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(w) - {n - 1}), "
+                        f"i -> concat_ws(' ', slice(w, i, {n})))"
+                    )
+                ).alias("gram"),
+            )
+
+        eval_grams = grams(eval_df, None, eval_text_col).distinct()
+        losers = (
+            grams(self.df, self.id_col, self.text_col)
+            .join(eval_grams, "gram", "left_semi")
+            .select(self.id_col)
+            .distinct()
+        )
+        return self._with(self.df.join(losers, self.id_col, "left_anti"))
+
+    def repetition_filter(
+        self,
+        max_top2_share: float = 0.10,
+        max_dup3_share: float = 0.20,
+    ) -> "TextCorpus":
+        """Drop degenerate/boilerplate documents by intra-document
+        repetition (the q145 Gopher rules): most-frequent-2-gram share
+        of all 2-grams and duplicated-3-gram share. Cross-document
+        dedup never sees these — every copy lives inside one document.
+        Two explode->aggregate passes keyed by doc id; documents with
+        fewer than 3 tokens pass (no gram statistics to judge)."""
+        doc, text = F.col(self.id_col), F.col(self.text_col)
+        tok = self.df.select(
+            doc.alias("_d"), F.split(text, " ").alias("w")
+        ).filter(F.size("w") >= 3)
+
+        def gram_col(n: int) -> F.Column:
+            return F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(w, i, {n})))"
+                )
+            ).alias("gram")
+
+        top2 = (
+            tok.select("_d", gram_col(2))
+            .groupBy("_d", "gram")
+            .count()
+            .groupBy("_d")
+            .agg(F.max("count").alias("top2"), F.sum("count").alias("total2"))
+        )
+        dup3 = (
+            tok.select("_d", gram_col(3))
+            .groupBy("_d")
+            .agg(
+                F.count("*").alias("total3"),
+                F.count_distinct("gram").alias("distinct3"),
+            )
+        )
+        losers = (
+            top2.join(dup3, "_d")
+            .filter(
+                (F.col("top2") > F.lit(max_top2_share) * F.col("total2"))
+                | (
+                    F.col("total3") - F.col("distinct3")
+                    > F.lit(max_dup3_share) * F.col("total3")
+                )
+            )
+            .select(F.col("_d").alias(self.id_col))
+        )
+        return self._with(self.df.join(losers, self.id_col, "left_anti"))
+
     def redact_pii(
         self,
         patterns: list[tuple[str, str]] | None = None,

@@ -187,3 +187,39 @@ def test_dedup_snm_drops_planted_near_dups(spark):
         for r in TextCorpus(both).dedup_snm(threshold=0.6).df.select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_decontaminate_drops_ngram_overlaps_only(spark):
+    """A train doc sharing any word 5-gram with the eval set is
+    dropped; disjoint docs and sub-5-token docs survive."""
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix quick brown fox jumps over suffix words here"),  # shares 5-gram
+            (2, "completely different content with no overlap at all"),
+            (3, "quick brown fox jumps"),  # only 4 tokens — no 5-gram, kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in TextCorpus(train).decontaminate(eval_df).df.collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_repetition_filter_flags_degenerate_docs(spark):
+    """Docs dominated by one repeated 2-gram (or duplicated 3-grams)
+    drop; diverse docs and <3-token docs pass."""
+    rows = [
+        (1, " ".join(["spam ham"] * 20)),  # one 2-gram everywhere
+        (2, " ".join(f"tok{i}" for i in range(40))),  # all distinct
+        (3, "too short"),  # 2 tokens: passes by definition
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id for r in TextCorpus(docs).repetition_filter().df.collect()
+    )
+    assert kept == [2, 3]
