@@ -102,6 +102,7 @@ _PRIORITY = [
     "q144_ngram_decontaminate",
     "q145_intradoc_repetition",
     "q146_semantic_dedup",
+    "q147_recursive_cte",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

@@ -1051,3 +1051,38 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.cbo.enabled", "true")
     table = prepare_stats_table(spark, sf, analyze=True)
     return stats_join(spark, sf, table)
+
+
+# --------------------------------------------------------------------------
+# q147 — RECURSIVE CTE (Spark 4 UnionLoop): iterative hierarchy walk
+# entirely in SQL, the transitive-closure class of query (org charts,
+# BOM explosions, graph reachability) that previously needed the
+# driver-side iteration of operators/cluster.py. The synthetic forest
+# is the implicit binary heap over custkey (parent = floor(k/2)), so
+# depth = floor(log2(k)) gives a closed-form cross-check. Iteration
+# count is bounded by log2(max custkey) — ~17 rounds at SF100 — and
+# each round is one distributed map over the frontier (UnionLoop
+# materializes per-iteration; no shuffle until the final aggregation),
+# so the plan scales with |frontier|, not |graph|^2. Shared SQL text
+# runs verbatim on both engines.
+# --------------------------------------------------------------------------
+
+
+sql_query(
+    "q147_recursive_cte",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth FROM customer
+      UNION ALL
+      SELECT custkey, CAST(floor(anc / 2.0) AS BIGINT) AS anc, depth + 1 AS depth
+      FROM walk WHERE anc > 1
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(custkey) AS min_custkey, max(custkey) AS max_custkey
+    FROM walk WHERE anc = 1
+    GROUP BY depth ORDER BY depth
+    """,
+    category="relational",
+    doc="Recursive CTE hierarchy walk — each custkey climbs to the heap "
+    "root; result is the exact depth histogram (depth = floor(log2(k))).",
+)

@@ -727,3 +727,4 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         F.col("w.start").cast("date").alias("d"), "event_type", "c"
     )
     return tv_from_daily_counts(cnt)
+
