@@ -389,3 +389,62 @@ def test_q132_countmin_probe_broadcasts_sketch(spark, sf_dir):
     join must broadcast it, never shuffle the probe side against it."""
     df = _q("q132_countmin_freq", spark, sf_dir)
     assert broadcast_join_count(df) >= 1
+
+
+def test_q04_layout_aware_strategy(spark, sf_dir, tmp_path):
+    """q04 picks its fact-fact strategy from the physical layout (the
+    CBO-from-physical-properties move): plain parquet -> eager pre-agg
+    below the join (1 row/order shuffles); both facts bucketed on the
+    orderkey -> join-first with a co-located ShuffledHashJoin (the date
+    filter prunes ~70% of lineitem before any aggregation, and no
+    per-orderkey hash table is built). Results must be bit-identical
+    across layouts (dsum single-level == limbs+merge by associativity)."""
+    import json
+    import os
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plain_df = _q("q04_star_join", spark, sf_dir)
+    plain_plan = physical_plan(plain_df)
+    # plain layout: the pre-agg keyed by l_orderkey sits below the join
+    assert "l_orderkey" in plain_plan and "HashAggregate" in plain_plan
+
+    bdir = tmp_path / "bucketed_sf"
+    bdir.mkdir()
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        loc = str(bdir / f"{name}.bucketed")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        tmp = f"t_q04_layout_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        (
+            df.repartition(4, key)
+            .write.bucketBy(4, key)
+            .sortBy(key)
+            .option("path", loc)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+        json.dump(
+            {
+                "location": loc,
+                "bucket_col": key,
+                "sort_col": key,
+                "num_buckets": 4,
+                "schema_ddl": df.schema.toDDL(),
+            },
+            open(bdir / f"{name}.bucketed.json", "w"),
+        )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", bdir / f"{t}.parquet")
+
+    bdf = _q("q04_star_join", spark, str(bdir))
+    bplan = physical_plan(bdf)
+    assert "ShuffledHashJoin" in bplan
+    # co-located: no hash exchange anywhere on the join-first fact path
+    assert "Exchange hashpartitioning(l_orderkey" not in bplan
+    assert "Exchange hashpartitioning(o_orderkey" not in bplan
+    assert [tuple(r) for r in plain_df.collect()] == [
+        tuple(r) for r in bdf.collect()
+    ]
