@@ -1,5 +1,6 @@
 """Iterative graph algorithms beyond connected components
-(operators/cluster.py): PageRank over an edge DataFrame.
+(operators/cluster.py): PageRank and k-core decomposition over an
+edge DataFrame.
 
 The reference has no iterative operators at all (its dataflow is one
 linear extract pass, src/app.py:97-189); this extends the engine's
@@ -117,3 +118,80 @@ def pagerank(
     for cached in (nodes, ew, sinks):
         cached.unpersist()
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling: repeatedly
+    remove nodes whose degree within the surviving subgraph is < ``k``
+    until a fixpoint; returns ``(node, core_degree)`` for the nodes of
+    the (unique, maximal) k-core with their within-core degree.
+
+    ``edges`` lists each undirected edge ONCE (either orientation);
+    parallel edges are collapsed. The reference has no graph operators
+    (its dataflow is one linear extract pass, /root/reference/src/
+    app.py:97-189); k-core is the standard density filter a curation
+    pipeline runs over co-occurrence / similarity graphs to isolate
+    the stable community from the sparse periphery (complements
+    PageRank's centrality and CC's reachability).
+
+    Scale shape (the CC/PageRank lessons, BASELINE.md):
+    - the symmetric adjacency is materialized ONCE, repartitioned on
+      the degree-count key and persisted, so every round's groupBy
+      reuses the exchange instead of re-shuffling |E| rows;
+    - each round removes nodes by anti-joining the adjacency against
+      the cumulative removed set — |removed| rows, broadcast-sized in
+      the common case and never carrying edge payloads;
+    - the removed set is the only frame whose lineage grows; it is
+      localCheckpoint-ed each round (it is |V|-bounded and small), the
+      adjacency is never checkpointed so its cached partitioning stays
+      visible (a localCheckpoint would forget it: measured 1.9x on CC
+      at 26M edges);
+    - convergence is a one-scalar count per round, never a collect of
+      node data.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # symmetric, deduped adjacency: one row per (node, neighbor)
+    adj = (
+        e.select("u", "v")
+        .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .persist()
+    )
+    adj.count()
+
+    spark = edges.sparkSession
+    removed = spark.createDataFrame(
+        [], schema=adj.select(F.col("u").alias("node")).schema
+    ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = 0
+    for _ in range(max_iter):
+        ra = removed.select(F.col("node").alias("u"))
+        rb = removed.select(F.col("node").alias("v"))
+        deg = (
+            adj.join(F.broadcast(ra), "u", "left_anti")
+            .join(F.broadcast(rb), "v", "left_anti")
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+        )
+        low = deg.filter(F.col("d") < k).select(F.col("u").alias("node"))
+        n_low = low.count()
+        if stats is not None:
+            stats["rounds"] += 1
+        if n_low == 0:
+            core = deg.select(F.col("u").alias("node"), F.col("d").alias("core_degree"))
+            out = core.localCheckpoint(eager=True)
+            adj.unpersist()
+            return out
+        removed = removed.union(low).localCheckpoint(eager=True)
+    raise RuntimeError(f"kcore did not converge in {max_iter} rounds")

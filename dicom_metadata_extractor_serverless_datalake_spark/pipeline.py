@@ -284,6 +284,55 @@ class TextCorpus:
         )
         return self._with(self.df.join(losers, self.id_col, "left_anti"))
 
+    def gopher_filter(
+        self,
+        min_words: int = 10,
+        max_words: int = 1000,
+        min_mean_word_len: int = 2,
+        max_mean_word_len: int = 8,
+        max_one_char_share_pct: int = 10,
+        max_top_word_share_pct: int = 20,
+        stopwords: tuple[str, ...] = ("the", "a"),
+    ) -> "TextCorpus":
+        """Gopher-style document-level quality gates (the q150 rule
+        set; q145/repetition_filter covers the gram-repetition rules):
+        word-count bounds, mean word length bounds, single-character-
+        word share, stopword presence, and top-word dominance. Every
+        ratio threshold is an integer cross-multiplication (e.g. mean
+        word length >= 2 <=> 2*n_words <= sum_len), so the stage is
+        exact and engine-portable.
+
+        Entirely map-side: all statistics come from array expressions
+        over the split token array — no explode, no shuffle. The
+        top-word count is an O(distinct * len) array scan per document,
+        the right trade below ~10^4 tokens/doc; for pathological
+        lengths run quality_filter's length gate first."""
+        ws = F.filter(F.split(F.col(self.text_col), " "), lambda x: x != "")
+        n_words = F.size(ws)
+        sum_len = F.aggregate(
+            ws, F.lit(0), lambda a, x: a + F.length(x)
+        )
+        n_one = F.size(F.filter(ws, lambda x: F.length(x) == 1))
+        has_stop = F.arrays_overlap(
+            ws, F.array(*[F.lit(s) for s in stopwords])
+        )
+        max_tf = F.aggregate(
+            F.array_distinct(ws),
+            F.lit(0),
+            lambda acc, w: F.greatest(
+                acc, F.size(F.filter(ws, lambda x: x == w))
+            ),
+        )
+        pred = (
+            n_words.between(min_words, max_words)
+            & (F.lit(min_mean_word_len) * n_words <= sum_len)
+            & (sum_len <= F.lit(max_mean_word_len) * n_words)
+            & (F.lit(100) * n_one <= F.lit(max_one_char_share_pct) * n_words)
+            & has_stop
+            & (F.lit(100) * max_tf <= F.lit(max_top_word_share_pct) * n_words)
+        )
+        return self._with(self.df.filter(pred))
+
     def redact_pii(
         self,
         patterns: list[tuple[str, str]] | None = None,

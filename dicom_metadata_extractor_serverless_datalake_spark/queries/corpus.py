@@ -24,6 +24,7 @@ from . import streams  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import mining  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
+from . import signals  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -103,6 +104,11 @@ _PRIORITY = [
     "q145_intradoc_repetition",
     "q146_semantic_dedup",
     "q147_recursive_cte",
+    # round-4d retrieval & signals family (queries/signals.py)
+    "q148_bm25_topk",
+    "q149_kcore",
+    "q150_gopher_rules",
+    "q151_ewma_anomaly",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

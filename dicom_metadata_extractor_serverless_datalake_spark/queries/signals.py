@@ -1,0 +1,465 @@
+"""Round-4d retrieval & signals family: BM25 relevance ranking,
+k-core graph decomposition, Gopher-style document quality rules, and
+integer-exact EWMA drift/anomaly detection.
+
+These finish the retrieval/curation/monitoring surface the earlier
+families opened: q135's inverted index + q137's rank fusion get a real
+relevance SCORER (BM25, the IR default); the graph family (CC q77,
+triangles q120, PageRank q121) gets the density filter (k-core) used
+to isolate stable communities in co-occurrence graphs; the Gopher
+repetition rules (q145) get the remaining document-level quality gates
+from the same published rule set; and the drift family (q136/q140/
+q143) gets the classic smoothed-baseline anomaly detector (EWMA).
+
+The reference itself delegates every analytic to Athena (it is a
+per-object ETL, /root/reference/src/app.py:97-189); this family keeps
+the corpus exactness conventions of queries/base.py:
+
+- BM25 avoids the one non-portable primitive (libm log differs across
+  engines) by using the rational idf (N - df + 0.5)/(df + 0.5): every
+  op is IEEE +,-,*,/ with an identical evaluation tree on both sides,
+  then per-term scores are floored to integer millionths so the final
+  reduction is an exact integer sum.
+- k-core is an iterative fixpoint with no order-independent SQL twin,
+  so it is certified the q121 way: exact graph-level stats the oracle
+  recomputes (node/edge counts, k, the degree-bound core cap) plus
+  invariant booleans a correct core must satisfy, pinned TRUE by the
+  oracle.
+- Gopher rules are ratio thresholds expressed as INTEGER
+  cross-multiplications (3*n_words <= sum_len, not sum_len/n_words
+  >= 3.0) — no division anywhere, bit-exact by construction.
+- EWMA runs entirely on bigint cents with the rational smoothing
+  alpha=0.3 folded as s' = (3x + 7s) div 10 — the Spark side is a
+  sequential higher-order-function fold per series, the oracle is a
+  recursive CTE computing the identical integer recurrence.
+
+Scale shapes at 100 TB are documented per query below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import _exact_scaled_sum, query, t
+
+# --------------------------------------------------------------------------
+# q148 — BM25 top-k retrieval (Robertson-Spärck Jones weighting,
+# k1=1.2, b=0.75) for a fixed conjunctive term set over `documents`.
+# idf is the RATIONAL form (no log — see module docstring); per-term
+# scores are floored to integer millionths and integer-summed, so the
+# per-doc reduction is order-free and the ranking has a total order
+# (score desc, doc_id asc).
+#
+# 100 TB shape: one corpus scan explodes tokens; the term filter
+# prunes to |Q| postings lists BEFORE any shuffle (predicate on the
+# exploded term, pushed below the tf groupBy); doc lengths aggregate
+# map-side; the df/N/avgdl side is a handful of scalar rows broadcast
+# onto the postings. No join ever carries document text.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "customer")
+_BM25_K = 10
+_BM25_TERMS_SQL = "('join', 'vector', 'customer')"
+
+# identical evaluation tree on both sides; tf/dl/df/n all cast to
+# double first, constants are the same literals
+_BM25_SQL_SCORE = """CAST(floor(1000000.0 * (
+  ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+  * ((CAST(t.tf AS DOUBLE) * 2.2)
+     / (CAST(t.tf AS DOUBLE)
+        + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+)) AS BIGINT)"""
+
+
+@query(
+    "q148_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT count(*) FROM toks) AS sum_dl
+    ),
+    df AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM toks
+      WHERE w IN {_BM25_TERMS_SQL} GROUP BY 1
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks
+      WHERE w IN {_BM25_TERMS_SQL} GROUP BY 1, 2
+    )
+    SELECT t.doc_id, SUM({_BM25_SQL_SCORE}) AS score_micros
+    FROM tf t
+    JOIN dl l ON t.doc_id = l.doc_id
+    JOIN df d ON t.w = d.w
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY score_micros DESC, t.doc_id
+    LIMIT {_BM25_K}
+    """,
+    category="signals",
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = docs.agg(F.count("*").alias("n")).crossJoin(
+        toks.agg(F.count("*").alias("sum_dl"))
+    )
+    hits = toks.filter(F.col("w").isin(*_BM25_TERMS))
+    df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    idf = (d("n") - d("df") + F.lit(0.5)) / (d("df") + F.lit(0.5))
+    avgdl = d("sum_dl") / d("n")
+    tfn = (d("tf") * F.lit(2.2)) / (
+        d("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (d("dl") / avgdl))
+    )
+    per_term = F.floor(F.lit(1000000.0) * (idf * tfn)).cast("bigint")
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(per_term).alias("score_micros"))
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# q149 — k-core decomposition (operators/graph.py kcore) of the q120/
+# q121 co-engagement graph, with k = min_degree + 1 (data-relative so
+# the peel is non-trivial at every sf; exact integer, oracle-
+# recomputable). Iterative peeling has no order-independent SQL twin,
+# so certification follows q121: the oracle recomputes the exact
+# graph-level facts — n_nodes, n_edges, k, and n_deg_ge_k (nodes whose
+# GLOBAL degree is >= k: a superset cap on any k-core) — and pins TRUE
+# the invariants a correct k-core must satisfy, which the Spark side
+# genuinely computes from the peel result:
+#   core_min_deg_ok   every core member has >= k neighbors IN the core
+#   rejoin_blocked_ok every peeled node has < k neighbors in the core
+#                     (no single node can be added back)
+#   core_bounded_ok   |core| <= n_deg_ge_k
+# The node-level core membership itself is verified against a brute-
+# force Python peel in tests/test_operators.py.
+#
+# 100 TB shape: see operators/graph.py kcore — adjacency shuffled
+# once and cache-partitioned, per-round work is a broadcast anti-join
+# + partial-aggregated degree count, removed-set lineage truncated per
+# round, one scalar collect per round for convergence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q149_kcore",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp, user_id FROM events
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM du a JOIN du b
+        ON a.event_type = b.event_type AND a.grp = b.grp AND a.user_id < b.user_id
+    ),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1
+    ),
+    kk AS (SELECT min(d) + 1 AS k FROM deg)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           kk.k AS k,
+           (SELECT count(*) FROM deg, kk WHERE d >= kk.k) AS n_deg_ge_k,
+           TRUE AS core_min_deg_ok,
+           TRUE AS rejoin_blocked_ok,
+           TRUE AS core_bounded_ok
+    FROM kk
+    """,
+    category="signals",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    du = (
+        t(spark, sf, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("grp"), "user_id")
+        .distinct()
+    )
+    a, b = du.alias("a"), du.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .persist()
+    )
+    # k is one scalar (the q121 convergence-count pattern), never data
+    k = deg.agg(F.min("d")).collect()[0][0] + 1
+    core = kcore(e, k, src="u", dst="v").persist()
+
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    core_nodes = core.select("node")
+    # within-core degree of every node (core members AND peeled nodes)
+    deg_in_core = (
+        sym.join(
+            core_nodes.withColumnRenamed("node", "v"), "v", "left_semi"
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("dc"))
+    )
+    core_degs = core_nodes.join(
+        deg_in_core.withColumnRenamed("u", "node"), "node", "left"
+    ).select(F.coalesce("dc", F.lit(0)).alias("dc"))
+    peeled_degs = (
+        deg.select("node")
+        .join(core_nodes, "node", "left_anti")
+        .join(deg_in_core.withColumnRenamed("u", "node"), "node", "left")
+        .select(F.coalesce("dc", F.lit(0)).alias("dc"))
+    )
+    checks = (
+        core_degs.agg(
+            F.coalesce(F.min("dc") >= k, F.lit(True)).alias("core_min_deg_ok"),
+            F.count("*").alias("n_core"),
+        )
+        .crossJoin(
+            peeled_degs.agg(
+                F.coalesce(F.max("dc") < k, F.lit(True)).alias("rejoin_blocked_ok")
+            )
+        )
+    )
+    facts = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum((F.col("d") >= k).cast("long")).alias("n_deg_ge_k"),
+        )
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+    )
+    return facts.crossJoin(checks).select(
+        "n_nodes",
+        "n_edges",
+        F.lit(k).cast("long").alias("k"),
+        "n_deg_ge_k",
+        "core_min_deg_ok",
+        "rejoin_blocked_ok",
+        (F.col("n_core") <= F.col("n_deg_ge_k")).alias("core_bounded_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q150 — Gopher-style document quality gates (the document-LEVEL rules
+# from the published set; q145 covers the repetition rules): word
+# count bounds, mean word length bounds, single-character-word ratio,
+# stopword presence, and top-word dominance, rolled up per source.
+# Every ratio threshold is an integer cross-multiplication (e.g. mean
+# word length in [2, 8] <=> 2*n_words <= sum_len <= 8*n_words) so the
+# whole query is integer/boolean arithmetic — bit-exact, no floats.
+#
+# 100 TB shape: one token explode -> one groupBy(doc_id) with all
+# per-doc stats as partial-aggregated counts (max tf needs the
+# (doc,word) pre-count, a second keyed shuffle whose rows are 16-byte
+# pairs, never text), then a sources-sized rollup. The same predicates
+# run map-side in TextCorpus.gopher_filter for the pipeline facade.
+# --------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "('the', 'a')"
+
+
+@query(
+    "q150_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    wtf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, SUM(tf) AS n_words, SUM(tf * length(w)) AS sum_len,
+             SUM(CASE WHEN length(w) = 1 THEN tf ELSE 0 END) AS n_one,
+             MAX(tf) AS max_tf,
+             MAX(CASE WHEN w IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END) AS has_stop
+      FROM wtf GROUP BY 1
+    ),
+    flags AS (
+      SELECT d.source,
+             COALESCE(p.n_words, 0) BETWEEN 10 AND 1000 AS pass_wc,
+             2 * COALESCE(p.n_words, 0) <= COALESCE(p.sum_len, 0)
+               AND COALESCE(p.sum_len, 0) <= 8 * COALESCE(p.n_words, 0) AS pass_mwl,
+             10 * COALESCE(p.n_one, 0) <= COALESCE(p.n_words, 0) AS pass_one,
+             COALESCE(p.has_stop, 0) = 1 AS pass_stop,
+             5 * COALESCE(p.max_tf, 0) <= COALESCE(p.n_words, 0) AS pass_rep
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    )
+    SELECT source, count(*) AS n_docs,
+           SUM(CASE WHEN pass_wc THEN 0 ELSE 1 END) AS fail_word_count,
+           SUM(CASE WHEN pass_mwl THEN 0 ELSE 1 END) AS fail_mean_word_len,
+           SUM(CASE WHEN pass_one THEN 0 ELSE 1 END) AS fail_short_words,
+           SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS fail_stopwords,
+           SUM(CASE WHEN pass_rep THEN 0 ELSE 1 END) AS fail_top_word,
+           SUM(CASE WHEN pass_wc AND pass_mwl AND pass_one AND pass_stop
+                     AND pass_rep THEN 1 ELSE 0 END) AS n_pass_all
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    category="signals",
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wtf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    per_doc = wtf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.sum(F.col("tf") * F.length("w")).alias("sum_len"),
+        F.sum(F.when(F.length("w") == 1, F.col("tf")).otherwise(0)).alias("n_one"),
+        F.max("tf").alias("max_tf"),
+        F.max(F.when(F.col("w").isin("the", "a"), 1).otherwise(0)).alias("has_stop"),
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    flags = docs.join(per_doc, "doc_id", "left").select(
+        "source",
+        z("n_words").between(10, 1000).alias("pass_wc"),
+        (
+            (F.lit(2) * z("n_words") <= z("sum_len"))
+            & (z("sum_len") <= F.lit(8) * z("n_words"))
+        ).alias("pass_mwl"),
+        (F.lit(10) * z("n_one") <= z("n_words")).alias("pass_one"),
+        (z("has_stop") == 1).alias("pass_stop"),
+        (F.lit(5) * z("max_tf") <= z("n_words")).alias("pass_rep"),
+    )
+    fail = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1))  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            fail("pass_wc").alias("fail_word_count"),
+            fail("pass_mwl").alias("fail_mean_word_len"),
+            fail("pass_one").alias("fail_short_words"),
+            fail("pass_stop").alias("fail_stopwords"),
+            fail("pass_rep").alias("fail_top_word"),
+            F.sum(
+                F.when(
+                    F.col("pass_wc")
+                    & F.col("pass_mwl")
+                    & F.col("pass_one")
+                    & F.col("pass_stop")
+                    & F.col("pass_rep"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q151 — EWMA anomaly detection over daily revenue per event type,
+# entirely in bigint cents: alpha = 0.3 folded as the integer
+# recurrence s_t = (3*x_t + 7*s_{t-1}) div 10, seeded s_1 = x_1. A
+# float EWMA is a sequential recurrence (not order-free), so exactness
+# comes from integers: the Spark side sorts each series once and folds
+# it with a higher-order aggregate (array fold, one pass, map-side
+# after the daily rollup); the oracle runs the identical recurrence as
+# a recursive CTE. A day is a spike when |x - s_prev| > 25% of s_prev
+# (4*|x - prev| > prev, again integer).
+#
+# 100 TB shape: the daily rollup is the only big shuffle (map-side
+# partial exact-cent sums, ~days x types result); the fold then runs
+# per series on rows that are already tiny. Series length is bounded
+# by the calendar, not the data — the fold's O(len) state is safe at
+# any corpus size; for unbounded-key series the same recurrence runs
+# in applyInPandasWithState (the q99 shape) instead.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q151_ewma_anomaly",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    ew AS (
+      SELECT event_type, day, x, rn, x AS prev, x AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.day, s.x, s.rn, e.ewma AS prev,
+             (3 * s.x + 7 * e.ewma) // 10 AS ewma
+      FROM seq s JOIN ew e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+    )
+    SELECT event_type, day, x AS x_cents, prev AS ewma_prev, ewma,
+           4 * abs(x - prev) > prev AS is_spike
+    FROM ew ORDER BY event_type, day
+    """,
+    category="signals",
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            _exact_scaled_sum(F.col("value"), 2, max_abs=500.0)
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("xs")
+    )
+    folded = series.select(
+        "event_type",
+        F.expr(
+            """
+            aggregate(
+              xs,
+              cast(array() as array<struct<day:date,x:bigint,prev:bigint,ewma:bigint>>),
+              (acc, e) -> array_append(acc, named_struct(
+                'day', e.day, 'x', e.x,
+                'prev', if(size(acc) = 0, e.x, element_at(acc, -1).ewma),
+                'ewma', if(size(acc) = 0, e.x,
+                           (3 * e.x + 7 * element_at(acc, -1).ewma) div 10)))
+            )
+            """
+        ).alias("states"),
+    )
+    st = folded.select("event_type", F.explode("states").alias("s"))
+    return st.select(
+        "event_type",
+        F.col("s.day").alias("day"),
+        F.col("s.x").alias("x_cents"),
+        F.col("s.prev").alias("ewma_prev"),
+        F.col("s.ewma").alias("ewma"),
+        (F.lit(4) * F.abs(F.col("s.x") - F.col("s.prev")) > F.col("s.prev")).alias(
+            "is_spike"
+        ),
+    ).orderBy("event_type", "day")

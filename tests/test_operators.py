@@ -735,3 +735,40 @@ def test_tv_distance_bounds_and_identity(spark):
     assert out[d1] == 0.0
     assert out[d2] == 1.0
     assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_kcore_matches_bruteforce_peel(spark):
+    """kcore() on a random graph equals the brute-force sequential
+    peel, for several k (including empty-core and everything-survives
+    regimes)."""
+    import random
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.graph import kcore
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(260)})
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def brute(k):
+        alive = set(adj)
+        while True:
+            drop = {x for x in alive if len(adj[x] & alive) < k}
+            if not drop:
+                return alive
+            alive -= drop
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 4, 6, 50):
+        stats = {}
+        got = {
+            (r.node, r.core_degree)
+            for r in kcore(df, k, stats=stats).collect()
+        }
+        want_nodes = brute(k)
+        want = {(x, len(adj[x] & want_nodes)) for x in want_nodes}
+        assert got == want, f"k={k}"
+        assert stats["rounds"] >= 1

@@ -223,3 +223,37 @@ def test_repetition_filter_flags_degenerate_docs(spark):
         r.doc_id for r in TextCorpus(docs).repetition_filter().df.collect()
     )
     assert kept == [2, 3]
+
+
+def test_gopher_filter_each_rule_fires_and_passes_good_docs(spark):
+    # one doc per rule violation + two clean docs; stage must drop
+    # exactly the violators (mirrors the q150 integer thresholds)
+    good = "the quick brown fox jumps over a lazy dog near the old barn"
+    rows = [
+        (1, good),
+        (2, "the " + " ".join(f"w{i % 97}x" for i in range(200)) + " a end"),
+        (3, "the short a"),                       # < 10 words
+        (4, "the a " + " ".join("a" for _ in range(18))),  # 1-char share + top-word
+        (5, good.replace("the", "zzz").replace(" a ", " b ")),  # no stopword
+        (6, "the a " + " ".join("repeat" for _ in range(18))),  # top word 75%
+        (7, "the a " + " ".join("extraordinarily" for i in range(2))
+            + " supercalifragilistic anotherverylongword yetanotherlongone"
+            + " morelongwords andevenlongerones finalgiantword"),  # mean len > 8
+    ]
+    out = TextCorpus(spark.createDataFrame(rows, "doc_id int, text string")).gopher_filter()
+    kept = sorted(r.doc_id for r in out.df.collect())
+    assert kept == [1, 2]
+
+
+def test_gopher_filter_agrees_with_q150_pass_counts(spark, docs):
+    # the map-side stage and the relational q150 count the same docs
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    q = QUERIES["q150_gopher_rules"]
+    agg = (
+        q.spark_fn(spark, "/root/testdata/sf0.01")
+        .agg(F.sum("n_pass_all").alias("n"))
+        .collect()[0]["n"]
+    )
+    stage = TextCorpus(docs).gopher_filter().df.count()
+    assert stage == agg
