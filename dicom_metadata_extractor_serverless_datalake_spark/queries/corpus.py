@@ -109,6 +109,7 @@ _PRIORITY = [
     "q149_kcore",
     "q150_gopher_rules",
     "q151_ewma_anomaly",
+    "q152_interval_overlap",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

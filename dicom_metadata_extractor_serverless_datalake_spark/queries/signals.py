@@ -463,3 +463,74 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
             "is_spike"
         ),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# q152 — interval-overlap join (operators/interval.py): which pairs of
+# users had OVERLAPPING activity windows on the same day, and for how
+# long in total. Per-(user, day) activity intervals [min ts, max ts]
+# in integer epoch microseconds, overlap-joined with the banded
+# interval join (6-hour bands → ≤5 band rows per interval, pure hash
+# equi-join on (day, band), pair-id dedup, exact overlap verify — no
+# BroadcastNestedLoopJoin; the generalization of q101's point-
+# proximity banding to true interval×interval overlap, the range-join
+# class Presto/Athena would plan as a nested loop). Rolled up per day
+# (pair count + exact integer overlap sum) so the output is
+# calendar-sized while the join itself is fully exercised.
+#
+# 100 TB shape: see operators/interval.py — shuffle keys are
+# (day, band), explode factor is bounded by ceil(span/width)+1,
+# payloads never ride a wide distinct (dedup is on pair ids).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q152_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+             min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day AS day, count(*) AS n_pairs,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+             AS total_overlap_us
+    FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
+    WHERE a.s <= b.e AND b.s <= a.e
+    GROUP BY a.day ORDER BY day
+    """,
+    category="signals",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.interval import interval_join
+
+    iv = (
+        t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+    )
+    six_hours_us = 6 * 3600 * 1_000_000
+    pairs = interval_join(
+        iv,
+        iv,
+        band_width=six_hours_us,
+        id_col="user_id",
+        on=["day"],
+        start="s",
+        end="e",
+    ).filter(F.col("user_id_a") < F.col("user_id_b"))
+    return (
+        pairs.groupBy("day")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+            ).alias("total_overlap_us"),
+        )
+        .orderBy("day")
+    )

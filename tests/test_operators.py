@@ -772,3 +772,36 @@ def test_kcore_matches_bruteforce_peel(spark):
         want = {(x, len(adj[x] & want_nodes)) for x in want_nodes}
         assert got == want, f"k={k}"
         assert stats["rounds"] >= 1
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """interval_join equals the brute-force O(n^2) overlap join across
+    band widths (narrower/wider than typical spans), with equality
+    keys, multi-band spans, touching endpoints, and negative coords."""
+    import itertools
+    import random
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.interval import interval_join
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(80):
+        g = rng.choice(["x", "y"])
+        s = rng.randint(-50, 950)
+        rows.append((g, i, s, s + rng.randint(0, 120)))
+    df = spark.createDataFrame(rows, "g string, rid long, s long, e long")
+
+    want = {
+        (a[0], a[1], b[1])
+        for a, b in itertools.product(rows, rows)
+        if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    for width in (7, 60, 500):
+        got = {
+            (r.g, r.rid_a, r.rid_b)
+            for r in interval_join(
+                df, df, band_width=width, id_col="rid", on=["g"],
+                start="s", end="e",
+            ).collect()
+        }
+        assert got == want, f"width={width}"

@@ -448,3 +448,19 @@ def test_q04_layout_aware_strategy(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in plain_df.collect()] == [
         tuple(r) for r in bdf.collect()
     ]
+
+
+def test_q152_interval_join_is_equi_join(spark, sf_dir):
+    """The banded interval-overlap join must plan as a hash equi-join
+    on (day, band) — never a BroadcastNestedLoopJoin/CartesianProduct
+    (what a naive inequality overlap predicate would produce)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q152_interval_overlap", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
