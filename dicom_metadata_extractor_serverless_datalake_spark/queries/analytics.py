@@ -1822,3 +1822,76 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
         dsum("value", "total_value", 4, max_abs=1e3),
         F.lit(len(files) < total).alias("pruned_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q154 — keyed table reconciliation (operators/diff.py table_diff):
+# diff a deterministically perturbed second version of `orders`
+# against the original and report row count + exact key sum per
+# verdict. The perturbation (all modular, engine-portable):
+#   removed   o_orderkey % 97 == 0 dropped from the new version
+#   changed   surviving keys % 89 == 0 get o_totalprice + 1.0
+#   added     keys % 83 == 0 re-inserted shifted by +10^9
+# A key divisible by both 97 and 89 is removed (the delete wins);
+# the re-inserted copies keep their price, so they are pure adds.
+# This is the migration-validation primitive the reference's
+# at-least-once append ingest (README.md:139 re-run + MSCK) cannot
+# express: proof that old and new lakes agree row-by-row.
+#
+# 100 TB shape: one full-outer shuffle on the key (both sides
+# co-partition); exact mode here because the oracle compares values —
+# the wide-table production path is fingerprint=True, which ships an
+# 8-byte xxhash64 per row instead of the payload (see operators/
+# diff.py; one-sided ~2^-64 miss bound). The summary is a 4-row
+# map-side-combinable rollup.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q154_table_diff",
+    oracle="""
+    WITH newv AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice
+      FROM orders WHERE o_orderkey % 83 = 0
+    ),
+    oldv AS (SELECT o_orderkey, o_totalprice FROM orders),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                       THEN 'unchanged'
+                  ELSE 'changed' END AS change_type
+      FROM oldv o FULL JOIN newv n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM j GROUP BY change_type ORDER BY change_type
+    """,
+    category="analytics",
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.diff import diff_summary, table_diff
+
+    old = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    new = (
+        old.filter(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 89 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(key % 83 == 0).withColumn(
+                "o_orderkey", key + F.lit(1000000000)
+            )
+        )
+    )
+    d = table_diff(old, new, keys=["o_orderkey"], compare=["o_totalprice"])
+    return diff_summary(d, keys=["o_orderkey"])

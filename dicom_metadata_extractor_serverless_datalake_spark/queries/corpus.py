@@ -110,6 +110,9 @@ _PRIORITY = [
     "q150_gopher_rules",
     "q151_ewma_anomaly",
     "q152_interval_overlap",
+    "q153_twap",
+    "q154_table_diff",
+    "q155_consistent_sample",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

@@ -534,3 +534,89 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — time-weighted average (TWAP) of `value` per (event_type, day):
+# each event's value holds until the NEXT event of the same type that
+# day, weighted by the hold duration in microseconds. The plain AVG is
+# wrong whenever sampling is irregular (bursts over-weight themselves);
+# TWAP is the standard fix for sensor/price series. Exactness: value in
+# bigint cents (half-away-from-zero, the corpus convention), durations
+# in integer epoch microseconds, numerator/denominator surfaced as
+# exact bigint sums; the double ratio is one IEEE division of the same
+# two bigints on both sides. Deterministic lead order via (ts,
+# event_id) — event_id is unique, so equal timestamps don't flap.
+#
+# 100 TB shape: one window pass partitioned by (event_type, day) —
+# partitions are calendar-bounded so the per-task sort is bounded by
+# per-day density regardless of corpus size (the timeline grows, not
+# the day) — then a map-side-combinable groupBy on the SAME keys, which
+# reuses the window's hash partitioning (no second exchange). Numerator
+# bound: |cents| <= 5e4, dur summed per (type, day) <= 8.64e10 us, so
+# the per-group numerator is < 4.3e15 — inside bigint at any factor
+# because replication extends the calendar, not the day.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q153_twap",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             epoch_us(ts) AS ts_us, event_id,
+             CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, day, cents,
+             lead(ts_us) OVER (PARTITION BY event_type, day
+                               ORDER BY ts_us, event_id) - ts_us AS dur
+      FROM e
+    )
+    SELECT event_type, day,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(cents * dur) AS BIGINT) AS twap_num,
+           CAST(SUM(dur) AS BIGINT) AS twap_den,
+           CAST(CAST(SUM(cents * dur) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twap_cents
+    FROM w
+    WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    category="signals",
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    half = F.when(F.col("value") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (F.col("value") * F.lit(100.0) + half).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    iv = e.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur"),
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    num = F.sum(F.col("cents") * F.col("dur")).alias("twap_num")
+    den = F.sum("dur").alias("twap_den")
+    return (
+        iv.groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            num,
+            den,
+            (
+                F.sum(F.col("cents") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double")
+            ).alias("twap_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -741,3 +741,55 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q155 — ENTITY-consistent sampling: keep ~10% of USERS (portable hash
+# of user_id), and with them every event they ever produced. Row-level
+# sampling (q72's shape, TABLESAMPLE, rand() < p) silently destroys
+# every cross-row property — sessions lose steps, funnels lose
+# conversions, per-user counts shrink — so any debugging subsample of
+# event data must sample the ENTITY and keep its rows intact. Same for
+# training corpora sampled by source/author. The hash filter makes the
+# cohort stable across runs, engines, and cluster sizes, and two
+# different TABLES sampled with the same key function stay join-
+# compatible (the sampled events still join the sampled user dim).
+#
+# 100 TB shape: pure map-side filter — no shuffle, no RNG state, no
+# coordination; prunes at the scan when user_id bucketing/clustering
+# exists (operators/layout.py). The rollup after it is the only
+# exchange. countDistinct(user_id) is exact here (bounded by the user
+# population, not the corpus); the sketch path for unbounded keys is
+# q90's HLL.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q155_consistent_sample",
+    oracle=f"""
+    WITH kept AS (
+      SELECT event_type, user_id, value FROM events
+      WHERE {duck_h31("'s155-' || CAST(user_id AS VARCHAR)")} % 100 < 10
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+    category="training",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    from .base import dsum
+
+    h = F.expr(spark_h31("concat('s155-', CAST(user_id AS STRING))")) % 100
+    return (
+        t(spark, sf, "events")
+        .filter(h < 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value", 2, max_abs=500.0),
+        )
+        .orderBy("event_type")
+    )

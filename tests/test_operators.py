@@ -805,3 +805,35 @@ def test_interval_join_matches_bruteforce(spark):
             ).collect()
         }
         assert got == want, f"width={width}"
+
+
+def test_table_diff_exact_and_fingerprint(spark):
+    """table_diff classifies added/removed/changed/unchanged with
+    null-safe compare, and fingerprint mode agrees with exact mode on
+    every verdict (collisions aside) while carrying no payload."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 31.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    want = {1: "unchanged", 2: "unchanged", 3: "changed",
+            4: "removed", 5: "added"}
+    exact = table_diff(old, new, keys=["k"])
+    got = {r.k: r.change_type for r in exact.collect()}
+    assert got == want
+    # exact mode surfaces the compared columns for changed-row triage
+    assert "v_old" in exact.columns and "v_new" in exact.columns
+
+    fp = table_diff(old, new, keys=["k"], fingerprint=True)
+    assert {r.k: r.change_type for r in fp.collect()} == want
+    assert set(fp.columns) == {"k", "change_type"}
+
+    summ = {r.change_type: (r.n, r.key_sum)
+            for r in diff_summary(exact, keys=["k"]).collect()}
+    assert summ == {"added": (1, 5), "changed": (1, 3),
+                    "removed": (1, 4), "unchanged": (2, 3)}

@@ -464,3 +464,19 @@ def test_q152_interval_join_is_equi_join(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_q153_window_partitioning_reused_by_agg(spark, sf_dir):
+    """q153's groupBy keys equal its window partition keys, so the
+    aggregate must reuse the window's hash partitioning: no Exchange
+    between the Window operator and the final HashAggregate (the only
+    exchanges are the window's own hash partitioning and the output
+    orderBy's range partitioning)."""
+    import re
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q153_twap", spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Arguments: rangepartitioning", plan)) == 1
