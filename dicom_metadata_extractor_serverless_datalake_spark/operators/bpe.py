@@ -1,0 +1,87 @@
+"""Distributed byte-pair-encoding merge training.
+
+The core BPE vocabulary-construction loop (Sennrich et al. 2016) as a
+DataFrame program: count adjacent symbol pairs weighted by word
+frequency, merge the argmax pair everywhere, repeat. Runs on the
+VOCABULARY (distinct words + frequencies), which is the published
+algorithm's own scale trick — the corpus is touched once to build the
+word counts, every merge round is vocab-sized.
+
+Representation: a word is carried as a delimited symbol string
+``<s><y><m>``. The delimiters make substring false-positives
+impossible (symbol boundaries are explicit), and an engine-native
+left-to-right non-overlapping ``replace`` of ``<a><b>`` with ``<ab>``
+IS the greedy BPE merge: ``<a><a><a>`` -> ``<aa><a>``. Pair counts
+are overlapping-adjacent (the standard zip(word, word[1:]) count);
+the argmax is totally ordered by (count desc, a asc, b asc) so ties
+never flap. Symbols must therefore not contain ``<``/``>`` —
+enforced by the caller's word filter.
+
+Scale shape at 100 TB: after the caller's corpus-scale word count,
+the persisted vocab is the only input; each round is one vocab-sized
+explode + map-side-combinable groupBy and a TakeOrdered(1). One 1-row
+collect per round drives the next round's replace literal — the same
+O(rounds) driver round-trip pattern as the kcore/PageRank fixpoints,
+with rounds fixed, never data-dependent.
+
+Reference parity: the reference has no text processing at all (it is
+a per-object DICOM ETL, /root/reference/src/app.py); this is part of
+the training-data-pipeline surface built on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PAIR_LIST = (
+    "transform(sequence(1, size(l) - 1), "
+    "i -> struct(element_at(l, i) AS a, element_at(l, i + 1) AS b))"
+)
+
+
+def bpe_merges(
+    vocab: DataFrame, rounds: int, word_col: str = "w0", freq_col: str = "f"
+) -> DataFrame:
+    """Learn ``rounds`` BPE merge rules from a (word, frequency) vocab.
+
+    Returns one row per round: (merge_round int, a, b, cnt) — the
+    merged pair and its weighted count at the time of the merge. Each
+    round's argmax depends on the previous round's rewrite, so the
+    row sequence certifies the whole cascade. Words containing ``<``
+    or ``>`` must be filtered out by the caller. If the vocab merges
+    down to single symbols early, later rounds produce no row (the
+    result can have fewer than ``rounds`` rows).
+    """
+    cur = vocab.select(
+        F.regexp_replace(F.col(word_col), "(.)", "<$1>").alias("w"),
+        F.col(freq_col).alias("f"),
+    ).persist()
+    bests = []
+    for r in range(1, rounds + 1):
+        syms = F.split(F.expr("substring(w, 2, length(w) - 2)"), "><")
+        pairs = (
+            cur.select("f", syms.alias("l"))
+            .filter(F.size("l") >= 2)
+            .select("f", F.explode(F.expr(_PAIR_LIST)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        rows = best.collect()  # 1 row: drives the next round's literal
+        if not rows:
+            break
+        bests.append(best.select(F.lit(r).alias("merge_round"), "a", "b", "cnt"))
+        row = rows[0]
+        cur = cur.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f"<{row.a}><{row.b}>"),
+                F.lit(f"<{row.a}{row.b}>"),
+            ).alias("w"),
+            "f",
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_round")

@@ -793,3 +793,88 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — distributed BPE tokenizer training, 4 merge rounds: the core
+# loop of byte-pair-encoding vocabulary construction (count adjacent
+# symbol pairs weighted by word frequency -> merge the argmax pair ->
+# repeat), run on-cluster. The returned rows are the learned merge
+# rules (round, a, b, count) — each round's argmax depends on the
+# previous round's merge, so a hash match certifies the whole cascade.
+#
+# The classic BPE scale trick is structural here: after the initial
+# word count, every round operates on the VOCABULARY (|distinct
+# words| rows), not the corpus — the only corpus-scale operation is
+# the first groupBy. Words are carried as delimited symbol strings
+# '<s><y><m>' so a merge is one engine-native replace(): the <>
+# delimiters make substring false-positives impossible and L->R
+# non-overlapping replace IS the greedy BPE merge ('<a><a><a>' ->
+# '<aa><a>'); pair counting is overlapping-adjacent (the standard
+# count), identical index arithmetic on both engines. The argmax is
+# totally ordered (count desc, a asc, b asc).
+#
+# 100 TB shape: corpus-scale word count (map-side partial aggs), then
+# the persisted vocab is the only input to all rounds; each round is
+# one vocab-sized explode+groupBy (map-side combinable, pairs <<
+# vocab * avg_len) and a TakeOrdered(1). One 1-row collect per round
+# drives the next round's replace literal — the kcore/PageRank
+# iterative pattern; the returned merge rows themselves are computed
+# distributed (union of the per-round limit-1 frames). Rounds are
+# O(R) driver round-trips with R fixed, never data-dependent.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    ctes = [
+        """words0 AS (
+      SELECT regexp_replace(w0, '(.)', '<\\1>', 'g') AS w, f FROM (
+        SELECT w0, CAST(COUNT(*) AS BIGINT) AS f FROM (
+          SELECT unnest(string_split(text, ' ')) AS w0 FROM documents
+        ) WHERE regexp_matches(w0, '^[A-Za-z]+$') GROUP BY w0)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""sy{r} AS (
+      SELECT f, string_split(substring(w, 2, length(w) - 2), '><') AS l
+      FROM words{r - 1}
+    ),
+    pairs{r} AS (
+      SELECT u.p['a'] AS a, u.p['b'] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM sy{r} t, unnest(list_transform(generate_series(1, len(t.l) - 1),
+           i -> struct_pack(a := t.l[i], b := t.l[i+1]))) AS u(p)
+      GROUP BY 1, 2
+    ),
+    best{r} AS (SELECT {r} AS merge_round, a, b, cnt FROM pairs{r}
+                ORDER BY cnt DESC, a, b LIMIT 1),
+    words{r} AS (
+      SELECT replace(w, '<' || best{r}.a || '><' || best{r}.b || '>',
+                     '<' || best{r}.a || best{r}.b || '>') AS w, f
+      FROM words{r - 1}, best{r}
+    )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT merge_round, a, b, cnt FROM best{i}" for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT merge_round, a, b, cnt FROM ({sel}) ORDER BY merge_round"
+    )
+
+
+@query("q156_bpe_merges", oracle=_bpe_oracle(), category="training")
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_merges
+
+    vocab = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w0"))
+        .filter(F.col("w0").rlike("^[A-Za-z]+$"))
+        .groupBy("w0")
+        .agg(F.count("*").alias("f"))
+    )
+    return bpe_merges(vocab, rounds=_BPE_ROUNDS)

@@ -837,3 +837,55 @@ def test_table_diff_exact_and_fingerprint(spark):
             for r in diff_summary(exact, keys=["k"]).collect()}
     assert summ == {"added": (1, 5), "changed": (1, 3),
                     "removed": (1, 4), "unchanged": (2, 3)}
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """bpe_merges equals a pure-Python BPE trainer on adversarial
+    vocab: overlapping runs ('aaaa' merges L->R greedily), multi-char
+    symbol chains, and count ties broken (a asc, b asc)."""
+    import collections
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.bpe import bpe_merges
+
+    def py_bpe(vocab, rounds):
+        words = {tuple(w): f for w, f in vocab.items()}
+        out = []
+        for r in range(1, rounds + 1):
+            cnt = collections.Counter()
+            for syms, f in words.items():
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += f
+            if not cnt:
+                break
+            m = max(cnt.values())
+            a, b = sorted(k for k, v in cnt.items() if v == m)[0]
+            out.append((r, a, b, m))
+            new = {}
+            for syms, f in words.items():
+                s, i, res = list(syms), 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                new[tuple(res)] = new.get(tuple(res), 0) + f
+            words = new
+        return out
+
+    vocab = {
+        "aaaa": 5,      # overlapping run: (a,a) counts 3x per word
+        "aab": 4,
+        "banana": 3,    # multi-char chain ans
+        "bandana": 2,
+        "abab": 4,      # tie material vs (b,a)
+        "x": 7,         # single symbol: no pairs
+    }
+    df = spark.createDataFrame(list(vocab.items()), "w0 string, f long")
+    for rounds in (1, 3, 6):
+        got = [
+            (r.merge_round, r.a, r.b, r.cnt)
+            for r in bpe_merges(df, rounds=rounds).collect()
+        ]
+        assert got == py_bpe(vocab, rounds), f"rounds={rounds}"
