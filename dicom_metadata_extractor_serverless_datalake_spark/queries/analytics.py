@@ -1895,3 +1895,113 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
     )
     d = table_diff(old, new, keys=["o_orderkey"], compare=["o_totalprice"])
     return diff_summary(d, keys=["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# q158 — A/B experiment readout: deterministic 50/50 user assignment
+# (portable salted hash — the q71 split machinery, so assignment is
+# stable across runs/engines/cluster sizes), per-arm user conversion
+# (>= 1 high-value purchase event), and the pooled two-proportion z
+# statistic  z = (p1 - p0) / sqrt(p(1-p) * (1/n0 + 1/n1))
+# with |z| > 1.96 flagged significant; degenerate designs (an empty
+# arm, pooled conversion 0 or 1) yield NULL z on both sides via the
+# same CASE guard instead of a divide-by-zero. Counts are exact integers; the
+# floating part is +,-,*,/ and ONE sqrt — IEEE 754 requires sqrt to
+# be correctly rounded, so the identical evaluation tree yields the
+# identical double on both engines (the same portability argument as
+# the corpus's division-only rationals, extended by the one libm-free
+# transcendental).
+#
+# 100 TB shape: per-user conversion is one map-side-combinable
+# groupBy(user); the arm rollup collapses to 2 rows via conditional
+# aggregates in the same pass (no pivot shuffle); the z arithmetic is
+# a 1-row projection. Nothing downstream of the first aggregation
+# exceeds the user population.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q158_ab_test",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 250.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2147483647 % 2 AS arm
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+      FROM conv
+    )
+    , zc AS (
+      SELECT n0, c0, n1, c1,
+             CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+                  THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                              * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                       / CAST(n0 + n1 AS DOUBLE))
+                              * (1.0 / CAST(n0 AS DOUBLE)
+                                 + 1.0 / CAST(n1 AS DOUBLE)))
+                  ELSE NULL END AS z
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           z, abs(z) > 1.96 AS significant
+    FROM zc
+    """,
+    category="analytics",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import spark_h31
+
+    arm = F.expr(spark_h31("'ab-' || CAST(user_id AS STRING)")) % 2
+    conv = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 250.0)
+                ).cast("bigint")
+            ).alias("c")
+        )
+        .withColumn("arm", arm)
+    )
+    arms = conv.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0)).alias("c1"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    p0 = d(F.col("c0")) / d(F.col("n0"))
+    p1 = d(F.col("c1")) / d(F.col("n1"))
+    pp = d(F.col("c0") + F.col("c1")) / d(F.col("n0") + F.col("n1"))
+    ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    )
+    z = F.when(
+        ok,
+        (p1 - p0)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / d(F.col("n0")) + F.lit(1.0) / d(F.col("n1")))
+        ),
+    )
+    return arms.select(
+        "n0", "c0", "n1", "c1",
+        p0.alias("p0"), p1.alias("p1"), z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -974,3 +974,120 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("b1", "b2")
     )
+
+
+# --------------------------------------------------------------------------
+# q157 — exact decision-stump training (1-D best-split search): find
+# the value threshold that best separates purchase events from the
+# rest by minimum weighted Gini impurity — the inner loop of decision
+# tree / GBDT training, run as one aggregation + one bounded window
+# pass. Candidates are dollar buckets (cents div 100), so the split
+# search is over the PRICE DOMAIN (~bounded hundreds of rows), never
+# the event count. Minimizing weighted Gini == maximizing
+#   obj = S_L/n_L + S_R/n_R,   S = n_pos^2 + n_neg^2 per side,
+# computed from exact integer cumulative counts; products go through
+# decimal(38,0) (hugeint on the oracle side) so nothing overflows at
+# any corpus size, and the final obj is one identical
+# integer->double division + compare on both engines. Output: the
+# top-3 candidate splits (total order: obj desc, bucket asc) with
+# their exact side counts.
+#
+# 100 TB shape: one corpus-scale groupBy on the bucket (map-side
+# combinable, output = price domain), a scalar-totals broadcast, and
+# a window over the bounded bucket frame (the global sort is over
+# ~hundreds of rows — domain-bounded, not data-bounded; same class
+# as q140's calendar window). TakeOrderedAndProject(3) finishes it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q157_best_split",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) // 100 AS bucket,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    byb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+      FROM e GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp,
+             MAX(bucket) AS maxb
+      FROM byb
+    ),
+    cum AS (
+      SELECT bucket,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(p) OVER w AS BIGINT) AS pl
+      FROM byb
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    cand AS (
+      SELECT c.bucket, c.nl, c.pl, t.nn - c.nl AS nr, t.pp - c.pl AS pr
+      FROM cum c CROSS JOIN tot t WHERE c.bucket < t.maxb
+    ),
+    scored AS (
+      SELECT bucket, nl, pl, nr, pr,
+             CAST(
+               (CAST(pl AS HUGEINT) * pl + CAST(nl - pl AS HUGEINT) * (nl - pl))
+                 * nr
+               + (CAST(pr AS HUGEINT) * pr + CAST(nr - pr AS HUGEINT) * (nr - pr))
+                 * nl
+             AS DOUBLE)
+             / CAST(CAST(nl AS HUGEINT) * nr AS DOUBLE) AS obj
+      FROM cand
+    )
+    SELECT bucket, nl, pl, nr, pr, obj
+    FROM scored ORDER BY obj DESC, bucket LIMIT 3
+    """,
+    category="mining",
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    half = F.when(F.col("value") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    cents = (F.col("value") * F.lit(100.0) + half).cast("long")
+    e = t(spark, sf, "events").select(
+        cents.alias("c"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    byb = (
+        e.select(F.expr("c div 100").alias("bucket"), "y")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("p"))
+    )
+    tot = byb.agg(
+        F.sum("n").alias("nn"), F.sum("p").alias("pp"), F.max("bucket").alias("maxb")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byb.select(
+        "bucket",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("bucket") < F.col("maxb"))
+        .select(
+            "bucket",
+            "nl",
+            "pl",
+            (F.col("nn") - F.col("nl")).alias("nr"),
+            (F.col("pp") - F.col("pl")).alias("pr"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sl = dec("pl") * F.col("pl") + (dec("nl") - dec("pl")) * (F.col("nl") - F.col("pl"))
+    sr = dec("pr") * F.col("pr") + (dec("nr") - dec("pr")) * (F.col("nr") - F.col("pr"))
+    num = sl * F.col("nr") + sr * F.col("nl")
+    den = dec("nl") * F.col("nr")
+    scored = cand.select(
+        "bucket",
+        "nl",
+        "pl",
+        "nr",
+        "pr",
+        (num.cast("double") / den.cast("double")).alias("obj"),
+    )
+    return scored.orderBy(F.desc("obj"), "bucket").limit(3)
