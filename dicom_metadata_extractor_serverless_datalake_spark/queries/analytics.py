@@ -2005,3 +2005,93 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
         p0.alias("p0"), p1.alias("p1"), z.alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — point-in-time-correct enrichment (the feature-store join):
+# attach to every order the customer's priority tier AS OF the order
+# date, from the SCD2 dimension q123 maintains. PIT correctness is
+# what prevents training-serving skew — joining "current" attributes
+# onto historical facts leaks the future into training data; the only
+# correct join is against the version whose validity interval covers
+# the fact's timestamp. Same-day version churn is resolved first
+# (per (key, valid_from) the highest-seq version survives — the only
+# one with a non-empty interval), so the match is unique and the
+# as-of pick equals the half-open interval predicate the oracle runs.
+#
+# 100 TB shape: executed as the as-of union trick (operators/
+# asof.py) — ONE shuffle on the customer key, running last() carries
+# the version forward, no row multiplication and no range-join
+# nested loop (Presto/Athena would BNLJ the BETWEEN predicate); the
+# dim payload carried through the union is just (attr, valid_from).
+# The rollup afterwards is map-side combinable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q159_pit_join",
+    oracle=f"""
+    WITH ch AS (
+      SELECT o_custkey AS key, o_orderpriority AS attr,
+             o_orderdate AS eff, o_orderkey AS seq
+      FROM orders
+    ),
+    runs AS (
+      SELECT key, attr, eff, seq,
+             lag(attr) OVER (PARTITION BY key ORDER BY eff, seq) AS prev
+      FROM ch
+    ),
+    chg AS (SELECT key, attr, eff, seq FROM runs
+            WHERE prev IS NULL OR attr <> prev),
+    dim AS (
+      SELECT key, attr, eff AS valid_from,
+             lead(eff) OVER (PARTITION BY key ORDER BY eff, seq) AS valid_to,
+             row_number() OVER (PARTITION BY key, eff ORDER BY seq DESC) AS rn
+      FROM chg
+    ),
+    d AS (SELECT key, attr, valid_from, valid_to FROM dim WHERE rn = 1),
+    pit AS (
+      SELECT o.o_totalprice, d.attr
+      FROM orders o JOIN d ON o.o_custkey = d.key
+        AND d.valid_from <= o.o_orderdate
+        AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    )
+    SELECT attr AS priority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM pit GROUP BY attr ORDER BY attr
+    """,
+    category="analytics",
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ..operators.merge import scd2_build
+    from .base import dsum
+
+    ch = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("eff"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    wv = Window.partitionBy("key", "valid_from").orderBy(F.desc("seq"))
+    dim = (
+        scd2_build(ch)
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select("key", "attr", "valid_from")
+    )
+    facts = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("key"), "o_orderdate", "o_totalprice"
+    )
+    pit = asof_join(
+        facts, dim, on="key",
+        left_ts="o_orderdate", right_ts="valid_from", how="inner",
+    )
+    return (
+        pit.groupBy(F.col("attr").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .orderBy("priority")
+    )

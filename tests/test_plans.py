@@ -480,3 +480,17 @@ def test_q153_window_partitioning_reused_by_agg(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
     assert len(re.findall(r"Arguments: rangepartitioning", plan)) == 1
+
+
+def test_q159_pit_join_has_no_range_join_scan(spark, sf_dir):
+    """q159's point-in-time enrichment must run as the as-of union
+    trick — a window pass after ONE hash shuffle on the key — never as
+    a nested-loop range join on the BETWEEN predicate (Presto/Athena's
+    plan for it)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q159_pit_join", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
