@@ -1,0 +1,126 @@
+"""Distributed Lloyd k-means over integer feature columns.
+
+The full iterative clustering loop (assignment -> exact mean update ->
+repeat to fixpoint) as a DataFrame program, built for certification:
+cluster state is carried as EXACT integers (per-cluster point count
+and per-feature long sums), so convergence is an integer equality, not
+an epsilon test, and the final state is bit-reproducible under any
+partitioning. Centroid coordinates used for distance are the rational
+sum/n evaluated once in driver-side float and injected as literals —
+every executor scores against the identical doubles.
+
+Determinism contract:
+- init: the k points with the smallest (xxhash64 of the feature
+  tuple, features...) — no RNG, stable across runs/partitionings;
+- assignment: argmin of squared euclidean distance, ties to the
+  lowest cluster id (array_position picks the first minimum);
+- update: exact integer sums; an emptied cluster keeps its previous
+  centroid (documented standard choice);
+- convergence: per-cluster (n, sums) EXACTLY equal to the previous
+  round's.
+
+Scale shape at 100 TB: each round is one scan of the persisted
+feature projection + one map-side-combinable groupBy producing k
+rows; centroids ride as literals (k is small), so there is no join
+and the only shuffle per round carries k * (1 + n_features) longs per
+map task. Driver traffic is k rows per round — the same O(rounds)
+round-trip pattern as the PageRank/k-core/BPE fixpoints, with rounds
+bounded by ``max_rounds``.
+
+Reference parity: the reference has no ML surface (per-object DICOM
+ETL, /root/reference/src/app.py); this extends the training-pipeline
+family (IVF coarse quantizer operators/ann.py fits its codebook on a
+driver sample — this is the full-data refinement path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(feats: list[str], cent: tuple[float, ...]) -> F.Column:
+    d = F.lit(0.0)
+    for col, c in zip(feats, cent):
+        diff = F.col(col).cast("double") - F.lit(float(c))
+        d = d + diff * diff
+    return d
+
+
+def _assign_col(feats: list[str], cents: list[tuple[float, ...]]) -> F.Column:
+    """1-based cluster id: first index achieving the minimum distance."""
+    ds = F.array(*[_dist2(feats, c) for c in cents])
+    return F.array_position(ds, F.array_min(ds)).cast("int").alias("_cl")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    features: list[str],
+    k: int,
+    max_rounds: int = 100,
+) -> dict:
+    """Run Lloyd's algorithm to an exact fixpoint (or ``max_rounds``).
+
+    ``features`` must be integral (long-valued) columns — the exact-sum
+    state depends on it. Returns a dict:
+    ``stats``   list of k (n, sum_f1, sum_f2, ...) tuples (exact ints;
+                index = cluster id - 1),
+    ``centroids`` the matching rational means as floats,
+    ``rounds``  rounds executed,
+    ``converged`` whether the integer fixpoint was reached,
+    ``assign_expr`` a closure(feats-selected DataFrame) -> DataFrame
+                adding the final ``_cl`` assignment column — one more
+                scan reproduces the converged clustering for
+                verification or labeling.
+    """
+    pts = df.select(*features).persist()
+    seed = (
+        pts.select(*features, F.xxhash64(*features).alias("_h"))
+        .orderBy("_h", *features)
+        .limit(k)
+        .collect()
+    )
+    if len(seed) < k:
+        raise ValueError(f"kmeans_lloyd: fewer than k={k} points")
+    cents = [tuple(float(r[f]) for f in features) for r in seed]
+    prev: list[tuple] | None = None
+    rounds, converged = 0, False
+    stats = []
+    for rounds in range(1, max_rounds + 1):
+        agg = (
+            pts.select(_assign_col(features, cents), *features)
+            .groupBy("_cl")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(f).alias(f"_s_{f}") for f in features],
+            )
+            .collect()
+        )
+        by_cl = {r["_cl"]: r for r in agg}
+        stats = []
+        for j in range(1, k + 1):
+            r = by_cl.get(j)
+            if r is None:
+                stats.append((0,) + tuple(0 for _ in features))
+            else:
+                stats.append((r["_n"],) + tuple(r[f"_s_{f}"] for f in features))
+        if stats == prev:
+            converged = True
+            break
+        prev = stats
+        cents = [
+            tuple(s / st[0] for s in st[1:]) if st[0] else cents[j]
+            for j, st in enumerate(stats)
+        ]
+    final_cents = list(cents)
+
+    def assign(frame: DataFrame) -> DataFrame:
+        return frame.withColumn("_cl", _assign_col(features, final_cents))
+
+    return {
+        "stats": stats,
+        "centroids": final_cents,
+        "rounds": rounds,
+        "converged": converged,
+        "assign": assign,
+    }

@@ -94,7 +94,7 @@ _BM25_SQL_SCORE = """CAST(floor(1000000.0 * (
       SELECT doc_id, w, count(*) AS tf FROM toks
       WHERE w IN {_BM25_TERMS_SQL} GROUP BY 1, 2
     )
-    SELECT t.doc_id, SUM({_BM25_SQL_SCORE}) AS score_micros
+    SELECT t.doc_id, CAST(SUM({_BM25_SQL_SCORE}) AS BIGINT) AS score_micros
     FROM tf t
     JOIN dl l ON t.doc_id = l.doc_id
     JOIN df d ON t.w = d.w
@@ -314,13 +314,18 @@ _STOPWORDS_SQL = "('the', 'a')"
       FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     )
     SELECT source, count(*) AS n_docs,
-           SUM(CASE WHEN pass_wc THEN 0 ELSE 1 END) AS fail_word_count,
-           SUM(CASE WHEN pass_mwl THEN 0 ELSE 1 END) AS fail_mean_word_len,
-           SUM(CASE WHEN pass_one THEN 0 ELSE 1 END) AS fail_short_words,
-           SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS fail_stopwords,
-           SUM(CASE WHEN pass_rep THEN 0 ELSE 1 END) AS fail_top_word,
-           SUM(CASE WHEN pass_wc AND pass_mwl AND pass_one AND pass_stop
-                     AND pass_rep THEN 1 ELSE 0 END) AS n_pass_all
+           CAST(SUM(CASE WHEN pass_wc THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_word_count,
+           CAST(SUM(CASE WHEN pass_mwl THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_mean_word_len,
+           CAST(SUM(CASE WHEN pass_one THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_short_words,
+           CAST(SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_stopwords,
+           CAST(SUM(CASE WHEN pass_rep THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_top_word,
+           CAST(SUM(CASE WHEN pass_wc AND pass_mwl AND pass_one AND pass_stop
+                     AND pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
     FROM flags GROUP BY source ORDER BY source
     """,
     category="signals",
