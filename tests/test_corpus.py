@@ -87,6 +87,26 @@ def test_vs_duckdb(spark, sf_dir, name):
 
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+
+    # Driver-parity dtype check: the driver compares through pandas,
+    # where an un-cast DuckDB HUGEINT (any SUM of integers) arrives as
+    # float64 and hash-mismatches a bigint Spark column even when every
+    # value is equal (the q148/q150 round-4 regression). fetchall()
+    # hides this (hugeint -> Python int), so check the pandas dtypes.
+    integral = {
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
+    ddf = con.execute(q.oracle).df()
+    for c in integral:
+        kind = ddf[c].dtype.kind
+        if kind == "f" and not ddf[c].isna().any():
+            raise AssertionError(
+                f"{name}: oracle column {c!r} reaches pandas as float "
+                f"(HUGEINT/DECIMAL sum?) while Spark emits integral — "
+                f"CAST(... AS BIGINT) in the oracle SQL"
+            )
     sk = _rows_key(scols, srows)
     dk = _rows_key(dcols, drows)
     for i, (a, b) in enumerate(zip(sk, dk)):
