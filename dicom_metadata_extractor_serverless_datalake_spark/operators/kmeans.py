@@ -58,6 +58,7 @@ def kmeans_lloyd(
     features: list[str],
     k: int,
     max_rounds: int = 100,
+    init: list[tuple[float, ...]] | None = None,
 ) -> dict:
     """Run Lloyd's algorithm to an exact fixpoint (or ``max_rounds``).
 
@@ -74,15 +75,20 @@ def kmeans_lloyd(
                 verification or labeling.
     """
     pts = df.select(*features).persist()
-    seed = (
-        pts.select(*features, F.xxhash64(*features).alias("_h"))
-        .orderBy("_h", *features)
-        .limit(k)
-        .collect()
-    )
-    if len(seed) < k:
-        raise ValueError(f"kmeans_lloyd: fewer than k={k} points")
-    cents = [tuple(float(r[f]) for f in features) for r in seed]
+    if init is not None:
+        if len(init) != k:
+            raise ValueError(f"kmeans_lloyd: init has {len(init)} centroids, k={k}")
+        cents = [tuple(float(v) for v in c) for c in init]
+    else:
+        seed = (
+            pts.select(*features, F.xxhash64(*features).alias("_h"))
+            .orderBy("_h", *features)
+            .limit(k)
+            .collect()
+        )
+        if len(seed) < k:
+            raise ValueError(f"kmeans_lloyd: fewer than k={k} points")
+        cents = [tuple(float(r[f]) for f in features) for r in seed]
     prev: list[tuple] | None = None
     rounds, converged = 0, False
     stats = []

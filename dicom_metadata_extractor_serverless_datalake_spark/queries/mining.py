@@ -1091,3 +1091,100 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         (num.cast("double") / den.cast("double")).alias("obj"),
     )
     return scored.orderBy(F.desc("obj"), "bucket").limit(3)
+
+
+# --------------------------------------------------------------------------
+# q160 — distributed Lloyd k-means to an exact fixpoint (operators/
+# kmeans.py), certified the q121/q149 way (iterative fixpoints have no
+# order-independent SQL twin): the oracle recomputes the exact global
+# facts (point count, exact coordinate sums — mass the clustering must
+# conserve) and pins TRUE the invariants the Spark side GENUINELY
+# verifies with one extra distributed pass:
+#   converged_ok   the integer (n, sums) state reached a fixpoint
+#                  within the round cap,
+#   fixpoint_ok    re-assigning every point against the final
+#                  centroids reproduces the exact per-cluster
+#                  (n, sum_x, sum_y) state — Lloyd's defining
+#                  self-consistency,
+#   mass_ok        per-cluster counts/sums add up to the global
+#                  exacts (computed from the verify pass, not the
+#                  loop),
+#   all_nonempty_ok every one of the k clusters holds >= 1 point.
+# Features are integer (value cents, minute of day); cluster state is
+# exact integers end-to-end, so the fixpoint is an integer equality.
+# Node-level behavior is pinned to a pure-Python Lloyd in tests.
+#
+# 100 TB shape: see operators/kmeans.py — per round one scan of the
+# persisted projection + a k-row map-side-combinable aggregate,
+# centroids ride as literals, driver traffic k rows/round.
+# --------------------------------------------------------------------------
+
+_KM_K = 5
+
+
+@query(
+    "q160_kmeans_fixpoint",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_x,
+           CAST(SUM(60 * CAST(extract(hour FROM ts) AS BIGINT)
+                    + CAST(extract(minute FROM ts) AS BIGINT))
+                AS BIGINT) AS sum_y,
+           TRUE AS converged_ok, TRUE AS fixpoint_ok,
+           TRUE AS mass_ok, TRUE AS all_nonempty_ok
+    FROM events
+    """,
+    category="mining",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_lloyd
+
+    half = F.when(F.col("value") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    pts = t(spark, sf, "events").select(
+        (F.col("value") * F.lit(100.0) + half).cast("long").alias("x"),
+        (F.hour("ts").cast("long") * 60 + F.minute("ts").cast("long")).alias("y"),
+    )
+    km = kmeans_lloyd(pts, features=["x", "y"], k=_KM_K, max_rounds=300)
+
+    expected = spark.createDataFrame(
+        [(j + 1, *st) for j, st in enumerate(km["stats"])],
+        "_cl int, n bigint, sx bigint, sy bigint",
+    )
+    verify = (
+        km["assign"](pts)
+        .groupBy("_cl")
+        .agg(
+            F.count("*").alias("vn"),
+            F.sum("x").alias("vsx"),
+            F.sum("y").alias("vsy"),
+        )
+    )
+    per_cluster = verify.join(F.broadcast(expected), "_cl", "full_outer")
+    checks = per_cluster.agg(
+        F.sum("vn").alias("n_points"),
+        F.sum("vsx").alias("sum_x"),
+        F.sum("vsy").alias("sum_y"),
+        F.min(
+            F.col("vn").eqNullSafe(F.col("n"))
+            & F.col("vsx").eqNullSafe(F.col("sx"))
+            & F.col("vsy").eqNullSafe(F.col("sy"))
+        ).alias("fixpoint_ok"),
+        F.min(F.col("vn").isNotNull() & (F.col("vn") > 0)).alias("all_nonempty_ok"),
+    )
+    exact = pts.agg(
+        F.count("*").alias("gn"), F.sum("x").alias("gx"), F.sum("y").alias("gy")
+    )
+    return checks.crossJoin(F.broadcast(exact)).select(
+        "n_points",
+        "sum_x",
+        "sum_y",
+        F.lit(bool(km["converged"])).alias("converged_ok"),
+        "fixpoint_ok",
+        (
+            (F.col("n_points") == F.col("gn"))
+            & (F.col("sum_x") == F.col("gx"))
+            & (F.col("sum_y") == F.col("gy"))
+        ).alias("mass_ok"),
+        "all_nonempty_ok",
+    )

@@ -889,3 +889,57 @@ def test_bpe_merges_matches_python_reference(spark):
             for r in bpe_merges(df, rounds=rounds).collect()
         ]
         assert got == py_bpe(vocab, rounds), f"rounds={rounds}"
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    """kmeans_lloyd reaches the same exact integer fixpoint as a pure-
+    Python Lloyd with identical init, argmin tie-break (lowest cluster
+    id), and empty-cluster policy (keep previous centroid)."""
+    import random
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.kmeans import kmeans_lloyd
+
+    rng = random.Random(7)
+    pts = [
+        (rng.randint(0, 100) + cx, rng.randint(0, 100) + cy)
+        for cx, cy in ((0, 0), (400, 0), (0, 400), (300, 300))
+        for _ in range(60)
+    ]
+    init = [(0.0, 0.0), (1.0, 1.0), (500.0, 0.0), (0.0, 500.0)]
+
+    def py_lloyd(points, cents, rounds_cap):
+        cents = [tuple(c) for c in cents]
+        prev = None
+        for r in range(1, rounds_cap + 1):
+            groups = [[0, 0, 0] for _ in cents]
+            for x, y in points:
+                ds = [(x - cx) ** 2 + (y - cy) ** 2 for cx, cy in cents]
+                j = ds.index(min(ds))
+                groups[j][0] += 1
+                groups[j][1] += x
+                groups[j][2] += y
+            stats = [tuple(g) for g in groups]
+            if stats == prev:
+                return stats, r, True
+            prev = stats
+            cents = [
+                (s[1] / s[0], s[2] / s[0]) if s[0] else cents[j]
+                for j, s in enumerate(stats)
+            ]
+        return prev, rounds_cap, False
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    km = kmeans_lloyd(df, ["x", "y"], k=4, max_rounds=50, init=init)
+    want_stats, want_rounds, want_conv = py_lloyd(pts, init, 50)
+    assert km["converged"] is True and want_conv
+    assert km["stats"] == want_stats
+    assert km["rounds"] == want_rounds
+    # the verify pass reproduces the fixpoint
+    got = {
+        r["_cl"]: (r["n"], r["sx"], r["sy"])
+        for r in km["assign"](df)
+        .groupBy("_cl")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+        .collect()
+    }
+    assert got == {j + 1: st for j, st in enumerate(want_stats) if st[0]}
