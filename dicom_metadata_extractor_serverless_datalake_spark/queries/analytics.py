@@ -2095,3 +2095,87 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — DYNAMIC partition pruning: the runtime companion to q124's
+# static file skipping. The events table is written once per sf as a
+# hive-partitioned layout (month=YYYY-MM directories) next to a months
+# dimension carrying the quarter; the query joins fact to dim with a
+# filter on QUARTER — a predicate the fact scan cannot see statically
+# (quarter exists only in the dim file). Catalyst's dynamic partition
+# pruning turns the broadcast of the filtered dim into a runtime IN
+# filter on the fact's partition column, so only the matching month
+# directories are read. dpp_ok reports whether the executed plan
+# actually contains the dynamicpruning subquery on the fact scan (the
+# mechanism, not just the result); the oracle recomputes the same
+# aggregate from the raw table with the dim derivation inlined, so the
+# hash match proves pruning is lossless.
+#
+# 100 TB shape: THE star-schema scale feature — a date/tenant dim
+# filter prunes the fact scan to the matching partitions at runtime
+# without the query author repeating the predicate on the fact; scan
+# cost tracks the selected partitions, not the table. Partition count
+# is calendar-bounded (months), so the layout write is one range
+# shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q161_dynamic_partition_pruning",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type, value, strftime(ts, '%Y-%m') AS month FROM events
+    ),
+    d AS (
+      SELECT DISTINCT month,
+             substr(month, 1, 4) || '-Q'
+               || CAST((CAST(substr(month, 6, 2) AS INT) + 2) // 3 AS VARCHAR)
+               AS quarter
+      FROM f
+    )
+    SELECT f.event_type, COUNT(*) AS n_events,
+           {sql_dsum('f.value', 'total_value', 4)},
+           TRUE AS dpp_ok
+    FROM f JOIN d ON f.month = d.month
+    WHERE d.quarter = '2024-Q1'
+    GROUP BY f.event_type ORDER BY f.event_type
+    """,
+    category="analytics",
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from .base import dsum
+
+    layout = os.path.join(
+        "/tmp", f"spark_graft_dpp_{os.path.basename(sf.rstrip('/'))}"
+    )
+    fact_dir, dim_dir = os.path.join(layout, "fact"), os.path.join(layout, "dim")
+    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        ev = t(spark, sf, "events").withColumn(
+            "month", F.date_format("ts", "yyyy-MM")
+        )
+        ev.write.mode("overwrite").partitionBy("month").parquet(fact_dir)
+        months = ev.select("month").distinct().select(
+            "month",
+            F.concat(
+                F.substring("month", 1, 4),
+                F.lit("-Q"),
+                (
+                    (F.substring("month", 6, 2).cast("int") + 2)
+                    .cast("int") / 3
+                ).cast("int").cast("string"),
+            ).alias("quarter"),
+        )
+        months.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("quarter") == "2024-Q1")
+    joined = fact.join(F.broadcast(dim), "month")
+    agg = joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value", 4, max_abs=1e3),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    dpp = "dynamicpruning" in plan.lower()
+    return agg.withColumn("dpp_ok", F.lit(dpp)).orderBy("event_type")

@@ -494,3 +494,14 @@ def test_q159_pit_join_has_no_range_join_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" in plan
+
+
+def test_q161_dpp_subquery_in_fact_scan(spark, sf_dir):
+    """The quarter filter lives only in the dim file, so the fact scan
+    can prune its month partitions ONLY via dynamic partition pruning —
+    the executed plan must carry the dynamicpruning subquery, and the
+    query's own dpp_ok column (derived from the same plan) must agree."""
+    df = _q("q161_dynamic_partition_pruning", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert all(r.dpp_ok for r in df.collect())
