@@ -1188,3 +1188,105 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("mass_ok"),
         "all_nonempty_ok",
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — PCA top principal component from the exact gram (the q133
+# machinery turned into dimensionality reduction): the d x d gram is
+# accumulated map-side in exact fixed-point, the 64 x 64 eigenproblem
+# is solved on the driver (numpy eigh — the matrix is tiny; this is
+# the standard tall-skinny PCA split: cluster for A^T A, driver for
+# eig), and the certification follows q160's shape because an
+# eigenvector has no order-independent SQL twin:
+#   exact facts the oracle recomputes — n_vecs and the scaled gram
+#   TRACE (total fixed-point sum of squares = total variance mass);
+#   invariant booleans the Spark side genuinely computes, pinned TRUE:
+#     unit_norm_ok       |v| = 1 within 1e-9,
+#     lam_in_range_ok    trace/d <= lambda <= trace (top eigenvalue
+#                        bounds from the exact trace),
+#     residual_ok        ||G v - lambda v|| <= 1e-9 * ||G||_F
+#                        (eigenpair self-consistency on the exact G),
+#     proj_consistent_ok a SECOND DISTRIBUTED PASS projects every
+#                        embedding onto the broadcast v and checks
+#                        sum(proj^2) equals v^T G v within the
+#                        fixed-point flooring envelope — the cluster
+#                        re-derives the eigenvalue the driver claimed.
+#
+# 100 TB shape: gram shuffle is d*(d+1)/2 integer cells per partition
+# (row-count independent); the verify pass is one scan with v riding
+# as literals; driver work is O(d^3) on a 64 x 64 matrix, once.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q162_pca_top_eigen",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+    )
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(x * x * 1000000.0) AS DECIMAL(38,0)))
+                AS BIGINT) AS trace_scaled,
+           TRUE AS unit_norm_ok, TRUE AS lam_in_range_ok,
+           TRUE AS residual_ok, TRUE AS proj_consistent_ok
+    FROM v
+    """,
+    category="mining",
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.gram import gram_matrix
+
+    emb = t(spark, sf, "embeddings")
+    cells = gram_matrix(emb, "embedding", _GRAM_DIM, _GRAM_SCALE).collect()
+    scale = float(10**_GRAM_SCALE)
+    G = np.zeros((_GRAM_DIM, _GRAM_DIM), dtype=np.float64)
+    trace_scaled = 0
+    for r in cells:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        G[i, j] = G[j, i] = s / scale
+        if i == j:
+            trace_scaled += s
+    lam_all, vec_all = np.linalg.eigh(G)
+    lam, v = float(lam_all[-1]), vec_all[:, -1]
+    nz = np.nonzero(np.abs(v) > 1e-12)[0]
+    if nz.size and v[nz[0]] < 0:  # deterministic sign
+        v = -v
+
+    trace = trace_scaled / scale
+    unit_norm_ok = bool(abs(float(np.linalg.norm(v)) - 1.0) < 1e-9)
+    lam_in_range_ok = bool(trace / _GRAM_DIM - 1e-6 <= lam <= trace + 1e-6)
+    residual_ok = bool(
+        float(np.linalg.norm(G @ v - lam * v))
+        <= 1e-9 * max(1.0, float(np.linalg.norm(G)))
+    )
+
+    # distributed re-derivation: sum of squared projections == v^T G v
+    # within the flooring envelope (each of the n*d*(d+1)/2 floored
+    # products contributes < 1e-6 of absolute slack)
+    vgv = float(v @ G @ v)
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
+    proj = F.expr(
+        "aggregate(zip_with(embedding, _v, (x, c) -> CAST(x AS DOUBLE) * c), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
+    sp2 = (
+        emb.withColumn("_v", v_lit)
+        .select((proj * proj).alias("p2"))
+        .agg(F.sum("p2").alias("sp2"))
+    )
+    n_rows = emb.count()
+    slack = 1e-6 * n_rows * (_GRAM_DIM * (_GRAM_DIM + 1) / 2) / scale + 1e-3 * max(
+        1.0, abs(vgv)
+    )
+    return sp2.select(
+        F.lit(n_rows).cast("bigint").alias("n_vecs"),
+        F.lit(trace_scaled).cast("bigint").alias("trace_scaled"),
+        F.lit(unit_norm_ok).alias("unit_norm_ok"),
+        F.lit(lam_in_range_ok).alias("lam_in_range_ok"),
+        F.lit(residual_ok).alias("residual_ok"),
+        (F.abs(F.col("sp2") - F.lit(vgv)) <= F.lit(slack)).alias(
+            "proj_consistent_ok"
+        ),
+    )
