@@ -28,6 +28,7 @@ produce.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schema import PARTITION_COL
 
@@ -139,4 +140,51 @@ class DicomLake:
         return sorted(
             r[PARTITION_COL].isoformat()
             for r in self.df().select(PARTITION_COL).distinct().collect()
+        )
+
+    def reconcile(self, other: "DicomLake | DataFrame") -> DataFrame:
+        """Row-by-row reconciliation against another lake (or lake
+        DataFrame): one summary row per verdict in {added, removed,
+        changed, unchanged}, keyed by ``sop_instance_uid`` (the DICOM
+        object identity) and compared by content fingerprint.
+
+        This is the convergence proof the reference's recovery story
+        needs but cannot express: its ingest is at-least-once (re-run
+        the Lambda + MSCK, README.md:139), so after any replay the
+        operator question is "does the rebuilt lake equal the old
+        one?" — answered here with a fingerprint diff (operators/
+        diff.py) whose shuffle carries 8 bytes per row regardless of
+        the metadata width. `self` is OLD, ``other`` is NEW: rows only
+        in ``other`` count as added. Duplicate-UID rows (the
+        at-least-once signature) are collapsed to one fingerprint per
+        UID before the diff, so a replayed-twice lake still reconciles
+        as unchanged."""
+        from .operators.diff import table_diff
+
+        new = other.df() if isinstance(other, DicomLake) else other
+        key = "sop_instance_uid"
+
+        def canon(df: DataFrame) -> DataFrame:
+            # maps hash nondeterministically (Spark forbids it) —
+            # canonicalize to key-sorted entry arrays first
+            hashable = [
+                F.sort_array(F.map_entries(f.name))
+                if f.dataType.typeName() == "map"
+                else F.col(f.name)
+                for f in df.schema.fields
+                if f.name != key
+            ]
+            # one fingerprint per UID: dedupe exact-replay copies, and
+            # make multi-version UIDs order-insensitive via min(hash)
+            return (
+                df.select(key, F.xxhash64(*hashable).alias("fp"))
+                .groupBy(key)
+                .agg(F.min("fp").alias("fp"))
+            )
+
+        d = table_diff(canon(self.df()), canon(new), keys=[key])
+        return (
+            d.groupBy("change_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("change_type")
         )

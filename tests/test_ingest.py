@@ -188,3 +188,31 @@ def test_all_quarantined_ingest_yields_empty_lake(spark, tmp_path_factory):
     assert df.schema == DICOM_METADATA_SCHEMA
     assert spark.table("allbad_meta").count() == 0
     assert spark.read.parquet(str(out / "quar")).count() == 2
+
+
+def test_lake_reconcile_replay_converges(spark, tmp_path):
+    """reconcile() proves at-least-once replay convergence: a lake
+    re-ingested from the same input reconciles as 100% unchanged
+    (duplicate UID copies collapse), while a lake with a missing
+    object reports it as removed."""
+    from dicom_metadata_extractor_serverless_datalake_spark import DicomLake
+
+    src = "/root/reference/sample_dcm"
+    a = DicomLake(spark, str(tmp_path / "a"), quarantine_path=str(tmp_path / "qa"),
+                  table="rec_a")
+    a.ingest(src)
+    b = DicomLake(spark, str(tmp_path / "b"), quarantine_path=str(tmp_path / "qb"),
+                  table="rec_b")
+    b.ingest(src)
+    b.ingest(src)  # at-least-once replay: every object twice
+
+    summ = {r.change_type: r.n for r in a.reconcile(b).collect()}
+    n = a.df().select("sop_instance_uid").distinct().count()
+    assert summ == {"unchanged": n}
+
+    # drop one object from the new side -> reported as removed
+    uid = a.df().select("sop_instance_uid").orderBy("sop_instance_uid").first()[0]
+    from pyspark.sql import functions as F
+    partial = b.df().filter(F.col("sop_instance_uid") != uid)
+    summ2 = {r.change_type: r.n for r in a.reconcile(partial).collect()}
+    assert summ2 == {"removed": 1, "unchanged": n - 1}
