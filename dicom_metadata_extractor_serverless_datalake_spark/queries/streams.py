@@ -728,3 +728,136 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     )
     return tv_from_daily_counts(cnt)
 
+
+
+# --------------------------------------------------------------------------
+# q163 — STREAMING integer-EWMA anomaly detection: the q151 recurrence
+# (daily revenue cents per event type, s' = (3x + 7s) div 10) maintained
+# as applyInPandasWithState custom state across MULTIPLE micro-batches.
+# The event-time-ordered file splits guarantee at most one partial day
+# per key at any batch boundary, so the state carries exactly
+# (carry_day, carry_cents, ewma, started): each batch folds every
+# completed day in order, emits its (x, prev, ewma, spike) row once,
+# and re-carries the newest day. A day straddling a batch boundary
+# accumulates in the carry before folding — batching cannot change the
+# result. The stream's final day never completes (no later event
+# proves it closed), so the oracle — the identical recurrence as a
+# recursive CTE — excludes each type's last day: the streaming answer
+# is the longest PREFIX the watermarkless day-close rule can certify,
+# and EWMA's prefix property makes that exactly the truncated series.
+#
+# 100 TB shape: state is 4 integers per event type (bounded by the
+# type vocabulary, not the stream), emissions are one row per
+# completed (type, day); the q99 state-partitioning argument applies
+# verbatim. This closes the drift-family loop: q151 is the batch
+# detector, q136/q140/q143 its distribution twins, this the
+# continuously-maintained production form.
+# --------------------------------------------------------------------------
+
+_EWMA_STATE = "carry_day BIGINT, carry_cents BIGINT, ewma BIGINT, started BIGINT"
+_EWMA_OUT = (
+    "event_type STRING, day DATE, x_cents BIGINT, ewma_prev BIGINT, "
+    "ewma BIGINT, is_spike BOOLEAN"
+)
+
+
+def _ewma_update(key, batches, state):
+    import datetime
+    import math
+
+    import pandas as pd
+
+    carry_day, carry_cents, ewma, started = (
+        state.get if state.exists else (-1, 0, 0, 0)
+    )
+    days: dict[int, int] = {}
+    if carry_day >= 0:
+        days[int(carry_day)] = int(carry_cents)
+    for pdf in batches:
+        d = pdf["ts"].values.astype("datetime64[D]").astype("int64")
+        for di, v in zip(d, pdf["value"]):
+            days[int(di)] = days.get(int(di), 0) + int(
+                math.floor(float(v) * 100.0 + 0.5)
+            )
+    ordered = sorted(days)
+    rows = []
+    epoch = datetime.date(1970, 1, 1)
+    for di in ordered[:-1]:
+        x = days[di]
+        if not started:
+            prev, ewma, started = x, x, 1
+        else:
+            prev, ewma = ewma, (3 * x + 7 * ewma) // 10
+        rows.append(
+            (
+                key[0],
+                epoch + datetime.timedelta(days=di),
+                x,
+                prev,
+                ewma,
+                4 * abs(x - prev) > prev,
+            )
+        )
+    carry = ordered[-1] if ordered else -1
+    state.update((carry, days.get(carry, 0), int(ewma), int(started)))
+    yield pd.DataFrame(
+        rows,
+        columns=["event_type", "day", "x_cents", "ewma_prev", "ewma", "is_spike"],
+    )
+
+
+@query(
+    "q163_stream_ewma",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    ew AS (
+      SELECT event_type, day, x, rn, x AS prev, x AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.day, s.x, s.rn, e.ewma AS prev,
+             (3 * s.x + 7 * e.ewma) // 10 AS ewma
+      FROM seq s JOIN ew e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+    ),
+    last_day AS (SELECT event_type, MAX(day) AS md FROM daily GROUP BY 1)
+    SELECT e.event_type, e.day, e.x AS x_cents, e.prev AS ewma_prev, e.ewma,
+           4 * abs(e.x - e.prev) > e.prev AS is_spike
+    FROM ew e JOIN last_day m ON e.event_type = m.event_type
+    WHERE e.day < m.md
+    ORDER BY e.event_type, e.day
+    """,
+    category="streaming",
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .select("event_type", "ts", "value")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _ewma_update,
+                outputStructType=_EWMA_OUT,
+                stateStructType=_EWMA_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # each completed (type, day) is emitted exactly once
+    return spark.table(name).orderBy("event_type", "day")
