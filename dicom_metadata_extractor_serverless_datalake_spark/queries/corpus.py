@@ -121,6 +121,7 @@ _PRIORITY = [
     "q161_dynamic_partition_pruning",
     "q162_pca_top_eigen",
     "q163_stream_ewma",
+    "q164_stream_late_drop",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

@@ -861,3 +861,103 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
     # each completed (type, day) is emitted exactly once
     return spark.table(name).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# q164 — watermark LATE-DATA DROP accounting: the first third of the
+# event stream is RE-DELIVERED as the final file (an at-least-once
+# duplicate flood, the reference's recovery signature — its answer is
+# re-run + MSCK, README.md:139), after the watermark has advanced past
+# those days. Append-mode daily tumbling counts must therefore (a)
+# DROP the entire replay — the duplicates cannot inflate any count —
+# and (b) emit exactly the windows finalized by the final watermark
+# (end <= max event time - delay). The oracle is the plain batch
+# aggregate over the ORIGINAL table restricted to finalized windows
+# with the same integer delay arithmetic, so a single hash match
+# certifies both behaviors: any un-dropped duplicate inflates a count,
+# any mis-finalized window adds/loses a row.
+#
+# Determinism: file mtimes pin the replay to the LAST micro-batch
+# (maxFilesPerTrigger=1), the delay is the integer
+# (span_us div 1e6) div 6 seconds on both sides, and slice boundaries
+# are event-time thirds — watermark after the clean slices is
+# max_ts - delay, already past every replayed day's window end.
+#
+# 100 TB shape: this is the semantics the stream relies on AT scale —
+# bounded state (watermark evicts finalized windows) and idempotence
+# under redelivery come from the same mechanism being certified here.
+# --------------------------------------------------------------------------
+
+
+def _late_replay_src(sf: str) -> tuple[str, int]:
+    """Three event-time thirds in mtime order, then slice 0 re-delivered
+    last. Returns (dir, delay_seconds) with delay = (span_s) div 6."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="spark_stream_src_")
+    path = os.path.join(sf, "events.parquet")
+    table = pads.dataset(path, format="parquet").to_table()
+    ts = table.column("ts")
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    span_us = (hi - lo) // __import__("datetime").timedelta(microseconds=1)
+    delay_s = int(span_us // 1_000_000 // 6)
+    delta = hi - lo
+    mtime = 1_000_000_000.0
+    chunks = []
+    for s in range(3):
+        lo_b = lo + delta * s / 3
+        hi_b = lo + delta * (s + 1) / 3
+        mask = pc.and_(
+            pc.greater_equal(ts, lo_b),
+            pc.less(ts, hi_b) if s < 2 else pc.less_equal(ts, hi_b),
+        )
+        chunks.append(table.filter(mask))
+    chunks.append(chunks[0])  # the late redelivery
+    for i, chunk in enumerate(chunks):
+        if chunk.num_rows == 0:
+            continue
+        dst = os.path.join(src, f"events_{i}.parquet")
+        pq.write_table(chunk, dst)
+        os.utime(dst, (mtime, mtime))
+        mtime += 2.0
+    return src, delay_s
+
+
+@query(
+    "q164_stream_late_drop",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+    ),
+    w AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT w.window_start, w.n
+    FROM w CROSS JOIN b
+    WHERE epoch_us(w.window_start + INTERVAL 1 DAY)
+          <= b.hi - ((b.hi - b.lo) // 1000000 // 6) * 1000000
+    ORDER BY w.window_start
+    """,
+    category="streaming",
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+
+    src, delay_s = _late_replay_src(sf)
+    try:
+        counts = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .withWatermark("ts", f"{delay_s} seconds")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        name, n_batches = _run_to_memory(counts, "append")
+        assert n_batches >= 4, f"expected >= 4 micro-batches, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).orderBy("window_start")
