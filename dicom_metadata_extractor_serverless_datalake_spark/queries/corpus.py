@@ -122,6 +122,7 @@ _PRIORITY = [
     "q162_pca_top_eigen",
     "q163_stream_ewma",
     "q164_stream_late_drop",
+    "q165_auc_exact",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

@@ -1290,3 +1290,86 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
             "proj_consistent_ok"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q165 — exact tie-aware AUC (Mann-Whitney U) of a score against a
+# binary label, entirely in integer rank arithmetic: the evaluation
+# primitive every model-based quality filter needs (is score s a
+# better en-detector than chance?). The usual AUC implementations
+# sort-and-sweep with float accumulation; here the midrank sum stays
+# integer by the doubling trick — for a tie group at cumulative
+# offset c with m members, each member's doubled midrank is
+# 2c + m + 1, so  U2 = sum_groups pos_m * (2c + m + 1) - n_pos*(n_pos+1)
+# is exact, and AUC = U2 / (2 * n_pos * n_neg) is one identical
+# integer->double division per engine. Products route through
+# decimal(38,0)/hugeint so nothing overflows at any corpus size.
+#
+# 100 TB shape: one corpus-scale groupBy on the score (map-side
+# combinable, output = score domain), one cumulative window over that
+# bounded frame (the q157 price-domain argument), a 1-row reduce.
+# Never sorts the corpus, never ranks row-by-row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q165_auc_exact",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS score, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT score, m, p,
+             CAST(COALESCE(SUM(m) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(m - p) AS BIGINT) AS n_neg,
+             CAST(SUM(CAST(p AS HUGEINT) * (2 * cum + m + 1)) AS HUGEINT) AS r2
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+                AS DOUBLE)
+             / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE) AS auc
+    FROM tot
+    """,
+    category="mining",
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        t(spark, sf, "documents")
+        .groupBy(F.col("n_chars").alias("score"))
+        .agg(
+            F.count("*").alias("m"),
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("p"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "score", "m", "p", F.coalesce(F.sum("m").over(w), F.lit(0)).alias("cum")
+    )
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    tot = c.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum(F.col("m") - F.col("p")).alias("n_neg"),
+        F.sum(dec(F.col("p")) * (F.lit(2) * F.col("cum") + F.col("m") + 1)).alias(
+            "r2"
+        ),
+    )
+    u2 = (F.col("r2") - dec(F.col("n_pos")) * (F.col("n_pos") + 1)).cast("bigint")
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (F.lit(2) * dec(F.col("n_pos")) * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

@@ -119,3 +119,31 @@ def test_rows_only(spark, sf_dir, name):
     sdf = q.spark_fn(spark, sf_dir)
     assert len(sdf.columns) > 0
     assert sdf.count() >= 0
+
+
+def test_q165_auc_oracle_matches_bruteforce():
+    """The integer midrank-doubling AUC formula (shared verbatim by the
+    Spark side, which hash-matches this oracle) equals brute-force
+    pair counting P(s_pos > s_neg) + 0.5 P(tie) on random tied data."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 20), rng.random() < 0.4) for _ in range(500)]
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    want = sum(
+        (1.0 if p > n else 0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+
+    vals = ",".join(
+        "({}, '{}')".format(s, "en" if l else "de") for s, l in rows
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES " + vals + ") v(n_chars, lang)"
+    )
+    got = con.execute(QUERIES["q165_auc_exact"].oracle).fetchall()[0]
+    assert got[0] == len(pos) and got[1] == len(neg)
+    assert abs(got[3] - want) < 1e-12
