@@ -25,6 +25,7 @@ from . import analytics  # noqa: F401,E402
 from . import mining  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import signals  # noqa: F401,E402
+from . import prep  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -123,6 +124,12 @@ _PRIORITY = [
     "q163_stream_ewma",
     "q164_stream_late_drop",
     "q165_auc_exact",
+    # round-4f model-prep family (queries/prep.py)
+    "q166_knn_label_audit",
+    "q167_feature_hashing",
+    "q168_event_sequences",
+    "q169_group_reservoir",
+    "q170_negative_sampling",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

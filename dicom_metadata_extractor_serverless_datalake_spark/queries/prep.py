@@ -1,0 +1,401 @@
+"""Model-prep / feature-engineering query family (round 4f).
+
+The last mile between a curated corpus and a training job: label-noise
+auditing, the hashing trick, supervised sequence construction, exact
+per-class sampling, and negative sampling. Like every corpus family the
+queries are deterministic (portable md5-based h31 hash wherever
+pseudo-randomness is needed) and oracle-checked against DuckDB running
+the same algorithm.
+
+Reference parity note: the reference (aws-samples/
+dicom-metadata-extractor-serverless-datalake) delegates its whole query
+surface to Athena (README.md:3); this family is part of the
+driver-mandated LLM/training-pipeline extension surface, built on the
+star-schema testdata (`documents`, `embeddings`, `events`).
+
+Scale shapes (100 TB notes per query):
+
+- q166: the audit anchor set is a bounded hash-sample, broadcast; the
+  corpus is touched in ONE streamed pass; per-anchor top-k goes through
+  a rank window whose partial ``WindowGroupLimit`` caps what each task
+  emits at k rows per anchor BEFORE the exchange (the q31 shape), so
+  the shuffle carries O(k * partitions * anchors) scored rows, never
+  |anchors| x |corpus|.
+- q167: token explode is map-side, the per-bucket aggregate is one
+  partially-aggregated shuffle over a FIXED bucket domain (the hash
+  dimension), independent of corpus size; the distinct-token count per
+  bucket is Spark's standard two-level distinct aggregate.
+- q168: one shuffle keyed by user (the q88 sessionization
+  partitioning); lag/lead/row_number all evaluate in the same window
+  pass, so sequence construction costs exactly one exchange.
+- q169: per-group exact-k selection is a rank window with the same
+  partial ``WindowGroupLimit`` map-side cap — each task forwards at
+  most k rows per group.
+- q170: candidate item ids come from hash arithmetic (no window or
+  scan over the item catalog); draw generation is map-side explode;
+  the corpus-sized operations are two hash equi-joins — candidate
+  validation against the part catalog and the anti-join against
+  observed (customer, part) positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import query, t
+from .llm import duck_h31, spark_h31
+
+# --------------------------------------------------------------------------
+# q166 — kNN label-noise audit (Confident-Learning-shaped): for a
+# deterministic ~20% anchor sample of the embedding table, find the
+# exact 5 nearest neighbors by cosine (brute force, the q54 fold so
+# doubles are bit-identical cross-engine) and flag anchors whose label
+# disagrees with the neighbor majority. This is the mislabel-detection
+# pass a training pipeline runs before fitting on weak labels.
+# --------------------------------------------------------------------------
+
+_AUDIT_PCT = 20
+_AUDIT_K = 5
+
+_DOT = (
+    "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+@query(
+    "q166_knn_label_audit",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS q_id, embedding AS qe, label AS own_label
+      FROM embeddings
+      WHERE {duck_h31("'a166-' || CAST(vec_id AS VARCHAR)")} % 100 < {_AUDIT_PCT}
+    ),
+    scored AS (
+      SELECT a.q_id, a.own_label, e.vec_id, e.label AS n_label,
+             list_reduce(
+               list_transform(generate_series(1, len(qe)),
+                              i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(qe)),
+                                 i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))
+             AS cosine
+      FROM anchors a CROSS JOIN embeddings e
+      WHERE e.vec_id <> a.q_id
+    ),
+    knn AS (
+      SELECT q_id, own_label, n_label FROM (
+        SELECT q_id, own_label, n_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_AUDIT_K}
+    ),
+    votes AS (
+      SELECT q_id, own_label, n_label, COUNT(*) AS votes
+      FROM knn GROUP BY q_id, own_label, n_label
+    )
+    SELECT q_id, own_label, n_label AS maj_label, votes AS maj_votes,
+           (n_label <> own_label) AS mislabeled
+    FROM (
+      SELECT q_id, own_label, n_label, votes,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY votes DESC, n_label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    ORDER BY q_id
+    """,
+    category="prep",
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    anchors = emb.filter(
+        F.expr(spark_h31("concat('a166-', CAST(vec_id AS STRING))")) % 100
+        < _AUDIT_PCT
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("own_label"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("qn", F.expr(_NORM.format(col="qe")))
+        .withColumn("en", F.expr(_NORM.format(col="embedding")))
+        .select(
+            "q_id",
+            "own_label",
+            "vec_id",
+            F.col("label").alias("n_label"),
+            (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    knn = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= _AUDIT_K
+    )
+    votes = knn.groupBy("q_id", "own_label", "n_label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "own_label",
+            F.col("n_label").alias("maj_label"),
+            F.col("votes").alias("maj_votes"),
+            (F.col("n_label") != F.col("own_label")).alias("mislabeled"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q167 — hashing-trick feature vectorization audit: bucket every token
+# into a fixed 32-dimension hash space (the feature-hashing /
+# HashingTF construction) and report per-dimension load — total
+# occurrences and the number of DISTINCT tokens colliding into the
+# bucket. The collision profile is what decides whether a hash
+# dimension is large enough before training a linear model on it.
+# --------------------------------------------------------------------------
+
+_HASH_DIM = 32
+
+
+@query(
+    "q167_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    )
+    SELECT {duck_h31("'f167-' || token")} % {_HASH_DIM} AS bucket,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT token) AS n_distinct_tokens
+    FROM tok WHERE token <> ''
+    GROUP BY 1 ORDER BY bucket
+    """,
+    category="prep",
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(
+            (F.expr(spark_h31("concat('f167-', token)")) % _HASH_DIM).alias(
+                "bucket"
+            ),
+            "token",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q168 — supervised sequence construction for next-event prediction:
+# per sampled user, order events by (ts, event_id) and emit sliding
+# (context[3], label) training pairs — the events-table analogue of
+# next-token training-example construction. One user-keyed shuffle;
+# lag/lead/row_number share the window pass.
+# --------------------------------------------------------------------------
+
+_SEQ_USER_MOD = 10
+
+
+@query(
+    "q168_event_sequences",
+    oracle=f"""
+    SELECT user_id, pos, ctx, label FROM (
+      SELECT user_id,
+             ROW_NUMBER() OVER w AS pos,
+             [lag(event_type, 2) OVER w,
+              lag(event_type, 1) OVER w,
+              event_type] AS ctx,
+             lead(event_type, 1) OVER w AS label
+      FROM events
+      WHERE user_id % {_SEQ_USER_MOD} = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE ctx[1] IS NOT NULL AND label IS NOT NULL
+    ORDER BY user_id, pos
+    """,
+    category="prep",
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf, "events")
+        .filter(F.col("user_id") % _SEQ_USER_MOD == 0)
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("pos"),
+            F.array(
+                F.lag("event_type", 2).over(w),
+                F.lag("event_type", 1).over(w),
+                F.col("event_type"),
+            ).alias("ctx"),
+            F.lead("event_type", 1).over(w).alias("label"),
+        )
+        .filter(F.col("ctx")[0].isNotNull() & F.col("label").isNotNull())
+        .orderBy("user_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# q169 — exact k-per-group deterministic sample: the "10 examples per
+# class" eval-set primitive. Selection order is the portable hash of a
+# seeded doc key, so the sample is stable under re-runs, appends and
+# repartitioning (same property as the q71 split), and EXACTLY k per
+# group — unlike percentage sampling (q72), which only hits k in
+# expectation.
+# --------------------------------------------------------------------------
+
+_RESERVOIR_K = 10
+
+
+@query(
+    "q169_group_reservoir",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY {duck_h31("'r169-' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {_RESERVOIR_K}
+    ORDER BY lang, rk
+    """,
+    category="prep",
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    h = F.expr(spark_h31("concat('r169-', CAST(doc_id AS STRING))"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        t(spark, sf, "documents")
+        .select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .orderBy("lang", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q170 — deterministic negative sampling for contrastive training, on
+# the classic recommender interaction domain: positives are the
+# (customer, part) pairs actually bought (orders x lineitem); for each
+# sampled customer, draw 8 candidate partkeys by portable hash into
+# [1, max_partkey] and keep draws that (a) name a real part — validated
+# by an equi-JOIN against the part catalog, no contiguity assumption —
+# and (b) the customer never bought — one anti-join against positives.
+# These (customer, unseen-part) pairs are what a two-tower/contrastive
+# trainer consumes alongside observed positives. No window over the
+# item catalog: candidate ids come from hash arithmetic, so the only
+# corpus-sized operations are two hash equi-joins (validate + anti).
+# --------------------------------------------------------------------------
+
+_NEG_DRAWS = 8
+_NEG_CUST_MOD = 50
+
+
+@query(
+    "q170_negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    mx AS (SELECT MAX(p_partkey) AS max_pk FROM part),
+    users AS (
+      SELECT c_custkey AS custkey FROM customer
+      WHERE c_custkey % {_NEG_CUST_MOD} = 0
+    ),
+    draws AS (
+      SELECT u.custkey, i,
+             {duck_h31("'neg170-' || CAST(u.custkey AS VARCHAR) || '-' || CAST(i AS VARCHAR)")}
+               % mx.max_pk + 1 AS cand_pk
+      FROM users u
+      CROSS JOIN mx
+      CROSS JOIN unnest(generate_series(0, {_NEG_DRAWS - 1})) AS g(i)
+    ),
+    cand AS (
+      SELECT d.custkey, p.p_partkey, d.i
+      FROM draws d JOIN part p ON p.p_partkey = d.cand_pk
+    )
+    SELECT c.custkey, c.p_partkey AS neg_partkey, MIN(c.i) AS first_draw
+    FROM cand c
+    ANTI JOIN pos ON pos.custkey = c.custkey AND pos.partkey = c.p_partkey
+    GROUP BY c.custkey, c.p_partkey
+    ORDER BY custkey, neg_partkey
+    """,
+    category="prep",
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    lineitem = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    pos = (
+        orders.join(
+            lineitem, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    mx = part.agg(F.max("p_partkey").alias("max_pk"))
+    users = (
+        t(spark, sf, "customer")
+        .select(F.col("c_custkey").alias("custkey"))
+        .filter(F.col("custkey") % _NEG_CUST_MOD == 0)
+    )
+    draws = (
+        users.crossJoin(F.broadcast(mx))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(_NEG_DRAWS - 1))))
+        .withColumn(
+            "cand_pk",
+            F.expr(
+                spark_h31(
+                    "concat('neg170-', CAST(custkey AS STRING), '-', CAST(i AS STRING))"
+                )
+            )
+            % F.col("max_pk")
+            + 1,
+        )
+    )
+    cand = draws.join(part, part["p_partkey"] == draws["cand_pk"]).select(
+        "custkey", "p_partkey", "i"
+    )
+    return (
+        cand.join(
+            pos,
+            (pos["custkey"] == cand["custkey"])
+            & (pos["partkey"] == cand["p_partkey"]),
+            "left_anti",
+        )
+        .groupBy("custkey", "p_partkey")
+        .agg(F.min("i").alias("first_draw"))
+        .select(
+            "custkey", F.col("p_partkey").alias("neg_partkey"), "first_draw"
+        )
+        .orderBy("custkey", "neg_partkey")
+    )
