@@ -505,3 +505,42 @@ def test_q161_dpp_subquery_in_fact_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert all(r.dpp_ok for r in df.collect())
+
+
+def test_q166_audit_topk_partial_limit(spark, sf_dir):
+    """q166's per-anchor exact top-k must cap map-side via the partial
+    WindowGroupLimit (the q31 shape) so the rank exchange carries
+    O(k x partitions) rows per anchor, never |anchors| x |corpus|; the
+    anchor side must broadcast (one streamed corpus pass)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    df = _q("q166_knn_label_audit", spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final for rk
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q169_reservoir_partial_limit(spark, sf_dir):
+    """Exact k-per-group selection must be WindowGroupLimit-capped
+    before the exchange — each task forwards at most k rows per group."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q169_group_reservoir", spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_q170_negative_sampling_hash_joins_only(spark, sf_dir):
+    """Candidate generation is hash arithmetic: the only nested-loop
+    join allowed is the 1-row max_partkey scalar attach; catalog
+    validation and the positives anti-join must be hash equi-joins."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    import re
+
+    plan = physical_plan(_q("q170_negative_sampling", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # formatted explain names each node twice (tree + details); count
+    # detail headers — exactly the 1-row max_partkey scalar attach
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "Window" not in plan  # no catalog-wide numbering window
