@@ -403,6 +403,30 @@ class TextCorpus:
             lo += pct
         return out
 
+    def sample_per_group(
+        self, by: str, k: int, salt: str = ""
+    ) -> "TextCorpus":
+        """Exact k-per-group deterministic sample (the q169 primitive):
+        keep EXACTLY min(k, group size) docs per ``by`` group, chosen
+        by salted portable hash of the id — stable under re-runs,
+        appends and repartitioning, unlike percentage sampling which
+        hits k only in expectation. The selection window is capped
+        map-side by Spark's partial WindowGroupLimit, so each task
+        forwards at most k rows per group before the exchange."""
+        from pyspark.sql.window import Window
+
+        salted = F.concat(F.lit(salt), F.col(self.id_col).cast("string"))
+        h = (
+            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+            % MERSENNE_P
+        )
+        w = Window.partitionBy(by).orderBy(h, self.id_col)
+        return self._with(
+            self.df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+
     # ---- materialization ----
 
     def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "TextCorpus":

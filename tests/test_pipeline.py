@@ -257,3 +257,27 @@ def test_gopher_filter_agrees_with_q150_pass_counts(spark, docs):
     )
     stage = TextCorpus(docs).gopher_filter().df.count()
     assert stage == agg
+
+
+def test_sample_per_group_exact_k_and_deterministic(spark, docs):
+    c = TextCorpus(docs)
+    s1 = c.sample_per_group("lang", 5, salt="v1").df
+    # exactly min(k, group size) per lang
+    sizes = {r.lang: r.n for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, full[lang])
+    # deterministic: same salt -> same ids, under a different partitioning too
+    s2 = TextCorpus(docs.repartition(13)).sample_per_group("lang", 5, salt="v1").df
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(r.doc_id for r in s2.collect())
+    # different salt -> a different sample (overwhelmingly)
+    s3 = c.sample_per_group("lang", 5, salt="v2").df
+    assert sorted(r.doc_id for r in s1.collect()) != sorted(r.doc_id for r in s3.collect())
+    # agrees with the q169 corpus query at k=10, no salt
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    q = QUERIES["q169_group_reservoir"].spark_fn(spark, "/root/testdata/sf0.01")
+    stage = TextCorpus(docs).sample_per_group("lang", 10, salt="r169-").df
+    assert sorted((r.lang, r.doc_id) for r in q.collect()) == sorted(
+        (r.lang, r.doc_id) for r in stage.collect()
+    )
