@@ -961,3 +961,90 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("window_start")
+
+
+# --------------------------------------------------------------------------
+# q171 — STREAMING training-sequence construction: q168's supervised
+# (context[3], label) pair builder as applyInPandasWithState custom
+# state maintained across MULTIPLE micro-batches — the online
+# feature-pipeline form of next-event training-example construction.
+# Per sampled user the state is a 3-type ring buffer plus the event
+# counter; when event n+1 arrives with n >= 3 the pair for event n
+# (ctx = types of events n-2..n, label = type of n+1) is emitted
+# EXACTLY once, whatever batch boundary falls between the context and
+# its label. Event-time-ordered file splits keep per-user arrival
+# order; within a batch the group's rows are sorted by (ts, event_id)
+# — the same total order the batch window uses — so the streamed
+# output equals batch q168 row-for-row and the oracle is q168's SQL
+# verbatim. The final event of each user never becomes a label source
+# for itself, matching the batch NULL-lead filter by construction.
+#
+# 100 TB shape: state is 3 short strings + 1 counter per user (bounded
+# by the entity space, not the stream length); emissions are one row
+# per qualifying event; the shuffle is the hash partitioning on
+# user_id that every stateful operator pays once.
+# --------------------------------------------------------------------------
+
+_SEQ_STATE = "n BIGINT, a STRING, b STRING, c STRING"
+_SEQ_OUT = "user_id BIGINT, pos BIGINT, ctx ARRAY<STRING>, label STRING"
+
+
+def _seq_update(key, batches, state):
+    import pandas as pd
+
+    n, a, b, c = state.get if state.exists else (0, None, None, None)
+    pdfs = [p for p in batches]
+    pdf = pd.concat(pdfs, ignore_index=True).sort_values(["ts", "event_id"])
+    rows = []
+    for et in pdf["event_type"]:
+        if n >= 3:
+            rows.append((key[0], n, [a, b, c], et))
+        n, a, b, c = n + 1, b, c, et
+    state.update((int(n), a, b, c))
+    yield pd.DataFrame(rows, columns=["user_id", "pos", "ctx", "label"])
+
+
+@query(
+    "q171_stream_sequences",
+    oracle="""
+    SELECT user_id, pos, ctx, label FROM (
+      SELECT user_id,
+             ROW_NUMBER() OVER w AS pos,
+             [lag(event_type, 2) OVER w,
+              lag(event_type, 1) OVER w,
+              event_type] AS ctx,
+             lead(event_type, 1) OVER w AS label
+      FROM events
+      WHERE user_id % 10 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE ctx[1] IS NOT NULL AND label IS NOT NULL
+    ORDER BY user_id, pos
+    """,
+    category="streaming",
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .filter(F.col("user_id") % 10 == 0)
+            .select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _seq_update,
+                outputStructType=_SEQ_OUT,
+                stateStructType=_SEQ_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).orderBy("user_id", "pos")
