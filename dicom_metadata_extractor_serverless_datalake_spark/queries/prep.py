@@ -36,6 +36,12 @@ Scale shapes (100 TB notes per query):
   the corpus-sized operations are two hash equi-joins — candidate
   validation against the part catalog and the anti-join against
   observed (customer, part) positives.
+- q172: posexplode is map-side; the aggregate's key domain is
+  |labels| x dim cells regardless of corpus size; fixed-point sums
+  are plain longs inside whole-stage codegen.
+- q173: the centroid table is |labels| rows (broadcast); the corpus
+  is scored in one streamed pass; per-label bottom-k is
+  WindowGroupLimit-capped map-side.
 """
 
 from __future__ import annotations
@@ -398,4 +404,157 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
             "custkey", F.col("p_partkey").alias("neg_partkey"), "first_draw"
         )
         .orderBy("custkey", "neg_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q172 — exact class-prototype centroids: per-label mean embedding on a
+# 1e-6 fixed-point grid (the q133 trick), so per-dimension sums are
+# order-free exact integers and the surfaced mean is ONE correctly-
+# rounded IEEE division — bit-identical cross-engine. Prototypes feed
+# centroid classifiers, SemDeDup-style curation, and drift monitors.
+# Scale shape: posexplode is map-side; the aggregate's key domain is
+# |labels| x dim cells regardless of corpus size; sums are plain longs
+# inside whole-stage codegen.
+# --------------------------------------------------------------------------
+
+_PROTO_SCALE = 1_000_000
+
+
+@query(
+    "q172_class_prototypes",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(floor(x * {_PROTO_SCALE}.0) AS BIGINT)) AS BIGINT)
+             AS sum_scaled,
+           COUNT(*) AS n_vals,
+           CAST(SUM(CAST(floor(x * {_PROTO_SCALE}.0) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {_PROTO_SCALE}.0) AS mean_dim
+    FROM v GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    category="prep",
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    v = (
+        t(spark, sf, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "xf"))
+        .select("label", "dim", F.col("xf").cast("double").alias("x"))
+    )
+    s = F.sum(F.floor(F.col("x") * _PROTO_SCALE))
+    return (
+        v.groupBy("label", "dim")
+        .agg(
+            s.cast("bigint").alias("sum_scaled"),
+            F.count("*").alias("n_vals"),
+            (
+                s.cast("double")
+                / (F.count("*").cast("double") * F.lit(float(_PROTO_SCALE)))
+            ).alias("mean_dim"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q173 — intra-class outlier detection: cosine of every vector against
+# its OWN class prototype (q172's exact centroid), keeping the 3 least
+# typical vectors per label — the atypical/mislabeled-example sweep
+# that complements q166's neighbor-vote audit. The centroid table is
+# |labels| rows (broadcast); the corpus is touched in one streamed
+# pass; per-label bottom-k is WindowGroupLimit-capped map-side. Both
+# engines build the centroid array dim-ordered and fold the dot/norm
+# sequentially (the q54 construction), so the doubles agree bitwise.
+# --------------------------------------------------------------------------
+
+_OUTLIER_K = 3
+
+_CDOT = (
+    "aggregate(zip_with(ce, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "q173_class_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    proto AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(floor(x * {_PROTO_SCALE}.0) AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * {_PROTO_SCALE}.0) AS mean_dim
+      FROM v GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label, list(mean_dim ORDER BY dim) AS ce FROM proto GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             list_reduce(
+               list_transform(generate_series(1, len(c.ce)),
+                              i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(c.ce)),
+                                 i -> CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))
+             AS cosine
+      FROM embeddings e JOIN cent c ON c.label = e.label
+    )
+    SELECT label, rk, vec_id, cosine FROM (
+      SELECT label, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cosine, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_OUTLIER_K}
+    ORDER BY label, rk
+    """,
+    category="prep",
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    v = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select("label", "dim", F.col("xf").cast("double").alias("x"))
+    s = F.sum(F.floor(F.col("x") * _PROTO_SCALE))
+    proto = v.groupBy("label", "dim").agg(
+        (
+            s.cast("double")
+            / (F.count("*").cast("double") * F.lit(float(_PROTO_SCALE)))
+        ).alias("mean_dim")
+    )
+    cent = proto.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_dim"))),
+            lambda x: x["mean_dim"],
+        ).alias("ce")
+    )
+    scored = (
+        emb.join(F.broadcast(cent), "label")
+        .withColumn("dot", F.expr(_CDOT))
+        .withColumn("cn", F.expr(_NORM.format(col="ce")))
+        .withColumn("en", F.expr(_NORM.format(col="embedding")))
+        .select(
+            "label",
+            "vec_id",
+            (F.col("dot") / (F.col("cn") * F.col("en"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy("cosine", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _OUTLIER_K)
+        .select("label", "rk", "vec_id", "cosine")
+        .orderBy("label", "rk")
     )
