@@ -544,3 +544,16 @@ def test_q170_negative_sampling_hash_joins_only(spark, sf_dir):
     # detail headers — exactly the 1-row max_partkey scalar attach
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
     assert "Window" not in plan  # no catalog-wide numbering window
+
+
+def test_q173_outliers_broadcast_centroids_and_partial_limit(spark, sf_dir):
+    """q173 scores the corpus against a |labels|-row centroid table:
+    the centroid side must broadcast (one streamed corpus pass) and the
+    per-label bottom-k must be WindowGroupLimit-capped map-side."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    df = _q("q173_class_outliers", spark, sf_dir)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
