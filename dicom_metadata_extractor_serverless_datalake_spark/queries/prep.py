@@ -558,3 +558,86 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
         .select("label", "rk", "vec_id", "cosine")
         .orderBy("label", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q174 — purged walk-forward time-series cross-validation folds: the
+# time-based train/test split that random hashing (q71) must NOT be
+# used for — temporal leakage. Three expanding-window folds over the
+# event-time span, each test window separated from its train window by
+# a 6-hour EMBARGO (the "purge" that keeps near-boundary events out of
+# both sides). All boundary arithmetic is integer epoch-microseconds
+# (one min/max scan -> 3-row broadcast spec), so both engines compute
+# identical fold membership; counting is one more streamed pass with a
+# bounded x3 map-side expansion. Scale: two scans of the fact table,
+# no corpus-sized shuffle beyond the 3-group aggregate.
+# --------------------------------------------------------------------------
+
+_CV_FOLDS = 3
+_CV_EMBARGO_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "q174_timeseries_cv",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+    mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+    spec AS (
+      SELECT fold,
+             mn + ((mx - mn) * fold) // {_CV_FOLDS + 1} AS train_end,
+             mn + ((mx - mn) * fold) // {_CV_FOLDS + 1}
+                + {_CV_EMBARGO_US} AS test_start,
+             mn + ((mx - mn) * (fold + 1)) // {_CV_FOLDS + 1} AS test_end
+      FROM mm CROSS JOIN unnest(generate_series(1, {_CV_FOLDS})) AS g(fold)
+    )
+    SELECT s.fold,
+           COUNT(*) FILTER (WHERE e.us <= s.train_end) AS train_rows,
+           COUNT(*) FILTER (WHERE e.us > s.test_start
+                              AND e.us <= s.test_end) AS test_rows,
+           COUNT(*) FILTER (WHERE e.us > s.train_end
+                              AND e.us <= s.test_start) AS embargoed_rows
+    FROM e CROSS JOIN spec s
+    GROUP BY s.fold ORDER BY s.fold
+    """,
+    category="prep",
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").select(F.unix_micros("ts").alias("us"))
+    mm = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    spec = (
+        mm.withColumn("fold", F.explode(F.sequence(F.lit(1), F.lit(_CV_FOLDS))))
+        .withColumn(
+            "train_end",
+            F.expr(f"mn + ((mx - mn) * fold) div {_CV_FOLDS + 1}"),
+        )
+        .withColumn("test_start", F.col("train_end") + F.lit(_CV_EMBARGO_US))
+        .withColumn(
+            "test_end",
+            F.expr(f"mn + ((mx - mn) * (fold + 1)) div {_CV_FOLDS + 1}"),
+        )
+        .select("fold", "train_end", "test_start", "test_end")
+    )
+    return (
+        ev.crossJoin(F.broadcast(spec))
+        .groupBy("fold")
+        .agg(
+            F.count(F.when(F.col("us") <= F.col("train_end"), 1)).alias(
+                "train_rows"
+            ),
+            F.count(
+                F.when(
+                    (F.col("us") > F.col("test_start"))
+                    & (F.col("us") <= F.col("test_end")),
+                    1,
+                )
+            ).alias("test_rows"),
+            F.count(
+                F.when(
+                    (F.col("us") > F.col("train_end"))
+                    & (F.col("us") <= F.col("test_start")),
+                    1,
+                )
+            ).alias("embargoed_rows"),
+        )
+        .orderBy("fold")
+    )
