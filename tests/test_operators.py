@@ -943,3 +943,40 @@ def test_kmeans_lloyd_matches_python_reference(spark):
         .collect()
     }
     assert got == {j + 1: st for j, st in enumerate(want_stats) if st[0]}
+
+
+def test_q172_prototypes_partitioning_invariant(spark):
+    """q172's claim is order-free exactness: per-(label, dim) sums are
+    integers on the 1e-6 grid, so ANY partitioning/reduction order
+    yields bit-identical sums and means. Pin it by comparing the query
+    over adversarial repartitionings of the same rows."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.prep import _PROTO_SCALE
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    base = QUERIES["q172_class_prototypes"].spark_fn(spark, sf).collect()
+
+    emb = load_table(spark, sf, "embeddings")
+
+    def proto(df):
+        v = df.select(
+            "label", F.posexplode("embedding").alias("dim", "xf")
+        ).select("label", "dim", F.col("xf").cast("double").alias("x"))
+        s = F.sum(F.floor(F.col("x") * _PROTO_SCALE))
+        return (
+            v.groupBy("label", "dim")
+            .agg(
+                s.cast("bigint").alias("sum_scaled"),
+                F.count("*").alias("n_vals"),
+                (
+                    s.cast("double")
+                    / (F.count("*").cast("double") * F.lit(float(_PROTO_SCALE)))
+                ).alias("mean_dim"),
+            )
+            .orderBy("label", "dim")
+            .collect()
+        )
+
+    for parts in (1, 37):
+        assert proto(emb.repartition(parts)) == base, f"parts={parts}"
