@@ -18,3 +18,4 @@ __version__ = "0.1.0"
 
 from .api import DicomLake  # noqa: F401,E402
 from .pipeline import TextCorpus  # noqa: F401,E402
+from .vectors import EmbeddingSet  # noqa: F401,E402

@@ -1,0 +1,222 @@
+"""Embedding-curation facade: the vector-side counterpart of
+``TextCorpus``.
+
+``EmbeddingSet`` packages the corpus's embedding operators (class
+prototypes q172, intra-class outliers q173, kNN label audit q166,
+exact cosine top-k q54) into one chainable API over any DataFrame with
+an id column and an ``array<float|double>`` vector column:
+
+    vs = EmbeddingSet(df, id_col="vec_id", vec_col="embedding",
+                      label_col="label")
+    vs.prototypes()            # exact per-label centroid components
+    vs.outliers(k=3)           # least prototype-like vectors per label
+    vs.label_audit(k=5)        # neighbor-majority mislabel flags
+    vs.topk_similar(queries)   # exact cosine top-k vs a query frame
+
+Everything is deterministic and exact where the corpus queries are:
+prototype sums ride the 1e-6 fixed-point grid (order-free integer
+sums), cosine folds are sequential so scores don't depend on
+partitioning, and anchor sampling uses the portable md5-based hash.
+Scale shapes are the corpus queries' shapes: broadcast small sides,
+one streamed pass over the vector table, WindowGroupLimit-capped
+per-group top-k — no all-pairs joins anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries.llm import MERSENNE_P
+
+_SCALE = 1_000_000
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(col: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+class EmbeddingSet:
+    """A set of labeled (or unlabeled) vectors flowing through
+    curation operators. ``label_col`` is required only by the
+    class-conditional methods (prototypes/outliers/label_audit)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        label_col: str | None = None,
+    ):
+        self.df = df
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.label_col = label_col
+
+    def _require_label(self, op: str) -> str:
+        if not self.label_col:
+            raise ValueError(f"EmbeddingSet.{op} needs label_col")
+        return self.label_col
+
+    # ---- class-conditional curation ----
+
+    def prototypes(self) -> DataFrame:
+        """Exact per-label centroid components (q172): order-free
+        fixed-point sums per (label, dim) cell, mean via one IEEE
+        division. Key domain is |labels| x dim whatever the row count."""
+        lab = self._require_label("prototypes")
+        v = self.df.select(
+            F.col(lab).alias("label"),
+            F.posexplode(self.vec_col).alias("dim", "xf"),
+        ).select("label", "dim", F.col("xf").cast("double").alias("x"))
+        s = F.sum(F.floor(F.col("x") * _SCALE))
+        return (
+            v.groupBy("label", "dim")
+            .agg(
+                s.cast("bigint").alias("sum_scaled"),
+                F.count("*").alias("n_vals"),
+                (
+                    s.cast("double")
+                    / (F.count("*").cast("double") * F.lit(float(_SCALE)))
+                ).alias("mean_dim"),
+            )
+            .orderBy("label", "dim")
+        )
+
+    def centroids(self) -> DataFrame:
+        """Per-label centroid as a dim-ordered array — |labels| rows,
+        the broadcast side of every scoring pass."""
+        return self.prototypes().groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_dim"))),
+                lambda x: x["mean_dim"],
+            ).alias("ce")
+        )
+
+    def outliers(self, k: int = 3) -> DataFrame:
+        """Least prototype-like vectors per label (q173): cosine of
+        every vector against its OWN class centroid, bottom-k per label
+        (WindowGroupLimit-capped). Returns (label, rk, id, cosine)."""
+        lab = self._require_label("outliers")
+        scored = (
+            self.df.withColumnRenamed(lab, "label")
+            .join(F.broadcast(self.centroids()), "label")
+            .withColumn("dot", F.expr(_dot("ce", self.vec_col)))
+            .withColumn("cn", F.expr(_norm("ce")))
+            .withColumn("en", F.expr(_norm(self.vec_col)))
+            .select(
+                "label",
+                F.col(self.id_col),
+                (F.col("dot") / (F.col("cn") * F.col("en"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("label").orderBy("cosine", self.id_col)
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("label", "rk", self.id_col, "cosine")
+            .orderBy("label", "rk")
+        )
+
+    def label_audit(
+        self, anchor_pct: int = 20, k: int = 5, salt: str = "a166-"
+    ) -> DataFrame:
+        """kNN label-noise audit (q166): for a deterministic hash-sample
+        of anchors, exact cosine k-NN majority vote vs own label.
+        Returns (q_id, own_label, maj_label, maj_votes, mislabeled).
+        The anchor side broadcasts; the table is scanned once; per-
+        anchor top-k is WindowGroupLimit-capped."""
+        lab = self._require_label("label_audit")
+        did, vec = self.id_col, self.vec_col
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(did).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % MERSENNE_P
+        )
+        anchors = self.df.filter(h % 100 < anchor_pct).select(
+            F.col(did).alias("q_id"),
+            F.col(vec).alias("qe"),
+            F.col(lab).alias("own_label"),
+        )
+        scored = (
+            F.broadcast(anchors)
+            .crossJoin(self.df)
+            .filter(F.col(did) != F.col("q_id"))
+            .withColumn("dot", F.expr(_dot("qe", vec)))
+            .withColumn("qn", F.expr(_norm("qe")))
+            .withColumn("en", F.expr(_norm(vec)))
+            .select(
+                "q_id",
+                "own_label",
+                F.col(did),
+                F.col(lab).alias("n_label"),
+                (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine"),
+            )
+        )
+        wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(did))
+        votes = (
+            scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= k)
+            .groupBy("q_id", "own_label", "n_label")
+            .agg(F.count("*").alias("votes"))
+        )
+        wv = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("n_label"))
+        return (
+            votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .select(
+                "q_id",
+                "own_label",
+                F.col("n_label").alias("maj_label"),
+                F.col("votes").alias("maj_votes"),
+                (F.col("n_label") != F.col("own_label")).alias("mislabeled"),
+            )
+            .orderBy("q_id")
+        )
+
+    # ---- similarity ----
+
+    def topk_similar(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """Exact cosine top-k of this set against a (small) query frame
+        (q54's shape): query side broadcasts, candidates stream, ranks
+        are WindowGroupLimit-capped. ``queries`` needs the same id/vec
+        column names. Returns (q_id, id, cosine, rank)."""
+        did, vec = self.id_col, self.vec_col
+        q = queries.select(
+            F.col(did).alias("q_id"), F.col(vec).alias("qe")
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(self.df)
+            .filter(F.col(did) != F.col("q_id"))
+            .withColumn("dot", F.expr(_dot("qe", vec)))
+            .withColumn("qn", F.expr(_norm("qe")))
+            .withColumn("en", F.expr(_norm(vec)))
+            .select(
+                "q_id",
+                F.col(did),
+                (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(did))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("q_id", "rank")
+        )

@@ -1,0 +1,68 @@
+"""EmbeddingSet facade: each method must agree with the corpus query
+it packages (q172/q173/q166/q54) on the same data, and stay generic
+over column names."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dicom_metadata_extractor_serverless_datalake_spark import EmbeddingSet
+from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _vs(emb):
+    return EmbeddingSet(emb, label_col="label")
+
+
+def test_prototypes_match_q172(spark, emb):
+    got = _vs(emb).prototypes().collect()
+    want = QUERIES["q172_class_prototypes"].spark_fn(spark, SF).collect()
+    assert got == want
+
+
+def test_outliers_match_q173(spark, emb):
+    got = _vs(emb).outliers(k=3).collect()
+    want = QUERIES["q173_class_outliers"].spark_fn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [
+        (r.label, r.rk, r.vec_id, r.cosine) for r in want
+    ]
+
+
+def test_label_audit_matches_q166(spark, emb):
+    got = _vs(emb).label_audit(anchor_pct=20, k=5).collect()
+    want = QUERIES["q166_knn_label_audit"].spark_fn(spark, SF).collect()
+    assert got == want
+
+
+def test_topk_matches_q54(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    got = _vs(emb).topk_similar(q, k=10).select(
+        "q_id", "vec_id", "cosine", "rank"
+    ).collect()
+    want = QUERIES["q54_cosine_topk"].spark_fn(spark, SF).collect()
+    assert got == want
+
+
+def test_generic_column_names(spark, emb):
+    renamed = emb.selectExpr(
+        "vec_id AS item_id", "embedding AS vec", "label AS cls"
+    )
+    vs = EmbeddingSet(renamed, id_col="item_id", vec_col="vec", label_col="cls")
+    out = vs.outliers(k=2)
+    assert out.columns == ["label", "rk", "item_id", "cosine"]
+    assert out.count() > 0
+    base = _vs(emb).outliers(k=2).collect()
+    assert [(r.label, r.rk, r.item_id, r.cosine) for r in out.collect()] == [
+        (r.label, r.rk, r.vec_id, r.cosine) for r in base
+    ]
+
+
+def test_unlabeled_guard(emb):
+    with pytest.raises(ValueError, match="label_col"):
+        EmbeddingSet(emb).prototypes()
