@@ -641,3 +641,104 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# q175 — nearest-centroid classification + confusion matrix: classify
+# every vector by its most-similar class prototype (q172's exact
+# centroids) and roll up the (true label, predicted label) confusion
+# counts — the quality readout that decides whether labels + embedding
+# space agree before training on them. The scoring join expands each
+# vector by the |labels|-row broadcast centroid table (map-side,
+# bounded multiplier); the per-vector argmax is a rank window capped
+# map-side by WindowGroupLimit; the confusion rollup's key domain is
+# |labels|^2 cells whatever the corpus size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q175_centroid_confusion",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    proto AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(floor(x * {_PROTO_SCALE}.0) AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * {_PROTO_SCALE}.0) AS mean_dim
+      FROM v GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label AS c_label, list(mean_dim ORDER BY dim) AS ce
+      FROM proto GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.c_label,
+             list_reduce(
+               list_transform(generate_series(1, len(c.ce)),
+                              i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(c.ce)),
+                                 i -> CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))
+             AS cosine
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    pred AS (
+      SELECT vec_id, true_label, c_label AS pred_label FROM (
+        SELECT vec_id, true_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, c_label) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT true_label, pred_label, COUNT(*) AS n
+    FROM pred GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+    category="prep",
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    v = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select("label", "dim", F.col("xf").cast("double").alias("x"))
+    s = F.sum(F.floor(F.col("x") * _PROTO_SCALE))
+    proto = v.groupBy("label", "dim").agg(
+        (
+            s.cast("double")
+            / (F.count("*").cast("double") * F.lit(float(_PROTO_SCALE)))
+        ).alias("mean_dim")
+    )
+    cent = proto.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_dim"))),
+            lambda x: x["mean_dim"],
+        ).alias("ce")
+    ).select(F.col("label").alias("c_label"), "ce")
+    scored = (
+        emb.select("vec_id", F.col("label").alias("true_label"), "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dot", F.expr(_CDOT))
+        .withColumn("cn", F.expr(_NORM.format(col="ce")))
+        .withColumn("en", F.expr(_NORM.format(col="embedding")))
+        .select(
+            "vec_id",
+            "true_label",
+            "c_label",
+            (F.col("dot") / (F.col("cn") * F.col("en"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("c_label"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_label", F.col("c_label").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
