@@ -557,3 +557,16 @@ def test_q173_outliers_broadcast_centroids_and_partial_limit(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
     assert plan.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q175_confusion_broadcast_and_partial_limit(spark, sf_dir):
+    """q175's per-vector argmax over the |labels|-row centroid table:
+    centroids broadcast, rank-1 selection WindowGroupLimit-capped
+    map-side, confusion rollup partially aggregated."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    df = _q("q175_centroid_confusion", spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
