@@ -742,3 +742,101 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# --------------------------------------------------------------------------
+# q176 — out-of-fold target encoding: the leakage-safe categorical
+# feature. Each (category, fold) cell is encoded with the smoothed
+# mean target computed from the OTHER folds only — train rows never
+# see their own fold's target statistics. Sums are exact integer
+# cents (one aggregation over |categories| x |folds| cells, the
+# fold from the portable hash so the encoding is reproducible), the
+# leave-fold-out arithmetic is integer subtraction on the broadcast
+# per-category totals, and the smoothed mean is ONE IEEE division —
+# bit-identical cross-engine. Scale: one streamed pass + a cell-domain
+# aggregate; nothing corpus-sized shuffles twice.
+# --------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH_M = 20  # pseudo-observations of the global prior
+
+
+@query(
+    "q176_target_encoding",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             {duck_h31("'te176-' || CAST(o_orderkey AS VARCHAR)")} % {_TE_FOLDS} AS fold,
+             CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    cells AS (
+      SELECT category, fold, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM base GROUP BY category, fold
+    ),
+    cat AS (
+      SELECT category, CAST(SUM(n) AS BIGINT) AS n_cat,
+             CAST(SUM(s) AS BIGINT) AS s_cat
+      FROM cells GROUP BY category
+    ),
+    gtot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(s) AS BIGINT) AS s_all
+      FROM cells
+    )
+    SELECT c.category, c.fold,
+           ca.n_cat - c.n AS n_others,
+           CAST(((ca.s_cat - c.s) + ({_TE_SMOOTH_M} * g.s_all) // g.n_all)
+                  AS DOUBLE)
+             / (CAST(ca.n_cat - c.n + {_TE_SMOOTH_M} AS DOUBLE) * 100.0)
+             AS encoded
+    FROM cells c
+    JOIN cat ca ON ca.category = c.category
+    CROSS JOIN gtot g
+    ORDER BY c.category, c.fold
+    """,
+    category="prep",
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    base = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        (
+            F.expr(spark_h31("concat('te176-', CAST(o_orderkey AS STRING))"))
+            % _TE_FOLDS
+        ).alias("fold"),
+        (F.col("o_totalprice").cast("decimal(28,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cells = base.groupBy("category", "fold").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("s")
+    )
+    cat = cells.groupBy("category").agg(
+        F.sum("n").cast("bigint").alias("n_cat"),
+        F.sum("s").cast("bigint").alias("s_cat"),
+    )
+    glob = cells.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("bigint").alias("s_all"),
+    )
+    return (
+        cells.join(F.broadcast(cat), "category")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            "fold",
+            (F.col("n_cat") - F.col("n")).alias("n_others"),
+            (
+                (
+                    (F.col("s_cat") - F.col("s"))
+                    + F.expr(f"({_TE_SMOOTH_M} * s_all) div n_all")
+                ).cast("double")
+                / (
+                    (F.col("n_cat") - F.col("n") + F.lit(_TE_SMOOTH_M)).cast(
+                        "double"
+                    )
+                    * F.lit(100.0)
+                )
+            ).alias("encoded"),
+        )
+        .orderBy("category", "fold")
+    )
