@@ -1,0 +1,212 @@
+"""Event-analytics facade: the events-side counterpart of
+``TextCorpus`` / ``EmbeddingSet``, completing the facade triad over
+the three big fact shapes (documents, vectors, event streams).
+
+``EventLog`` packages the corpus's event operators (gap sessionization
+q88, sequential funnels q87, training-sequence construction q168,
+purged time-series CV q174) into one API over any DataFrame with a
+user/entity column, an event-time column, and an event-type column:
+
+    log = EventLog(events)
+    log.sessionize()                  # rows + session ids (30-min gap)
+    log.session_stats()               # per-user session rollup (q88)
+    log.funnel(["view", "click", "purchase"])   # strict ordered funnel
+    log.sequences(ctx=3)              # (context[k], label) training pairs
+    log.cv_folds(folds=3, embargo_hours=6)      # purged walk-forward CV
+
+Every method keeps the corpus queries' exactness and scale shapes:
+windows partition by the user key (never global), duration/boundary
+math is exact integer microseconds, funnels are chained min-after
+equi-joins (no window over the whole log), and the CV spec is a 3-row
+broadcast. Methods returning per-user windows share ONE hash
+partitioning on the user key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class EventLog:
+    """An event stream flowing through analytics/prep operators.
+
+    ``df`` needs ``user_col`` (entity), ``ts_col`` (timestamp),
+    ``type_col`` (event kind) and ``id_col`` (unique tie-break id —
+    required for deterministic ordering of same-timestamp events)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+        id_col: str = "event_id",
+    ):
+        self.df = df
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.type_col = type_col
+        self.id_col = id_col
+
+    def _w(self) -> Window:
+        return Window.partitionBy(self.user_col).orderBy(self.ts_col, self.id_col)
+
+    def _us(self) -> F.Column:
+        """Event time as integer epoch microseconds. The cast makes the
+        facade robust to TIMESTAMP_NTZ inputs (raw parquet reads):
+        under the engine's UTC session timezone it reinterprets the
+        wall time exactly like the corpus table loader's
+        normalization, and it is a no-op on TIMESTAMP columns."""
+        return F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+
+    # ---- sessionization (q88) ----
+
+    def sessionize(self, gap_minutes: int = 30) -> DataFrame:
+        """All input rows plus a per-user ``session_id`` (1-based): a
+        new session starts after ``gap_minutes`` of inactivity. Exact
+        integer-microsecond gap math; one user-keyed window pass."""
+        gap_us = gap_minutes * 60 * 1_000_000
+        us = self._us()
+        w = self._w()
+        gap = us - F.lag(us).over(w)
+        return (
+            self.df.withColumn(
+                "__new",
+                F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0),
+            )
+            .withColumn("session_id", F.sum("__new").over(w))
+            .drop("__new")
+        )
+
+    def session_stats(self, gap_minutes: int = 30) -> DataFrame:
+        """Per-user session rollup (the q88 result shape): session
+        count, event count, and longest session duration in seconds."""
+        us = self._us()
+        per_sess = (
+            self.sessionize(gap_minutes)
+            .withColumn("__us", us)
+            .groupBy(self.user_col, "session_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                ((F.max("__us") - F.min("__us")) / F.lit(1000000.0)).alias(
+                    "dur_s"
+                ),
+            )
+        )
+        return (
+            per_sess.groupBy(self.user_col)
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+                F.max("dur_s").alias("max_dur_s"),
+            )
+            .orderBy(self.user_col)
+        )
+
+    # ---- funnels (q87) ----
+
+    def funnel(self, steps: list[str]) -> DataFrame:
+        """Strict sequential funnel: users whose FIRST occurrence of
+        each step happens strictly after their qualifying time for the
+        previous step (the q87 chained min-after construction,
+        generalized to any step list). Returns one row per step:
+        (step, event_type, users). Each step is one equi-join + min
+        aggregate on the user key — no window over the whole log."""
+        if not steps:
+            raise ValueError("funnel needs at least one step")
+        u, ty, ts = self.user_col, self.type_col, self.ts_col
+        stage = (
+            self.df.filter(F.col(ty) == steps[0])
+            .groupBy(u)
+            .agg(F.min(ts).alias("__t"))
+        )
+        counts = [stage.agg(F.count("*").alias("users"))]
+        for step in steps[1:]:
+            nxt = self.df.filter(F.col(ty) == step).select(
+                u, F.col(ts).alias("__ts")
+            )
+            stage = (
+                nxt.join(stage, u)
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy(u)
+                .agg(F.min("__ts").alias("__t"))
+            )
+            counts.append(stage.agg(F.count("*").alias("users")))
+        out = None
+        for i, (step, c) in enumerate(zip(steps, counts), start=1):
+            row = c.select(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("event_type"),
+                "users",
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    # ---- training sequences (q168) ----
+
+    def sequences(self, ctx: int = 3) -> DataFrame:
+        """Supervised (context[ctx], label) next-event pairs per user
+        (the q168 builder, generalized context length). One user-keyed
+        window pass; lag/lead/row_number share it."""
+        w = self._w()
+        ty = F.col(self.type_col)
+        parts = [F.lag(ty, k).over(w) for k in range(ctx - 1, 0, -1)] + [ty]
+        return (
+            self.df.select(
+                self.user_col,
+                F.row_number().over(w).alias("pos"),
+                F.array(*parts).alias("ctx"),
+                F.lead(ty, 1).over(w).alias("label"),
+            )
+            .filter(F.col("ctx")[0].isNotNull() & F.col("label").isNotNull())
+            .orderBy(self.user_col, "pos")
+        )
+
+    # ---- purged time-series CV (q174) ----
+
+    def cv_folds(self, folds: int = 3, embargo_hours: int = 6) -> DataFrame:
+        """Expanding-window walk-forward folds with an embargo between
+        train end and test start (the q174 split). Integer
+        epoch-microsecond boundaries from one min/max scan; counting is
+        one more pass with a bounded x``folds`` expansion."""
+        embargo_us = embargo_hours * 3600 * 1_000_000
+        ev = self.df.select(self._us().alias("us"))
+        mm = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+        spec = (
+            mm.withColumn("fold", F.explode(F.sequence(F.lit(1), F.lit(folds))))
+            .withColumn(
+                "train_end", F.expr(f"mn + ((mx - mn) * fold) div {folds + 1}")
+            )
+            .withColumn("test_start", F.col("train_end") + F.lit(embargo_us))
+            .withColumn(
+                "test_end",
+                F.expr(f"mn + ((mx - mn) * (fold + 1)) div {folds + 1}"),
+            )
+            .select("fold", "train_end", "test_start", "test_end")
+        )
+        return (
+            ev.crossJoin(F.broadcast(spec))
+            .groupBy("fold")
+            .agg(
+                F.count(F.when(F.col("us") <= F.col("train_end"), 1)).alias(
+                    "train_rows"
+                ),
+                F.count(
+                    F.when(
+                        (F.col("us") > F.col("test_start"))
+                        & (F.col("us") <= F.col("test_end")),
+                        1,
+                    )
+                ).alias("test_rows"),
+                F.count(
+                    F.when(
+                        (F.col("us") > F.col("train_end"))
+                        & (F.col("us") <= F.col("test_start")),
+                        1,
+                    )
+                ).alias("embargoed_rows"),
+            )
+            .orderBy("fold")
+        )

@@ -1,0 +1,79 @@
+"""EventLog facade: each method must agree with the corpus query it
+packages (q88/q87/q168/q174) on the same data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dicom_metadata_extractor_serverless_datalake_spark import EventLog
+from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_session_stats_match_q88(spark, events):
+    got = EventLog(events).session_stats().collect()
+    want = QUERIES["q88_sessionize_lag"].spark_fn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sessionize_rows_and_monotone_ids(events):
+    out = EventLog(events).sessionize()
+    assert out.count() == events.count()
+    # ids start at 1 per user and count the sessions
+    agg = out.groupBy("user_id").agg(
+        F.min("session_id").alias("lo"), F.max("session_id").alias("hi")
+    )
+    assert agg.filter(F.col("lo") != 1).count() == 0
+    stats = EventLog(events).session_stats().collect()
+    hi = {r.user_id: r.hi for r in agg.collect()}
+    assert all(hi[r.user_id] == r.n_sessions for r in stats)
+
+
+def test_funnel_matches_q87(spark, events):
+    got = EventLog(events).funnel(["view", "click", "purchase"]).collect()
+    want = QUERIES["q87_funnel_steps"].spark_fn(spark, SF).collect()[0]
+    assert [r.users for r in got] == [
+        want.viewed, want.clicked_after_view, want.purchased_after_click
+    ]
+
+
+def test_sequences_match_q168(spark, events):
+    got = (
+        EventLog(events.filter(F.col("user_id") % 10 == 0))
+        .sequences(ctx=3)
+        .collect()
+    )
+    want = QUERIES["q168_event_sequences"].spark_fn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_cv_folds_match_q174(spark, events):
+    got = EventLog(events).cv_folds(folds=3, embargo_hours=6).collect()
+    want = QUERIES["q174_timeseries_cv"].spark_fn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_generic_column_names(events):
+    renamed = events.selectExpr(
+        "user_id AS uid", "ts AS t", "event_type AS kind", "event_id AS eid"
+    )
+    log = EventLog(renamed, user_col="uid", ts_col="t", type_col="kind", id_col="eid")
+    base = EventLog(events).session_stats().collect()
+    got = log.session_stats().collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in base]
+
+
+def test_raw_ntz_parquet_input(spark, events):
+    # raw reads surface TIMESTAMP_NTZ; the facade must normalize
+    # internally and agree with the corpus-loader path
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
+    got = EventLog(raw).session_stats().collect()
+    want = EventLog(events).session_stats().collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
