@@ -144,6 +144,35 @@ class EventLog:
             out = row if out is None else out.unionByName(row)
         return out
 
+    # ---- cohort retention (q86) ----
+
+    def retention(self) -> DataFrame:
+        """Weekly cohort retention (q86): one fact shuffle builds a
+        per-user (cohort week, active-week set) summary map-side, then
+        explode + one (cohort, offset) rollup. Returns
+        (cohort_week, week_offset, active_users)."""
+        u, ts = self.user_col, self.ts_col
+        tsc = F.col(ts).cast("timestamp")
+        per_user = self.df.groupBy(u).agg(
+            F.date_trunc("week", F.min(F.to_date(tsc)))
+            .cast("date")
+            .alias("cohort_week"),
+            F.collect_set(F.date_trunc("week", tsc).cast("date")).alias(
+                "__weeks"
+            ),
+        )
+        return (
+            per_user.select(u, "cohort_week", F.explode("__weeks").alias("act_week"))
+            .groupBy(
+                "cohort_week",
+                (F.datediff("act_week", "cohort_week") / 7)
+                .cast("int")
+                .alias("week_offset"),
+            )
+            .agg(F.countDistinct(u).alias("active_users"))
+            .orderBy("cohort_week", "week_offset")
+        )
+
     # ---- training sequences (q168) ----
 
     def sequences(self, ctx: int = 3) -> DataFrame:

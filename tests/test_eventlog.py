@@ -77,3 +77,9 @@ def test_raw_ntz_parquet_input(spark, events):
     got = EventLog(raw).session_stats().collect()
     want = EventLog(events).session_stats().collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_retention_matches_q86(spark, events):
+    got = EventLog(events).retention().collect()
+    want = QUERIES["q86_cohort_retention"].spark_fn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
