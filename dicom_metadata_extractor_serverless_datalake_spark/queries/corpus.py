@@ -136,6 +136,7 @@ _PRIORITY = [
     "q174_timeseries_cv",
     "q175_centroid_confusion",
     "q176_target_encoding",
+    "q177_stream_funnel",
     # The rest of the LLM family (q50, q51,
     # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
     # and the r03-green analytics/streaming families follow and rotate

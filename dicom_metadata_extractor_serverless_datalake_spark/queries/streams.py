@@ -1048,3 +1048,99 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("user_id", "pos")
+
+
+# --------------------------------------------------------------------------
+# q177 — STREAMING strict sequential funnel: q87's chained min-after
+# funnel (view -> click -> purchase) maintained as per-user stage
+# state across MULTIPLE micro-batches — the real-time conversion
+# monitor. State is (stage, t): scanning each user's events in
+# (ts, event_id) order, the first 'view' sets stage 1 at t1, the first
+# 'click' strictly after t1 sets stage 2, the first 'purchase'
+# strictly after t2 sets stage 3 — a greedy in-order scan computes
+# exactly the chained minima, whatever batch boundary interleaves the
+# stages. Each stage advance is emitted once; the drained sink rolls
+# up to the SAME single-row counts as the batch funnel, so q87's SQL
+# is the oracle verbatim.
+#
+# 100 TB shape: state is 2 integers per user (entity-bounded);
+# emissions are <= 3 rows per user ever; the shuffle is the standard
+# stateful hash partitioning on user_id.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STATE = "stage BIGINT, t BIGINT"
+_FUNNEL_OUT = "user_id BIGINT, stage BIGINT"
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_update(key, batches, state):
+    import pandas as pd
+
+    stage, t = state.get if state.exists else (0, 0)
+    pdfs = [p for p in batches]
+    pdf = pd.concat(pdfs, ignore_index=True).sort_values(["ts", "event_id"])
+    us = pdf["ts"].astype("int64")  # pandas datetime64[ns] -> int64 nanos
+    rows = []
+    for et, ts_ns in zip(pdf["event_type"], us):
+        if stage < len(_FUNNEL_STEPS) and et == _FUNNEL_STEPS[stage] and (
+            stage == 0 or ts_ns > t
+        ):
+            stage, t = stage + 1, int(ts_ns)
+            rows.append((key[0], stage))
+    state.update((int(stage), int(t)))
+    yield pd.DataFrame(rows, columns=["user_id", "stage"])
+
+
+@query(
+    "q177_stream_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS viewed,
+           (SELECT count(*) FROM s2) AS clicked_after_view,
+           (SELECT count(*) FROM s3) AS purchased_after_click
+    """,
+    category="streaming",
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_update,
+                outputStructType=_FUNNEL_OUT,
+                stateStructType=_FUNNEL_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # each (user, stage) advance is emitted exactly once -> stage counts
+    sink = spark.table(name)
+    return sink.agg(
+        F.count(F.when(F.col("stage") == 1, 1)).alias("viewed"),
+        F.count(F.when(F.col("stage") == 2, 1)).alias("clicked_after_view"),
+        F.count(F.when(F.col("stage") == 3, 1)).alias("purchased_after_click"),
+    )
