@@ -135,7 +135,20 @@ def main() -> None:
         out["scale"] = scale
     if xover:
         out["crossover_600m"] = xover
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # tee every run to a committed-on-round artifact so any number
+    # quoted in BASELINE.md is traceable to a file (round-4 ADVICE item)
+    try:
+        import datetime
+
+        runs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs")
+        os.makedirs(runs, exist_ok=True)
+        stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+        with open(os.path.join(runs, f"bench_{stamp}.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as e:  # noqa: PERF203 — artifact tee must never kill the run
+        print(f"bench artifact tee failed: {e}", file=sys.stderr)
+    print(line)
 
 
 SCALE_QUERIES = (

@@ -29,83 +29,25 @@ from . import prep  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
-# driver-oracle verification is least established go first. Round-4
-# window (50 entries): first the 15 queries whose only driver row dates
-# from round 1 (the corpus-wide TIMESTAMP_NTZ normalization landed since
-# and touches the events.ts column q34-q38 read), then the queries whose
-# implementation changed this round (q67 IVF broadcast assignment, q104
-# shared token derivation, q84/q99 multi-micro-batch execution, and the
-# new q114 sketch-mode robust z-score), then the least-recently-verified
-# round-2 greens (LLM/dedup/training family). The remaining round-2
-# greens (relational q01-q12 and friends — stable, pytest-mirrored)
-# rotate into round 5's window.
+# driver-oracle verification is least established go first. Round-5
+# window (50 entries): first q135 (the single red row of round 4 — its
+# top_docs posting list is now serialized to a comma-joined scalar in
+# both engines, so this re-run certifies the fix under the driver's own
+# canonicalizer), then the 34 round-4c/d/f queries (q144-q177) that have
+# NEVER earned a driver row (all locally oracle-green; q166's registered
+# form switched to fixed-COUNT anchors this round, q168/q171 serialize
+# ctx), then the 15 stalest greens — the relational core whose last
+# driver row dates from round 1/2. The round-4-green families (q34-q48,
+# q64, q67/q84/q99/q104/q114/q115, q116-q143, q52) rotate to the back.
 _PRIORITY = [
-    # driver-green only in round 1 — re-verify on current corpus
-    "q34_running_sum",
-    "q35_range_frame",
-    "q36_tumbling_window",
-    "q37_sliding_window",
-    "q38_session_window",
-    "q39_asof_join",
-    "q40_string_funcs",
-    "q41_regexp",
-    "q42_date_funcs",
-    "q43_conditional",
-    "q44_null_funcs",
-    "q46_array_funcs",
-    "q47_struct_map",
-    "q48_binary_funcs",
-    "q64_quantiles",
-    # implementation changed in round 4 — re-verify even if green r03
-    "q67_ann_ivf",
-    "q104_prefix_filter_join",
-    "q84_stream_dedup",
-    "q99_stream_stateful_totals",
-    "q114_robust_zscore_sketch",
-    "q115_stats_broadcast_join",
-    # new in round 4 — no driver row yet
-    "q116_bigram_lm_score",
-    "q117_domain_mixture",
-    "q118_sequence_packing",
-    "q119_incremental_rollup",
-    "q120_triangle_count",
-    "q121_pagerank_invariants",
-    "q122_heavy_hitters",
-    "q123_scd2_merge",
-    "q124_data_skipping",
-    "q125_collocation_lift",
-    "q126_attribution",
-    "q127_survivorship",
-    "q128_containment_join",
-    "q129_stream_heavy_hitters",
-    "q130_zorder_skipping",
-    "q131_ann_pq",
-    # round-4b mining/IR additions — NEVER driver-verified, so they
-    # outrank re-verification of the r02-green LLM family for the
-    # remaining window slots (all are locally oracle-EXACT at
-    # sf0.001/0.01/0.1)
-    "q132_countmin_freq",
-    "q133_dimension_colsim",
-    "q134_sorted_neighborhood",
+    # round-4 red — fixed this round, must re-verify first
     "q135_inverted_index",
-    "q136_tv_drift",
-    "q137_rrf_hybrid",
-    "q138_winsorized_stats",
-    "q139_bloom_decontaminate",
-    "q140_seasonal_anomaly",
-    "q141_join_size_sketch",
-    "q142_frequent_pairs",
-    "q143_stream_tv_drift",
-    # one flagship LLM representative keeps a fresh row
-    "q52_minhash_lsh",
-    # ^ exactly 50 entries (the driver window). The round-4c curation
-    # family lands just past the window boundary: never driver-
-    # verified, locally oracle-exact, first in line for round 5.
+    # round-4c curation family — never driver-verified
     "q144_ngram_decontaminate",
     "q145_intradoc_repetition",
     "q146_semantic_dedup",
     "q147_recursive_cte",
-    # round-4d retrieval & signals family (queries/signals.py)
+    # round-4d retrieval & signals family — never driver-verified
     "q148_bm25_topk",
     "q149_kcore",
     "q150_gopher_rules",
@@ -124,7 +66,7 @@ _PRIORITY = [
     "q163_stream_ewma",
     "q164_stream_late_drop",
     "q165_auc_exact",
-    # round-4f model-prep family (queries/prep.py)
+    # round-4f model-prep family — never driver-verified
     "q166_knn_label_audit",
     "q167_feature_hashing",
     "q168_event_sequences",
@@ -137,10 +79,25 @@ _PRIORITY = [
     "q175_centroid_confusion",
     "q176_target_encoding",
     "q177_stream_funnel",
-    # The rest of the LLM family (q50, q51,
-    # q53-q62, last green r02) plus q63-q82/q85/q45/q49/q14, q01-q12,
-    # and the r03-green analytics/streaming families follow and rotate
-    # into round 5's window.
+    # 15 stalest greens: relational core, last driver row round 1/2
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_join_broadcast_agg",
+    "q04_star_join",
+    "q05_left_join",
+    "q06_right_join",
+    "q07_full_outer_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_cross_join",
+    "q11_range_join",
+    "q12_agg_stats",
+    "q13_count_distinct",
+    "q18_collect_sorted",
+    "q29_latest_per_key",
+    # ^ exactly 50 entries (the driver window). Below: next-stalest
+    # first (r02 LLM/training family, r03 analytics/windows/set-ops),
+    # the round-4-green families last.
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",
@@ -175,6 +132,52 @@ _PRIORITY = [
     "q45_json",
     "q49_distinct_math",
     "q14_approx_count_distinct",
+    "q15_rollup",
+    "q16_cube",
+    "q17_grouping_sets",
+    "q19_union_all",
+    "q20_intersect",
+    "q21_except",
+    "q22_top_k",
+    "q23_scalar_subquery",
+    "q24_groupwise_compare",
+    "q25_exists_subquery",
+    "q26_not_exists",
+    "q27_pivot",
+    "q28_unpivot",
+    "q30_ranking",
+    "q31_top_n_per_group",
+    "q32_percentiles",
+    "q33_lag_lead",
+    "q111_audio_features",
+    "q112_multimodal_neardup",
+    "q113_udtf_lateral",
+    "q83_stream_tumbling",
+    "q100_stream_session_window",
+    "q109_stream_interval_join",
+    "q110_stream_static_enrich",
+    "q86_cohort_retention",
+    "q87_funnel_steps",
+    "q88_sessionize_lag",
+    "q89_gapfill_daily",
+    "q90_hll_partitioned_union",
+    "q91_weighted_sample",
+    "q92_robust_zscore",
+    "q93_price_histogram",
+    "q94_regression_exact",
+    "q95_tfidf_topterms",
+    "q96_mode_median",
+    "q97_decile_stats",
+    "q98_pareto_frontier",
+    "q101_time_proximity_join",
+    "q102_rolling_distinct_sketch",
+    "q103_variant_json",
+    "q105_event_transitions",
+    "q106_data_quality_audit",
+    "q107_kll_quantile_rollup",
+    "q108_theta_set_algebra",
+    # round-4-green window (freshest driver rows) — rotate to the back;
+    # anything unlisted follows in registration order via _apply_priority
 ]
 
 

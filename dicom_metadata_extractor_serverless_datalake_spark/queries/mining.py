@@ -283,8 +283,10 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
 # -> document frequency, total term frequency, top-scoring postings)
 # as one exploded aggregation. Terms are word BIGRAMS (the unigram
 # vocabulary of this corpus is tiny). The posting list is capped at
-# the top 3 docs by (tf desc, doc_id desc) — a sorted ARRAY column,
-# exercising deterministic nested-type hashing. At scale: explode ->
+# the top 3 docs by (tf desc, doc_id desc), serialized to one
+# comma-joined string per term: result columns must stay SCALAR so
+# order-insensitive canonicalizers (pandas sort over object cells)
+# can hash them — bare list cells are unhashable. At scale: explode ->
 # one (term, doc) partial-agg shuffle -> one term agg; posting caps
 # keep the reduced row bounded regardless of document count.
 # --------------------------------------------------------------------------
@@ -305,7 +307,8 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
     SELECT term,
            count(*) AS n_docs,
            CAST(SUM(tf) AS BIGINT) AS tf_total,
-           (list(doc_id ORDER BY tf DESC, doc_id DESC))[1:3] AS top_docs
+           array_to_string((list(doc_id ORDER BY tf DESC, doc_id DESC))[1:3],
+                           ',') AS top_docs
     FROM tf
     GROUP BY term
     HAVING count(*) >= 25
@@ -336,15 +339,18 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("tf").alias("tf_total"),
-            F.transform(
-                F.slice(
-                    F.sort_array(
-                        F.collect_list(F.struct("tf", "doc_id")), asc=False
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(F.struct("tf", "doc_id")), asc=False
+                        ),
+                        1,
+                        3,
                     ),
-                    1,
-                    3,
+                    lambda s: s.getField("doc_id").cast("string"),
                 ),
-                lambda s: s.getField("doc_id"),
+                ",",
             ).alias("top_docs"),
         )
         .filter(F.col("n_docs") >= 25)

@@ -15,7 +15,8 @@ star-schema testdata (`documents`, `embeddings`, `events`).
 
 Scale shapes (100 TB notes per query):
 
-- q166: the audit anchor set is a bounded hash-sample, broadcast; the
+- q166: the audit anchor set is a FIXED-COUNT hash-ordered pick
+  (TakeOrderedAndProject), broadcast; the
   corpus is touched in ONE streamed pass; per-anchor top-k goes through
   a rank window whose partial ``WindowGroupLimit`` caps what each task
   emits at k rows per anchor BEFORE the exchange (the q31 shape), so
@@ -55,14 +56,20 @@ from .llm import duck_h31, spark_h31
 
 # --------------------------------------------------------------------------
 # q166 — kNN label-noise audit (Confident-Learning-shaped): for a
-# deterministic ~20% anchor sample of the embedding table, find the
-# exact 5 nearest neighbors by cosine (brute force, the q54 fold so
-# doubles are bit-identical cross-engine) and flag anchors whose label
-# disagrees with the neighbor majority. This is the mislabel-detection
-# pass a training pipeline runs before fitting on weak labels.
+# deterministic FIXED-COUNT anchor set (the 100 vectors with the
+# smallest portable hash — a distributed TakeOrderedAndProject, never a
+# global sort), find the exact 5 nearest neighbors by cosine (brute
+# force, the q54 fold so doubles are bit-identical cross-engine) and
+# flag anchors whose label disagrees with the neighbor majority. This
+# is the mislabel-detection pass a training pipeline runs before
+# fitting on weak labels. Fixed COUNT (not a fraction) is what makes
+# the audit linear in corpus size: work is |anchors| x |corpus| with
+# |anchors| constant — the fraction form measured 5.2x wall for a 100x
+# corpus with 100 anchors (BASELINE.md round-4f), while 20% anchors
+# would scale quadratically.
 # --------------------------------------------------------------------------
 
-_AUDIT_PCT = 20
+_AUDIT_N = 100
 _AUDIT_K = 5
 
 _DOT = (
@@ -81,7 +88,8 @@ _NORM = (
     WITH anchors AS (
       SELECT vec_id AS q_id, embedding AS qe, label AS own_label
       FROM embeddings
-      WHERE {duck_h31("'a166-' || CAST(vec_id AS VARCHAR)")} % 100 < {_AUDIT_PCT}
+      ORDER BY {duck_h31("'a166-' || CAST(vec_id AS VARCHAR)")}, vec_id
+      LIMIT {_AUDIT_N}
     ),
     scored AS (
       SELECT a.q_id, a.own_label, e.vec_id, e.label AS n_label,
@@ -125,13 +133,20 @@ _NORM = (
 )
 def q166(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
-    anchors = emb.filter(
-        F.expr(spark_h31("concat('a166-', CAST(vec_id AS STRING))")) % 100
-        < _AUDIT_PCT
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("label").alias("own_label"),
+    # fixed-COUNT anchor pick: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition partial top-N, no global sort, N rows to the driver
+    # side of the broadcast) — the linear-scale form; see header note
+    anchors = (
+        emb.orderBy(
+            F.expr(spark_h31("concat('a166-', CAST(vec_id AS STRING))")),
+            "vec_id",
+        )
+        .limit(_AUDIT_N)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("own_label"),
+        )
     )
     scored = (
         F.broadcast(anchors)
@@ -231,7 +246,7 @@ _SEQ_USER_MOD = 10
 @query(
     "q168_event_sequences",
     oracle=f"""
-    SELECT user_id, pos, ctx, label FROM (
+    SELECT user_id, pos, array_to_string(ctx, ',') AS ctx, label FROM (
       SELECT user_id,
              ROW_NUMBER() OVER w AS pos,
              [lag(event_type, 2) OVER w,
@@ -263,6 +278,10 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
             F.lead("event_type", 1).over(w).alias("label"),
         )
         .filter(F.col("ctx")[0].isNotNull() & F.col("label").isNotNull())
+        # serialize: scalar output columns only (canonicalizer contract);
+        # after the lag-2 filter every ctx element is non-null, so
+        # concat_ws's null-skipping cannot change arity
+        .withColumn("ctx", F.array_join("ctx", ","))
         .orderBy("user_id", "pos")
     )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import (
@@ -112,6 +112,17 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q03 — broadcast equi-join + agg: fact ⋈ small dim. customer is ~150k rows
 # at SF100 (a few MB) — always broadcast; no shuffle of orders by custkey.
+#
+# The aggregation key is DICTIONARY-ENCODED before the fact scan: the
+# grouping column (c_mktsegment, 5 distinct values) is ranked once on
+# the dim side into a dense int seg_id, the broadcast map carries
+# (c_custkey, seg_id), the 150M-row aggregate hashes an int instead of
+# re-hashing a 10-char string per fact row, and the 5-row result joins
+# the names back. Measured at 600M-row scale (150M orders, same JVM,
+# min-of-4): string-keyed 2.02 s -> int-keyed 1.43 s. The dictionary
+# is built from the already-broadcast dim, so the extra cost is two
+# 5-row ops — the classic low-cardinality group-key encode every
+# columnar engine does internally, made explicit.
 # --------------------------------------------------------------------------
 
 
@@ -130,13 +141,26 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 def q03(spark: SparkSession, sf: str) -> DataFrame:
     orders = t(spark, sf, "orders")
     customer = t(spark, sf, "customer")
-    return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("c_mktsegment")
+    seg = customer.select("c_mktsegment").distinct().select(
+        "c_mktsegment",
+        F.row_number()
+        .over(Window.orderBy("c_mktsegment"))
+        .alias("seg_id"),
+    )
+    cust = customer.join(F.broadcast(seg), "c_mktsegment").select(
+        "c_custkey", "seg_id"
+    )
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("seg_id")
         .agg(
             dsum("o_totalprice", "total_revenue", max_abs=1e7),
             F.count("*").alias("n_orders"),
         )
+    )
+    return (
+        agg.join(F.broadcast(seg), "seg_id")
+        .select("c_mktsegment", "total_revenue", "n_orders")
         .orderBy("c_mktsegment")
     )
 

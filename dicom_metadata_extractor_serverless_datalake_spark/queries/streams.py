@@ -986,7 +986,9 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SEQ_STATE = "n BIGINT, a STRING, b STRING, c STRING"
-_SEQ_OUT = "user_id BIGINT, pos BIGINT, ctx ARRAY<STRING>, label STRING"
+# ctx is serialized to one comma-joined string (scalar output columns
+# only — the canonicalizer contract; matches batch q168)
+_SEQ_OUT = "user_id BIGINT, pos BIGINT, ctx STRING, label STRING"
 
 
 def _seq_update(key, batches, state):
@@ -998,7 +1000,7 @@ def _seq_update(key, batches, state):
     rows = []
     for et in pdf["event_type"]:
         if n >= 3:
-            rows.append((key[0], n, [a, b, c], et))
+            rows.append((key[0], n, f"{a},{b},{c}", et))
         n, a, b, c = n + 1, b, c, et
     state.update((int(n), a, b, c))
     yield pd.DataFrame(rows, columns=["user_id", "pos", "ctx", "label"])
@@ -1007,7 +1009,7 @@ def _seq_update(key, batches, state):
 @query(
     "q171_stream_sequences",
     oracle="""
-    SELECT user_id, pos, ctx, label FROM (
+    SELECT user_id, pos, array_to_string(ctx, ',') AS ctx, label FROM (
       SELECT user_id,
              ROW_NUMBER() OVER w AS pos,
              [lag(event_type, 2) OVER w,

@@ -130,13 +130,17 @@ class EmbeddingSet:
         )
 
     def label_audit(
-        self, anchor_pct: int = 20, k: int = 5, salt: str = "a166-"
+        self, anchors: int = 100, k: int = 5, salt: str = "a166-"
     ) -> DataFrame:
-        """kNN label-noise audit (q166): for a deterministic hash-sample
-        of anchors, exact cosine k-NN majority vote vs own label.
+        """kNN label-noise audit (q166): for a deterministic FIXED-COUNT
+        anchor set (the ``anchors`` rows with the smallest portable hash
+        — a TakeOrderedAndProject, no global sort), exact cosine k-NN
+        majority vote vs own label.
         Returns (q_id, own_label, maj_label, maj_votes, mislabeled).
         The anchor side broadcasts; the table is scanned once; per-
-        anchor top-k is WindowGroupLimit-capped."""
+        anchor top-k is WindowGroupLimit-capped. A fixed COUNT (not a
+        fraction) keeps the audit linear in table size: work is
+        |anchors| x |rows| with |anchors| constant."""
         lab = self._require_label("label_audit")
         did, vec = self.id_col, self.vec_col
         h = (
@@ -149,13 +153,17 @@ class EmbeddingSet:
             ).cast("bigint")
             % MERSENNE_P
         )
-        anchors = self.df.filter(h % 100 < anchor_pct).select(
-            F.col(did).alias("q_id"),
-            F.col(vec).alias("qe"),
-            F.col(lab).alias("own_label"),
+        anchor_df = (
+            self.df.orderBy(h, F.col(did))
+            .limit(anchors)
+            .select(
+                F.col(did).alias("q_id"),
+                F.col(vec).alias("qe"),
+                F.col(lab).alias("own_label"),
+            )
         )
         scored = (
-            F.broadcast(anchors)
+            F.broadcast(anchor_df)
             .crossJoin(self.df)
             .filter(F.col(did) != F.col("q_id"))
             .withColumn("dot", F.expr(_dot("qe", vec)))

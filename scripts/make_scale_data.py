@@ -113,17 +113,19 @@ def make_events_scale(out: str, factor: int, src: str = SRC, spark=None) -> None
             shutil.copy(os.path.join(src, f"{t}.parquet"), dst)
 
     ev = spark.read.parquet(f"{src}/events.parquet")
-    # raw read may infer TIMESTAMP_NTZ (testdata encoding, see
-    # sources/tables.py) — normalize so event-time arithmetic resolves
-    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    # keep the driver testdata's TIMESTAMP_NTZ/micros encoding: a plain
+    # "timestamp" cast writes INT96 (Spark's default outputTimestampType),
+    # which pyarrow round-trips to nanosecond INT64 in the stream-source
+    # chunk writer and the streaming reader's schema then mismatches
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     base = ev.agg(F.max("event_id")).collect()[0][0] + 1
     parts = []
     for i in range(factor):
         p = ev.withColumn("event_id", F.col("event_id") + F.lit(i * base))
         if i:
-            p = p.withColumn(
-                "ts", F.timestamp_micros(F.unix_micros("ts") + F.lit(i * 31 * 86400 * 1_000_000))
-            )
+            # interval add keeps the TIMESTAMP_NTZ type (unix_micros/
+            # timestamp_micros would force TIMESTAMP and change encoding)
+            p = p.withColumn("ts", F.expr(f"ts + INTERVAL '{i * 31}' DAY"))
         parts.append(p)
     union = parts[0]
     for p in parts[1:]:

@@ -36,10 +36,16 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, float):
         return ("f", v)
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if isinstance(v, (list, dict, set, tuple, bytearray)):
+        # LIST-HOSTILE by design: the driver's canonicalizer sorts result
+        # columns through pandas, which factorizes every cell and dies on
+        # unhashable list/dict cells (the q135 round-4 red row). Queries
+        # must serialize nested values to scalars (array_join / to_json)
+        # in BOTH engines; this mirror refuses to mask that.
+        raise AssertionError(
+            f"nested result cell {type(v).__name__} — driver canonicalizer "
+            f"cannot hash this; serialize to a scalar in query + oracle"
+        )
     return v
 
 
@@ -73,10 +79,29 @@ ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle)
 NO_ORACLE = sorted(n for n, q in QUERIES.items() if not q.oracle)
 
 
+def _assert_scalar_schema(name, sdf):
+    """Driver-canonicalizer contract: every output column must be an
+    atomic type. Nested types (array/map/struct) reach the driver's
+    pandas-based row sort as unhashable Python objects and hard-fail
+    the whole correctness row (q135, round 4)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: nested output column(s) {nested} — serialize to scalar "
+        f"(array_join / to_json) in both the Spark query and the oracle"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_vs_duckdb(spark, sf_dir, name):
     q = QUERIES[name]
     sdf = q.spark_fn(spark, sf_dir)
+    _assert_scalar_schema(name, sdf)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
@@ -117,6 +142,7 @@ def test_vs_duckdb(spark, sf_dir, name):
 def test_rows_only(spark, sf_dir, name):
     q = QUERIES[name]
     sdf = q.spark_fn(spark, sf_dir)
+    _assert_scalar_schema(name, sdf)
     assert len(sdf.columns) > 0
     assert sdf.count() >= 0
 

@@ -44,9 +44,13 @@ def test_funnel_matches_q87(spark, events):
 
 
 def test_sequences_match_q168(spark, events):
+    # the facade keeps ctx as array<string> (programmatic API); the corpus
+    # query serializes it to a comma-joined scalar for the driver
+    # canonicalizer — pin equality through the same serialization
     got = (
         EventLog(events.filter(F.col("user_id") % 10 == 0))
         .sequences(ctx=3)
+        .withColumn("ctx", F.array_join("ctx", ","))
         .collect()
     )
     want = QUERIES["q168_event_sequences"].spark_fn(spark, SF).collect()

@@ -35,7 +35,7 @@ def test_outliers_match_q173(spark, emb):
 
 
 def test_label_audit_matches_q166(spark, emb):
-    got = _vs(emb).label_audit(anchor_pct=20, k=5).collect()
+    got = _vs(emb).label_audit(anchors=100, k=5).collect()
     want = QUERIES["q166_knn_label_audit"].spark_fn(spark, SF).collect()
     assert got == want
 
