@@ -173,3 +173,53 @@ def test_q165_auc_oracle_matches_bruteforce():
     got = con.execute(QUERIES["q165_auc_exact"].oracle).fetchall()[0]
     assert got[0] == len(pos) and got[1] == len(neg)
     assert abs(got[3] - want) < 1e-12
+
+
+# ---- driver-canonicalizer contract (property) ----------------------------
+#
+# The driver hashes query results by sorting columns by name, sorting rows
+# through pandas, and hashing cell values. Two properties must hold for
+# every result shape the corpus can emit:
+#   1. the canonical key is invariant under row order and column order
+#      (otherwise a nondeterministic plan ordering flips the hash);
+#   2. nested cells (list/dict) are REJECTED, exactly as pandas'
+#      factorize-based sort rejects them (q135, round 4) — the local
+#      mirror must fail where the driver fails.
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_canonicalizer_order_invariance(seed):
+    import random
+
+    rng = random.Random(seed)
+    n_cols = rng.randint(1, 5)
+    cols = [f"c{i}" for i in range(n_cols)]
+    pools = [
+        lambda r: r.randint(-5, 5),
+        lambda r: r.choice(["a", "b", None]),
+        lambda r: round(r.uniform(-1, 1), 3),
+        lambda r: r.random() < 0.5,
+        lambda r: datetime.date(2024, 1, 1 + r.randint(0, 27)),
+        lambda r: datetime.datetime(2024, 1, 1, r.randint(0, 23)),
+    ]
+    gens = [rng.choice(pools) for _ in cols]
+    rows = [tuple(g(rng) for g in gens) for _ in range(rng.randint(0, 40))]
+
+    base = _rows_key(cols, rows)
+    shuffled_rows = rows[:]
+    rng.shuffle(shuffled_rows)
+    assert _rows_key(cols, shuffled_rows) == base
+
+    perm = list(range(n_cols))
+    rng.shuffle(perm)
+    pcols = [cols[i] for i in perm]
+    prows = [tuple(r[i] for i in perm) for r in shuffled_rows]
+    assert _rows_key(pcols, prows) == base
+
+
+@pytest.mark.parametrize(
+    "cell", [[1, 2], {"k": 1}, (1, 2), {1, 2}, bytearray(b"x")]
+)
+def test_canonicalizer_rejects_nested_cells(cell):
+    with pytest.raises(AssertionError, match="nested result cell"):
+        _rows_key(["a", "b"], [(1, cell)])
