@@ -223,3 +223,16 @@ def test_canonicalizer_order_invariance(seed):
 def test_canonicalizer_rejects_nested_cells(cell):
     with pytest.raises(AssertionError, match="nested result cell"):
         _rows_key(["a", "b"], [(1, cell)])
+
+
+def test_priority_rotation_is_exact():
+    """Every _PRIORITY name must exist in the registry (a typo silently
+    drops the query from the driver's verification window) and appear
+    exactly once; the front-50 window must contain no duplicates."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries import corpus
+
+    unknown = [n for n in corpus._PRIORITY if n not in corpus.QUERIES]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    dupes = [n for n in set(corpus._PRIORITY) if corpus._PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+    assert len(list(corpus.QUERIES)) == len(set(corpus.QUERIES))
