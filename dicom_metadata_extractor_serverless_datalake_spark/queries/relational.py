@@ -113,17 +113,35 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 # q03 — broadcast equi-join + agg: fact ⋈ small dim. customer is ~150k rows
 # at SF100 (a few MB) — always broadcast; no shuffle of orders by custkey.
 #
-# The aggregation key is DICTIONARY-ENCODED before the fact scan: the
+# The aggregation key is DICTIONARY-ENCODED before the fact scan when
+# the fact side is large (a COST-BASED choice, the q04 pattern): the
 # grouping column (c_mktsegment, 5 distinct values) is ranked once on
 # the dim side into a dense int seg_id, the broadcast map carries
 # (c_custkey, seg_id), the 150M-row aggregate hashes an int instead of
 # re-hashing a 10-char string per fact row, and the 5-row result joins
 # the names back. Measured at 600M-row scale (150M orders, same JVM,
 # min-of-4): string-keyed 2.02 s -> int-keyed 1.43 s. The dictionary
-# is built from the already-broadcast dim, so the extra cost is two
-# 5-row ops — the classic low-cardinality group-key encode every
-# columnar engine does internally, made explicit.
+# derivation costs ~3 tiny extra jobs (~0.25 s fixed), which at small
+# fact sizes outweighs the per-row saving (60M-scale q03 measured
+# 2.26x -> 2.74x vs DuckDB with the encode always on), so the encode
+# engages only above a fact-size threshold read from the plan's
+# statistics — exactly when a CBO would pick it. This is the classic
+# low-cardinality group-key encode every columnar engine does
+# internally, made explicit and gated on size.
 # --------------------------------------------------------------------------
+
+# dictionary-encode pays when per-row string-hash savings exceed the
+# fixed dictionary-derivation jobs: ~100M+ fact rows (~1 GB+ scan)
+_Q03_DICT_MIN_BYTES = 1_000_000_000
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (file-size based for parquet
+    scans) — the same statistic broadcast-join selection reads."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are an optimization hint only
+        return 0
 
 
 @query(
@@ -141,6 +159,20 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 def q03(spark: SparkSession, sf: str) -> DataFrame:
     orders = t(spark, sf, "orders")
     customer = t(spark, sf, "customer")
+    if _plan_size_bytes(orders) < _Q03_DICT_MIN_BYTES:
+        # small fact: the plain string-keyed broadcast-agg plan — fewer
+        # jobs beat per-row hash savings below the threshold
+        return (
+            orders.join(
+                F.broadcast(customer), orders.o_custkey == customer.c_custkey
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                dsum("o_totalprice", "total_revenue", max_abs=1e7),
+                F.count("*").alias("n_orders"),
+            )
+            .orderBy("c_mktsegment")
+        )
     seg = customer.select("c_mktsegment").distinct().select(
         "c_mktsegment",
         F.row_number()
