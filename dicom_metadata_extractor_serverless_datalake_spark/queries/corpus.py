@@ -94,7 +94,8 @@ _PRIORITY = [
     "q12_agg_stats",
     "q13_count_distinct",
     "q18_collect_sorted",
-    "q29_latest_per_key",
+    # new in round 5 — no driver row yet
+    "q178_stream_lsh_dedup",
     # ^ exactly 50 entries (the driver window). Below: next-stalest
     # first (r02 LLM/training family, r03 analytics/windows/set-ops),
     # the round-4-green families last.
@@ -129,6 +130,7 @@ _PRIORITY = [
     "q81_skew_report",
     "q82_decontamination",
     "q85_stream_upsert_snapshot",
+    "q29_latest_per_key",
     "q45_json",
     "q49_distinct_math",
     "q14_approx_count_distinct",

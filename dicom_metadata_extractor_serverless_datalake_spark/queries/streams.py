@@ -1146,3 +1146,198 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.when(F.col("stage") == 2, 1)).alias("clicked_after_view"),
         F.count(F.when(F.col("stage") == 3, 1)).alias("purchased_after_click"),
     )
+
+
+# --------------------------------------------------------------------------
+# q178 — STREAMING incremental MinHash-LSH near-dedup: the q52 banding
+# applied to a LIVE document stream — the form a production ingest
+# pipeline needs (the batch dedup family assumes the corpus is at
+# rest; an event-driven lake ingests documents one micro-batch at a
+# time and must flag each arrival against everything already seen).
+#
+# The MinHash signature is computed ENTIRELY map-side per document row
+# (one md5 per shingle via a transform(), then 16 array-fold minima —
+# no explode, no shuffle, unlike batch q52's groupBy path), the 4 band
+# signatures posexplode to (band, sig) rows, and ONE stateful operator
+# — applyInPandasWithState keyed by the LSH bucket — owns the
+# incremental state: the smallest doc_id ever seen in that bucket.
+# Documents arrive in doc_id order (range-split files, the q171
+# arrival-order technique with doc_id as the axis; within a batch the
+# group sorts by doc_id), so each arrival either claims an empty
+# bucket or emits (doc_id, bucket_owner) exactly once, whatever batch
+# boundary separates a document from its near-duplicate. The drained
+# sink reduces per doc to the SMALLEST earlier near-dup across bands —
+# which is precisely the batch semantics "min earlier doc sharing any
+# band signature", so the oracle is q52's signature algebra with a
+# min-earlier join.
+#
+# 100 TB shape: per-bucket state is ONE long (owner id), keys are the
+# occupied LSH buckets — entity-bounded at ~bands x docs worst case
+# but hash-partitioned like all stateful state; per-row work is the
+# signature fold; the only shuffle is the stateful hash partitioning
+# on (band, sig). The streamed result is incremental: each micro-batch
+# emits only the new arrivals' verdicts, the re-scan a batch pipeline
+# would pay per refresh never happens.
+# --------------------------------------------------------------------------
+
+_LSH_STATE = "owner BIGINT"
+_LSH_OUT = "doc_id BIGINT, dup_of BIGINT"
+
+
+def _docs_stream_src(sf: str, splits: int = 3) -> str:
+    """Range-split documents.parquet into ``splits`` files by doc_id,
+    mtime-stamped so the file source replays them in id order."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="spark_stream_src_")
+    path = os.path.join(sf, "documents.parquet")
+    table = pads.dataset(path, format="parquet").to_table()
+    ids = table.column("doc_id")
+    lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    mtime = 1_000_000_000.0
+    for s in range(splits):
+        lo_b = lo + (hi - lo) * s // splits
+        hi_b = lo + (hi - lo) * (s + 1) // splits
+        mask = (
+            pc.and_(pc.greater_equal(ids, lo_b), pc.less(ids, hi_b))
+            if s < splits - 1
+            else pc.and_(pc.greater_equal(ids, lo_b), pc.less_equal(ids, hi_b))
+        )
+        chunk = table.filter(mask)
+        if chunk.num_rows == 0:
+            continue
+        dst = os.path.join(src, f"docs_{s}.parquet")
+        pq.write_table(chunk, dst)
+        os.utime(dst, (mtime, mtime))
+        mtime += 2.0
+    return src
+
+
+def _lsh_update(key, batches, state):
+    import pandas as pd
+
+    owner = int(state.get[0]) if state.exists else None
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
+    rows = []
+    for d in pdf["doc_id"]:
+        d = int(d)
+        if owner is not None and owner < d:
+            rows.append((d, owner))
+        if owner is None or d < owner:
+            owner = d
+    state.update((owner,))
+    yield pd.DataFrame(rows, columns=["doc_id", "dup_of"])
+
+
+def _stream_lsh_oracle() -> str:
+    from .llm import (
+        MERSENNE_P,
+        N_BANDS,
+        NUM_PERM,
+        PERM_A,
+        PERM_B,
+        ROWS_PER_BAND,
+        duck_h31,
+    )
+
+    mins = ",\n           ".join(
+        f"MIN(({PERM_A[i]} * hs + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || '_' || ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+      FROM w3
+    ),
+    h AS (SELECT doc_id, {duck_h31('s')} AS hs FROM tok),
+    mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({band_rows})
+    SELECT a.doc_id, CAST(MIN(b.doc_id) AS BIGINT) AS dup_of
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """
+
+
+@query("q178_stream_lsh_dedup", oracle=_stream_lsh_oracle(), category="streaming")
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+    from .llm import (
+        _SPARK_SHINGLES,
+        MERSENNE_P,
+        N_BANDS,
+        NUM_PERM,
+        PERM_A,
+        PERM_B,
+        ROWS_PER_BAND,
+        spark_h31,
+    )
+
+    src = _docs_stream_src(sf, splits=3)
+    try:
+        docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        sig = (
+            docs.select("doc_id", F.split("text", " ").alias("w"))
+            .withColumn("sh", F.expr(_SPARK_SHINGLES))
+            .filter(F.size("sh") > 0)
+            # hash each shingle ONCE, then fold 16 permutation minima —
+            # the whole signature is per-row map-side work
+            .withColumn("hs_arr", F.expr(f"transform(sh, s -> {spark_h31('s')})"))
+            .select(
+                "doc_id",
+                *[
+                    F.expr(
+                        f"aggregate(hs_arr, CAST({MERSENNE_P} AS BIGINT), "
+                        f"(acc, v) -> least(acc, ({PERM_A[i]} * v + {PERM_B[i]}) % {MERSENNE_P}))"
+                    ).alias(f"m{i}")
+                    for i in range(NUM_PERM)
+                ],
+            )
+        )
+        sig_array = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        bands = sig.select("doc_id", F.posexplode(sig_array).alias("band", "sig"))
+        stateful = bands.groupBy("band", "sig").applyInPandasWithState(
+            _lsh_update,
+            outputStructType=_LSH_OUT,
+            stateStructType=_LSH_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .orderBy("doc_id")
+    )
