@@ -144,35 +144,25 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 0
 
 
-@query(
-    "q03_join_broadcast_agg",
-    oracle=f"""
-    SELECT c_mktsegment,
-           {sql_dsum('o_totalprice', 'total_revenue')},
-           COUNT(*) AS n_orders
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment ORDER BY c_mktsegment
-    """,
-    category="join",
-    headline=True,
-)
-def q03(spark: SparkSession, sf: str) -> DataFrame:
-    orders = t(spark, sf, "orders")
-    customer = t(spark, sf, "customer")
-    if _plan_size_bytes(orders) < _Q03_DICT_MIN_BYTES:
-        # small fact: the plain string-keyed broadcast-agg plan — fewer
-        # jobs beat per-row hash savings below the threshold
-        return (
-            orders.join(
-                F.broadcast(customer), orders.o_custkey == customer.c_custkey
-            )
-            .groupBy("c_mktsegment")
-            .agg(
-                dsum("o_totalprice", "total_revenue", max_abs=1e7),
-                F.count("*").alias("n_orders"),
-            )
-            .orderBy("c_mktsegment")
+def _q03_plain(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """String-keyed broadcast-agg plan — fewer jobs beat per-row hash
+    savings below the fact-size threshold."""
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
         )
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum("o_totalprice", "total_revenue", max_abs=1e7),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q03_dict(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Dictionary-encoded plan: the fact-side aggregate hashes a dense
+    int seg_id; names re-attach to the |groups|-row result."""
     seg = customer.select("c_mktsegment").distinct().select(
         "c_mktsegment",
         F.row_number()
@@ -195,6 +185,26 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_mktsegment", "total_revenue", "n_orders")
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q03_join_broadcast_agg",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_dsum('o_totalprice', 'total_revenue')},
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="join",
+    headline=True,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    customer = t(spark, sf, "customer")
+    if _plan_size_bytes(orders) < _Q03_DICT_MIN_BYTES:
+        return _q03_plain(orders, customer)
+    return _q03_dict(orders, customer)
 
 
 # --------------------------------------------------------------------------

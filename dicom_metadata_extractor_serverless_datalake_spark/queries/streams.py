@@ -1180,10 +1180,6 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
 # would pay per refresh never happens.
 # --------------------------------------------------------------------------
 
-_LSH_STATE = "owner BIGINT"
-_LSH_OUT = "doc_id BIGINT, dup_of BIGINT"
-
-
 def _docs_stream_src(sf: str, splits: int = 3) -> str:
     """Range-split documents.parquet into ``splits`` files by doc_id,
     mtime-stamped so the file source replays them in id order."""
@@ -1213,22 +1209,6 @@ def _docs_stream_src(sf: str, splits: int = 3) -> str:
         os.utime(dst, (mtime, mtime))
         mtime += 2.0
     return src
-
-
-def _lsh_update(key, batches, state):
-    import pandas as pd
-
-    owner = int(state.get[0]) if state.exists else None
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
-    rows = []
-    for d in pdf["doc_id"]:
-        d = int(d)
-        if owner is not None and owner < d:
-            rows.append((d, owner))
-        if owner is None or d < owner:
-            owner = d
-    state.update((owner,))
-    yield pd.DataFrame(rows, columns=["doc_id", "dup_of"])
 
 
 def _stream_lsh_oracle() -> str:
@@ -1276,61 +1256,13 @@ def _stream_lsh_oracle() -> str:
 
 @query("q178_stream_lsh_dedup", oracle=_stream_lsh_oracle(), category="streaming")
 def q178(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     from ..sources.tables import load_stream
-    from .llm import (
-        _SPARK_SHINGLES,
-        MERSENNE_P,
-        N_BANDS,
-        NUM_PERM,
-        PERM_A,
-        PERM_B,
-        ROWS_PER_BAND,
-        spark_h31,
-    )
+    from ..streaming.neardup import lsh_dedup_stream
 
     src = _docs_stream_src(sf, splits=3)
     try:
         docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
-        sig = (
-            docs.select("doc_id", F.split("text", " ").alias("w"))
-            .withColumn("sh", F.expr(_SPARK_SHINGLES))
-            .filter(F.size("sh") > 0)
-            # hash each shingle ONCE, then fold 16 permutation minima —
-            # the whole signature is per-row map-side work
-            .withColumn("hs_arr", F.expr(f"transform(sh, s -> {spark_h31('s')})"))
-            .select(
-                "doc_id",
-                *[
-                    F.expr(
-                        f"aggregate(hs_arr, CAST({MERSENNE_P} AS BIGINT), "
-                        f"(acc, v) -> least(acc, ({PERM_A[i]} * v + {PERM_B[i]}) % {MERSENNE_P}))"
-                    ).alias(f"m{i}")
-                    for i in range(NUM_PERM)
-                ],
-            )
-        )
-        sig_array = F.array(
-            *[
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-                for b in range(N_BANDS)
-            ]
-        )
-        bands = sig.select("doc_id", F.posexplode(sig_array).alias("band", "sig"))
-        stateful = bands.groupBy("band", "sig").applyInPandasWithState(
-            _lsh_update,
-            outputStructType=_LSH_OUT,
-            stateStructType=_LSH_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+        stateful = lsh_dedup_stream(docs)
         name, n_batches = _run_to_memory(stateful, "update")
         assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
     finally:

@@ -570,3 +570,30 @@ def test_q175_confusion_broadcast_and_partial_limit(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_q03_cost_gated_dictionary(spark, sf_dir):
+    """q03 dictionary-encodes its group key only above a fact-size
+    threshold (the CBO-from-statistics move). The registered form on
+    small testdata must take the plain string-keyed plan (no Window,
+    one broadcast join); the dictionary plan must produce bit-identical
+    results through its int-keyed aggregate."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.relational import (
+        _q03_dict,
+        _q03_plain,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    registered = _q("q03_join_broadcast_agg", spark, sf_dir)
+    plan = physical_plan(registered)
+    assert "Window" not in plan, "small fact must take the plain plan"
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = _q03_plain(orders, customer).collect()
+    b = _q03_dict(orders, customer).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # the dictionary plan's fact-side aggregate keys on the dense int
+    dict_plan = physical_plan(_q03_dict(orders, customer))
+    assert "seg_id" in dict_plan

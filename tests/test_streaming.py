@@ -428,3 +428,36 @@ def test_corpus_stream_dedups_across_micro_batches(spark, tmp_path):
     q2.awaitTermination(600)
     time.sleep(0.2)
     assert spark.read.parquet(str(lake)).count() == 25
+
+
+def test_neardup_stream_operator_matches_q52_banding(spark):
+    """The streaming dedup operator's map-side signature/band builder
+    must reproduce q52's banding exactly: candidate pairs derived from
+    its (doc_id, band, sig) frame on a BATCH read equal the q52 corpus
+    query (which builds signatures via explode+groupBy instead)."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming.neardup import (
+        minhash_bands_streaming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    bands = minhash_bands_streaming(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+        .collect()
+    )
+    want = QUERIES["q52_minhash_lsh"].spark_fn(spark, sf).collect()
+    assert [tuple(r) for r in pairs] == [tuple(r) for r in want]
