@@ -13,7 +13,15 @@ oracle):
 
 - the 16-permutation MinHash signature is computed ENTIRELY map-side
   per row — one md5 per shingle via ``transform``, then 16 array-fold
-  minima — no explode, no shuffle, all JVM-side codegen;
+  minima — no explode, no shuffle. This is REQUIRED in streaming, not
+  merely nice: batch q52's explode + groupBy signature is a streaming
+  AGGREGATION, and Spark forbids chaining it in front of the
+  ``applyInPandasWithState`` operator (two stateful operators). The
+  fold trades raw throughput for that legality — measured on batch
+  frames the higher-order lambdas run ~3x slower than the exploded
+  codegen aggregate (11.4 s vs 36.3 s at 500k docs for the full
+  pair derivation), so batch q52 keeps its groupBy path and the two
+  are pinned result-equal by ``tests/test_streaming.py``;
 - 4 band signatures posexplode to (band, sig) rows;
 - ONE ``applyInPandasWithState`` operator keyed by the LSH bucket holds
   the incremental state: the smallest doc id ever seen in that bucket.
