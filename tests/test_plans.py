@@ -597,3 +597,33 @@ def test_q03_cost_gated_dictionary(spark, sf_dir):
     # the dictionary plan's fact-side aggregate keys on the dense int
     dict_plan = physical_plan(_q03_dict(orders, customer))
     assert "seg_id" in dict_plan
+
+
+def test_q179_source_overlap_digest_only_shuffle(spark, sf_dir):
+    """q179's corpus-sized exchanges must carry the 31-bit gram digest,
+    never the shingle string itself (the q50 digest-only-shuffle rule):
+    hashing happens map-side under the explode, and the intersection is
+    a hash equi-join on the digest — no nested-loop/cartesian."""
+    import re
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(_q("q179_source_overlap", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange (hash|range)partitioning\([^\n]*", plan):
+        assert " s#" not in m.group(0), m.group(0)[:90]
+
+
+def test_q180_split_leakage_costs_what_q52_costs(spark, sf_dir):
+    """The split label is hash arithmetic on the candidate pair's doc
+    ids — q180 must add ZERO joins beyond q52's banded equi-join (no
+    join against the documents table for the split), and the rollup
+    input is the pair set, so no nested-loop/cartesian anywhere."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    q52_plan = physical_plan(_q("q52_minhash_lsh", spark, sf_dir))
+    plan = physical_plan(_q("q180_split_leakage", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") == q52_plan.count("Join")
