@@ -455,3 +455,46 @@ class TextCorpus:
             F.expr(f"percentile(length({self.text_col}), 0.5)").alias("median_chars"),
             F.max(F.length(text)).alias("max_chars"),
         )
+
+    def dedup_yield(
+        self,
+        by: str,
+        threshold: float = 0.8,
+        hash_fn: str = "fast",
+        verify: str = "exact",
+    ) -> DataFrame:
+        """Effective-yield histogram after near-dedup clustering: one row
+        per (``by``, cluster_size) with doc and char counts, docs in no
+        near-dup pair counted as singleton clusters (q181's shape). The
+        number that sets mixture weights — a group whose mass sits in
+        large clusters contributes 1/cluster_size of its raw bytes in
+        unique content. Integer-exact by construction; apply the
+        1/cluster_size weighting presentation-side. ``threshold=0.0``
+        clusters the raw LSH candidate pairs (q77/q181 semantics);
+        higher thresholds cluster only verified pairs (production
+        near-dedup semantics, same knobs as :meth:`dedup_near`)."""
+        from .operators.cluster import dedup_clusters
+        from .operators.dedup import neardup_pairs
+
+        pairs = neardup_pairs(
+            self.df,
+            threshold=threshold,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            hash_fn=hash_fn,
+            verify=verify,
+        )
+        sizes = dedup_clusters(pairs).select(
+            F.col("doc_id").alias(self.id_col), "cluster_size"
+        )
+        return (
+            self.df.join(sizes, self.id_col, "left")
+            .select(
+                by,
+                F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+                F.length(F.col(self.text_col)).alias("_chars"),
+            )
+            .groupBy(by, "cluster_size")
+            .agg(F.count("*").alias("n_docs"), F.sum("_chars").alias("total_chars"))
+            .orderBy(by, "cluster_size")
+        )

@@ -102,6 +102,7 @@ _PRIORITY = [
     # round-4-green families last.
     "q179_source_overlap",
     "q180_split_leakage",
+    "q181_dedup_yield",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",

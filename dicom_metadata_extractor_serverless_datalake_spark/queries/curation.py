@@ -547,3 +547,67 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q181 — dedup-adjusted source yield: per (source, cluster_size) doc and
+# char counts after clustering the q52 LSH candidate pairs (q77's
+# connected components, verbatim; docs in no pair count as singleton
+# clusters). This is the "effective dataset size" readout that sets
+# mixture weights: a source whose mass sits in large near-dup clusters
+# contributes far fewer unique tokens than its raw byte count claims.
+# The histogram form keeps every cell integer-exact (the 1/cluster_size
+# weighting is one presentation-side division away and would otherwise
+# be a reduction-order-unstable float sum).
+#
+# Scale shape at 100 TB: the cluster frame holds only docs that appear
+# in some candidate pair; the join back to documents is an equi-join on
+# doc_id carrying (doc_id, source, n_chars) — never text — and the
+# rollup domain is |sources| x |distinct cluster sizes|.
+# --------------------------------------------------------------------------
+
+
+def _q181_oracle() -> str:
+    from .llm import _cluster_oracle
+
+    base = _cluster_oracle()
+    tail = """SELECT node AS doc_id, component AS cluster_id,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           node = component AS is_canonical
+    FROM labels ORDER BY doc_id"""
+    assert tail in base
+    return base.replace(
+        tail,
+        """SELECT d.source,
+           COALESCE(l.cluster_size, 1) AS cluster_size,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d
+    LEFT JOIN (SELECT node, COUNT(*) OVER (PARTITION BY component) AS cluster_size
+               FROM labels) l ON l.node = d.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+    )
+
+
+@query(
+    "q181_dedup_yield",
+    oracle=_q181_oracle(),
+    category="curation",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.cluster import dedup_clusters
+    from .llm import _minhash_band_pairs
+
+    sizes = dedup_clusters(_minhash_band_pairs(spark, sf)).select("doc_id", "cluster_size")
+    docs = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return (
+        docs.join(sizes, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            "n_chars",
+        )
+        .groupBy("source", "cluster_size")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source", "cluster_size")
+    )

@@ -281,3 +281,25 @@ def test_sample_per_group_exact_k_and_deterministic(spark, docs):
     assert sorted((r.lang, r.doc_id) for r in q.collect()) == sorted(
         (r.lang, r.doc_id) for r in stage.collect()
     )
+
+
+def test_dedup_yield_pins_to_q181_and_accounts_every_doc(spark, docs):
+    """dedup_yield at threshold=0.0 with the portable hash clusters the
+    raw LSH candidate pairs — exactly q181's semantics (jaccard >= 0
+    keeps every candidate), so the histograms must match row-for-row.
+    And at any threshold the histogram is an exact partition of the
+    corpus: n_docs sums to the doc count, total_chars to the char sum."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    q = QUERIES["q181_dedup_yield"].spark_fn(spark, "/root/testdata/sf0.01")
+    stage = TextCorpus(docs).dedup_yield("source", threshold=0.0, hash_fn="portable")
+    assert sorted(map(tuple, stage.collect())) == sorted(map(tuple, q.collect()))
+
+    hist = TextCorpus(docs).dedup_yield("source", threshold=0.8)
+    total = hist.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_chars").alias("c")
+    ).collect()[0]
+    base = docs.agg(
+        F.count("*").alias("d"), F.sum(F.length("text")).alias("c")
+    ).collect()[0]
+    assert (total.d, total.c) == (base.d, base.c)
