@@ -96,6 +96,16 @@ class DicomLake:
         """ANSI SQL over the registered table — the Athena surface."""
         return self.spark.sql(query)
 
+    def deidentified(self, salt: str, **kwargs) -> DataFrame:
+        """The lake de-identified for sharing (dicom/deid.py): salted
+        pseudonyms for every identifier, per-patient interval-preserving
+        date shifts, Safe-Harbor generalization, default-deny
+        extra_tags. Same schema as :meth:`df`; write the result to the
+        research/export location."""
+        from .dicom.deid import deidentify
+
+        return deidentify(self.df(), salt, **kwargs)
+
     def refresh(self) -> None:
         """Pick up partitions written outside this session — the MSCK
         REPAIR / crawler step."""
