@@ -135,6 +135,20 @@ class DicomLake:
             self.spark, self.lake_path, target_file_bytes, min_files
         )
 
+    def purge(self, predicate) -> dict[str, int]:
+        """Right-to-erasure DELETE (operators/purge.py): rewrite only
+        the partitions containing rows that match ``predicate`` (a
+        deterministic Column), dropping those rows; partitions whose
+        rows all matched are removed. The compliance complement to
+        :meth:`deidentified` — erase the subject from the lake itself.
+        Refresh any registered catalog table afterwards."""
+        from .operators.purge import purge_rows
+        from .schema import DICOM_METADATA_SCHEMA
+
+        return purge_rows(
+            self.spark, self.lake_path, predicate, schema=DICOM_METADATA_SCHEMA
+        )
+
     def analyze(self, columns: list[str] | None = None) -> dict[str, str]:
         """Collect catalog statistics on the lake table for CBO/AQE
         (sources/catalog.py::analyze_table). Requires an external

@@ -1,0 +1,91 @@
+"""Right-to-erasure purge (operators/purge.py): row deletion bounded to
+affected partitions, untouched partitions byte-identical, emptied
+partitions removed, exact count conservation."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures import write_fixture_tree
+from dicom_metadata_extractor_serverless_datalake_spark import DicomLake
+from dicom_metadata_extractor_serverless_datalake_spark.ingest.pipeline import ingest_batch
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    write_fixture_tree(root)
+    ingest_batch(spark, str(root), str(tmp_path / "lake"), str(tmp_path / "q"))
+    return DicomLake(spark, str(tmp_path / "lake"), quarantine_path=str(tmp_path / "q"))
+
+
+def _file_census(lake_path: str) -> dict[str, list[tuple[str, int, float]]]:
+    out: dict[str, list[tuple[str, int, float]]] = {}
+    for entry in sorted(os.listdir(lake_path)):
+        pdir = os.path.join(lake_path, entry)
+        if os.path.isdir(pdir) and "=" in entry:
+            out[entry] = sorted(
+                (f, os.path.getsize(os.path.join(pdir, f)), os.path.getmtime(os.path.join(pdir, f)))
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_purge_one_patient_touches_only_their_partitions(spark, lake):
+    df = lake.df()
+    total = df.count()
+    victim = df.filter(F.col("patient_name").isNotNull()).select(
+        F.col("patient_name.family_name").alias("fam"), "study_date"
+    ).first()
+    pred = F.col("patient_name.family_name") == victim["fam"]
+    n_victim = df.filter(pred).count()
+    victim_parts = {
+        f"study_date={r[0]}" for r in df.filter(pred).select("study_date").distinct().collect()
+    }
+    before = _file_census(lake.lake_path)
+
+    stats = lake.purge(pred)
+    assert stats["rows_purged"] == n_victim
+    assert stats["partitions_rewritten"] + stats["partitions_removed"] == len(victim_parts)
+
+    after = _file_census(lake.lake_path)
+    out = lake.df()
+    assert out.count() == total - n_victim
+    assert out.filter(pred).count() == 0
+    # untouched partitions: identical file lists, sizes AND mtimes
+    for p, files in before.items():
+        if p not in victim_parts:
+            assert after[p] == files, p
+    # affected partitions changed (or vanished)
+    for p in victim_parts:
+        assert after.get(p) != before[p], p
+
+
+def test_purge_empties_whole_partition_and_removes_dir(spark, lake):
+    # the 1979-01-01 backfill partition: purge every row in it
+    pred = F.col("study_date") == datetime.date(1979, 1, 1)
+    n = lake.df().filter(pred).count()
+    assert n > 0
+    stats = lake.purge(pred)
+    assert stats == {
+        "rows_purged": n,
+        "rows_kept_in_rewritten": 0,
+        "partitions_rewritten": 0,
+        "partitions_removed": 1,
+    }
+    assert "study_date=1979-01-01" not in _file_census(lake.lake_path)
+    assert lake.df().filter(pred).count() == 0
+
+
+def test_purge_no_match_is_a_noop(spark, lake):
+    before = _file_census(lake.lake_path)
+    stats = lake.purge(F.col("modality") == "NO-SUCH-MODALITY")
+    assert stats["rows_purged"] == 0
+    assert stats["partitions_rewritten"] == stats["partitions_removed"] == 0
+    assert _file_census(lake.lake_path) == before
