@@ -149,6 +149,21 @@ class DicomLake:
             self.spark, self.lake_path, predicate, schema=DICOM_METADATA_SCHEMA
         )
 
+    def purge_quarantine(self, predicate) -> dict[str, int]:
+        """Erasure for the quarantine channel (operators/purge.py):
+        failed-object records carry source keys and parse-error text
+        that can embed subject identifiers, so a complete erasure
+        request must reach the DLQ too. Full rewrite-and-swap — the
+        quarantine holds failures only, so it stays small."""
+        from .operators.purge import purge_unpartitioned
+        from .schema import INGEST_SCHEMA
+
+        if not self.quarantine_path:
+            raise ValueError("this lake has no quarantine channel")
+        return purge_unpartitioned(
+            self.spark, self.quarantine_path, predicate, schema=INGEST_SCHEMA
+        )
+
     def analyze(self, columns: list[str] | None = None) -> dict[str, str]:
         """Collect catalog statistics on the lake table for CBO/AQE
         (sources/catalog.py::analyze_table). Requires an external

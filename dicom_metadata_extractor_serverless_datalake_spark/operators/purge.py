@@ -96,3 +96,33 @@ def purge_rows(
         "partitions_rewritten": rewritten,
         "partitions_removed": removed,
     }
+
+
+def purge_unpartitioned(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    schema=None,
+) -> dict[str, int]:
+    """Erasure for an unpartitioned Parquet directory (the quarantine
+    channel — failed objects carry source keys and parse-error text
+    that can embed subject identifiers, so right-to-erasure must reach
+    the DLQ too). Full rewrite-and-swap: the quarantine holds failures
+    only, so "full" is small by construction; a lake-sized frame should
+    be partitioned and use :func:`purge_rows` instead."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    n_purged = df.filter(predicate).count()
+    if n_purged == 0:
+        return {"rows_purged": 0, "rows_kept": df.count()}
+    kept = df.filter(~predicate)
+    n_kept = kept.count()
+    staging = f"{path.rstrip('/')}.purge-{uuid.uuid4().hex}"
+    kept.write.mode("overwrite").parquet(staging)
+    tomb = f"{path.rstrip('/')}.purged-{uuid.uuid4().hex}"
+    os.rename(path, tomb)
+    os.rename(staging, path)
+    shutil.rmtree(tomb)
+    return {"rows_purged": n_purged, "rows_kept": n_kept}

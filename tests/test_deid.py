@@ -167,3 +167,24 @@ def test_deid_age_coarsening_and_no_identity_row(spark):
     # no identity anywhere -> pseudonym stays NULL (nothing to link)
     for r in got.values():
         assert r["patient_name"] is None
+
+
+def test_deid_is_streaming_safe(spark, lake_df, tmp_path):
+    """deidentify is a pure projection (no shuffle/agg), so it must
+    apply unchanged to a readStream of the lake — the shape a
+    continuous export pipeline uses."""
+    src = str(tmp_path / "stream_lake")
+    lake_df.write.parquet(src)
+    stream = spark.readStream.schema(DICOM_METADATA_SCHEMA).parquet(src)
+    out = deidentify(stream, salt="s1")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deid_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["sop_instance_uid"] for r in spark.sql("SELECT * FROM deid_stream").collect()}
+    want = {r["sop_instance_uid"] for r in deidentify(lake_df, salt="s1").collect()}
+    assert got == want and got

@@ -89,3 +89,13 @@ def test_purge_no_match_is_a_noop(spark, lake):
     assert stats["rows_purged"] == 0
     assert stats["partitions_rewritten"] == stats["partitions_removed"] == 0
     assert _file_census(lake.lake_path) == before
+
+
+def test_purge_quarantine_reaches_the_dlq(spark, lake):
+    q = lake.quarantine()
+    assert q is not None and q.count() == 1  # the empty DICOMDIR
+    key = q.first()["source_s3_key"]
+    stats = lake.purge_quarantine(F.col("source_s3_key") == key)
+    assert stats == {"rows_purged": 1, "rows_kept": 0}
+    left = lake.quarantine()
+    assert left is None or left.count() == 0
