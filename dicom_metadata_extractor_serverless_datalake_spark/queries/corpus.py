@@ -103,6 +103,7 @@ _PRIORITY = [
     "q179_source_overlap",
     "q180_split_leakage",
     "q181_dedup_yield",
+    "q182_calibration_ece",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",

@@ -859,3 +859,69 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("category", "fold")
     )
+
+
+# --------------------------------------------------------------------------
+# q182 — expected calibration error (round 5): the standard model-eval
+# readout alongside exact AUC (q165) and the centroid confusion matrix
+# (q175). Score column = l_discount (a stand-in prediction in [0, 0.1]),
+# label = (l_returnflag = 'R'); bins are the score's 11 exact distinct
+# values, so no binning arithmetic can disagree between engines. ECE is
+# a WEIGHTED FLOAT SUM over bins — the one reduction floats make
+# order-sensitive — so both engines fold the bin terms in the identical
+# sorted order: Spark `aggregate` over `sort_array(collect_list(...))`,
+# DuckDB `list_reduce` over `list(... ORDER BY s)`; every per-bin term
+# is built from exact integer counts with the same two IEEE divisions,
+# making the final double bit-identical.
+#
+# Scale shape at 100 TB: one partial-aggregated groupBy over an
+# 11-value domain; the fold runs over |bins| rows on one task. The
+# readout honestly reports the stand-in score as badly calibrated
+# (base rate ~0.33 vs scores <= 0.1) — which is the point of ECE.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q182_calibration_ece",
+    oracle="""
+    WITH b AS (
+      SELECT l_discount AS s, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM lineitem GROUP BY 1
+    ),
+    a AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(SUM(p) AS BIGINT) AS pt,
+             list(struct_pack(s := s, n := n, p := p) ORDER BY s) AS arr
+      FROM b
+    )
+    SELECT CAST(len(arr) AS BIGINT) AS n_bins,
+           n_total,
+           CAST(pt AS DOUBLE) / n_total AS base_rate,
+           CAST(list_reduce(
+             list_transform(arr, x ->
+               (CAST(x.n AS DOUBLE) / n_total) * abs(CAST(x.p AS DOUBLE) / x.n - x.s)),
+             (acc, v) -> acc + v) AS DOUBLE) AS ece
+    FROM a
+    """,
+    category="prep",
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_discount").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    b = li.groupBy("s").agg(F.count("*").alias("n"), F.sum("y").alias("p"))
+    a = b.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("p").alias("pt"),
+        F.sort_array(F.collect_list(F.struct("s", "n", "p"))).alias("arr"),
+    )
+    return a.select(
+        F.size("arr").cast("bigint").alias("n_bins"),
+        F.col("n_total"),
+        (F.col("pt").cast("double") / F.col("n_total")).alias("base_rate"),
+        F.expr(
+            "aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> "
+            "acc + (CAST(x.n AS DOUBLE) / n_total) * abs(CAST(x.p AS DOUBLE) / x.n - x.s))"
+        ).alias("ece"),
+    )
