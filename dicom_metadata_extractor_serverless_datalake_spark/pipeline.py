@@ -176,6 +176,63 @@ class TextCorpus:
         )
         return self._with(self.df.join(losers, self.id_col, "left_anti"))
 
+    def dedup_paragraphs(
+        self, sep: str = "\n", min_chars: int = 1
+    ) -> "TextCorpus":
+        """CCNet-style paragraph-level dedup: every distinct paragraph
+        survives exactly ONCE corpus-wide — in its first occurrence by
+        (id, position) — and documents reassemble from their surviving
+        paragraphs (docs left with none drop). This is the granularity
+        whole-document dedup cannot reach: boilerplate headers, license
+        blocks and navigation chrome repeat across documents whose
+        bodies differ, so no doc-level Jaccard flags them.
+
+        Paragraphs shorter than ``min_chars`` bypass dedup and stay in
+        place (at 0/1 this only exempts empty segments; raise it to
+        keep short common lines like headings everywhere).
+
+        Scale shape: the global first-occurrence election shuffles
+        (digest, id, idx) integer rows only — never paragraph text; the
+        reassembly joins the per-doc keep-index list back to the corpus
+        on id (one text-bearing co-shuffle) and re-splits map-side.
+        Deterministic under any partitioning (min-struct election, no
+        row_number races); idempotent — re-running is a fixpoint."""
+        import re as _re
+
+        did, text = self.id_col, self.text_col
+        lit_sep = _re.escape(sep)
+        parts = self.df.select(
+            F.col(did),
+            F.posexplode(F.split(F.col(text), lit_sep)).alias("idx", "para"),
+        )
+        eligible = parts.filter(F.length("para") >= min_chars)
+        # global first occurrence per paragraph digest: min (id, idx) —
+        # a shuffle of three integer columns, text stays map-local
+        winners = (
+            eligible.select(F.xxhash64("para").alias("h"), did, "idx")
+            .groupBy("h")
+            .agg(F.min(F.struct(F.col(did), F.col("idx"))).alias("w"))
+            .select(F.col(f"w.{did}").alias(did), F.col("w.idx").alias("idx"))
+        )
+        bypass = parts.filter(F.length("para") < min_chars).select(did, "idx")
+        keep = winners.unionByName(bypass)
+        keep_lists = keep.groupBy(did).agg(
+            F.sort_array(F.collect_list("idx")).alias("_keep_idx")
+        )
+        resplit = F.split(F.col(text), lit_sep)
+        rebuilt = (
+            self.df.join(keep_lists, did)  # inner: fully-duplicate docs drop
+            .withColumn(
+                text,
+                F.concat_ws(
+                    sep,
+                    F.transform("_keep_idx", lambda i: F.element_at(resplit, i + 1)),
+                ),
+            )
+            .drop("_keep_idx")
+        )
+        return self._with(rebuilt)
+
     # ---- filtering / cleaning ----
 
     def quality_filter(

@@ -303,3 +303,65 @@ def test_dedup_yield_pins_to_q181_and_accounts_every_doc(spark, docs):
         F.count("*").alias("d"), F.sum(F.length("text")).alias("c")
     ).collect()[0]
     assert (total.d, total.c) == (base.d, base.c)
+
+
+def test_dedup_paragraphs_ccnet_semantics(spark):
+    mk = lambda i, t: {"doc_id": i, "text": t}
+    docs = spark.createDataFrame(
+        [
+            mk(1, "SHARED HEADER\nbody one\nSHARED FOOTER"),
+            mk(2, "SHARED HEADER\nbody two\nSHARED FOOTER"),
+            mk(3, "SHARED HEADER\nSHARED FOOTER"),  # nothing unique -> drops
+            mk(4, "body four\nbody four\ntail"),  # intra-doc dup: keep first
+        ]
+    )
+    out = {r.doc_id: r.text for r in TextCorpus(docs).dedup_paragraphs().df.collect()}
+    # first occurrence (min id, idx) keeps the shared lines; others lose them
+    assert out[1] == "SHARED HEADER\nbody one\nSHARED FOOTER"
+    assert out[2] == "body two"
+    assert 3 not in out  # every paragraph was a duplicate
+    assert out[4] == "body four\ntail"
+
+    # deterministic under repartitioning
+    out2 = {
+        r.doc_id: r.text
+        for r in TextCorpus(docs.repartition(13)).dedup_paragraphs().df.collect()
+    }
+    assert out == out2
+
+    # idempotent: re-running is a fixpoint
+    once = TextCorpus(docs).dedup_paragraphs().df
+    twice = {r.doc_id: r.text for r in TextCorpus(once).dedup_paragraphs().df.collect()}
+    assert twice == out
+
+
+def test_dedup_paragraphs_short_line_bypass_and_custom_sep(spark):
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "==|long paragraph here|=="},
+            {"doc_id": 2, "text": "==|another paragraph|=="},
+        ]
+    )
+    # '==' (2 chars) bypasses dedup at min_chars=3 and stays in BOTH docs,
+    # with a regex-special separator handled literally
+    out = {
+        r.doc_id: r.text
+        for r in TextCorpus(docs).dedup_paragraphs(sep="|", min_chars=3).df.collect()
+    }
+    assert out == {
+        1: "==|long paragraph here|==",
+        2: "==|another paragraph|==",
+    }
+
+
+def test_dedup_paragraphs_no_text_in_election_exchange(spark, docs):
+    """The first-occurrence election must shuffle integer digests only —
+    paragraph text crosses an exchange exactly once (the reassembly
+    co-shuffle of the corpus itself)."""
+    import re
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(TextCorpus(docs).dedup_paragraphs(sep=" ").df)
+    for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "para#" not in m.group(0), m.group(0)[:120]
