@@ -980,3 +980,61 @@ def test_q172_prototypes_partitioning_invariant(spark):
 
     for parts in (1, 37):
         assert proto(emb.repartition(parts)) == base, f"parts={parts}"
+
+
+def test_ivf_index_stays_fresh_under_streaming_ingest(spark, tmp_path):
+    """The IVF index must be maintainable under continuous ingest:
+    bucket assignment is a map-side projection against broadcast
+    centroids, so new vectors stream through `assign_buckets` into the
+    bucketed layout with no refit and no shuffle — and a search issued
+    after the drain finds a vector that arrived ONLY via the stream."""
+    import pyspark.sql.functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.ann import (
+        assign_buckets,
+        fit_ivf,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    late = emb.filter(F.col("vec_id") % 5 == 0)
+    centroids = fit_ivf(base, k=8)
+
+    index_dir = str(tmp_path / "ivf_index")
+    assign_buckets(base, centroids).write.parquet(index_dir)
+
+    # the arrivals-only stream: late vectors land as parquet, stream
+    # through the SAME map-side assignment, append to the index
+    src = str(tmp_path / "arrivals")
+    late.write.parquet(src)
+    stream = spark.readStream.schema(late.schema).parquet(src)
+    assigned = assign_buckets(stream, centroids)
+    assert assigned.isStreaming
+    # foreachBatch append, not the parquet streaming sink: the file-sink
+    # metadata log would shadow the batch-written index files on read
+    q = (
+        assigned.writeStream.foreachBatch(
+            lambda b, _: b.write.mode("append").parquet(index_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    bucketed = spark.read.parquet(index_dir)
+    assert bucketed.count() == emb.count()
+
+    # query WITH a streamed vector's own embedding: its top-1 must be
+    # itself (cosine 1.0), provable only if the streamed rows are live
+    target = late.limit(1)
+    # sentinel q_id: ivf_search excludes self-matches by id, and the
+    # point here is to FIND the streamed row by its own embedding
+    queries = target.select(
+        F.lit(-1).alias("q_id"), F.col("embedding").alias("qe")
+    )
+    hits = ivf_search(queries, bucketed, centroids, top_k=1, n_probe=2).collect()
+    assert hits and hits[0]["vec_id"] == target.first()["vec_id"]
