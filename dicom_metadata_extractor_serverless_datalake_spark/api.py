@@ -174,6 +174,53 @@ class DicomLake:
             raise ValueError("analyze() needs a catalog-registered lake (external=True)")
         return analyze_table(self.spark, self.table, columns)
 
+    def profile(self) -> DataFrame:
+        """One-pass data-quality profile of the lake: a row per column
+        with row count, null count, approximate distinct count, and
+        min/max rendered as strings (the lake schema mixes dates,
+        strings, arrays, structs and a map — rendering keeps the
+        result one uniform frame). The operational readout before
+        sharing or debugging a partition: which columns actually carry
+        data, where the nulls concentrate, whether a UID column
+        collapsed. Single aggregate pass — every statistic is a
+        partial-aggregable expression, so one scan at any scale."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        df = self.df()
+        aggs, names = [], []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            # orderable rendering for nested types
+            flat = (
+                F.to_json(c)
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+                else c.cast("string")
+            )
+            names.append(f.name)
+            aggs += [
+                F.count(c).alias(f"nn_{f.name}"),
+                F.approx_count_distinct(flat).alias(f"nd_{f.name}"),
+                F.min(flat).alias(f"mn_{f.name}"),
+                F.max(flat).alias(f"mx_{f.name}"),
+            ]
+        row = df.agg(F.count("*").alias("n_rows"), *aggs).first()
+        out = [
+            (
+                n,
+                row["n_rows"],
+                row["n_rows"] - row[f"nn_{n}"],
+                row[f"nd_{n}"],
+                row[f"mn_{n}"],
+                row[f"mx_{n}"],
+            )
+            for n in names
+        ]
+        return self.spark.createDataFrame(
+            out,
+            "column STRING, n_rows BIGINT, n_nulls BIGINT, "
+            "approx_distinct BIGINT, min STRING, max STRING",
+        )
+
     def partitions(self) -> list[str]:
         """Partition values present in the lake."""
         return sorted(

@@ -99,3 +99,17 @@ def test_purge_quarantine_reaches_the_dlq(spark, lake):
     assert stats == {"rows_purged": 1, "rows_kept": 0}
     left = lake.quarantine()
     assert left is None or left.count() == 0
+
+
+def test_profile_one_row_per_column_with_exact_nulls(spark, lake):
+    prof = {r["column"]: r for r in lake.profile().collect()}
+    df = lake.df()
+    assert set(prof) == {f.name for f in df.schema.fields}
+    n = df.count()
+    for r in prof.values():
+        assert r["n_rows"] == n
+    # exact null counts for a known-dense and a known-sparse column
+    assert prof["modality"]["n_nulls"] == df.filter(F.col("modality").isNull()).count()
+    assert prof["sop_instance_uid"]["approx_distinct"] > 0
+    # nested columns render: patient_name min/max are JSON strings
+    assert prof["patient_name"]["min"] is None or prof["patient_name"]["min"].startswith("{")
