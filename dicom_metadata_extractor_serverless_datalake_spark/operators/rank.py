@@ -63,3 +63,61 @@ def global_positions(
         )
         .drop("_pid")
     )
+
+
+def grouped_positions(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    position_col: str = "position",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group row numbering (1..n within each group) WITHOUT the
+    one-task-per-group funnel of ``row_number() OVER (PARTITION BY
+    group)``: a window partitioned by a low-cardinality stratum (e.g.
+    language) routes each stratum's entire mass through a single task
+    — fine at test scale, fatal when one stratum holds billions of
+    rows. Same two-phase shape as :func:`global_positions`, range-
+    partitioned on (group, order) so each group spans a RUN of
+    partitions and every partition still fills in parallel:
+
+    1. range-repartition + local sort on (group_cols + order_cols),
+       pinned with localCheckpoint;
+    2. per-(partition, group) counts — one driver row per (partition,
+       group-run boundary), prefix-summed into offsets per group;
+    3. offsets rejoin by broadcast on (partition, group); local
+       row_number within (partition, group) + offset.
+
+    order_cols must totally order rows WITHIN a group (include a
+    unique tie-break)."""
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sorted_df = (
+        df.repartitionByRange(int(n), *gcols, *ocols)
+        .sortWithinPartitions(*gcols, *ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted_df.groupBy("_pid", *gcols).agg(F.count("*").alias("_cnt")).collect()
+    # prefix-sum per group across partitions (pid order = range order)
+    by_group: dict[tuple, list] = {}
+    for r in counts:
+        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(
+            (r["_pid"], r["_cnt"])
+        )
+    rows = []
+    for g, parts in by_group.items():
+        acc = 0
+        for pid, cnt in sorted(parts):
+            rows.append((pid, *g, acc))
+            acc += cnt
+    spark = df.sparkSession
+    off_schema = sorted_df.select("_pid", *gcols).schema.add("_goff", "long")
+    offsets = spark.createDataFrame(rows, off_schema)
+    w = Window.partitionBy("_pid", *gcols).orderBy(*ocols)
+    return (
+        sorted_df.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(position_col, (F.row_number().over(w) + F.col("_goff")).cast("long"))
+        .drop("_pid", "_goff")
+    )

@@ -104,6 +104,8 @@ _PRIORITY = [
     "q180_split_leakage",
     "q181_dedup_yield",
     "q182_calibration_ece",
+    "q183_stratified_split",
+    "q184_ndcg_exact",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",

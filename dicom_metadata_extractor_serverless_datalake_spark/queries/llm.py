@@ -1352,3 +1352,124 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
         q, codes, books, vectors=emb, top_k=_TOP_K, refine=100
     )
     return _recall_check(ann, _exact_topk(spark, sf), _PQ_MIN_HITS)
+
+
+# --------------------------------------------------------------------------
+# q184 — exact nDCG@10 of cosine retrieval against label relevance
+# (round 5): does vector similarity retrieve same-class items, and in
+# the right order? Ranking = q54's exact cosine top-10; relevance = the
+# neighbor shares the query's label; nDCG normalizes by the best
+# possible ordering of the retrieved set. Completes the retrieval/
+# model-eval readouts (exact AUC q165, confusion q175, ECE q182).
+#
+# Float discipline: the log2 discount table and its prefix sums are
+# computed ONCE in Python and embedded as decimal literals in BOTH
+# engines' queries — no engine ever calls log(), so libm differences
+# cannot leak in. DCG folds the (rank, rel) pairs in sorted rank order
+# on both sides (q182's ordered-fold pattern); IDCG is a literal
+# prefix-sum lookup at n_rel — zero additional float reductions. The
+# final ndcg is one IEEE division. Everything hash-matches exactly.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_W = [1.0 / _math.log2(r + 1) for r in range(1, _TOP_K + 1)]
+_NDCG_P = [0.0]
+for _w in _NDCG_W:
+    _NDCG_P.append(_NDCG_P[-1] + _w)
+
+
+def _dlit(x: float, pow_fn: str) -> str:
+    """An EXACT double literal as integer-mantissa x power-of-two
+    arithmetic. Decimal strings are not safe cross-engine: DuckDB's
+    string->double parse lands one ulp off the correctly-rounded value
+    for some shortest-repr inputs (measured: repr(1/log2(6))), while
+    integer mantissas and powers of two are exact everywhere."""
+    if x == 0.0:
+        return "CAST(0 AS DOUBLE)"
+    m, e = _math.frexp(x)
+    m2 = int(m * (1 << 53))
+    assert _math.ldexp(m2, e - 53) == x
+    return f"(CAST({m2} AS DOUBLE) * {pow_fn}(CAST(2 AS DOUBLE), {e - 53}))"
+
+
+def _q184_oracle() -> str:
+    w_lit = "[" + ", ".join(_dlit(w, "pow") for w in _NDCG_W) + "]"
+    p_lit = "[" + ", ".join(_dlit(p, "pow") for p in _NDCG_P) + "]"
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, q.ql, e.vec_id, e.label,
+             list_reduce(
+               list_transform(generate_series(1, len(qe)),
+                              i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(qe)),
+                                 i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                                   (x, y) -> x + y)))
+             AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_id
+    ),
+    topk AS (
+      SELECT q_id, CASE WHEN ql = label THEN 1 ELSE 0 END AS rel, rank FROM (
+        SELECT q_id, ql, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= {_TOP_K}
+    ),
+    folded AS (
+      SELECT q_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             list(struct_pack(rank := rank, rel := rel) ORDER BY rank) AS arr
+      FROM topk GROUP BY q_id
+    )
+    SELECT q_id, n_rel,
+           CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(list_reduce(
+                       list_transform(arr, x -> CAST(x.rel AS DOUBLE) * ({w_lit})[x.rank]),
+                       (a, b) -> a + b) AS DOUBLE) / ({p_lit})[n_rel + 1]
+           END AS ndcg
+    FROM folded ORDER BY q_id
+    """
+
+
+@query("q184_ndcg_exact", oracle=_q184_oracle(), category="similarity")
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    w_lit = "array(" + ", ".join(_dlit(w, "power") for w in _NDCG_W) + ")"
+    p_lit = "array(" + ", ".join(_dlit(p, "power") for p in _NDCG_P) + ")"
+    labels = t(spark, sf, "embeddings").select("vec_id", "label")
+    topk = _exact_topk(spark, sf)
+    rel = (
+        topk.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))),
+            "q_id",
+        )
+        .join(F.broadcast(labels), "vec_id")
+        .select(
+            "q_id",
+            "rank",
+            F.when(F.col("ql") == F.col("label"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    folded = rel.groupBy("q_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.sort_array(F.collect_list(F.struct("rank", "rel"))).alias("arr"),
+    )
+    return folded.select(
+        "q_id",
+        "n_rel",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                f"aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> "
+                f"acc + CAST(x.rel AS DOUBLE) * element_at({w_lit}, x.rank))"
+            )
+            / F.expr(f"element_at({p_lit}, CAST(n_rel + 1 AS INT))")
+        )
+        .alias("ndcg"),
+    ).orderBy("q_id")

@@ -878,3 +878,70 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("f"))
     )
     return bpe_merges(vocab, rounds=_BPE_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# q183 — exact stratified split (round 5): 80/10/10 WITHIN each language,
+# by deterministic portable-hash rank. q71's global hash-modulo split is
+# proportional only in expectation — a scarce stratum (here zh at ~15%)
+# can land 70/16/14 by luck and skew every per-language eval. This form
+# ranks each stratum's docs by salted hash (a deterministic shuffle
+# order) and cuts at exact integer thresholds: floor(0.8 n) train,
+# floor(0.9 n) val, remainder test — counts are exact per stratum, and
+# the assignment is stable under any partitioning or cluster size.
+#
+# Scale shape: the rank comes from operators/rank.grouped_positions —
+# the two-phase range-partitioned numbering — NOT from a window
+# PARTITION BY lang, which funnels each stratum's entire mass through
+# one task (billions of rows per language at 100 TB). Thresholds use
+# cross-multiplied integer arithmetic; no floats anywhere.
+# --------------------------------------------------------------------------
+
+
+def _q183_oracle() -> str:
+    h = duck_h31("'s183-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN r * 100 <= 80 * n THEN 'train'
+                  WHEN r * 100 <= 90 * n THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """
+
+
+@query("q183_stratified_split", oracle=_q183_oracle(), category="training")
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import grouped_positions
+
+    docs = t(spark, sf, "documents").select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.expr(spark_h31("concat('s183-', CAST(doc_id AS STRING))")).alias("_h"),
+    )
+    ranked = grouped_positions(docs, ["lang"], ["_h", "doc_id"], position_col="r")
+    totals = ranked.groupBy("lang").agg(F.count("*").alias("n"))
+    assigned = ranked.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "n_chars",
+        F.when(F.col("r") * 100 <= 80 * F.col("n"), "train")
+        .when(F.col("r") * 100 <= 90 * F.col("n"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "split")
+    )

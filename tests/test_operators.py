@@ -1038,3 +1038,26 @@ def test_ivf_index_stays_fresh_under_streaming_ingest(spark, tmp_path):
     )
     hits = ivf_search(queries, bucketed, centroids, top_k=1, n_probe=2).collect()
     assert hits and hits[0]["vec_id"] == target.first()["vec_id"]
+
+
+def test_grouped_positions_matches_window_and_is_partition_invariant(spark):
+    """grouped_positions == row_number() OVER (PARTITION BY g ORDER BY ...)
+    exactly, under any input partitioning, without funneling a group
+    through one task."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.rank import grouped_positions
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    want = {
+        (r["lang"], r["doc_id"]): r["rn"]
+        for r in docs.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    for repart in (docs, docs.repartition(17)):
+        got = {
+            (r["lang"], r["doc_id"]): r["position"]
+            for r in grouped_positions(repart, ["lang"], ["n_chars", "doc_id"]).collect()
+        }
+        assert got == want
