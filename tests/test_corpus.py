@@ -66,7 +66,13 @@ def _compare_cell(a, b, path):
         elif math.isnan(x) or math.isnan(y):
             assert math.isnan(x) and math.isnan(y), f"{path}: nan mismatch"
         else:
-            assert x == pytest.approx(y, rel=1e-9, abs=1e-12), f"{path}: {x} != {y}"
+            # EXACT, not approx: the driver value-hashes raw doubles, so a
+            # one-ulp drift is a red row. A tolerance here masked q184's
+            # DuckDB literal-parse ulp bug (round 5) until an exact sweep
+            # caught it; every corpus query is bit-identical by design
+            # (decimal sums, ordered folds, shared literal algebra) and
+            # the suite must enforce exactly that.
+            assert x == y, f"{path}: {x!r} != {y!r} (bit-exactness contract)"
     elif isinstance(a, tuple):
         assert isinstance(b, tuple) and len(a) == len(b), f"{path}: shape {a} vs {b}"
         for i, (xa, xb) in enumerate(zip(a, b)):
