@@ -228,3 +228,54 @@ class EmbeddingSet:
             .filter(F.col("rank") <= k)
             .orderBy("q_id", "rank")
         )
+
+    def retrieval_quality(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """Exact nDCG@k of cosine retrieval against label relevance
+        (q184's readout, generalized): rank this set against each query
+        vector, score a neighbor as relevant when it shares the query's
+        label, fold the exact log2-discount DCG in rank order, and
+        normalize by the literal prefix-sum IDCG. Requires
+        ``label_col`` on both frames. Returns (q_id, n_rel, ndcg)."""
+        from .queries.llm import _NDCG_P, _NDCG_W, _dlit
+
+        label = self._require_label("retrieval_quality")
+        if k > len(_NDCG_W):
+            raise ValueError(f"k={k} exceeds the precomputed discount table ({len(_NDCG_W)})")
+        w_lit = "array(" + ", ".join(_dlit(w, "power") for w in _NDCG_W[:k]) + ")"
+        p_lit = "array(" + ", ".join(_dlit(p, "power") for p in _NDCG_P[: k + 1]) + ")"
+        topk = self.topk_similar(queries, k)
+        rel = (
+            topk.join(
+                F.broadcast(
+                    queries.select(
+                        F.col(self.id_col).alias("q_id"), F.col(label).alias("ql")
+                    )
+                ),
+                "q_id",
+            )
+            .join(
+                F.broadcast(self.df.select(self.id_col, label)), self.id_col
+            )
+            .select(
+                "q_id",
+                "rank",
+                F.when(F.col("ql") == F.col(label), 1).otherwise(0).alias("rel"),
+            )
+        )
+        folded = rel.groupBy("q_id").agg(
+            F.sum("rel").alias("n_rel"),
+            F.sort_array(F.collect_list(F.struct("rank", "rel"))).alias("arr"),
+        )
+        return folded.select(
+            "q_id",
+            "n_rel",
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    f"aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> "
+                    f"acc + CAST(x.rel AS DOUBLE) * element_at({w_lit}, x.rank))"
+                )
+                / F.expr(f"element_at({p_lit}, CAST(n_rel + 1 AS INT))")
+            )
+            .alias("ndcg"),
+        ).orderBy("q_id")

@@ -66,3 +66,15 @@ def test_generic_column_names(spark, emb):
 def test_unlabeled_guard(emb):
     with pytest.raises(ValueError, match="label_col"):
         EmbeddingSet(emb).prototypes()
+
+
+def test_retrieval_quality_pins_to_q184(spark, emb):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    vs = EmbeddingSet(emb, label_col="label")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, vs.retrieval_quality(queries, k=10).collect()))
+    want = sorted(
+        map(tuple, QUERIES["q184_ndcg_exact"].spark_fn(spark, "/root/testdata/sf0.01").collect())
+    )
+    assert got == want
