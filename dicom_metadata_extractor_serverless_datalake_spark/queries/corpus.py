@@ -106,6 +106,7 @@ _PRIORITY = [
     "q182_calibration_ece",
     "q183_stratified_split",
     "q184_ndcg_exact",
+    "q185_stream_reservoir",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",

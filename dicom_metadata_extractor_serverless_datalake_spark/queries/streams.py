@@ -1273,3 +1273,111 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("dup_of").alias("dup_of"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q185 — STREAMING exact k-per-group reservoir (round 5): q169's
+# "10 per class" eval-set primitive maintained INCREMENTALLY over a
+# live document stream. A training pipeline that ingests continuously
+# wants its held-out sample to stay exactly-k and deterministic as the
+# corpus grows — re-running batch q169 per refresh re-scans everything;
+# this operator updates the sample in place.
+#
+# One applyInPandasWithState operator keyed by lang holds the k
+# smallest (portable_hash, doc_id) pairs ever seen (the selection is a
+# deterministic hash order, so the maintained set equals batch q169's
+# window answer at every prefix, and the final drained state equals it
+# on the whole corpus — making q169's SQL the oracle verbatim). The
+# hash is computed map-side BEFORE the stateful exchange (JVM md5);
+# state per group is two k-length CSV strings + a version counter, so
+# state is k-bounded per group regardless of stream length. Each batch
+# emits the group's current winner set stamped with the version; the
+# drained sink keeps each group's newest version (the q85 latest-
+# per-key rollup shape).
+# --------------------------------------------------------------------------
+
+_RES_OUT_SCHEMA = "lang STRING, doc_id BIGINT, rk BIGINT, ver BIGINT"
+_RES_STATE_SCHEMA = "hs STRING, ids STRING, ver BIGINT"
+
+
+def _reservoir_update(key, batches, state):
+    """Merge the batch's (h, doc_id) rows into the k smallest kept so
+    far; emit the refreshed winner set with a bumped version."""
+    import pandas as pd
+
+    from ..queries.prep import _RESERVOIR_K
+
+    if state.exists:
+        hs_s, ids_s, ver = state.get
+        cur = (
+            list(zip((int(x) for x in hs_s.split(",")), (int(x) for x in ids_s.split(","))))
+            if hs_s
+            else []
+        )
+        ver = int(ver)
+    else:
+        cur, ver = [], 0
+    for pdf in batches:
+        cur.extend(zip((int(x) for x in pdf["h"]), (int(x) for x in pdf["doc_id"])))
+    cur = sorted(set(cur))[:_RESERVOIR_K]
+    ver += 1
+    state.update(
+        (
+            ",".join(str(h) for h, _ in cur),
+            ",".join(str(d) for _, d in cur),
+            ver,
+        )
+    )
+    yield pd.DataFrame(
+        [(key[0], d, i + 1, ver) for i, (_, d) in enumerate(cur)],
+        columns=["lang", "doc_id", "rk", "ver"],
+    )
+
+
+@query(
+    "q185_stream_reservoir",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY {duck_h31("'r169-' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    ORDER BY lang, rk
+    """,
+    category="streaming",
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src = _docs_stream_src(sf, splits=3)
+    try:
+        docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        keyed = docs.select(
+            "lang",
+            "doc_id",
+            F.expr(spark_h31("concat('r169-', CAST(doc_id AS STRING))")).alias("h"),
+        )
+        stateful = keyed.groupBy("lang").applyInPandasWithState(
+            _reservoir_update,
+            outputStructType=_RES_OUT_SCHEMA,
+            stateStructType=_RES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    w = Window.partitionBy("lang")
+    return (
+        spark.table(name)
+        .withColumn("_vmax", F.max("ver").over(w))
+        .filter(F.col("ver") == F.col("_vmax"))
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
