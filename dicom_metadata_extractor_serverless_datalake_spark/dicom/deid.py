@@ -106,13 +106,17 @@ def _patient_identity() -> Column:
     components (the same precedence a PACS uses for matching). NULL
     when the row carries no identity at all."""
     pid = F.element_at(F.col("extra_tags"), F.lit("PatientID"))
-    pn = F.concat_ws(
-        "^",
-        F.col("patient_name.family_name"),
-        F.col("patient_name.given_name"),
-        F.col("patient_name.middle_name"),
+    # positional concat (NOT concat_ws, which skips NULL components and
+    # would collide family='Doe',given='John' with family='Doe',
+    # middle='John' into one identity)
+    pn = F.concat(
+        F.coalesce(F.col("patient_name.family_name"), F.lit("")),
+        F.lit("^"),
+        F.coalesce(F.col("patient_name.given_name"), F.lit("")),
+        F.lit("^"),
+        F.coalesce(F.col("patient_name.middle_name"), F.lit("")),
     )
-    return F.coalesce(pid, F.nullif(pn, F.lit("")))
+    return F.coalesce(pid, F.nullif(pn, F.lit("^^")))
 
 
 def _day_shift(identity: Column, salt: str, max_days: int) -> Column:
@@ -127,12 +131,22 @@ def _day_shift(identity: Column, salt: str, max_days: int) -> Column:
     return F.pmod(h, F.lit(2 * max_days + 1)) - F.lit(max_days)
 
 
-def _coarsen_age(col: Column) -> Column:
-    """DICOM AS ages of 90+ years aggregate to '090Y+' (Safe Harbor)."""
-    years = F.when(
-        col.rlike(r"^\d{3}Y$"), F.substring(col, 1, 3).cast("int")
+def _age_years(col: Column) -> Column:
+    """Years encoded in a DICOM AS value; tolerant of non-padded
+    real-world values ('90Y', '102Y'), NULL for non-year units."""
+    return F.when(
+        col.rlike(r"^\d{1,3}Y$"),
+        F.regexp_extract(col, r"^(\d{1,3})Y$", 1).cast("int"),
     )
-    return F.when(years >= 90, F.lit("090Y+")).otherwise(col)
+
+
+def _is_90_plus(age_col: Column, birth: Column, study: Column) -> Column:
+    """Safe Harbor's 90+ test from EITHER signal: the AS age, or the
+    birth-to-study year gap (a 90+ patient whose age tag is absent
+    still must not disclose a birth year)."""
+    by_age = _age_years(age_col) >= 90
+    by_dates = (F.year(study) - F.year(birth)) >= 90
+    return F.coalesce(by_age, F.lit(False)) | F.coalesce(by_dates, F.lit(False))
 
 
 def deidentify(
@@ -178,15 +192,40 @@ def deidentify(
         )
         .withColumn("sop_instance_uid", _pseudo(F.col("sop_instance_uid"), salt))
         .withColumn("study_id", _pseudo(F.col("study_id"), salt))
+        # 90+ decided from ORIGINAL age/birth/study values (before any
+        # shift), carried through the projection as a temp column
+        .withColumn(
+            "_90plus",
+            _is_90_plus(
+                F.col("patient_age"), F.col("patient_birth_date"), F.col("study_date")
+            ),
+        )
         # per-patient interval-preserving date shift; partition key
-        # stays a real date
-        .withColumn("study_date", F.date_add(F.col("study_date"), shift.cast("int")))
-        # birth date -> year floor (Safe Harbor keeps the year only)
+        # stays a real date. The 1979-01-01 missing-StudyDate backfill
+        # sentinel (ingest/extract.py) is NOT shifted: it encodes "date
+        # unknown", discloses nothing, and shifting it would scatter
+        # sentinel rows into real 1978/79 partitions.
+        .withColumn(
+            "study_date",
+            F.when(
+                F.col("study_date") == F.lit("1979-01-01").cast("date"),
+                F.col("study_date"),
+            ).otherwise(F.date_add(F.col("study_date"), shift.cast("int"))),
+        )
+        # birth date -> year floor (Safe Harbor keeps the year only);
+        # for 90+ patients the year itself is the age disclosure, so it
+        # nulls out entirely
         .withColumn(
             "patient_birth_date",
-            F.to_date(F.concat(F.year("patient_birth_date"), F.lit("-01-01"))),
+            F.when(
+                ~F.col("_90plus"),
+                F.to_date(F.concat(F.year("patient_birth_date"), F.lit("-01-01"))),
+            ),
         )
-        .withColumn("patient_age", _coarsen_age(F.col("patient_age")))
+        .withColumn(
+            "patient_age",
+            F.when(F.col("_90plus"), F.lit("090Y+")).otherwise(F.col("patient_age")),
+        )
         # default-deny extra_tags: allowlist survives, UID keys through
         # the same pseudonym hash as the UID columns (python lambda API
         # so the salt never enters a SQL string)

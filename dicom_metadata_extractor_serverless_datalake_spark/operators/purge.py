@@ -23,7 +23,9 @@ read raises AnalysisException; dynamic partition overwrite also cannot
 drop now-empty partitions), hence the explicit stage-and-swap.
 
 The predicate must be deterministic (it runs twice: once to find
-matches, once negated to build the keep-set).
+matches, once — null-safely negated — to build the keep-set). Rows
+where the predicate evaluates to NULL are NOT matches and are kept:
+erasure follows SQL three-valued logic, deleting only proven matches.
 """
 
 from __future__ import annotations
@@ -53,30 +55,48 @@ def purge_rows(
         reader = reader.schema(schema)
     df = reader.parquet(lake_path)
 
-    # 1. bounded driver state: affected partition values + match count
-    matches = df.filter(predicate)
-    affected = [r[0] for r in matches.select(partition_col).distinct().collect()]
-    if not affected:
+    # a row is purged only when the predicate is TRUE; a NULL-evaluating
+    # row (three-valued logic: e.g. a null column inside an equality)
+    # is NOT a match and MUST be kept — a bare ~predicate would silently
+    # delete it
+    hit = F.coalesce(predicate, F.lit(False))
+
+    # 1. bounded driver state: ONE job yields the affected partition
+    # values AND the exact match count per partition
+    per_part = (
+        df.filter(hit).groupBy(partition_col).agg(F.count("*").alias("n")).collect()
+    )
+    if not per_part:
         return {
             "rows_purged": 0,
             "rows_kept_in_rewritten": 0,
             "partitions_rewritten": 0,
             "partitions_removed": 0,
         }
-    pruned = df.filter(F.col(partition_col).isin(affected))
-    n_purged = pruned.filter(predicate).count()
-    kept = pruned.filter(~predicate)
-    n_kept = kept.count()
+    affected = [r[0] for r in per_part]
+    n_purged = sum(r["n"] for r in per_part)
+    non_null = [v for v in affected if v is not None]
+    in_affected = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in affected):
+        # a NULL partition value lives in __HIVE_DEFAULT_PARTITION__;
+        # isin() would never select it (NULL semantics again)
+        in_affected = in_affected | F.col(partition_col).isNull()
+    kept = df.filter(in_affected).filter(~hit)
 
     # 2. stage the keep-set of the affected partitions only
     staging = f"{lake_path.rstrip('/')}.purge-{uuid.uuid4().hex}"
     kept.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    # footer-only count off the staged files — no re-evaluation of the
+    # predicate, and the number reported is what was actually written
+    # (explicit schema: a fully-purged keep-set leaves an empty dir)
+    n_kept = spark.read.schema(df.schema).parquet(staging).count()
 
     # 3. swap per affected partition; emptied partitions disappear
     rewritten = removed = 0
     try:
         for value in affected:
-            pdir = f"{partition_col}={value}"
+            leaf = "__HIVE_DEFAULT_PARTITION__" if value is None else str(value)
+            pdir = f"{partition_col}={leaf}"
             src = os.path.join(staging, pdir)
             dst = os.path.join(lake_path, pdir)
             tomb = f"{dst}.purged-{uuid.uuid4().hex}"
@@ -114,10 +134,11 @@ def purge_unpartitioned(
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(path)
-    n_purged = df.filter(predicate).count()
+    hit = F.coalesce(predicate, F.lit(False))  # NULL-evaluating rows are kept
+    n_purged = df.filter(hit).count()
     if n_purged == 0:
         return {"rows_purged": 0, "rows_kept": df.count()}
-    kept = df.filter(~predicate)
+    kept = df.filter(~hit)
     n_kept = kept.count()
     staging = f"{path.rstrip('/')}.purge-{uuid.uuid4().hex}"
     kept.write.mode("overwrite").parquet(staging)

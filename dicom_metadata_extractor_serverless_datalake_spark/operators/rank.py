@@ -115,9 +115,20 @@ def grouped_positions(
     spark = df.sparkSession
     off_schema = sorted_df.select("_pid", *gcols).schema.add("_goff", "long")
     offsets = spark.createDataFrame(rows, off_schema)
+    # null-safe equality on the group keys: a NULL stratum is a real
+    # group (groupBy counted it above), but a plain equi-join would
+    # never match NULL to NULL and silently drop its rows
+    renamed = offsets.select(
+        F.col("_pid").alias("_opid"),
+        *[F.col(c).alias(f"_og_{c}") for c in group_cols],
+        "_goff",
+    )
+    cond = F.col("_pid") == F.col("_opid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_og_{c}"))
     w = Window.partitionBy("_pid", *gcols).orderBy(*ocols)
     return (
-        sorted_df.join(F.broadcast(offsets), ["_pid", *group_cols])
+        sorted_df.join(F.broadcast(renamed), cond)
         .withColumn(position_col, (F.row_number().over(w) + F.col("_goff")).cast("long"))
-        .drop("_pid", "_goff")
+        .drop("_pid", "_opid", "_goff", *[f"_og_{c}" for c in group_cols])
     )

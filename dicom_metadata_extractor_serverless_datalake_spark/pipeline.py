@@ -187,16 +187,23 @@ class TextCorpus:
         blocks and navigation chrome repeat across documents whose
         bodies differ, so no doc-level Jaccard flags them.
 
-        Paragraphs shorter than ``min_chars`` bypass dedup and stay in
-        place (at 0/1 this only exempts empty segments; raise it to
-        keep short common lines like headings everywhere).
+        Paragraphs shorter than ``min_chars`` (but non-empty) bypass
+        dedup and stay in place — raise it to keep short common lines
+        like headings everywhere. EMPTY segments (separator artifacts:
+        trailing or doubled separators) are never kept, so a document
+        whose real paragraphs all lose still drops instead of surviving
+        as an empty shell, and doubled separators normalize away.
 
         Scale shape: the global first-occurrence election shuffles
-        (digest, id, idx) integer rows only — never paragraph text; the
-        reassembly joins the per-doc keep-index list back to the corpus
-        on id (one text-bearing co-shuffle) and re-splits map-side.
-        Deterministic under any partitioning (min-struct election, no
-        row_number races); idempotent — re-running is a fixpoint."""
+        (digest, id, idx) rows only — never paragraph text (the digest
+        is sha2-256, matching dedup_exact's collision discipline: a
+        64-bit hash is birthday-collision-prone at real corpus scale
+        and a collision here would silently destroy unique content);
+        the reassembly joins the per-doc keep-index list back to the
+        corpus on id (one text-bearing co-shuffle) and re-splits
+        map-side. Deterministic under any partitioning (min-struct
+        election, no row_number races); idempotent — re-running is a
+        fixpoint."""
         import re as _re
 
         did, text = self.id_col, self.text_col
@@ -204,12 +211,12 @@ class TextCorpus:
         parts = self.df.select(
             F.col(did),
             F.posexplode(F.split(F.col(text), lit_sep)).alias("idx", "para"),
-        )
+        ).filter(F.length("para") >= 1)
         eligible = parts.filter(F.length("para") >= min_chars)
         # global first occurrence per paragraph digest: min (id, idx) —
-        # a shuffle of three integer columns, text stays map-local
+        # the shuffle carries (digest, id, idx), text stays map-local
         winners = (
-            eligible.select(F.xxhash64("para").alias("h"), did, "idx")
+            eligible.select(F.sha2(F.col("para"), 256).alias("h"), did, "idx")
             .groupBy("h")
             .agg(F.min(F.struct(F.col(did), F.col("idx"))).alias("w"))
             .select(F.col(f"w.{did}").alias(did), F.col("w.idx").alias("idx"))

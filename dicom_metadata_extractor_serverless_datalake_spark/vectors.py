@@ -243,19 +243,20 @@ class EmbeddingSet:
             raise ValueError(f"k={k} exceeds the precomputed discount table ({len(_NDCG_W)})")
         w_lit = "array(" + ", ".join(_dlit(w, "power") for w in _NDCG_W[:k]) + ")"
         p_lit = "array(" + ", ".join(_dlit(p, "power") for p in _NDCG_P[: k + 1]) + ")"
-        topk = self.topk_similar(queries, k)
+        # topk is |queries| x k rows — THAT is the broadcast side; the
+        # set's (id, label) projection streams (broadcasting self.df
+        # would ship the whole vector table's labels to every executor)
+        topk = self.topk_similar(queries, k).join(
+            F.broadcast(
+                queries.select(
+                    F.col(self.id_col).alias("q_id"), F.col(label).alias("ql")
+                )
+            ),
+            "q_id",
+        )
         rel = (
-            topk.join(
-                F.broadcast(
-                    queries.select(
-                        F.col(self.id_col).alias("q_id"), F.col(label).alias("ql")
-                    )
-                ),
-                "q_id",
-            )
-            .join(
-                F.broadcast(self.df.select(self.id_col, label)), self.id_col
-            )
+            self.df.select(self.id_col, label)
+            .join(F.broadcast(topk), self.id_col)
             .select(
                 "q_id",
                 "rank",

@@ -188,3 +188,59 @@ def test_deid_is_streaming_safe(spark, lake_df, tmp_path):
     got = {r["sop_instance_uid"] for r in spark.sql("SELECT * FROM deid_stream").collect()}
     want = {r["sop_instance_uid"] for r in deidentify(lake_df, salt="s1").collect()}
     assert got == want and got
+
+
+def test_deid_90_plus_hides_birth_year_and_sentinel_unshifted(spark):
+    rows = [
+        _full_row(sop_instance_uid="a", patient_age="099Y",
+                  patient_birth_date=datetime.date(1926, 5, 2),
+                  study_date=datetime.date(2021, 3, 1)),
+        _full_row(sop_instance_uid="b", patient_age=None,   # 90+ by dates alone
+                  patient_birth_date=datetime.date(1920, 7, 9),
+                  study_date=datetime.date(2021, 3, 1)),
+        _full_row(sop_instance_uid="c", patient_age="90Y",  # non-padded AS value
+                  patient_birth_date=None,
+                  study_date=datetime.date(2021, 3, 1)),
+        _full_row(sop_instance_uid="d", patient_age="045Y",
+                  patient_birth_date=datetime.date(1980, 5, 2),
+                  study_date=datetime.date(1979, 1, 1)),    # backfill sentinel
+    ]
+    df = spark.createDataFrame(rows, DICOM_METADATA_SCHEMA)
+    import hashlib
+
+    def h(v):
+        return hashlib.sha256(("z" + v).encode()).hexdigest()[:32]
+
+    got = {r["sop_instance_uid"]: r for r in deidentify(df, salt="z").collect()}
+    # 90+ by age tag: birth date gone, not year-floored
+    assert got[h("a")]["patient_age"] == "090Y+"
+    assert got[h("a")]["patient_birth_date"] is None
+    # 90+ by dates alone: still aggregated
+    assert got[h("b")]["patient_age"] == "090Y+"
+    assert got[h("b")]["patient_birth_date"] is None
+    # sloppy non-padded '90Y' is caught
+    assert got[h("c")]["patient_age"] == "090Y+"
+    # under-90: year floor as before
+    assert got[h("d")]["patient_birth_date"] == datetime.date(1980, 1, 1)
+    # the missing-StudyDate backfill sentinel never shifts
+    assert got[h("d")]["study_date"] == datetime.date(1979, 1, 1)
+
+
+def test_deid_identity_is_positional_not_concat_ws(spark):
+    def pn(fam, giv, mid):
+        return {
+            "family_name": fam, "given_name": giv, "ideographic": None,
+            "middle_name": mid, "name_prefix": None, "name_suffix": None,
+            "phonetic": None,
+        }
+
+    df = spark.createDataFrame(
+        [
+            _full_row(sop_instance_uid="x", patient_name=pn("Doe", "John", None)),
+            _full_row(sop_instance_uid="y", patient_name=pn("Doe", None, "John")),
+        ],
+        DICOM_METADATA_SCHEMA,
+    )
+    out = deidentify(df, salt="z").collect()
+    pseuds = {r["patient_name"]["family_name"] for r in out}
+    assert len(pseuds) == 2  # structurally different names stay distinct

@@ -1061,3 +1061,20 @@ def test_grouped_positions_matches_window_and_is_partition_invariant(spark):
             for r in grouped_positions(repart, ["lang"], ["n_chars", "doc_id"]).collect()
         }
         assert got == want
+
+
+def test_grouped_positions_keeps_null_group(spark):
+    """A NULL stratum is a real group: its rows must rank 1..n, not
+    silently vanish through a non-null-safe offsets join."""
+    import pyspark.sql.functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.rank import grouped_positions
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), (None, 4), ("b", 5)],
+        "g STRING, v INT",
+    )
+    out = grouped_positions(df, ["g"], ["v"])
+    assert out.count() == 5
+    nulls = {r["v"]: r["position"] for r in out.filter(F.col("g").isNull()).collect()}
+    assert nulls == {3: 1, 4: 2}

@@ -365,3 +365,20 @@ def test_dedup_paragraphs_no_text_in_election_exchange(spark, docs):
     plan = physical_plan(TextCorpus(docs).dedup_paragraphs(sep=" ").df)
     for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
         assert "para#" not in m.group(0), m.group(0)[:120]
+
+
+def test_dedup_paragraphs_trailing_separator_doc_still_drops(spark):
+    """A fully-duplicate doc must drop even when a trailing/doubled
+    separator gives it empty segments — empty segments are artifacts
+    and are never kept alive."""
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "SHARED A\nSHARED B"},
+            {"doc_id": 2, "text": "SHARED A\nSHARED B\n"},    # trailing sep
+            {"doc_id": 3, "text": "SHARED A\n\nSHARED B\nown"},  # doubled sep
+        ]
+    )
+    out = {r.doc_id: r.text for r in TextCorpus(docs).dedup_paragraphs().df.collect()}
+    assert out[1] == "SHARED A\nSHARED B"
+    assert 2 not in out           # nothing unique -> drops, not an empty shell
+    assert out[3] == "own"        # doubled separator normalizes away

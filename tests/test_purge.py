@@ -113,3 +113,30 @@ def test_profile_one_row_per_column_with_exact_nulls(spark, lake):
     assert prof["sop_instance_uid"]["approx_distinct"] > 0
     # nested columns render: patient_name min/max are JSON strings
     assert prof["patient_name"]["min"] is None or prof["patient_name"]["min"].startswith("{")
+
+
+def test_purge_keeps_null_evaluating_rows_and_null_partitions(spark, tmp_path):
+    """Three-valued logic: a row where the predicate evaluates to NULL
+    is NOT a match and must survive; and a NULL partition value lives
+    in __HIVE_DEFAULT_PARTITION__, which isin() alone would miss."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.purge import purge_rows
+
+    lake = str(tmp_path / "generic_lake")
+    df = spark.createDataFrame(
+        [
+            ("doe", "a", 1),
+            (None, "a", 2),   # predicate NULL -> must be KEPT
+            ("roe", "a", 3),
+            ("doe", None, 4),  # match inside the NULL partition
+            ("roe", None, 5),
+        ],
+        "name STRING, day STRING, id INT",
+    )
+    df.write.partitionBy("day").parquet(lake)
+
+    stats = purge_rows(spark, lake, F.col("name") == "doe", partition_col="day")
+    assert stats["rows_purged"] == 2
+    left = spark.read.parquet(lake)
+    ids = sorted(r["id"] for r in left.collect())
+    assert ids == [2, 3, 5]  # the NULL-name row survived, both doe rows gone
+    assert left.filter(F.col("day").isNull()).count() == 1
