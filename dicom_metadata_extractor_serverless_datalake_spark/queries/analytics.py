@@ -2179,3 +2179,75 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     plan = agg._jdf.queryExecution().executedPlan().toString()
     dpp = "dynamicpruning" in plan.lower()
     return agg.withColumn("dpp_ok", F.lit(dpp)).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q186 — exact Spearman rank correlation (round 5): do two document
+# metrics order the corpus the same way? The curation use is metric
+# redundancy — if a cheap signal (n_chars) rank-agrees with an
+# expensive one (token count), the expensive pass can be dropped. With
+# a tie-broken TOTAL order (doc_id as the tie key), Spearman is the
+# exact integer formula 1 - 6*sum(d^2) / (n(n^2-1)): ranks come from
+# operators/rank.global_positions (the two-phase parallel numbering —
+# no Exchange SinglePartition), d^2 accumulates in DECIMAL(38,0)
+# (overflow-safe: sum(d^2) <= n^3 overflows BIGINT past ~2M rows), and
+# the single final division is the only float op — both engines cast
+# the identical decimals to double (correctly rounded) and divide once,
+# so the result hash-matches bit-exactly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q186_spearman_exact",
+    oracle="""
+    WITH ra AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r1
+      FROM documents
+    ),
+    rb AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')), doc_id) AS r2
+      FROM documents
+    ),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM((CAST(r1 AS HUGEINT) - r2) * (CAST(r1 AS HUGEINT) - r2)) AS sd2
+      FROM ra JOIN rb USING (doc_id)
+    )
+    SELECT n,
+           CAST(sd2 AS BIGINT) AS sum_d2,
+           1 - CAST(6 * sd2 AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE)
+             AS spearman
+    FROM d
+    """,
+    category="analytics",
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import global_positions
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    ra = global_positions(docs, ["n_chars", "doc_id"], position_col="r1").select(
+        "doc_id", "r1"
+    )
+    rb = global_positions(docs, ["n_tokens", "doc_id"], position_col="r2").select(
+        "doc_id", "r2"
+    )
+    d2 = (
+        ra.join(rb, "doc_id")
+        .select(((F.col("r1") - F.col("r2")).cast("decimal(19,0)")).alias("d"))
+        .select((F.col("d") * F.col("d")).alias("d2"))
+    )
+    agg = d2.agg(
+        F.count("*").alias("n"), F.sum("d2").cast("decimal(38,0)").alias("sd2")
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    denom = (n_dec * (n_dec * F.col("n") - 1)).cast("double")
+    return agg.select(
+        "n",
+        F.col("sd2").cast("bigint").alias("sum_d2"),
+        (F.lit(1) - (F.col("sd2") * 6).cast("double") / denom).alias("spearman"),
+    )

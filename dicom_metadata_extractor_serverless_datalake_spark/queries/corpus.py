@@ -107,6 +107,7 @@ _PRIORITY = [
     "q183_stratified_split",
     "q184_ndcg_exact",
     "q185_stream_reservoir",
+    "q186_spearman_exact",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",
