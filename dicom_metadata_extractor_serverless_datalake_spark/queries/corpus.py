@@ -26,6 +26,7 @@ from . import mining  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import signals  # noqa: F401,E402
 from . import prep  # noqa: F401,E402
+from . import quality  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -108,6 +109,15 @@ _PRIORITY = [
     "q184_ndcg_exact",
     "q185_stream_reservoir",
     "q186_spearman_exact",
+    # new in round 6 — no driver row yet
+    "q187_winnowing",
+    "q188_chisq_independence",
+    "q189_autocorrelation",
+    "q190_link_prediction",
+    "q191_benford_audit",
+    "q192_quantile_norm",
+    "q193_hellinger_drift",
+    "q194_dup_span_coverage",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",

@@ -1,0 +1,693 @@
+"""Round-6 corpus-quality & statistics family: winnowing fingerprints,
+duplicated-span coverage, independence/shape audits, autocorrelation,
+link prediction, quantile normalization, and Hellinger drift.
+
+These close the remaining "is my training corpus any good?" readouts on
+top of the dedup (q50-q53, q128, q134, q146), decontamination (q82,
+q139, q144), and drift (q136, q140, q143) families:
+
+- q187 is the MOSS/winnowing fingerprint selection (Schleimer et al.,
+  SIGMOD'03) — the span-level dedup key the shingle families (q52/q58)
+  approximate document-wide;
+- q194 is the Lee-et-al duplicated-span coverage metric ("Deduplicating
+  Training Data Makes Language Models Better"): the fraction of each
+  document's tokens covered by cross-document duplicated 5-grams, via
+  an exact interval-union (gaps-and-islands) per document;
+- q188/q191 are the two classic count-shape audits (chi-squared
+  independence of corpus facets; Benford leading-digit conformance of a
+  value column) a data-quality gate runs before training;
+- q189/q193 extend the monitoring family with exact lag-k
+  autocorrelation and Hellinger distance between period slices;
+- q190 is resource-allocation link prediction (Zhou et al. 2009) over
+  the user-behavior bipartite graph — the rational-arithmetic sibling
+  of Adamic-Adar (which needs log and is not portable bit-exactly);
+- q192 is quantile normalization across sources — the rank-matching
+  map used to equalize per-source length/score distributions before
+  mixing (q117's mixture weights act on what q192 normalizes).
+
+The reference delegates all analytics to Athena (it is a per-object
+ETL, /root/reference/src/app.py:97-189); this family follows the
+corpus exactness conventions of queries/base.py:
+
+- no libm transcendentals: chi-squared / RA / coverage terms are pure
+  IEEE +,-,*,/ with identical evaluation trees on both sides; Benford
+  probabilities are integer-mantissa power-of-two literals (the q184
+  `_dlit` pattern — decimal literals are NOT parse-stable across
+  engines); Hellinger uses sqrt, which IEEE 754 requires to be
+  correctly rounded, so it is portable;
+- every float reduction is avoided: per-cell / per-term doubles are
+  floored to integer micros FIRST and then integer-summed, so the
+  reduction is associative and order-free;
+- money goes through the corpus cents cast
+  (`CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)`,
+  half-away-from-zero in both engines);
+- winnowing runs on the shared portable 31-bit md5 hash (llm.spark_h31
+  / llm.duck_h31), so both engines select identical fingerprints.
+
+Scale shapes at 100 TB are documented per query below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import query, t
+from .llm import _dlit, duck_h31, spark_h31
+
+# --------------------------------------------------------------------------
+# q187 — winnowing fingerprint selection (MOSS): hash every word
+# 4-gram, then keep the minimum hash of every sliding window of 4
+# consecutive gram hashes. Guarantees: any shared run of >= 7 tokens
+# between two documents shares at least one selected fingerprint.
+# Tie-break inside a window is rightmost-minimum, encoded arithmetically
+# as min over k_i = h_i * 2^20 + (2^20 - 1 - i) so both engines select
+# the identical position set with no argmin/arg_max dependence.
+#
+# The output certifies the full per-document selection set without
+# nested columns: count, integer checksum (exact bigint sum of the
+# selected hashes), min and max.
+#
+# 100 TB shape: the ENTIRE computation is array-land per document
+# (split -> gram hashes -> window minima -> distinct -> fold), i.e.
+# map-side whole-stage codegen with ZERO shuffles and no exchange ever
+# carrying text. Envelope: positions < 2^20 grams/doc (1M tokens); the
+# k-encoding stays under 2^51 and the checksum under 2^51 for 1M-token
+# documents. Larger docs chunk upstream (q73).
+# --------------------------------------------------------------------------
+
+_WIN_W = 4  # window size (in grams)
+_WIN_K = 4  # gram width (in tokens)
+_POS_M = 1 << 20
+
+
+def _winnow_oracle() -> str:
+    h = duck_h31("array_to_string(list_slice(ws, i, i+3), ' ')")
+    return f"""
+    WITH arr AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                 FROM documents),
+    gr AS (SELECT doc_id,
+                  CASE WHEN len(ws) >= {_WIN_K}
+                       THEN list_transform(generate_series(1, len(ws) - {_WIN_K - 1}),
+                                           i -> {h})
+                       ELSE [] END AS hs
+           FROM arr),
+    kk AS (SELECT doc_id, hs,
+                  list_transform(generate_series(1, len(hs)),
+                                 i -> hs[i] * {_POS_M} + ({_POS_M - 1} - i)) AS ks
+           FROM gr),
+    sel AS (SELECT doc_id, len(hs) AS n_kgrams,
+                   list_distinct(list_transform(generate_series({_WIN_W}, len(hs)),
+                                 j -> list_min(list_slice(ks, j - {_WIN_W - 1}, j)))) AS sk
+            FROM kk)
+    SELECT doc_id, n_kgrams, len(sk) AS n_selected,
+           CAST(list_sum(list_transform(sk, k -> k // {_POS_M})) AS BIGINT) AS fp_checksum,
+           list_min(list_transform(sk, k -> k // {_POS_M})) AS fp_min,
+           list_max(list_transform(sk, k -> k // {_POS_M})) AS fp_max
+    FROM sel ORDER BY doc_id
+    """
+
+
+@query(
+    "q187_winnowing",
+    oracle=_winnow_oracle(),
+    category="text",
+    doc="MOSS winnowing fingerprint selection, fully map-side",
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    h = spark_h31(f"array_join(slice(ws, i, {_WIN_K}), ' ')")
+    hs = (
+        f"CASE WHEN size(ws) >= {_WIN_K} "
+        f"THEN transform(sequence(1, size(ws) - {_WIN_K - 1}), i -> {h}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    # CASE guards: Spark's sequence(lo, hi) DESCENDS when hi < lo (it does
+    # not return empty like DuckDB's generate_series), so every variable
+    # bound is gated on the size precondition.
+    ks = (
+        f"CASE WHEN size(hs) > 0 "
+        f"THEN transform(sequence(1, size(hs)), "
+        f"i -> element_at(hs, i) * {_POS_M} + ({_POS_M - 1} - i)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    sk = (
+        f"CASE WHEN size(hs) >= {_WIN_W} "
+        f"THEN array_distinct(transform(sequence({_WIN_W}, size(hs)), "
+        f"j -> array_min(slice(ks, j - {_WIN_W - 1}, {_WIN_W})))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.size("hs").alias("n_kgrams"), F.expr(ks).alias("ks"), "hs")
+        .select("doc_id", "n_kgrams", F.expr(sk).alias("sk"))
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("sk").alias("n_selected"),
+            F.expr(
+                f"aggregate(sk, CAST(0 AS BIGINT), (a, k) -> a + k div {_POS_M})"
+            ).alias("fp_checksum"),
+            F.expr(f"array_min(transform(sk, k -> k div {_POS_M}))").alias("fp_min"),
+            F.expr(f"array_max(transform(sk, k -> k div {_POS_M}))").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q188 — chi-squared independence audit of two corpus facets
+# (lang x source on `documents`): is language mix homogeneous across
+# sources, or does some source skew the mixture? The full contingency
+# table INCLUDES zero cells (absent combos contribute (0-e)^2/e), built
+# as the cross product of the observed margins. Per-cell terms are pure
+# rational IEEE arithmetic floored to micros; the per-lang statistic is
+# then an exact integer sum.
+#
+# 100 TB shape: two tiny aggregations (margins) + one facet groupBy,
+# all map-side partial; the cross product is |langs| x |sources| rows
+# (dimension-sized, broadcast). One data-sized scan, one keyed shuffle
+# on the facet pair. No text ever moves.
+# --------------------------------------------------------------------------
+
+_CHI_TERM = (
+    "CAST(floor(1000000.0 * ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e))"
+    " AS BIGINT)"
+)
+_CHI_E = "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+
+
+@query(
+    "q188_chisq_independence",
+    oracle=f"""
+    WITH o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+    rm AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+    cm AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents),
+    cell AS (
+      SELECT rm.lang, rm.r, cm.c, nn.n, COALESCE(o.o, 0) AS o,
+             {_CHI_E} AS e
+      FROM rm CROSS JOIN cm CROSS JOIN nn
+      LEFT JOIN o ON o.lang = rm.lang AND o.source = cm.source
+    )
+    SELECT lang, CAST(MAX(r) AS BIGINT) AS n_lang,
+           CAST(SUM({_CHI_TERM}) AS BIGINT) AS chi2_micros
+    FROM cell GROUP BY lang ORDER BY lang
+    """,
+    category="analytics",
+    doc="chi-squared independence of lang x source with zero cells",
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rm = docs.groupBy("lang").agg(F.count("*").alias("r"))
+    cm = docs.groupBy("source").agg(F.count("*").alias("c"))
+    nn = docs.agg(F.count("*").alias("n"))
+    cell = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(nn))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .select("lang", "r", "c", "n", F.coalesce("o", F.lit(0)).alias("o"))
+        .withColumn("e", F.expr(_CHI_E))
+    )
+    return (
+        cell.groupBy("lang")
+        .agg(
+            F.max("r").cast("long").alias("n_lang"),
+            F.sum(F.expr(_CHI_TERM)).cast("long").alias("chi2_micros"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — exact lag-k autocorrelation (k = 1..3) of the daily event
+# value series. Daily totals go through the corpus cents cast and are
+# truncated to integer DOLLARS, so every moment (s1, s2, sxy_k and the
+# head/tail partial sums) is an exact bigint; the ACF itself is then a
+# single shared-tree double expression over those integers:
+#
+#   r_k = (sxy - mu*(sh + st) + (n-k)*mu^2) / (s2 - 2*mu*s1 + n*mu^2)
+#
+# floored to micros. mu = s1/n is computed once per side from the same
+# integers, so both engines evaluate the identical IEEE tree.
+#
+# 100 TB shape: the heavy work is the per-day aggregation (map-side
+# partial, one shuffle on day); the series itself is calendar-sized
+# (one row per day), so the lead()-window and the moment sums are
+# dimension-scale. Envelope: daily dollars < 3e9 keeps sxy sums exact
+# for a century of days (3e9^2 * 4e4 < 2^63 fails — concretely,
+# |x_day| <= 4.8e8 dollars holds sum(x*x) < 9.2e18 over 40k days).
+# --------------------------------------------------------------------------
+
+_ACF_EXPR = (
+    "CAST(floor(1000000.0 * ("
+    "(CAST(sxy AS DOUBLE) - mu * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))"
+    " + CAST(n - lag AS DOUBLE) * mu * mu)"
+    " / (CAST(s2 AS DOUBLE) - 2.0 * mu * CAST(s1 AS DOUBLE)"
+    " + CAST(n AS DOUBLE) * mu * mu))) AS BIGINT)"
+)
+
+
+@query(
+    "q189_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM events GROUP BY 1
+    ),
+    ord AS (
+      SELECT x,
+             lead(x, 1) OVER (ORDER BY day) AS x1,
+             lead(x, 2) OVER (ORDER BY day) AS x2,
+             lead(x, 3) OVER (ORDER BY day) AS x3
+      FROM daily
+    ),
+    stats AS (
+      SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+      FROM daily
+    ),
+    lagk AS (
+      SELECT 1 AS lag, CAST(SUM(x * x1) AS BIGINT) AS sxy,
+             CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS sh,
+             CAST(SUM(x1) AS BIGINT) AS st FROM ord
+      UNION ALL
+      SELECT 2, CAST(SUM(x * x2) AS BIGINT),
+             CAST(SUM(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT),
+             CAST(SUM(x2) AS BIGINT) FROM ord
+      UNION ALL
+      SELECT 3, CAST(SUM(x * x3) AS BIGINT),
+             CAST(SUM(CASE WHEN x3 IS NOT NULL THEN x END) AS BIGINT),
+             CAST(SUM(x3) AS BIGINT) FROM ord
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_days, {_ACF_EXPR} AS acf_micros
+    FROM lagk CROSS JOIN stats ORDER BY lag
+    """,
+    category="analytics",
+    doc="exact lag-1..3 autocorrelation of daily value totals",
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    ord_df = daily.select(
+        "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+        F.lead("x", 3).over(w).alias("x3"),
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.expr("x * x")).cast("long").alias("s2"),
+        F.expr("CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)").alias("mu"),
+    )
+    parts = []
+    for k in (1, 2, 3):
+        parts.append(
+            ord_df.agg(
+                F.lit(k).alias("lag"),
+                F.sum(F.expr(f"x * x{k}")).cast("long").alias("sxy"),
+                F.sum(F.expr(f"CASE WHEN x{k} IS NOT NULL THEN x END")).cast("long").alias("sh"),
+                F.sum(f"x{k}").cast("long").alias("st"),
+            )
+        )
+    lagk = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        lagk.crossJoin(F.broadcast(stats))
+        .select("lag", F.col("n").cast("long").alias("n_days"), F.expr(_ACF_EXPR).alias("acf_micros"))
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — resource-allocation link prediction over the user/event-type
+# bipartite graph (Zhou et al. 2009): for each pair of event types,
+# RA = sum over common users u of 1/deg(u), where deg(u) is the number
+# of distinct event types u performs. RA is the rational sibling of
+# Adamic-Adar (1/log deg — not bit-portable); per-user terms are
+# floored to micros and integer-summed.
+#
+# 100 TB shape: the distinct (user, type) projection is the only
+# data-sized pass (map-side partial distinct, one shuffle on user);
+# per-user type sets are catalog-sized (<= |types|), so the pair
+# expansion is bounded by |types|^2 per user and the final groupBy is
+# dimension-scale. No skew: deg is capped by the type-catalog size.
+# --------------------------------------------------------------------------
+
+_RA_TERM = "CAST(floor(1000000.0 / CAST(deg AS DOUBLE)) AS BIGINT)"
+
+
+@query(
+    "q190_link_prediction",
+    oracle=f"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    deg AS (SELECT user_id, count(*) AS deg FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, a.user_id
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS common_users,
+           CAST(SUM({_RA_TERM}) AS BIGINT) AS ra_micros
+    FROM pairs p JOIN deg d ON p.user_id = d.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="mining",
+    doc="resource-allocation index between event types via common users",
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    ut = t(spark, sf, "events").select("user_id", "event_type").distinct()
+    deg = ut.groupBy("user_id").agg(F.count("*").alias("deg"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = a.join(b, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.join(deg, "user_id")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("common_users"),
+            F.sum(F.expr(_RA_TERM)).cast("long").alias("ra_micros"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q191 — Benford leading-digit conformance audit of l_extendedprice:
+# the classic synthetic-/corrupted-data smell test. Observed counts per
+# first significant digit against the Benford expectation
+# P(d) = log10(1 + 1/d), embedded as integer-mantissa power-of-two
+# literals (the q184 pattern) so neither engine evaluates a log.
+# All nine digits are emitted (zero-count digits included in the
+# chi-squared term).
+#
+# 100 TB shape: one map-side digit extraction + a 9-group aggregate —
+# pure partial-agg, one 9-row shuffle. Dimension cross join is 9 rows.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+_BENFORD_TERM = (
+    "CAST(floor(1000000.0 * ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e))"
+    " AS BIGINT)"
+)
+# integer-exact digit extraction — the string type is spelled per
+# engine (Spark: STRING, DuckDB: VARCHAR); no float leaves the cast
+def _first_digit(str_type: str) -> str:
+    return (
+        f"CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)"
+        f" AS {str_type}), 1, 1) AS INT)"
+    )
+
+
+def _benford_oracle() -> str:
+    p_lit = "[" + ", ".join(_dlit(p, "pow") for p in _BENFORD_P) + "]"
+    return f"""
+    WITH obs AS (
+      SELECT {_first_digit("VARCHAR")} AS digit, count(*) AS o
+      FROM lineitem GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    dim AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    cell AS (
+      SELECT dim.digit, COALESCE(obs.o, 0) AS o, nn.n,
+             CAST(nn.n AS DOUBLE) * ({p_lit})[dim.digit] AS e
+      FROM dim CROSS JOIN nn LEFT JOIN obs ON obs.digit = dim.digit
+    )
+    SELECT digit, CAST(o AS BIGINT) AS n_obs,
+           CAST(floor(1000000.0 * e) AS BIGINT) AS expected_micros,
+           {_BENFORD_TERM} AS chi2_term_micros
+    FROM cell ORDER BY digit
+    """
+
+
+@query(
+    "q191_benford_audit",
+    oracle=_benford_oracle(),
+    category="analytics",
+    doc="Benford first-digit conformance of l_extendedprice",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    p_lit = "array(" + ", ".join(_dlit(p, "power") for p in _BENFORD_P) + ")"
+    li = t(spark, sf, "lineitem")
+    obs = li.groupBy(F.expr(_first_digit("STRING")).alias("digit")).agg(
+        F.count("*").alias("o")
+    )
+    nn = li.agg(F.count("*").cast("long").alias("n"))
+    dim = spark_range_digits(spark)
+    cell = (
+        dim.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            F.expr(f"CAST(n AS DOUBLE) * element_at({p_lit}, digit)").alias("e"),
+        )
+    )
+    return cell.select(
+        "digit",
+        F.col("o").cast("long").alias("n_obs"),
+        F.expr("CAST(floor(1000000.0 * e) AS BIGINT)").alias("expected_micros"),
+        F.expr(_BENFORD_TERM).alias("chi2_term_micros"),
+    ).orderBy("digit")
+
+
+def spark_range_digits(spark: SparkSession) -> DataFrame:
+    return spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+
+
+# --------------------------------------------------------------------------
+# q192 — quantile normalization across sources: rank documents by
+# (n_chars, doc_id) within each source, then map every rank to the
+# cross-source mean at that rank. The emitted table IS the
+# normalization map (rank -> mean) plus the exact integer sums backing
+# it; applying it is a rank-equi-join back onto the corpus.
+#
+# 100 TB shape: one shuffle to rank within source (sort-based window,
+# no text carried — only (source, n_chars, doc_id)), one rank-keyed
+# aggregate. Rank cardinality = max docs/source; the map is
+# dimension-sized relative to the corpus.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q192_quantile_norm",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+      FROM documents
+    )
+    SELECT rk, CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(floor(1000000.0 * CAST(SUM(n_chars) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_chars_micros
+    FROM r GROUP BY rk ORDER BY rk
+    """,
+    category="prep",
+    doc="quantile-normalization map of n_chars across sources",
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = t(spark, sf, "documents").select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return (
+        r.groupBy("rk")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(SUM(n_chars) AS DOUBLE)"
+                " / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("mean_chars_micros"),
+        )
+        .orderBy("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q193 — Hellinger drift between period slices: the event_type
+# distribution of the first half of the month (day <= 15) vs the rest.
+# Per-type term (sqrt(p) - sqrt(q))^2 — sqrt is IEEE-correctly-rounded,
+# hence bit-portable (unlike log/exp); p and q are single divisions of
+# exact counts. Terms floor to micros; H^2 = sum(term)/2 is derivable
+# from the emitted rows. Complements total-variation drift (q136/q143)
+# with the metric that upper-bounds it.
+#
+# 100 TB shape: one scan, two conditional map-side count aggregates
+# keyed by type (catalog-sized output), a type-dimension join. No
+# data-sized shuffle beyond the one keyed count.
+# --------------------------------------------------------------------------
+
+_HELL_TERM = (
+    "CAST(floor(1000000.0 * "
+    "((sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - sqrt(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
+    " * (sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - sqrt(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q193_hellinger_drift",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events GROUP BY 1
+    ),
+    nn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c)
+    SELECT event_type, c1, c2, {_HELL_TERM} AS hellinger_term_micros
+    FROM c CROSS JOIN nn ORDER BY event_type
+    """,
+    category="analytics",
+    doc="Hellinger distance terms between month halves per event type",
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("CASE WHEN EXTRACT(DAY FROM ts) <= 15 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.expr("CASE WHEN EXTRACT(DAY FROM ts) > 15 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    nn = c.agg(F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2"))
+    return (
+        c.crossJoin(F.broadcast(nn))
+        .select("event_type", "c1", "c2", F.expr(_HELL_TERM).alias("hellinger_term_micros"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q194 — duplicated-span coverage (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better"): for every document, the fraction
+# of its token positions covered by word 5-grams that also occur in at
+# least one OTHER document. Occurrences of cross-document-duplicated
+# grams become intervals [i, i+4] over token positions; per-document
+# coverage is their exact interval union via gaps-and-islands (running
+# max of interval end over the start-ordered occurrence list).
+#
+# 100 TB shape: grams are hashed in array-land BEFORE any exchange (no
+# shuffle ever carries text — only (doc_id, position, hash)); dup-gram
+# detection is one hash-keyed aggregate; occurrence filtering is a
+# semi-join on the hash; the interval union is a per-doc sort-window.
+# Boilerplate skew (one gram in millions of docs) is bounded upstream
+# by the q80-style frequency cap when used as a pipeline stage; the
+# corpus form keeps every occurrence because coverage needs them all.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 5  # gram width (tokens)
+
+
+def _dupspan_oracle() -> str:
+    h = duck_h31(f"array_to_string(list_slice(ws, i, i+{_SPAN_K - 1}), ' ')")
+    return f"""
+    WITH arr AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                 FROM documents),
+    tok AS (SELECT doc_id, len(ws) AS n_tokens, ws FROM arr),
+    g AS (
+      SELECT doc_id, i, {h} AS gh
+      FROM tok, unnest(generate_series(1, greatest(len(ws) - {_SPAN_K - 1}, 0))) AS u(i)
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    occ AS (SELECT g.doc_id, g.i AS s, g.i + {_SPAN_K - 1} AS e FROM g JOIN dup USING (gh)),
+    w AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM occ
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN pe IS NULL OR pe < s THEN e - s + 1
+                           WHEN e > pe THEN e - pe ELSE 0 END) AS BIGINT) AS covered
+      FROM w GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(c.covered, 0) AS covered_tokens,
+           CAST(floor(1000000.0 * CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                      / CAST(t.n_tokens AS DOUBLE)) AS BIGINT) AS dup_frac_micros
+    FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id
+    """
+
+
+@query(
+    "q194_dup_span_coverage",
+    oracle=_dupspan_oracle(),
+    category="dedup",
+    doc="per-doc token coverage by cross-document duplicated 5-grams",
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = spark_h31(f"array_join(slice(ws, i, {_SPAN_K}), ' ')")
+    ghs = (
+        f"CASE WHEN size(ws) >= {_SPAN_K} "
+        f"THEN transform(sequence(1, size(ws) - {_SPAN_K - 1}), i -> {h}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    tok = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
+        .select("doc_id", F.size("ws").alias("n_tokens"), F.expr(ghs).alias("ghs"))
+    )
+    g = tok.select(
+        "doc_id", F.posexplode("ghs").alias("pos", "gh")
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), "gh")
+    dup = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd")).filter("nd >= 2")
+    occ = g.join(dup.select("gh"), "gh").select(
+        "doc_id", F.col("i").alias("s"), (F.col("i") + _SPAN_K - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cov = (
+        occ.withColumn("pe", F.max("e").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN pe IS NULL OR pe < s THEN e - s + 1"
+                    " WHEN e > pe THEN e - pe ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("covered")
+        )
+    )
+    return (
+        tok.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("covered", F.lit(0).cast("long")).alias("covered_tokens"),
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(COALESCE(covered, 0) AS DOUBLE)"
+                " / CAST(n_tokens AS DOUBLE)) AS BIGINT)"
+            ).alias("dup_frac_micros"),
+        )
+        .orderBy("doc_id")
+    )
