@@ -239,3 +239,64 @@ class EventLog:
             )
             .orderBy("fold")
         )
+
+    def autocorrelation(
+        self, lags: tuple[int, ...] = (1, 2, 3), value_col: str = "value"
+    ) -> DataFrame:
+        """Exact lag-k autocorrelation of the daily ``value_col`` total
+        series (the q189 readout): one row per lag with
+        (lag, n_days, acf_micros). Daily totals go through the corpus
+        cents cast truncated to integer dollars so every moment is an
+        exact bigint; the ACF is one shared-tree IEEE division floored
+        to micros — deterministic under any partitioning. The series is
+        calendar-sized, so the lead() window and moment sums are
+        dimension-scale; the only data-sized work is the per-day
+        aggregate (map-side partial, one shuffle on day)."""
+        acf = (
+            "CAST(floor(1000000.0 * ("
+            "(CAST(sxy AS DOUBLE) - mu * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))"
+            " + CAST(n - lag AS DOUBLE) * mu * mu)"
+            " / (CAST(s2 AS DOUBLE) - 2.0 * mu * CAST(s1 AS DOUBLE)"
+            " + CAST(n AS DOUBLE) * mu * mu))) AS BIGINT)"
+        )
+        daily = self.df.groupBy(
+            F.to_date(F.col(self.ts_col).cast("timestamp")).alias("day")
+        ).agg(
+            F.expr(
+                f"CAST(SUM(CAST(CAST({value_col} AS DECIMAL(28,2)) * 100 AS BIGINT))"
+                " AS BIGINT) div 100"
+            ).alias("x")
+        )
+        w = Window.orderBy("day")
+        ord_df = daily.select(
+            "x", *[F.lead("x", k).over(w).alias(f"x{k}") for k in lags]
+        )
+        stats = daily.agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.expr("x * x")).cast("long").alias("s2"),
+            F.expr("CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)").alias("mu"),
+        )
+        parts = [
+            ord_df.agg(
+                F.lit(k).alias("lag"),
+                F.sum(F.expr(f"x * x{k}")).cast("long").alias("sxy"),
+                F.sum(F.expr(f"CASE WHEN x{k} IS NOT NULL THEN x END"))
+                .cast("long")
+                .alias("sh"),
+                F.sum(f"x{k}").cast("long").alias("st"),
+            )
+            for k in lags
+        ]
+        lagk = parts[0]
+        for p in parts[1:]:
+            lagk = lagk.unionByName(p)
+        return (
+            lagk.crossJoin(F.broadcast(stats))
+            .select(
+                "lag",
+                F.col("n").cast("long").alias("n_days"),
+                F.expr(acf).alias("acf_micros"),
+            )
+            .orderBy("lag")
+        )

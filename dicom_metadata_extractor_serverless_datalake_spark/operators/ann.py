@@ -104,9 +104,7 @@ def _nearest_centroids(
         + f")), 1, {n}), s -> s.cid)"
     )
     out = df.withColumn("_probes", F.expr(ranked))
-    if n == 1:
-        return out.withColumn(out_col, F.col("_probes")[0]).drop("_probes")
-    return out.withColumn(out_col, F.explode("_probes")).drop("_probes")
+    return _emit_probes(out, n, out_col)
 
 
 def _nearest_centroids_matrix(
@@ -141,9 +139,34 @@ def _nearest_centroids_matrix(
     structs = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist_struct)
     ranked = F.transform(F.slice(F.array_sort(structs), 1, n), lambda s: s["cid"])
     out = df.withColumn("_probes", ranked)
+    return _emit_probes(out, n, out_col)
+
+
+def _emit_probes(out: DataFrame, n: int, out_col: str) -> DataFrame:
+    """Surface the probe list as ``out_col`` WITHOUT re-evaluating the
+    assignment tree. Two optimizer traps cost a full second assignment
+    pass per row if stepped on (measured as doubled map time in q67/
+    q146 plans — the k dot products are the dominant map-side cost):
+
+    - the assignment column is nullable, so a downstream equi-join on
+      it makes InferFiltersFromConstraints add ``isnotnull(bucket)``,
+      which pushdown inlines as the WHOLE centroid-distance tree in a
+      Filter below the Project. ``coalesce(.., -1)`` makes the column
+      non-nullable so no filter is ever inferred (the sentinel is dead
+      code: a non-empty centroid set always yields an id).
+    - a plain ``explode(_probes)`` makes InferFiltersFromGenerate add
+      ``size(_probes) > 0`` — same inlining. ``explode_outer`` is
+      exempt; the null-drop happens on the cheap OUTPUT attribute.
+    """
     if n == 1:
-        return out.withColumn(out_col, F.col("_probes")[0]).drop("_probes")
-    return out.withColumn(out_col, F.explode("_probes")).drop("_probes")
+        return out.withColumn(
+            out_col, F.coalesce(F.col("_probes")[0], F.lit(-1))
+        ).drop("_probes")
+    return (
+        out.withColumn(out_col, F.explode_outer("_probes"))
+        .filter(F.col(out_col).isNotNull())
+        .drop("_probes")
+    )
 
 
 def assign_buckets(

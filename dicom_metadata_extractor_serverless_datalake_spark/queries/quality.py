@@ -655,9 +655,15 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
         .select("doc_id", F.size("ws").alias("n_tokens"), F.expr(ghs).alias("ghs"))
     )
-    g = tok.select(
-        "doc_id", F.posexplode("ghs").alias("pos", "gh")
-    ).select("doc_id", (F.col("pos") + 1).alias("i"), "gh")
+    # posexplode_OUTER + null filter on the OUTPUT column, not a plain
+    # posexplode: InferFiltersFromGenerate would insert `size(ghs) > 0`
+    # below the Generate and pushdown inlines the whole gram-hash
+    # transform into it — every row then hashes its grams twice
+    g = (
+        tok.select("doc_id", F.posexplode_outer("ghs").alias("pos", "gh"))
+        .filter(F.col("gh").isNotNull())
+        .select("doc_id", (F.col("pos") + 1).alias("i"), "gh")
+    )
     dup = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd")).filter("nd >= 2")
     occ = g.join(dup.select("gh"), "gh").select(
         "doc_id", F.col("i").alias("s"), (F.col("i") + _SPAN_K - 1).alias("e")

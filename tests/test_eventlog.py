@@ -87,3 +87,16 @@ def test_retention_matches_q86(spark, events):
     got = EventLog(events).retention().collect()
     want = QUERIES["q86_cohort_retention"].spark_fn(spark, SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_autocorrelation_matches_q189(spark, events):
+    got = EventLog(events).autocorrelation().collect()
+    want = QUERIES["q189_autocorrelation"].spark_fn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_autocorrelation_custom_lags_subset(spark, events):
+    # lag subset must reproduce the matching rows of the full readout
+    got = EventLog(events).autocorrelation(lags=(2,)).collect()
+    full = {r.lag: tuple(r) for r in EventLog(events).autocorrelation().collect()}
+    assert [tuple(r) for r in got] == [full[2]]

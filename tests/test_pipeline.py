@@ -382,3 +382,71 @@ def test_dedup_paragraphs_trailing_separator_doc_still_drops(spark):
     assert out[1] == "SHARED A\nSHARED B"
     assert 2 not in out           # nothing unique -> drops, not an empty shell
     assert out[3] == "own"        # doubled separator normalizes away
+
+
+def test_dup_span_coverage_pins_to_q194(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    got = (
+        TextCorpus(docs).dup_span_coverage().orderBy("doc_id").collect()
+    )
+    want = QUERIES["q194_dup_span_coverage"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_winnow_fingerprints_summary_pins_to_q187(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    fp = TextCorpus(docs).winnow_fingerprints()
+    got = (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("fingerprint").alias("fp_checksum"),
+            F.min("fingerprint").alias("fp_min"),
+            F.max("fingerprint").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    want = QUERIES["q187_winnowing"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.doc_id, g.n_selected, g.fp_checksum, g.fp_min, g.fp_max) == (
+            w.doc_id, w.n_selected, w.fp_checksum, w.fp_min, w.fp_max
+        )
+
+
+def test_winnow_fingerprints_guarantee_shared_run_shares_fp(spark):
+    # two docs sharing a run of k + w - 1 = 7 tokens MUST share >= 1
+    # fingerprint (the winnowing guarantee), on otherwise-unique text
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, f"u1 v1 w1 {shared} x1 y1 z1"),
+        (2, f"p2 q2 r2 s2 {shared} t2"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = TextCorpus(df).winnow_fingerprints().collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_dup_span_coverage_full_and_zero_coverage(spark):
+    # identical docs -> full coverage; unique doc -> zero
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "q r s t u v w x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TextCorpus(df).dup_span_coverage().collect()}
+    assert out[1].covered_tokens == 8 and out[1].dup_frac_micros == 1_000_000
+    assert out[2].covered_tokens == 8
+    assert out[3].covered_tokens == 0 and out[3].dup_frac_micros == 0
