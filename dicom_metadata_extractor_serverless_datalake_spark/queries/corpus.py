@@ -118,6 +118,12 @@ _PRIORITY = [
     "q192_quantile_norm",
     "q193_hellinger_drift",
     "q194_dup_span_coverage",
+    "q195_winnow_match",
+    "q196_cusum_changepoint",
+    "q197_theil_sen",
+    "q198_anova_f",
+    "q199_ks_test",
+    "q200_stream_cusum",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",

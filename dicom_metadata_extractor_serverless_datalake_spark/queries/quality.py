@@ -697,3 +697,454 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q195 — winnowing span-match pairs: the APPLICATION of q187's
+# fingerprints. Documents sharing >= 5 selected fingerprints (each a
+# window-minimum 4-gram hash) are span-level near-dup candidates —
+# the plagiarism/copy-detection readout MinHash (whole-document
+# similarity) misses for partial copies. Fingerprints occurring in
+# > 10 documents are boilerplate and excluded before pairing (the
+# q80-style frequency cap that bounds join fan-out).
+#
+# 100 TB shape: selection is q187's zero-shuffle array-land pass
+# (~1/w of grams emitted); the frequency cap bounds each fingerprint
+# to <= F docs so pair expansion is <= F^2 per fingerprint (the same
+# blocking-first discipline as MinHash banding: hash equi-join only,
+# no all-pairs, no text in any exchange).
+# --------------------------------------------------------------------------
+
+_WM_MIN_SHARED = 5
+_WM_MAX_DF = 10
+
+
+def _winnow_sel_cte_duck() -> str:
+    h = duck_h31("array_to_string(list_slice(ws, i, i+3), ' ')")
+    return f"""
+    arr AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents),
+    gr AS (SELECT doc_id,
+                  CASE WHEN len(ws) >= {_WIN_K}
+                       THEN list_transform(generate_series(1, len(ws) - {_WIN_K - 1}),
+                                           i -> {h})
+                       ELSE [] END AS hs
+           FROM arr),
+    kk AS (SELECT doc_id, hs,
+                  list_transform(generate_series(1, len(hs)),
+                                 i -> hs[i] * {_POS_M} + ({_POS_M - 1} - i)) AS ks
+           FROM gr),
+    sel AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(generate_series({_WIN_W}, len(hs)),
+                          j -> list_min(list_slice(ks, j - {_WIN_W - 1}, j)) // {_POS_M}))) AS fp
+            FROM kk)"""
+
+
+@query(
+    "q195_winnow_match",
+    oracle=f"""
+    WITH {_winnow_sel_cte_duck()},
+    freq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM sel GROUP BY 1),
+    keep AS (SELECT s.doc_id, s.fp FROM sel s JOIN freq f USING (fp)
+             WHERE f.df <= {_WM_MAX_DF}),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+              FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT d1, d2, shared FROM pairs WHERE shared >= {_WM_MIN_SHARED}
+    ORDER BY d1, d2
+    """,
+    category="dedup",
+    doc="span-level near-dup pairs via shared winnowing fingerprints",
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    h = spark_h31(f"array_join(slice(ws, i, {_WIN_K}), ' ')")
+    hs = (
+        f"CASE WHEN size(ws) >= {_WIN_K} "
+        f"THEN transform(sequence(1, size(ws) - {_WIN_K - 1}), i -> {h}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    ks = (
+        f"CASE WHEN size(hs) > 0 "
+        f"THEN transform(sequence(1, size(hs)), "
+        f"i -> element_at(hs, i) * {_POS_M} + ({_POS_M - 1} - i)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    sk = (
+        f"CASE WHEN size(hs) >= {_WIN_W} "
+        f"THEN array_distinct(transform(sequence({_WIN_W}, size(hs)), "
+        f"j -> array_min(slice(ks, j - {_WIN_W - 1}, {_WIN_W})) div {_POS_M})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    sel = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", "hs", F.expr(ks).alias("ks"))
+        .select("doc_id", F.expr(sk).alias("sk"))
+        # explode_outer + null-drop on the OUTPUT: a plain explode would
+        # re-evaluate the whole selection tree in an inferred size()>0
+        # filter (see q194 / BASELINE.md round 6)
+        .select("doc_id", F.explode_outer("sk").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    freq = sel.groupBy("fp").agg(F.countDistinct("doc_id").alias("df"))
+    keep = sel.join(freq.filter(F.col("df") <= _WM_MAX_DF).select("fp"), "fp")
+    a = keep.select(F.col("doc_id").alias("d1"), "fp")
+    b = keep.select(F.col("doc_id").alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= _WM_MIN_SHARED)
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q196 — CUSUM change-point detection on the daily value series: the
+# classic sequential drift detector (Page 1954) completing the
+# monitoring family (EWMA q151/q163, seasonal q140, TV drift q136).
+# Entirely in bigint dollars: target = floor-mean of the series,
+# slack = target/20 (5% allowance), alarm when the one-sided
+# cumulative excess tops target/2:
+#
+#   s_t = max(0, s_{t-1} + x_t - target - slack)
+#
+# The recurrence is order-sensitive, so the Spark side folds the
+# day-sorted series with `aggregate` (the q151/q182 ordered-fold
+# pattern) and the oracle is a recursive CTE computing the identical
+# integer recurrence — both sides exact, no floats anywhere.
+#
+# 100 TB shape: the data-sized work is the per-day aggregate (map-side
+# partial, one shuffle on day); the fold runs over the calendar-sized
+# series. Multi-decade series chunk by (series_id) the q151 way.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q196_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM events GROUP BY 1
+    ),
+    ord AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+    p AS (SELECT CAST(SUM(x) AS BIGINT) // count(*) AS target,
+                 (CAST(SUM(x) AS BIGINT) // count(*)) // 20 AS slack,
+                 (CAST(SUM(x) AS BIGINT) // count(*)) // 2 AS thresh
+          FROM daily),
+    rec AS (
+      SELECT o.rn, o.day, o.x,
+             greatest(CAST(0 AS BIGINT), o.x - p.target - p.slack) AS s
+      FROM ord o CROSS JOIN p WHERE o.rn = 1
+      UNION ALL
+      SELECT o.rn, o.day, o.x,
+             greatest(CAST(0 AS BIGINT), r.s + o.x - p.target - p.slack) AS s
+      FROM ord o JOIN rec r ON o.rn = r.rn + 1 CROSS JOIN p
+    )
+    SELECT r.day, r.x AS x_dollars, r.s AS cusum, r.s > p.thresh AS alarm
+    FROM rec r CROSS JOIN p ORDER BY r.day
+    """,
+    category="analytics",
+    doc="integer-exact one-sided CUSUM drift detector on daily totals",
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    p = daily.agg(
+        F.expr("CAST(SUM(x) AS BIGINT) div count(*)").alias("target"),
+        F.expr("(CAST(SUM(x) AS BIGINT) div count(*)) div 20").alias("slack"),
+        F.expr("(CAST(SUM(x) AS BIGINT) div count(*)) div 2").alias("thresh"),
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("xs")
+    )
+    folded = series.crossJoin(F.broadcast(p)).select(
+        "thresh",
+        F.expr(
+            """
+            aggregate(
+              xs,
+              cast(array() as array<struct<day:date,x:bigint,s:bigint>>),
+              (acc, e) -> array_append(acc, named_struct(
+                'day', e.day, 'x', e.x,
+                's', greatest(CAST(0 AS BIGINT),
+                              if(size(acc) = 0, CAST(0 AS BIGINT),
+                                 element_at(acc, -1).s) + e.x - target - slack)))
+            )
+            """
+        ).alias("states"),
+    )
+    st = folded.select("thresh", F.explode("states").alias("r"))
+    return st.select(
+        F.col("r.day").alias("day"),
+        F.col("r.x").alias("x_dollars"),
+        F.col("r.s").alias("cusum"),
+        (F.col("r.s") > F.col("thresh")).alias("alarm"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q197 — Theil-Sen robust trend: the median of all pairwise day-slopes
+# of the daily value series — the outlier-resistant alternative to the
+# OLS slope (q94) for monitoring drifting volumes. Each slope is ONE
+# IEEE division of exact integers; the median picks the middle
+# value(s) of the slope order (average of the two middles for an even
+# pair count — one more shared-tree IEEE operation).
+#
+# 100 TB shape: the series is calendar-sized after the day aggregate,
+# so the O(days^2) pair join is dimension-scale (40k days -> 8e8
+# pairs at a century of daily data — still a single-shuffle equi-join
+# on a constant, windowed rank). Sub-calendar series would use the
+# repeated-median variant per series id.
+# --------------------------------------------------------------------------
+
+_TS_SLOPE = "CAST(xj - xi AS DOUBLE) / CAST(j - i AS DOUBLE)"
+
+
+@query(
+    "q197_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM events GROUP BY 1
+    ),
+    ord AS (SELECT x, row_number() OVER (ORDER BY day) AS i FROM daily),
+    sl AS (
+      SELECT i, j, xi, xj, {_TS_SLOPE} AS slope FROM (
+        SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+        FROM ord a JOIN ord b ON b.i > a.i
+      )
+    ),
+    rk AS (SELECT slope, row_number() OVER (ORDER BY slope, i, j) AS r,
+                  count(*) OVER () AS m
+           FROM sl)
+    SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
+           CAST(floor(1000000.0 * (CASE WHEN MAX(m) % 2 = 1
+                 THEN MAX(CASE WHEN r = (m + 1) // 2 THEN slope END)
+                 ELSE (MAX(CASE WHEN r = m // 2 THEN slope END)
+                       + MAX(CASE WHEN r = m // 2 + 1 THEN slope END)) / 2.0
+               END)) AS BIGINT) AS slope_micros
+    FROM rk
+    """,
+    category="analytics",
+    doc="Theil-Sen median pairwise slope of daily totals",
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    ord_df = daily.select("x", F.row_number().over(Window.orderBy("day")).alias("i"))
+    a = ord_df.select(F.col("i").alias("i"), F.col("x").alias("xi"))
+    b = ord_df.select(F.col("i").alias("j"), F.col("x").alias("xj"))
+    sl = (
+        a.crossJoin(b)
+        .filter(F.col("j") > F.col("i"))
+        .select("i", "j", F.expr(_TS_SLOPE).alias("slope"))
+    )
+    rk = sl.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope", "i", "j")).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    return rk.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.expr(
+            """CAST(floor(1000000.0 * (CASE WHEN MAX(m) % 2 = 1
+                 THEN MAX(CASE WHEN r = (m + 1) div 2 THEN slope END)
+                 ELSE (MAX(CASE WHEN r = m div 2 THEN slope END)
+                       + MAX(CASE WHEN r = m div 2 + 1 THEN slope END)) / 2.0
+               END)) AS BIGINT)"""
+        ).alias("slope_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q198 — one-way ANOVA F statistic: does mean document length differ
+# across sources more than within-source variance explains? The
+# mixture-design readout behind q117/q192. All moments (n_g, s1_g,
+# s2_g) are exact integer sums; per-group SSB/SSW terms are floored to
+# micros and integer-summed (order-free), then F is two shared-tree
+# IEEE divisions over those integers.
+#
+# 100 TB shape: one map-side partial aggregate keyed by group
+# (catalog-sized output), one scalar pass. Envelope: s1_g^2 is formed
+# in DOUBLE (an exact bigint square overflows past ~3e9 total chars
+# per group; the double keeps 53 bits which the micros floor absorbs).
+# --------------------------------------------------------------------------
+
+_SSB_TERM = (
+    "CAST(floor(1000000.0 * (CAST(s1g AS DOUBLE) * CAST(s1g AS DOUBLE)"
+    " / CAST(ng AS DOUBLE))) AS BIGINT)"
+)
+_SSW_TERM = (
+    "CAST(floor(1000000.0 * (CAST(s2g AS DOUBLE) - CAST(s1g AS DOUBLE)"
+    " * CAST(s1g AS DOUBLE) / CAST(ng AS DOUBLE))) AS BIGINT)"
+)
+_F_EXPR = (
+    "CAST(floor(1000000.0 * ("
+    "(CAST(ssb_micros AS DOUBLE) / CAST(k - 1 AS DOUBLE))"
+    " / (CAST(ssw_micros AS DOUBLE) / CAST(n - k AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@query(
+    "q198_anova_f",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ng,
+             CAST(SUM(n_chars) AS BIGINT) AS s1g,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2g
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(s1g) AS BIGINT) AS s1,
+             CAST(SUM({_SSB_TERM}) AS BIGINT) AS ssb_raw,
+             CAST(SUM({_SSW_TERM}) AS BIGINT) AS ssw_micros
+      FROM g
+    ),
+    fin AS (
+      SELECT k, n,
+             ssb_raw - CAST(floor(1000000.0 * (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                               / CAST(n AS DOUBLE))) AS BIGINT) AS ssb_micros,
+             ssw_micros
+      FROM tot
+    )
+    SELECT k, n, ssb_micros, ssw_micros, {_F_EXPR} AS f_micros FROM fin
+    """,
+    category="analytics",
+    doc="one-way ANOVA F of n_chars across sources, integer-exact moments",
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("ng"),
+            F.sum("n_chars").cast("long").alias("s1g"),
+            F.sum(F.expr("n_chars * n_chars")).cast("long").alias("s2g"),
+        )
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s1g").cast("long").alias("s1"),
+        F.sum(F.expr(_SSB_TERM)).cast("long").alias("ssb_raw"),
+        F.sum(F.expr(_SSW_TERM)).cast("long").alias("ssw_micros"),
+    )
+    fin = tot.select(
+        "k",
+        "n",
+        F.expr(
+            "ssb_raw - CAST(floor(1000000.0 * (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            " / CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("ssb_micros"),
+        "ssw_micros",
+    )
+    return fin.select("k", "n", "ssb_micros", "ssw_micros", F.expr(_F_EXPR).alias("f_micros"))
+
+
+# --------------------------------------------------------------------------
+# q199 — exact two-sample Kolmogorov-Smirnov distance between the
+# n_chars distributions of two languages: the continuous-distribution
+# drift test completing the categorical family (TV q136, Hellinger
+# q193). D = max_x |F1(x) - F2(x)| is computed ENTIRELY in integers:
+# at every observed value, |c1*n2 - c2*n1| over the common denominator
+# n1*n2 — no float ever enters the max, so the argmax value and the
+# distance are exact. One IEEE division scales the readout to micros.
+#
+# 100 TB shape: one value-keyed count aggregate (map-side partial,
+# value-domain-sized output), one cumulative window over the sorted
+# value domain (bounded by |distinct values|, not rows), one max.
+# --------------------------------------------------------------------------
+
+_KS_L1, _KS_L2 = "en", "de"
+
+
+@query(
+    "q199_ks_test",
+    oracle=f"""
+    WITH v AS (
+      SELECT n_chars AS x, CASE WHEN lang = '{_KS_L1}' THEN 1 ELSE 0 END AS g
+      FROM documents WHERE lang IN ('{_KS_L1}', '{_KS_L2}')
+    ),
+    n AS (SELECT CAST(SUM(g) AS BIGINT) AS n1, CAST(SUM(1 - g) AS BIGINT) AS n2 FROM v),
+    d AS (SELECT x, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c2
+          FROM v GROUP BY x),
+    c AS (SELECT x,
+                 SUM(c1) OVER (ORDER BY x) AS a1,
+                 SUM(c2) OVER (ORDER BY x) AS a2
+          FROM d),
+    s AS (SELECT c.x, abs(a1 * n.n2 - a2 * n.n1) AS num FROM c CROSS JOIN n),
+    mx AS (SELECT MAX(num) AS ks_num FROM s)
+    SELECT n.n1, n.n2, CAST(mx.ks_num AS BIGINT) AS ks_num,
+           CAST(MIN(s.x) AS BIGINT) AS at_x,
+           CAST(floor(1000000.0 * CAST(mx.ks_num AS DOUBLE)
+                      / CAST(n.n1 * n.n2 AS DOUBLE)) AS BIGINT) AS d_micros
+    FROM s CROSS JOIN mx CROSS JOIN n
+    WHERE s.num = mx.ks_num
+    GROUP BY n.n1, n.n2, mx.ks_num
+    """,
+    category="analytics",
+    doc="exact two-sample KS distance between language length distributions",
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf, "documents")
+        .filter(F.col("lang").isin(_KS_L1, _KS_L2))
+        .select(
+            F.col("n_chars").alias("x"),
+            F.when(F.col("lang") == _KS_L1, 1).otherwise(0).alias("g"),
+        )
+    )
+    n = v.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.expr("1 - g")).cast("long").alias("n2"),
+    )
+    d = v.groupBy("x").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(F.expr("1 - g")).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select("x", F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2"))
+    s = c.crossJoin(F.broadcast(n)).select(
+        "x", "n1", "n2", F.abs(F.expr("a1 * n2 - a2 * n1")).alias("num")
+    )
+    mx = s.agg(F.max("num").alias("ks_num"))
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .filter(F.col("num") == F.col("ks_num"))
+        .groupBy("n1", "n2", "ks_num")
+        .agg(F.min("x").cast("long").alias("at_x"))
+        .select(
+            "n1",
+            "n2",
+            F.col("ks_num").cast("long").alias("ks_num"),
+            "at_x",
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(ks_num AS DOUBLE)"
+                " / CAST(n1 * n2 AS DOUBLE)) AS BIGINT)"
+            ).alias("d_micros"),
+        )
+    )

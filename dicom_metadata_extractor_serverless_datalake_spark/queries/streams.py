@@ -1381,3 +1381,168 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — STREAMING CUSUM change-point detection: the q196 recurrence
+# (one-sided cumulative excess over a reference mean, integer dollars)
+# maintained PER EVENT TYPE as applyInPandasWithState across multiple
+# micro-batches. Reference parameters (target = floor-mean of the
+# type's daily series, slack = target/20, alarm threshold = target/2)
+# come from a deterministic batch PRE-SCAN — the production shape,
+# where the reference mean is fit on a trailing window and the live
+# stream is monitored against it; here the fit window is the whole
+# table so the oracle can recompute it exactly.
+#
+# Batch-boundary discipline is q163's: event-time-ordered file splits
+# leave at most one partial day per key at any boundary, the state
+# carries (carry_day, carry_cents, s, started), each CLOSED day folds
+# exactly once in order, and the never-provably-closed final day is
+# excluded on both sides — the streaming answer is the longest prefix
+# the watermarkless day-close rule can certify.
+#
+# 100 TB shape: state is 4 integers per event type (catalog-bounded),
+# params are one tiny broadcast-ish driver dict (|types| rows from the
+# pre-scan — same cost class as q160's centroid literals), emissions
+# one row per closed (type, day).
+# --------------------------------------------------------------------------
+
+_CUSUM_STATE = "carry_day BIGINT, carry_cents BIGINT, s BIGINT, started BIGINT"
+_CUSUM_OUT = (
+    "event_type STRING, day DATE, x_dollars BIGINT, cusum BIGINT, alarm BOOLEAN"
+)
+
+
+def _make_cusum_update(params: dict[str, tuple[int, int, int]]):
+    def update(key, batches, state):
+        import datetime
+        import math
+
+        import pandas as pd
+
+        target, slack, thresh = params[key[0]]
+        carry_day, carry_cents, s, started = (
+            state.get if state.exists else (-1, 0, 0, 0)
+        )
+        days: dict[int, int] = {}
+        if carry_day >= 0:
+            days[int(carry_day)] = int(carry_cents)
+        for pdf in batches:
+            d = pdf["ts"].values.astype("datetime64[D]").astype("int64")
+            for di, v in zip(d, pdf["value"]):
+                days[int(di)] = days.get(int(di), 0) + int(
+                    math.floor(float(v) * 100.0 + 0.5)
+                )
+        ordered = sorted(days)
+        rows = []
+        epoch = datetime.date(1970, 1, 1)
+        for di in ordered[:-1]:
+            x = days[di] // 100
+            s = max(0, int(s) + x - target - slack)
+            started = 1
+            rows.append(
+                (
+                    key[0],
+                    epoch + datetime.timedelta(days=di),
+                    x,
+                    s,
+                    s > thresh,
+                )
+            )
+        carry = ordered[-1] if ordered else -1
+        state.update((carry, days.get(carry, 0), int(s), int(started)))
+        yield pd.DataFrame(
+            rows, columns=["event_type", "day", "x_dollars", "cusum", "alarm"]
+        )
+
+    return update
+
+
+@query(
+    "q200_stream_cusum",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(SUM(x) AS BIGINT) // count(*) AS target,
+             (CAST(SUM(x) AS BIGINT) // count(*)) // 20 AS slack,
+             (CAST(SUM(x) AS BIGINT) // count(*)) // 2 AS thresh
+      FROM daily GROUP BY 1
+    ),
+    seq AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    rec AS (
+      SELECT s.event_type, s.day, s.x, s.rn,
+             greatest(CAST(0 AS BIGINT), s.x - p.target - p.slack) AS s
+      FROM seq s JOIN p ON s.event_type = p.event_type WHERE s.rn = 1
+      UNION ALL
+      SELECT s.event_type, s.day, s.x, s.rn,
+             greatest(CAST(0 AS BIGINT), r.s + s.x - p.target - p.slack) AS s
+      FROM seq s
+      JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+      JOIN p ON s.event_type = p.event_type
+    ),
+    last_day AS (SELECT event_type, MAX(day) AS md FROM daily GROUP BY 1)
+    SELECT r.event_type, r.day, r.x AS x_dollars, r.s AS cusum,
+           r.s > p.thresh AS alarm
+    FROM rec r
+    JOIN p ON r.event_type = p.event_type
+    JOIN last_day m ON r.event_type = m.event_type
+    WHERE r.day < m.md
+    ORDER BY r.event_type, r.day
+    """,
+    category="streaming",
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream, load_table
+
+    # deterministic batch pre-scan: the reference mean per type (the
+    # "fit" the live stream is monitored against)
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    prows = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("CAST(SUM(x) AS BIGINT) div count(*)").alias("target"),
+        )
+        .collect()
+    )
+    params = {
+        r["event_type"]: (r["target"], r["target"] // 20, r["target"] // 2)
+        for r in prows
+    }
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .select("event_type", "ts", "value")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _make_cusum_update(params),
+                outputStructType=_CUSUM_OUT,
+                stateStructType=_CUSUM_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).orderBy("event_type", "day")
