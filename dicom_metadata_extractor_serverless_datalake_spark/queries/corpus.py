@@ -30,16 +30,17 @@ from . import quality  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
-# driver-oracle verification is least established go first. Round-5
-# window (50 entries): first q135 (the single red row of round 4 — its
-# top_docs posting list is now serialized to a comma-joined scalar in
-# both engines, so this re-run certifies the fix under the driver's own
-# canonicalizer), then the 34 round-4c/d/f queries (q144-q177) that have
-# NEVER earned a driver row (all locally oracle-green; q166's registered
-# form switched to fixed-COUNT anchors this round, q168/q171 serialize
-# ctx), then the 15 stalest greens — the relational core whose last
-# driver row dates from round 1/2. The round-4-green families (q34-q48,
-# q64, q67/q84/q99/q104/q114/q115, q116-q143, q52) rotate to the back.
+# driver-oracle verification is least established go first. Round-5's
+# driver artifacts (CORRECTNESS_r05 / BENCH_r05 / a round-5 VERDICT)
+# were never delivered, so as of round 6 the never-driver-verified set
+# is q135 (red r04, fixed) + q144-q200 = 58 queries against a 50-entry
+# window. Round-6 window: q135 first (certifies the serialized
+# top_docs fix under the driver's own canonicalizer), then q144-q177
+# (the 34 round-4c/d/f queries — q166 now registered with fixed-COUNT
+# anchors, q168/q171 serialize ctx), then q178-q192. q193-q200 are
+# queued immediately after for the round-7 window, followed by the
+# stalest greens (relational core, last rows round 1/2); round-4-green
+# families rotate to the back.
 _PRIORITY = [
     # round-4 red — fixed this round, must re-verify first
     "q135_inverted_index",
@@ -80,7 +81,36 @@ _PRIORITY = [
     "q175_centroid_confusion",
     "q176_target_encoding",
     "q177_stream_funnel",
-    # 15 stalest greens: relational core, last driver row round 1/2
+    # round-5/6 additions — no driver row yet
+    "q178_stream_lsh_dedup",
+    "q179_source_overlap",
+    "q180_split_leakage",
+    "q181_dedup_yield",
+    "q182_calibration_ece",
+    "q183_stratified_split",
+    "q184_ndcg_exact",
+    "q185_stream_reservoir",
+    "q186_spearman_exact",
+    "q187_winnowing",
+    "q188_chisq_independence",
+    "q189_autocorrelation",
+    "q190_link_prediction",
+    "q191_benford_audit",
+    "q192_quantile_norm",
+    # ^ exactly 50 entries (the driver window). Below: the remaining
+    # never-verified round-6 additions queued first for the round-7
+    # window, then the stalest greens (relational core, last driver row
+    # round 1/2), then next-stalest (r02 LLM/training family, r03
+    # analytics/windows/set-ops), the round-4-green families last.
+    "q193_hellinger_drift",
+    "q194_dup_span_coverage",
+    "q195_winnow_match",
+    "q196_cusum_changepoint",
+    "q197_theil_sen",
+    "q198_anova_f",
+    "q199_ks_test",
+    "q200_stream_cusum",
+    # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_join_broadcast_agg",
@@ -95,35 +125,6 @@ _PRIORITY = [
     "q12_agg_stats",
     "q13_count_distinct",
     "q18_collect_sorted",
-    # new in round 5 — no driver row yet
-    "q178_stream_lsh_dedup",
-    # ^ exactly 50 entries (the driver window). Below: round-5 additions
-    # queued first for the round-6 window, then next-stalest (r02
-    # LLM/training family, r03 analytics/windows/set-ops), the
-    # round-4-green families last.
-    "q179_source_overlap",
-    "q180_split_leakage",
-    "q181_dedup_yield",
-    "q182_calibration_ece",
-    "q183_stratified_split",
-    "q184_ndcg_exact",
-    "q185_stream_reservoir",
-    "q186_spearman_exact",
-    # new in round 6 — no driver row yet
-    "q187_winnowing",
-    "q188_chisq_independence",
-    "q189_autocorrelation",
-    "q190_link_prediction",
-    "q191_benford_audit",
-    "q192_quantile_norm",
-    "q193_hellinger_drift",
-    "q194_dup_span_coverage",
-    "q195_winnow_match",
-    "q196_cusum_changepoint",
-    "q197_theil_sen",
-    "q198_anova_f",
-    "q199_ks_test",
-    "q200_stream_cusum",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",
