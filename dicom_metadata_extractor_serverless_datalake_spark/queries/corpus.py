@@ -27,6 +27,7 @@ from . import curation  # noqa: F401,E402
 from . import signals  # noqa: F401,E402
 from . import prep  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
+from . import mixture  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -110,6 +111,12 @@ _PRIORITY = [
     "q198_anova_f",
     "q199_ks_test",
     "q200_stream_cusum",
+    "q201_bigram_lm_score",
+    "q202_sequence_packing",
+    "q203_dsir_importance",
+    "q204_temperature_mix",
+    "q205_token_budget_curriculum",
+    "q206_mann_whitney",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",
