@@ -25,7 +25,7 @@ LSH-banded (no all-pairs), filters/redaction/chunking are map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .queries.llm import MERSENNE_P
@@ -701,3 +701,192 @@ class TextCorpus:
                 ).alias("dup_frac_micros"),
             )
         )
+
+    # ---- mixing & packing stages (q201 / q202 / q204 / q205) ----
+
+    def lm_score(self, hash_fn: str = "fast") -> DataFrame:
+        """Corpus-trained bigram LM typicality score per document
+        (q201's shape): train bigram / bigram-context counts over this
+        corpus keyed by the 31-bit gram hash (no text crosses an
+        exchange), then score every document with the floored-micros
+        mean and minimum of p(w_i | w_{i-1}). Returns one row per
+        document with >= 1 bigram: (id, n_bigrams, sum_micros,
+        avg_micros, min_micros). ``hash_fn`` as in
+        :meth:`winnow_fingerprints` ('portable' matches q201's oracle
+        bit-exactly; 'fast' uses JVM xxhash64)."""
+        bh = self._gram_hash(
+            "concat(element_at(ws, i), ' ', element_at(ws, i + 1))", hash_fn
+        )
+        ph = self._gram_hash("element_at(ws, i)", hash_fn)
+        ps = (
+            f"CASE WHEN size(ws) >= 2 "
+            f"THEN transform(sequence(1, size(ws) - 1), "
+            f"i -> struct({bh} AS bh, {ph} AS ph)) "
+            f"ELSE CAST(array() AS ARRAY<STRUCT<bh: BIGINT, ph: BIGINT>>) END"
+        )
+        g = (
+            self.df.select(
+                self.id_col,
+                F.expr(f"filter(split({self.text_col}, ' '), w -> w <> '')").alias(
+                    "ws"
+                ),
+            )
+            .select(self.id_col, F.expr(ps).alias("ps"))
+            # explode_OUTER + null filter on the OUTPUT attribute (see
+            # winnow_fingerprints: plain explode lets the inferred
+            # size() filter inline the whole gram-hash tree)
+            .select(self.id_col, F.explode_outer("ps").alias("p"))
+            .filter(F.col("p").isNotNull())
+            .select(self.id_col, F.col("p.bh").alias("bh"), F.col("p.ph").alias("ph"))
+        )
+        bc = g.groupBy("bh").agg(F.count("*").alias("cb"))
+        pc = g.groupBy("ph").agg(F.count("*").alias("cp"))
+        m = (
+            "CAST(floor(1000000.0 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)))"
+            " AS BIGINT)"
+        )
+        return (
+            g.join(bc, "bh")
+            .join(pc, "ph")
+            .select(self.id_col, F.expr(m).alias("m"))
+            .groupBy(self.id_col)
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                F.sum("m").alias("sum_micros"),
+                F.min("m").alias("min_micros"),
+            )
+            .select(
+                self.id_col,
+                "n_bigrams",
+                "sum_micros",
+                F.expr("sum_micros div n_bigrams").alias("avg_micros"),
+                "min_micros",
+            )
+        )
+
+    def pack_sequences(self, ctx: int = 256, by: str = "source") -> DataFrame:
+        """Concatenate-and-chunk packing audit (q202's shape): per
+        ``by`` group, documents laid head-to-tail in id order and cut
+        into ``ctx``-token sequences. Returns one row per group:
+        (by, n_docs, total_tokens, n_sequences, pad_tokens,
+        boundary_docs, boundary_crossings)."""
+        d = self.df.select(
+            self.id_col,
+            by,
+            F.expr(f"size(filter(split({self.text_col}, ' '), w -> w <> ''))").alias(
+                "n_tok"
+            ),
+        )
+        w = (
+            Window.partitionBy(by)
+            .orderBy(self.id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        c = d.select(by, "n_tok", F.sum("n_tok").over(w).alias("cume")).select(
+            by,
+            "n_tok",
+            F.expr(
+                f"CASE WHEN n_tok > 0 "
+                f"THEN (cume - 1) div {ctx} - (cume - n_tok) div {ctx} "
+                f"ELSE 0 END"
+            ).alias("crosses"),
+        )
+        return (
+            c.groupBy(by)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("total_tokens"),
+                F.sum(F.expr("CASE WHEN crosses > 0 THEN 1 ELSE 0 END")).alias(
+                    "boundary_docs"
+                ),
+                F.sum("crosses").alias("boundary_crossings"),
+            )
+            .select(
+                by,
+                "n_docs",
+                "total_tokens",
+                F.expr(f"(total_tokens + {ctx - 1}) div {ctx}").alias("n_sequences"),
+                F.expr(
+                    f"(total_tokens + {ctx - 1}) div {ctx} * {ctx} - total_tokens"
+                ).alias("pad_tokens"),
+                "boundary_docs",
+                "boundary_crossings",
+            )
+        )
+
+    def mixture_weights(
+        self, by: str = "source", budget: int = 1_000_000_000
+    ) -> DataFrame:
+        """tau=2 temperature mixing weights per ``by`` group (q204's
+        shape): sampling weight proportional to sqrt(the group's token
+        mass) plus the expected epochs each group runs at a
+        ``budget``-token schedule. The one order-sensitive float
+        reduction (the normalizer) folds over a group-sorted array, so
+        the result is partitioning-independent."""
+        s = (
+            self.df.select(
+                by,
+                F.expr(
+                    f"size(filter(split({self.text_col}, ' '), w -> w <> ''))"
+                ).alias("n_tok"),
+            )
+            .groupBy(by)
+            .agg(F.sum("n_tok").alias("tok"))
+        )
+        a = s.agg(
+            F.sort_array(F.collect_list(F.struct(by, "tok"))).alias("arr")
+        ).select(
+            F.expr(
+                "aggregate(arr, CAST(0 AS DOUBLE), "
+                "(acc, x) -> acc + sqrt(CAST(x.tok AS DOUBLE)))"
+            ).alias("tot")
+        )
+        return s.crossJoin(F.broadcast(a)).select(
+            by,
+            "tok",
+            F.expr(
+                "CAST(floor(1000000.0 * (sqrt(CAST(tok AS DOUBLE)) / tot))"
+                " AS BIGINT)"
+            ).alias("weight_micros"),
+            F.expr(
+                f"CAST(floor(1000000.0 * ((sqrt(CAST(tok AS DOUBLE)) / tot)"
+                f" * (CAST({budget} AS DOUBLE) / CAST(tok AS DOUBLE))))"
+                f" AS BIGINT)"
+            ).alias("epochs_micros"),
+        )
+
+    def take_token_budget(self, num: int = 1, den: int = 2) -> "TextCorpus":
+        """Token-budget curriculum selection (q205's semantics): rank
+        documents by the exact rational quality score floor(1e6 *
+        distinct-token ratio) and keep them in (score DESC, id) order
+        until ``num/den`` of the corpus token mass is admitted. Returns
+        the selected corpus with all columns riding along. The budget
+        pass projects only token counts (recomputing the distinct ratio
+        there doubles the corpus scan cost for a value it can't
+        affect); the admission order is a global single-partition
+        running sum over 24-byte rows — swap in per-range quantile cuts
+        at cluster scale."""
+        score = (
+            "CASE WHEN n_tok > 0 THEN CAST(floor(1000000.0 * "
+            "(CAST(n_dis AS DOUBLE) / CAST(n_tok AS DOUBLE))) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+        ws = f"filter(split({self.text_col}, ' '), w -> w <> '')"
+        sd = self.df.select(
+            self.id_col,
+            F.expr(f"size({ws})").alias("n_tok"),
+            F.expr(f"size(array_distinct({ws}))").alias("n_dis"),
+        ).select(self.id_col, "n_tok", F.expr(score).alias("score"))
+        b = self.df.select(F.expr(f"size({ws})").alias("n_tok")).agg(
+            F.expr(f"sum(n_tok) * {num} div {den}").alias("budget")
+        )
+        w = Window.orderBy(F.col("score").desc(), self.id_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        sel = (
+            sd.select(self.id_col, F.sum("n_tok").over(w).alias("running"))
+            .crossJoin(F.broadcast(b))
+            .filter(F.col("running") <= F.col("budget"))
+            .select(self.id_col)
+        )
+        return self._with(self.df.join(sel, self.id_col, "semi"))

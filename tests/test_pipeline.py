@@ -450,3 +450,112 @@ def test_dup_span_coverage_full_and_zero_coverage(spark):
     assert out[1].covered_tokens == 8 and out[1].dup_frac_micros == 1_000_000
     assert out[2].covered_tokens == 8
     assert out[3].covered_tokens == 0 and out[3].dup_frac_micros == 0
+
+
+# ---- mixing & packing stages pin to their corpus queries ----
+
+
+def test_lm_score_pins_to_q201(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    got = TextCorpus(docs).lm_score(hash_fn="portable").orderBy("doc_id").collect()
+    want = QUERIES["q201_bigram_lm_score"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_lm_score_fast_hash_same_shape(spark, docs):
+    # xxhash64 scores differ numerically but grouping structure holds:
+    # every scored doc has n_bigrams = tokens - 1 and min <= avg
+    out = TextCorpus(docs).lm_score(hash_fn="fast")
+    bad = out.filter(
+        (F.col("min_micros") > F.col("avg_micros"))
+        | (F.col("avg_micros") > 1_000_000)
+        | (F.col("n_bigrams") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_pack_sequences_pins_to_q202(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    got = TextCorpus(docs).pack_sequences(ctx=256).orderBy("source").collect()
+    want = QUERIES["q202_sequence_packing"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pack_sequences_invariants(spark, docs):
+    # sequence accounting is exact: pad < ctx, crossings bounded by docs
+    for ctx in (64, 1024):
+        for r in TextCorpus(docs).pack_sequences(ctx=ctx).collect():
+            assert 0 <= r.pad_tokens < ctx
+            assert r.n_sequences * ctx == r.total_tokens + r.pad_tokens
+            assert r.boundary_docs <= r.n_docs
+            assert r.boundary_crossings >= r.boundary_docs
+
+
+def test_mixture_weights_pins_to_q204(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    got = TextCorpus(docs).mixture_weights().orderBy("source").collect()
+    want = QUERIES["q204_temperature_mix"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_mixture_weights_sum_to_one(spark, docs):
+    ws = [r.weight_micros for r in TextCorpus(docs).mixture_weights().collect()]
+    # floored micros: sum in (1e6 - n_groups, 1e6]
+    assert 1_000_000 - len(ws) < sum(ws) <= 1_000_000
+
+
+def test_take_token_budget_pins_to_q205(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    sel = TextCorpus(docs).take_token_budget().df
+    ws = "filter(split(text, ' '), w -> w <> '')"
+    score = (
+        "CASE WHEN n_tok > 0 THEN CAST(floor(1000000.0 * "
+        "(CAST(n_dis AS DOUBLE) / CAST(n_tok AS DOUBLE))) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    got = (
+        sel.select(
+            "lang",
+            F.expr(f"size({ws})").alias("n_tok"),
+            F.expr(f"size(array_distinct({ws}))").alias("n_dis"),
+        )
+        .select("lang", "n_tok", F.expr(score).alias("score"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_sel"),
+            F.sum("n_tok").alias("tokens_sel"),
+            F.min("score").alias("min_score_sel"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    want = QUERIES["q205_token_budget_curriculum"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_take_token_budget_respects_budget(spark, docs):
+    total = docs.select(
+        F.sum(F.expr("size(filter(split(text, ' '), w -> w <> ''))"))
+    ).collect()[0][0]
+    sel = TextCorpus(docs).take_token_budget(num=1, den=4).df
+    sel_tok = sel.select(
+        F.sum(F.expr("size(filter(split(text, ' '), w -> w <> ''))"))
+    ).collect()[0][0]
+    assert sel_tok <= total // 4
+    # selection is deterministic: same call, same set
+    again = TextCorpus(docs).take_token_budget(num=1, den=4).df
+    assert sorted(r.doc_id for r in sel.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
