@@ -745,9 +745,12 @@ class TextCorpus:
             "CAST(floor(1000000.0 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)))"
             " AS BIGINT)"
         )
+        # broadcast the count tables (see q201: unhinted, this shuffles
+        # the full gram stream twice, once on the low-cardinality
+        # context hash)
         return (
-            g.join(bc, "bh")
-            .join(pc, "ph")
+            g.join(F.broadcast(bc), "bh")
+            .join(F.broadcast(pc), "ph")
             .select(self.id_col, F.expr(m).alias("m"))
             .groupBy(self.id_col)
             .agg(

@@ -66,11 +66,12 @@ from .llm import duck_h31, spark_h31
 #
 # 100 TB shape: one gram explode feeding two hash-keyed count
 # aggregates (map-side partial; the count tables are vocab-sized, far
-# smaller than the corpus), then two equi-joins of the exploded 8-byte
-# gram stream back to the counts, then a doc_id-keyed aggregate. Three
-# data-sized exchanges, all on 8-byte keys — the same cost model as
-# q52's banding. Per-token probabilities are floored to micros before
-# the integer per-doc sum, so the result is partition-order-free.
+# smaller than the corpus), then map-side BROADCAST joins of the
+# exploded gram stream against both count tables, then a doc_id-keyed
+# aggregate — the only data-sized exchanges are the two count
+# aggregates' partial-agg shuffles (vocab-sized payload) and the doc
+# aggregate. Per-token probabilities are floored to micros before the
+# integer per-doc sum, so the result is partition-order-free.
 # --------------------------------------------------------------------------
 
 _LM_M = "CAST(floor(1000000.0 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))) AS BIGINT)"
@@ -134,7 +135,21 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
     )
     bc = g.groupBy("bh").agg(F.count("*").alias("cb"))
     pc = g.groupBy("ph").agg(F.count("*").alias("cp"))
-    j = g.join(bc, "bh").join(pc, "ph").select("doc_id", F.expr(_LM_M).alias("m"))
+    # explicit broadcast: the count tables are dimension-like (16-byte
+    # rows), while the probe side is the 27M+-row gram stream — without
+    # the hint this compiles to two SortMergeJoins that shuffle the full
+    # stream, the second keyed on the LOW-CARDINALITY context hash
+    # (measured 45-103 s for the join stage alone at 500k docs vs
+    # map-side lookups). At open-vocab scale: the context table stays
+    # broadcastable (vocab-sized); if the bigram table outgrows the
+    # broadcast budget its join reverts to a shuffle equi-join on the
+    # HIGH-cardinality bigram hash, which is skew-free — never shuffle
+    # on the context key.
+    j = (
+        g.join(F.broadcast(bc), "bh")
+        .join(F.broadcast(pc), "ph")
+        .select("doc_id", F.expr(_LM_M).alias("m"))
+    )
     return (
         j.groupBy("doc_id")
         .agg(
