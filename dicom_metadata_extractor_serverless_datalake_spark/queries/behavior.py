@@ -1,0 +1,375 @@
+"""Round-6 batch 4: behavioral-analytics family (q207-q210).
+
+Product-analytics readouts over the event log that complement the
+funnel (q87/q177), retention (q86), sessionization (q88/q100) and
+change-point (q196/q200) families:
+
+- q207 is the first-order Markov transition matrix between event types
+  (per-user journeys ordered by time) — the navigation model behind
+  next-step prediction and anomaly scoring; row-normalized
+  probabilities in exact floored micros.
+- q208 is marketing-touch attribution: every purchase credited to the
+  last (and, separately, the first) preceding non-purchase touch of
+  the same user — the two classic single-touch attribution models,
+  computed with IGNORE NULLS window navigation instead of a
+  self-join.
+- q209 is the Kaplan-Meier survival estimator over user lifetimes
+  (first event -> last event, right-censored when the user is still
+  active in the final 3 days of the log). The survival curve is the
+  one order-sensitive float product in the family, so both engines
+  fold it over the same time-sorted array (the q182 pattern); risk
+  sets and event counts are exact integers from value-domain counts.
+- q210 is the Gini coefficient of per-document char mass within each
+  source — the concentration readout mixing decisions consult next to
+  q204's temperature weights (a source whose mass sits in a few huge
+  documents contributes less diversity than its token share
+  suggests). Computed exactly over value-domain counts with the
+  tie-run arithmetic-series identity (never per-row ranks).
+
+The reference delegates all analytics to Athena
+(/root/reference/src/app.py:97-189). Corpus exactness conventions
+(queries/base.py) as in quality.py/mixture.py: integer micros before
+any reduction, ordered folds for the two genuinely order-sensitive
+float reductions, no libm transcendentals.
+
+Scale shapes at 100 TB are documented per query below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+# --------------------------------------------------------------------------
+# q207 — first-order Markov transition matrix between event types.
+# Transitions are consecutive events of the same user ordered by
+# (ts, event_id) — the unique tiebreak makes the sequence, and hence
+# the counts, deterministic. Probabilities are row-normalized counts
+# in floored micros.
+#
+# 100 TB shape: one user-keyed window (a single keyed exchange of
+# (user, ts, type) rows — no payload), then a |types|^2-sized count
+# aggregate (map-side partial) and a dimension-sized normalize. The
+# same exchange the sessionize family (q88) already pays.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q207_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT from_type, sum(n) AS row_n FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+           CAST(floor(1000000.0 * (CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)))
+                AS BIGINT) AS p_micros
+    FROM c JOIN r USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    category="events",
+    doc="per-user Markov transition matrix, row-normalized in micros",
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf, "events").select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    c = (
+        s.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    r = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(r), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("p_micros"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q208 — single-touch attribution: each purchase credited to the LAST
+# preceding non-purchase event of the same user (last-touch) and to
+# the FIRST one ever (first-touch); purchases with no preceding touch
+# land in the '(none)' channel. IGNORE NULLS window navigation over a
+# carried conditional column replaces the classic self-join.
+#
+# 100 TB shape: one user-keyed window exchange (same as q207), then
+# two dimension-sized channel counts and a dimension full-outer join.
+# No self-join, no range join — each purchase row already carries its
+# attribution after the single window pass.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q208_touch_attribution",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_ch,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_ch
+      FROM events
+    ),
+    p AS (
+      SELECT COALESCE(last_ch, '(none)') AS lc,
+             COALESCE(first_ch, '(none)') AS fc
+      FROM s WHERE event_type = 'purchase'
+    ),
+    l AS (SELECT lc AS channel, count(*) AS last_touch FROM p GROUP BY 1),
+    f AS (SELECT fc AS channel, count(*) AS first_touch FROM p GROUP BY 1)
+    SELECT COALESCE(l.channel, f.channel) AS channel,
+           CAST(COALESCE(last_touch, 0) AS BIGINT) AS last_touch_purchases,
+           CAST(COALESCE(first_touch, 0) AS BIGINT) AS first_touch_purchases
+    FROM l FULL OUTER JOIN f ON l.channel = f.channel
+    ORDER BY channel
+    """,
+    category="events",
+    doc="last/first-touch purchase attribution via IGNORE NULLS windows",
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.expr("CASE WHEN event_type <> 'purchase' THEN event_type END")
+    s = t(spark, sf, "events").select(
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("last_ch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_ch"),
+    )
+    p = s.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("last_ch", F.lit("(none)")).alias("lc"),
+        F.coalesce("first_ch", F.lit("(none)")).alias("fc"),
+    )
+    l = p.groupBy(F.col("lc").alias("channel")).agg(
+        F.count("*").alias("last_touch")
+    )
+    f = p.groupBy(F.col("fc").alias("channel")).agg(
+        F.count("*").alias("first_touch")
+    )
+    return (
+        l.join(f, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch_purchases"),
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch_purchases"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — Kaplan-Meier survival over user lifetimes. Lifetime = days
+# from a user's first to last event; right-censored when the last
+# event falls in the final 3 days of the log (the user may still be
+# active). At each distinct lifetime t: risk set n_t = users with
+# lifetime >= t, events d_t = uncensored lifetimes ending at t,
+# S(t) = prod_{u <= t} (1 - d_u / n_u). The product is the one
+# order-sensitive float reduction — both engines fold it over the
+# same time-sorted array; each prefix product re-folds from the front
+# (O(T^2) over the ~dimension-sized distinct-lifetime domain), so
+# every output row is a deterministic left fold.
+#
+# 100 TB shape: one user-keyed aggregate (the only data-sized
+# exchange), then value-domain counts, one cumulative window and the
+# array fold over |distinct lifetimes| rows on one task.
+# --------------------------------------------------------------------------
+
+_KM_TERM = "(CAST(1 AS DOUBLE) - CAST(x.d AS DOUBLE) / CAST(x.risk AS DOUBLE))"
+
+
+@query(
+    "q209_kaplan_meier",
+    oracle=f"""
+    WITH mx AS (SELECT CAST(max(ts) AS DATE) AS mxd FROM events),
+    u AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS fd, CAST(max(ts) AS DATE) AS ld
+      FROM events GROUP BY 1
+    ),
+    lt AS (
+      SELECT date_diff('day', fd, ld) AS dur,
+             CASE WHEN ld > mxd - 3 THEN 0 ELSE 1 END AS ev
+      FROM u CROSS JOIN mx
+    ),
+    vd AS (
+      SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lt GROUP BY 1
+    ),
+    cw AS (
+      SELECT dur, d, c,
+             CAST((SELECT sum(c) FROM vd) AS BIGINT)
+               - COALESCE(SUM(c) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS risk
+      FROM vd
+    ),
+    a AS (
+      SELECT list(struct_pack(dur := dur, d := d, c := c, risk := risk)
+                  ORDER BY dur) AS arr
+      FROM cw
+    )
+    SELECT arr[k].dur AS dur,
+           CAST(arr[k].risk AS BIGINT) AS n_risk,
+           CAST(arr[k].d AS BIGINT) AS d_events,
+           CAST(arr[k].c - arr[k].d AS BIGINT) AS c_censored,
+           CAST(floor(1000000.0 * list_reduce(
+             list_transform(list_slice(arr, 1, k), x -> {_KM_TERM}),
+             (acc, v) -> acc * v)) AS BIGINT) AS surv_micros
+    FROM a, UNNEST(generate_series(1, len(arr))) AS g(k)
+    ORDER BY dur
+    """,
+    category="events",
+    doc="Kaplan-Meier survival over user lifetimes, ordered-fold exact",
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    mx = ev.agg(F.expr("CAST(max(ts) AS DATE)").alias("mxd"))
+    u = ev.groupBy("user_id").agg(
+        F.expr("CAST(min(ts) AS DATE)").alias("fd"),
+        F.expr("CAST(max(ts) AS DATE)").alias("ld"),
+    )
+    lt = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("datediff(ld, fd)").alias("dur"),
+        F.expr("CASE WHEN ld > mxd - 3 THEN 0 ELSE 1 END").alias("ev"),
+    )
+    vd = lt.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("c")
+    )
+    n_tot = vd.agg(F.sum("c").alias("n_tot"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    cw = (
+        vd.crossJoin(F.broadcast(n_tot))
+        .select(
+            "dur",
+            "d",
+            "c",
+            (
+                F.col("n_tot") - F.coalesce(F.sum("c").over(w), F.lit(0))
+            ).alias("risk"),
+        )
+    )
+    a = cw.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "d", "c", "risk"))).alias("arr")
+    )
+    return (
+        a.select(F.posexplode("arr").alias("pos", "x"), F.col("arr"))
+        .select(
+            F.col("x.dur").alias("dur"),
+            F.col("x.risk").alias("n_risk"),
+            F.col("x.d").alias("d_events"),
+            (F.col("x.c") - F.col("x.d")).alias("c_censored"),
+            F.expr(
+                f"CAST(floor(1000000.0 * aggregate(slice(arr, 1, pos + 1), "
+                f"CAST(1 AS DOUBLE), (acc, x) -> acc * {_KM_TERM})) AS BIGINT)"
+            ).alias("surv_micros"),
+        )
+        .orderBy("dur")
+    )
+
+
+# --------------------------------------------------------------------------
+# q210 — Gini concentration of per-document char mass within each
+# source. Exact over value-domain counts: for a tie run of c docs at
+# value v after p smaller docs, the ascending ranks are p+1..p+c, so
+# 2*sum(rank * v) over the run is v * (2*p*c + c*(c+1)) — an integer.
+# G = (2*sum(i*x_i) - (n+1)*S) / (n*S), reported in floored micros.
+#
+# 100 TB shape: one (source, value)-keyed count aggregate (map-side
+# partial; output is value-domain-sized per source), one per-source
+# cumulative window over the domain, one dimension-sized final
+# aggregate. Never a per-row rank. The bigint rank-sum A holds to
+# ~1e8 docs/source at 500-char values; past that, swap the A/S sums to
+# decimal(38,0) (both engines sum decimals exactly) — noted rather
+# than paid, since the double division dominating G's error budget is
+# unchanged either way.
+# --------------------------------------------------------------------------
+
+_GINI = (
+    "CAST(floor(1000000.0 * (CAST(a - (n + 1) * s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@query(
+    "q210_gini_concentration",
+    oracle=f"""
+    WITH vd AS (
+      SELECT source, n_chars AS v, count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    cw AS (
+      SELECT source, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      FROM vd
+    ),
+    g AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS s,
+             CAST(sum(v * (2 * p * c + c * (c + 1))) AS BIGINT) AS a
+      FROM cw GROUP BY 1
+    )
+    SELECT source, n AS n_docs, s AS total_chars, {_GINI} AS gini_micros
+    FROM g ORDER BY source
+    """,
+    category="stats",
+    doc="exact per-source Gini of document char mass via tie-run identity",
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    vd = (
+        t(spark, sf, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cw = vd.select(
+        "source",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("p"),
+    )
+    g = cw.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("v * c")).alias("s"),
+        F.sum(F.expr("v * (2 * p * c + c * (c + 1))")).alias("a"),
+    )
+    return g.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("total_chars"),
+        F.expr(_GINI).alias("gini_micros"),
+    ).orderBy("source")

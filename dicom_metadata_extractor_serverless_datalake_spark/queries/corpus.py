@@ -28,6 +28,7 @@ from . import signals  # noqa: F401,E402
 from . import prep  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 from . import mixture  # noqa: F401,E402
+from . import behavior  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -117,6 +118,10 @@ _PRIORITY = [
     "q204_temperature_mix",
     "q205_token_budget_curriculum",
     "q206_mann_whitney",
+    "q207_markov_transitions",
+    "q208_touch_attribution",
+    "q209_kaplan_meier",
+    "q210_gini_concentration",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",
