@@ -300,3 +300,109 @@ class EventLog:
             )
             .orderBy("lag")
         )
+
+    # ---- behavioral analytics (q207 / q208 / q209) ----
+
+    def transitions(self) -> DataFrame:
+        """First-order Markov transition matrix between event types
+        (q207's shape): consecutive same-user events ordered by
+        (ts, id), counts row-normalized in floored micros. Returns
+        (from_type, to_type, n, p_micros). One user-keyed window
+        exchange; the matrix is |types|^2-sized."""
+        s = self.df.select(
+            F.col(self.type_col).alias("from_type"),
+            F.lead(self.type_col).over(self._w()).alias("to_type"),
+        )
+        c = (
+            s.filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n"))
+        )
+        r = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+        return c.join(F.broadcast(r), "from_type").select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("p_micros"),
+        )
+
+    def attribution(self, conversion: str = "purchase") -> DataFrame:
+        """Single-touch attribution (q208's shape): every ``conversion``
+        event credited to the last and the first preceding
+        non-conversion touch of the same user; conversions with no
+        preceding touch land in the '(none)' channel. Returns
+        (channel, last_touch_purchases, first_touch_purchases). One
+        user-keyed window pass — no self-join."""
+        w = self._w().rowsBetween(Window.unboundedPreceding, -1)
+        touch = F.expr(
+            f"CASE WHEN {self.type_col} <> '{conversion}' THEN {self.type_col} END"
+        )
+        s = self.df.select(
+            F.col(self.type_col).alias("_etype"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_ch"),
+            F.first(touch, ignorenulls=True).over(w).alias("first_ch"),
+        )
+        p = s.filter(F.col("_etype") == conversion).select(
+            F.coalesce("last_ch", F.lit("(none)")).alias("lc"),
+            F.coalesce("first_ch", F.lit("(none)")).alias("fc"),
+        )
+        l = p.groupBy(F.col("lc").alias("channel")).agg(
+            F.count("*").alias("last_touch")
+        )
+        f = p.groupBy(F.col("fc").alias("channel")).agg(
+            F.count("*").alias("first_touch")
+        )
+        return l.join(f, "channel", "full_outer").select(
+            "channel",
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch_purchases"),
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch_purchases"),
+        )
+
+    def survival(self, censor_days: int = 3) -> DataFrame:
+        """Kaplan-Meier survival over user lifetimes (q209's shape):
+        lifetime = days from a user's first to last event,
+        right-censored when the last event falls within
+        ``censor_days`` of the log's end. Returns one row per distinct
+        lifetime: (dur, n_risk, d_events, c_censored, surv_micros),
+        the survival product folded in time order (deterministic under
+        any partitioning)."""
+        term = "(CAST(1 AS DOUBLE) - CAST(x.d AS DOUBLE) / CAST(x.risk AS DOUBLE))"
+        ev = self.df
+        mx = ev.agg(F.expr(f"CAST(max({self.ts_col}) AS DATE)").alias("mxd"))
+        u = ev.groupBy(self.user_col).agg(
+            F.expr(f"CAST(min({self.ts_col}) AS DATE)").alias("fd"),
+            F.expr(f"CAST(max({self.ts_col}) AS DATE)").alias("ld"),
+        )
+        lt = u.crossJoin(F.broadcast(mx)).select(
+            F.expr("datediff(ld, fd)").alias("dur"),
+            F.expr(
+                f"CASE WHEN ld > mxd - {censor_days} THEN 0 ELSE 1 END"
+            ).alias("ev"),
+        )
+        vd = lt.groupBy("dur").agg(F.sum("ev").alias("d"), F.count("*").alias("c"))
+        n_tot = vd.agg(F.sum("c").alias("n_tot"))
+        w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+        cw = vd.crossJoin(F.broadcast(n_tot)).select(
+            "dur",
+            "d",
+            "c",
+            (F.col("n_tot") - F.coalesce(F.sum("c").over(w), F.lit(0))).alias("risk"),
+        )
+        a = cw.agg(
+            F.sort_array(F.collect_list(F.struct("dur", "d", "c", "risk"))).alias(
+                "arr"
+            )
+        )
+        return a.select(F.posexplode("arr").alias("pos", "x"), F.col("arr")).select(
+            F.col("x.dur").alias("dur"),
+            F.col("x.risk").alias("n_risk"),
+            F.col("x.d").alias("d_events"),
+            (F.col("x.c") - F.col("x.d")).alias("c_censored"),
+            F.expr(
+                f"CAST(floor(1000000.0 * aggregate(slice(arr, 1, pos + 1), "
+                f"CAST(1 AS DOUBLE), (acc, x) -> acc * {term})) AS BIGINT)"
+            ).alias("surv_micros"),
+        )

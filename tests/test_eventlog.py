@@ -100,3 +100,60 @@ def test_autocorrelation_custom_lags_subset(spark, events):
     got = EventLog(events).autocorrelation(lags=(2,)).collect()
     full = {r.lag: tuple(r) for r in EventLog(events).autocorrelation().collect()}
     assert [tuple(r) for r in got] == [full[2]]
+
+
+def test_transitions_matches_q207(spark, events):
+    got = sorted(
+        tuple(r) for r in EventLog(events).transitions().collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["q207_markov_transitions"].spark_fn(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_transitions_rows_normalize(spark, events):
+    from collections import defaultdict
+
+    rows = EventLog(events).transitions().collect()
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r.p_micros)
+    for ps in by_from.values():
+        # floored micros: sum in (1e6 - n_targets, 1e6]
+        assert 1_000_000 - len(ps) < sum(ps) <= 1_000_000
+
+
+def test_attribution_matches_q208(spark, events):
+    got = sorted(tuple(r) for r in EventLog(events).attribution().collect())
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["q208_touch_attribution"].spark_fn(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_attribution_counts_conserve(spark, events):
+    total = events.filter(F.col("event_type") == "purchase").count()
+    rows = EventLog(events).attribution().collect()
+    assert sum(r.last_touch_purchases for r in rows) == total
+    assert sum(r.first_touch_purchases for r in rows) == total
+
+
+def test_survival_matches_q209(spark, events):
+    got = sorted(tuple(r) for r in EventLog(events).survival().collect())
+    want = sorted(
+        tuple(r) for r in QUERIES["q209_kaplan_meier"].spark_fn(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_survival_monotone_and_bounded(spark, events):
+    rows = sorted(EventLog(events).survival().collect(), key=lambda r: r.dur)
+    last = 1_000_000
+    for r in rows:
+        assert 0 <= r.surv_micros <= last
+        last = r.surv_micros
+        # everyone whose lifetime ends at t was still at risk at t
+        assert r.n_risk >= r.d_events + r.c_censored
