@@ -122,6 +122,7 @@ _PRIORITY = [
     "q208_touch_attribution",
     "q209_kaplan_meier",
     "q210_gini_concentration",
+    "q211_stream_attribution",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

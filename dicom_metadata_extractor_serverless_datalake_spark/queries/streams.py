@@ -1546,3 +1546,115 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.table(name).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# q211 — STREAMING single-touch attribution: q208's last/first-touch
+# credit maintained as per-user state across micro-batches — the
+# real-time attribution ledger. State is two small strings per user
+# (the most recent and the earliest non-conversion touch so far); each
+# arriving conversion is credited immediately against that state and
+# emitted exactly once, whatever batch boundary separates the touch
+# from the conversion. The drained sink rolls up to the SAME channel
+# table as the batch query, so q208's SQL is the oracle verbatim.
+#
+# 100 TB shape: state is entity-bounded (2 strings per user); the only
+# shuffle is the standard stateful hash partitioning on user_id;
+# emissions are one row per conversion ever.
+# --------------------------------------------------------------------------
+
+_ATTR_STATE = "last_ch STRING, first_ch STRING"
+_ATTR_OUT = "user_id BIGINT, lc STRING, fc STRING"
+
+
+def _attr_update(key, batches, state):
+    import pandas as pd
+
+    last_ch, first_ch = state.get if state.exists else ("", "")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["ts", "event_id"]
+    )
+    rows = []
+    for et in pdf["event_type"]:
+        if et == "purchase":
+            rows.append((key[0], last_ch or "(none)", first_ch or "(none)"))
+        else:
+            last_ch = et
+            if not first_ch:
+                first_ch = et
+    state.update((last_ch, first_ch))
+    yield pd.DataFrame(rows, columns=["user_id", "lc", "fc"])
+
+
+@query(
+    "q211_stream_attribution",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_ch,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_ch
+      FROM events
+    ),
+    p AS (
+      SELECT COALESCE(last_ch, '(none)') AS lc,
+             COALESCE(first_ch, '(none)') AS fc
+      FROM s WHERE event_type = 'purchase'
+    ),
+    l AS (SELECT lc AS channel, count(*) AS last_touch FROM p GROUP BY 1),
+    f AS (SELECT fc AS channel, count(*) AS first_touch FROM p GROUP BY 1)
+    SELECT COALESCE(l.channel, f.channel) AS channel,
+           CAST(COALESCE(last_touch, 0) AS BIGINT) AS last_touch_purchases,
+           CAST(COALESCE(first_touch, 0) AS BIGINT) AS first_touch_purchases
+    FROM l FULL OUTER JOIN f ON l.channel = f.channel
+    ORDER BY channel
+    """,
+    category="streaming",
+    doc="incremental last/first-touch attribution, per-user stateful",
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _attr_update,
+                outputStructType=_ATTR_OUT,
+                stateStructType=_ATTR_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    p = spark.table(name)
+    l = p.groupBy(F.col("lc").alias("channel")).agg(
+        F.count("*").alias("last_touch")
+    )
+    f = p.groupBy(F.col("fc").alias("channel")).agg(
+        F.count("*").alias("first_touch")
+    )
+    return (
+        l.join(f, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch_purchases"),
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch_purchases"),
+        )
+        .orderBy("channel")
+    )
