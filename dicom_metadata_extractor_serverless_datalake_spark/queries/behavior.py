@@ -373,3 +373,210 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s").alias("total_chars"),
         F.expr(_GINI).alias("gini_micros"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q212 — Holt double-exponential smoothing (additive level+trend) over
+# each event type's daily value series, with the one-step-ahead SSE
+# and a 7-day-ahead forecast. The smoothing recursion is inherently
+# sequential, so it runs as an ordered fold over the day-sorted array
+# (the q182 pattern, here with a struct accumulator): both engines
+# seed the fold with the first day's observation and apply the
+# IDENTICAL IEEE update tree per step, so every intermediate level/
+# trend — and hence the output — is bit-equal. Daily observations are
+# exact integer cents cast to double once.
+#
+# alpha = 0.2, beta = 0.1, emitted as integer-mantissa power-of-two
+# literals (decimal literals are not parse-stable across engines).
+#
+# 100 TB shape: one (type, day)-keyed aggregate (map-side partial) is
+# the only data-sized exchange; the fold runs over the calendar-sized
+# series per type on one task. SSE accumulates squared cents — fine
+# to ~1e18; past that, rescale the series before folding.
+# --------------------------------------------------------------------------
+
+_HW_CENTS = "CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT)"
+
+
+def _hw_update(alpha_lit: str, beta_lit: str, x: str, l: str, b: str, e: str):
+    """The shared Holt update expressions over a previous state
+    (``l``/``b``/``e``) and a new observation ``x`` — returned as
+    (lnew, bnew, enew) strings built from the IDENTICAL IEEE tree on
+    both engines. bnew re-derives lnew inline; with no accumulator
+    aliasing in sight both engines evaluate the same value tree."""
+    pred = f"({l} + {b})"
+    lnew = f"({alpha_lit} * {x} + (CAST(1 AS DOUBLE) - {alpha_lit}) * {pred})"
+    bnew = (
+        f"({beta_lit} * ({lnew} - {l})"
+        f" + (CAST(1 AS DOUBLE) - {beta_lit}) * {b})"
+    )
+    enew = f"({e} + ({x} - {pred}) * ({x} - {pred}))"
+    return lnew, bnew, enew
+
+
+def _q212_oracle() -> str:
+    # The natural DuckDB form — list_reduce with a struct accumulator —
+    # is NOT usable: DuckDB 1.0.0 reuses the accumulator buffer from
+    # the second application onward, so later struct_pack fields read
+    # PARTIALLY UPDATED acc fields (probed: a (x, l, b, e) Holt fold
+    # matches a scalar reference for k<=2 and diverges at k=3 by
+    # exactly the value predicted by in-place field mutation; scalar
+    # accumulators — q182/q204/q209 — are immune). The oracle therefore
+    # runs the recursion as a recursive CTE over plain scalar columns,
+    # one row per (event_type, step).
+    from .llm import _dlit
+
+    a, b = _dlit(0.2, "pow"), _dlit(0.1, "pow")
+    lnew, bnew, enew = _hw_update(
+        a, b, "CAST(i.c AS DOUBLE)", "f.l", "f.b", "f.e"
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_HW_CENTS} AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+    fit AS (
+      SELECT event_type, 1 AS k, CAST(c AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS e
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT f.event_type, f.k + 1, {lnew}, {bnew}, {enew}
+      FROM fit f JOIN idx i
+        ON i.event_type = f.event_type AND i.rn = f.k + 1
+    )
+    SELECT f.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(floor(f.l) AS BIGINT) AS level_cents,
+           CAST(floor(1000.0 * f.b) AS BIGINT) AS trend_milli,
+           CAST(floor(f.l + CAST(7 AS DOUBLE) * f.b) AS BIGINT)
+             AS forecast7_cents,
+           CAST(floor(f.e) AS BIGINT) AS sse_cents2
+    FROM fit f JOIN nd ON nd.event_type = f.event_type
+    WHERE f.k = nd.n_days
+    ORDER BY f.event_type
+    """
+
+
+@query(
+    "q212_holt_trend",
+    oracle=_q212_oracle(),
+    category="events",
+    doc="Holt level+trend smoothing per event type, ordered-fold exact",
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import _dlit
+
+    a, b = _dlit(0.2, "power"), _dlit(0.1, "power")
+    lnew, bnew, enew = _hw_update(a, b, "v.x", "acc.l", "acc.b", "acc.e")
+    upd = f"named_struct('x', v.x, 'l', {lnew}, 'b', {bnew}, 'e', {enew})"
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("event_type", F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(F.expr(_HW_CENTS).alias("c"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr(
+            "sort_array(collect_list(struct(day, "
+            "CAST(c AS DOUBLE) AS x, CAST(c AS DOUBLE) AS l, "
+            "CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS e)))"
+        ).alias("xs0"),
+    )
+    # strip the day sort key so the fold elements match the oracle's
+    # (x, l, b, e) shape exactly
+    fit = arr.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "transform(xs0, s -> named_struct('x', s.x, 'l', s.l, 'b', s.b, 'e', s.e))"
+        ).alias("xs"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.expr(
+            f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+            f"(acc, v) -> {upd})"
+        ).alias("f"),
+    )
+    return fit.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr("CAST(floor(f.l) AS BIGINT)").alias("level_cents"),
+        F.expr("CAST(floor(1000.0 * f.b) AS BIGINT)").alias("trend_milli"),
+        F.expr(
+            "CAST(floor(f.l + CAST(7 AS DOUBLE) * f.b) AS BIGINT)"
+        ).alias("forecast7_cents"),
+        F.expr("CAST(floor(f.e) AS BIGINT)").alias("sse_cents2"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q213 — day-of-week seasonal index per event type: the mean daily
+# value on each ISO weekday relative to the type's overall daily mean,
+# in floored micros. Pure rational arithmetic via integer
+# cross-multiplication — (s_dow / n_dow) / (s_all / n_all) =
+# (s_dow * n_all) / (n_dow * s_all) — so no float reduction exists at
+# all, only one exact double division per output row.
+#
+# 100 TB shape: one (type, day)-keyed aggregate (the only data-sized
+# exchange, shared shape with q212), then dimension-sized rollups.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q213_dow_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_HW_CENTS} AS c
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, isodow(day) AS dow, count(*) AS n_dow,
+             CAST(sum(c) AS BIGINT) AS s_dow
+      FROM daily GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(c) AS BIGINT) AS s_all
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(n_dow AS BIGINT) AS n_days,
+           CAST(floor(1000000.0 * (CAST(s_dow * n_all AS DOUBLE)
+                / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT) AS idx_micros
+    FROM d JOIN o USING (event_type)
+    ORDER BY event_type, dow
+    """,
+    category="events",
+    doc="ISO-weekday seasonal index per event type, cross-multiplied exact",
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("event_type", F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(F.expr(_HW_CENTS).alias("c"))
+    )
+    d = daily.groupBy("event_type", F.expr("weekday(day) + 1").alias("dow")).agg(
+        F.count("*").alias("n_dow"), F.sum("c").alias("s_dow")
+    )
+    o = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_all"), F.sum("c").alias("s_all")
+    )
+    return (
+        d.join(F.broadcast(o), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("n_dow").cast("bigint").alias("n_days"),
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(s_dow * n_all AS DOUBLE)"
+                " / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT)"
+            ).alias("idx_micros"),
+        )
+        .orderBy("event_type", "dow")
+    )

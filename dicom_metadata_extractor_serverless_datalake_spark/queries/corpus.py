@@ -123,6 +123,8 @@ _PRIORITY = [
     "q209_kaplan_meier",
     "q210_gini_concentration",
     "q211_stream_attribution",
+    "q212_holt_trend",
+    "q213_dow_seasonality",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",
