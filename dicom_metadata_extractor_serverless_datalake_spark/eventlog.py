@@ -406,3 +406,88 @@ class EventLog:
                 f"CAST(1 AS DOUBLE), (acc, x) -> acc * {term})) AS BIGINT)"
             ).alias("surv_micros"),
         )
+
+    # ---- forecast readouts (q212 / q213) ----
+
+    def _daily_cents(self, value_col: str = "value") -> DataFrame:
+        """Exact daily value totals per event type (integer cents)."""
+        return self.df.groupBy(
+            self.type_col, F.expr(f"CAST({self.ts_col} AS DATE)").alias("day")
+        ).agg(
+            F.expr(
+                f"CAST(SUM(CAST(CAST({value_col} AS DECIMAL(28,2)) * 100"
+                f" AS BIGINT)) AS BIGINT)"
+            ).alias("c")
+        )
+
+    def holt_trend(
+        self, alpha: float = 0.2, beta: float = 0.1, horizon: int = 7
+    ) -> DataFrame:
+        """Holt double-exponential smoothing per event type over the
+        daily value series (q212's shape): final level, trend,
+        ``horizon``-day forecast and one-step-ahead SSE, computed as an
+        ordered struct fold (bit-deterministic under any
+        partitioning). Returns (type, n_days, level_cents,
+        trend_milli, forecast7_cents, sse_cents2)."""
+        from .queries.behavior import _hw_update
+        from .queries.llm import _dlit
+
+        a, b = _dlit(alpha, "power"), _dlit(beta, "power")
+        lnew, bnew, enew = _hw_update(a, b, "v.x", "acc.l", "acc.b", "acc.e")
+        upd = f"named_struct('x', v.x, 'l', {lnew}, 'b', {bnew}, 'e', {enew})"
+        arr = self._daily_cents().groupBy(self.type_col).agg(
+            F.count("*").alias("n_days"),
+            F.expr(
+                "sort_array(collect_list(struct(day, "
+                "CAST(c AS DOUBLE) AS x, CAST(c AS DOUBLE) AS l, "
+                "CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS e)))"
+            ).alias("xs0"),
+        )
+        fit = arr.select(
+            self.type_col,
+            "n_days",
+            F.expr(
+                "transform(xs0, s -> "
+                "named_struct('x', s.x, 'l', s.l, 'b', s.b, 'e', s.e))"
+            ).alias("xs"),
+        ).select(
+            self.type_col,
+            "n_days",
+            F.expr(
+                f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+                f"(acc, v) -> {upd})"
+            ).alias("f"),
+        )
+        return fit.select(
+            self.type_col,
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.expr("CAST(floor(f.l) AS BIGINT)").alias("level_cents"),
+            F.expr("CAST(floor(1000.0 * f.b) AS BIGINT)").alias("trend_milli"),
+            F.expr(
+                f"CAST(floor(f.l + CAST({horizon} AS DOUBLE) * f.b) AS BIGINT)"
+            ).alias("forecast7_cents"),
+            F.expr("CAST(floor(f.e) AS BIGINT)").alias("sse_cents2"),
+        )
+
+    def seasonality(self) -> DataFrame:
+        """ISO-weekday seasonal index per event type (q213's shape):
+        mean daily value on each weekday relative to the type's
+        overall daily mean, floored micros via exact integer
+        cross-multiplication. Returns (type, dow, n_days,
+        idx_micros)."""
+        daily = self._daily_cents()
+        d = daily.groupBy(
+            self.type_col, F.expr("weekday(day) + 1").alias("dow")
+        ).agg(F.count("*").alias("n_dow"), F.sum("c").alias("s_dow"))
+        o = daily.groupBy(self.type_col).agg(
+            F.count("*").alias("n_all"), F.sum("c").alias("s_all")
+        )
+        return d.join(F.broadcast(o), self.type_col).select(
+            self.type_col,
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("n_dow").cast("bigint").alias("n_days"),
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(s_dow * n_all AS DOUBLE)"
+                " / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT)"
+            ).alias("idx_micros"),
+        )

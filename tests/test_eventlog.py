@@ -157,3 +157,33 @@ def test_survival_monotone_and_bounded(spark, events):
         last = r.surv_micros
         # everyone whose lifetime ends at t was still at risk at t
         assert r.n_risk >= r.d_events + r.c_censored
+
+
+def test_holt_trend_matches_q212(spark, events):
+    got = sorted(tuple(r) for r in EventLog(events).holt_trend().collect())
+    want = sorted(
+        tuple(r) for r in QUERIES["q212_holt_trend"].spark_fn(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_seasonality_matches_q213(spark, events):
+    got = sorted(tuple(r) for r in EventLog(events).seasonality().collect())
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["q213_dow_seasonality"].spark_fn(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_seasonality_indices_center_on_one(spark, events):
+    # day-count-weighted mean of the per-dow indices is ~1 (floored micros)
+    rows = EventLog(events).seasonality().collect()
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0])
+    for r in rows:
+        acc[r.event_type][0] += r.idx_micros * r.n_days
+        acc[r.event_type][1] += r.n_days
+    for s, n in acc.values():
+        assert abs(s / n - 1_000_000) < 10  # floor error only
