@@ -242,3 +242,46 @@ def test_priority_rotation_is_exact():
     dupes = [n for n in set(corpus._PRIORITY) if corpus._PRIORITY.count(n) > 1]
     assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
     assert len(list(corpus.QUERIES)) == len(set(corpus.QUERIES))
+
+
+def test_duckdb_list_reduce_struct_acc_hazard_documented():
+    """DuckDB 1.0.0 reuses the struct accumulator buffer from the
+    second list_reduce application onward, so later struct_pack fields
+    read PARTIALLY UPDATED acc fields (queries/behavior.py — the
+    reason q212's oracle is a recursive CTE, and the reason corpus
+    oracles must keep float folds to SCALAR accumulators). This probe
+    pins the behavior: if a DuckDB upgrade fixes it, this test fails
+    and the q212 oracle may be simplified back to a struct fold."""
+    import duckdb
+
+    # Holt-style chained fold where field b reads acc.l; scalar
+    # reference value for the 3-element series below:
+    #   step2: l=403301.8, b=-108.32...; step3 CORRECT b=-2364.1096
+    #   under in-place mutation step3 b=-1910.78528 (acc.l already new)
+    got = duckdb.sql(
+        """
+        SELECT list_reduce(
+          [struct_pack(x := CAST(404385 AS DOUBLE), l := CAST(404385 AS DOUBLE),
+                       b := CAST(0 AS DOUBLE)),
+           struct_pack(x := CAST(398969 AS DOUBLE), l := CAST(398969 AS DOUBLE),
+                       b := CAST(0 AS DOUBLE)),
+           struct_pack(x := CAST(290404 AS DOUBLE), l := CAST(290404 AS DOUBLE),
+                       b := CAST(0 AS DOUBLE))],
+          (acc, v) -> struct_pack(
+            x := v.x,
+            l := 0.2 * v.x + 0.8 * (acc.l + acc.b),
+            b := 0.1 * ((0.2 * v.x + 0.8 * (acc.l + acc.b)) - acc.l)
+                 + 0.9 * acc.b))
+        """
+    ).fetchone()[0]
+    correct_b = -2364.1096000000007
+    mutated_b = -1910.7852799999998
+    assert abs(got["b"] - mutated_b) < 1e-6 or abs(got["b"] - correct_b) < 1e-6
+    if abs(got["b"] - correct_b) < 1e-6:
+        import pytest
+
+        pytest.fail(
+            "DuckDB list_reduce struct-accumulator aliasing appears FIXED "
+            "in this DuckDB version — q212's recursive-CTE oracle can be "
+            "simplified; update queries/behavior.py and this probe."
+        )
