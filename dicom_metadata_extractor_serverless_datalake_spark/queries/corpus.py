@@ -29,6 +29,7 @@ from . import prep  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
 from . import mixture  # noqa: F401,E402
 from . import behavior  # noqa: F401,E402
+from . import privacy  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -125,6 +126,8 @@ _PRIORITY = [
     "q211_stream_attribution",
     "q212_holt_trend",
     "q213_dow_seasonality",
+    "q214_k_anonymity",
+    "q215_l_diversity",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",
