@@ -274,3 +274,35 @@ class DicomLake:
             .agg(F.count("*").alias("n"))
             .orderBy("change_type")
         )
+
+    def reid_risk(self, quasi_cols: list[str] | None = None, k: int = 5) -> DataFrame:
+        """Re-identification risk audit of the lake (q214's shape):
+        equivalence-class size histogram over the quasi-identifier
+        columns that survive de-identification. Every record in a
+        class smaller than ``k`` is linkable by those attributes —
+        run this against :meth:`deidentified` output before sharing.
+        Defaults to the DICOM quasi-identifiers (modality, study_date);
+        pass the generalized columns you actually export. Returns
+        (class_size, n_classes, n_records, at_risk, share_micros)."""
+        cols = quasi_cols or ["modality", "study_date"]
+        qi = self.df().groupBy(*cols).agg(F.count("*").alias("class_size"))
+        tot = qi.agg(F.sum("class_size").alias("n"))
+        return (
+            qi.crossJoin(F.broadcast(tot))
+            .groupBy("class_size", (F.col("class_size") < k).alias("at_risk"), "n")
+            .agg(
+                F.count("*").alias("n_classes"),
+                F.sum("class_size").alias("n_records"),
+            )
+            .select(
+                "class_size",
+                "n_classes",
+                "n_records",
+                "at_risk",
+                F.expr(
+                    "CAST(floor(1000000.0 * (CAST(n_records AS DOUBLE)"
+                    " / CAST(n AS DOUBLE))) AS BIGINT)"
+                ).alias("share_micros"),
+            )
+            .orderBy("class_size")
+        )

@@ -216,3 +216,28 @@ def test_lake_reconcile_replay_converges(spark, tmp_path):
     partial = b.df().filter(F.col("sop_instance_uid") != uid)
     summ2 = {r.change_type: r.n for r in a.reconcile(partial).collect()}
     assert summ2 == {"removed": 1, "unchanged": n - 1}
+
+
+def test_lake_reid_risk_audit(spark, tmp_path_factory):
+    """reid_risk: class sizes partition the lake exactly, at_risk splits
+    at k, and every record of a k=1 audit is its own class."""
+    from dicom_metadata_extractor_serverless_datalake_spark import DicomLake
+
+    from fixtures import write_fixture_tree
+
+    root = tmp_path_factory.mktemp("rr_in")
+    write_fixture_tree(root)
+    out = tmp_path_factory.mktemp("rr_out")
+    lake = DicomLake(spark, str(out / "lake"), quarantine_path=str(out / "quar"))
+    lake.ingest(str(root))
+    total = lake.df().count()
+
+    hist = lake.reid_risk(k=5).collect()
+    assert sum(r.n_records for r in hist) == total
+    assert all(r.n_records == r.class_size * r.n_classes for r in hist)
+    assert all(r.at_risk == (r.class_size < 5) for r in hist)
+    assert abs(sum(r.share_micros for r in hist) - 1_000_000) <= len(hist)
+
+    # finest quasi-identifier: every row its own class -> nothing at k=1
+    fine = lake.reid_risk(quasi_cols=["source_s3_key"], k=1).collect()
+    assert all(not r.at_risk for r in fine)
