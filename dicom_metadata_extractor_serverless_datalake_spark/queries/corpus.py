@@ -30,6 +30,7 @@ from . import quality  # noqa: F401,E402
 from . import mixture  # noqa: F401,E402
 from . import behavior  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402
+from . import evals  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -128,6 +129,10 @@ _PRIORITY = [
     "q213_dow_seasonality",
     "q214_k_anonymity",
     "q215_l_diversity",
+    "q216_matryoshka_audit",
+    "q217_brier_decomposition",
+    "q218_cumulative_gains",
+    "q219_conformal_coverage",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",
