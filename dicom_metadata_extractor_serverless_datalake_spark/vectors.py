@@ -280,3 +280,45 @@ class EmbeddingSet:
             )
             .alias("ndcg"),
         ).orderBy("q_id")
+
+    def truncation_audit(self, head_dims: int = 32) -> DataFrame:
+        """Matryoshka truncation audit (q216's shape): per label, the
+        distribution of the head-energy share — algebraically the
+        squared cosine between each vector and its first-``head_dims``
+        truncation — in floored micros. Map-side per-row array folds;
+        the only aggregate is |labels|-sized. Requires label_col."""
+        lab = self._require_label("truncation_audit")
+        sq = "(a, b) -> a + b"
+        v = self.df.select(
+            F.col(lab).alias("label"),
+            F.expr(
+                f"aggregate(transform(slice({self.vec_col}, 1, {head_dims}), "
+                f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), {sq})"
+            ).alias("eh"),
+            F.expr(
+                f"aggregate(transform({self.vec_col}, "
+                f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), {sq})"
+            ).alias("ef"),
+        )
+        m = v.filter(F.col("ef") > 0).select(
+            "label",
+            F.expr("CAST(floor(1000000.0 * (eh / ef)) AS BIGINT)").alias("share"),
+        )
+        return (
+            m.groupBy("label")
+            .agg(
+                F.count("*").alias("n_vectors"),
+                F.sum("share").alias("_s"),
+                F.min("share").alias("min_share_micros"),
+                F.max("share").alias("max_share_micros"),
+            )
+            .select(
+                "label",
+                "n_vectors",
+                F.expr("_s div n_vectors").alias("avg_share_micros"),
+                "min_share_micros",
+                "max_share_micros",
+            )
+        )

@@ -78,3 +78,32 @@ def test_retrieval_quality_pins_to_q184(spark, emb):
         map(tuple, QUERIES["q184_ndcg_exact"].spark_fn(spark, "/root/testdata/sf0.01").collect())
     )
     assert got == want
+
+
+def test_truncation_audit_matches_q216(spark, emb):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    got = sorted(
+        tuple(r)
+        for r in EmbeddingSet(emb, label_col="label").truncation_audit().collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["q216_matryoshka_audit"].spark_fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_truncation_audit_full_head_is_total(spark, emb):
+    # head_dims = full dimension -> share is exactly 1.0 for every label
+    rows = EmbeddingSet(emb, label_col="label").truncation_audit(
+        head_dims=64
+    ).collect()
+    assert rows and all(
+        r.avg_share_micros == 1_000_000
+        and r.min_share_micros == 1_000_000
+        and r.max_share_micros == 1_000_000
+        for r in rows
+    )
