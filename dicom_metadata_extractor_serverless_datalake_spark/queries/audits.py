@@ -1,0 +1,333 @@
+"""Round-6 batch 7: estimator-calibration & privacy-completion audits
+(q220-q221).
+
+- q220 is the MinHash estimator calibration: for every q52 LSH
+  candidate pair, the signature-agreement Jaccard ESTIMATE (matching
+  components / 16) side by side with the EXACT shingle-set Jaccard
+  and the absolute error. This is the readout that justifies
+  `TextCorpus.dedup_near(verify='estimate')` — the 10x-cheaper verify
+  mode is only safe if the estimator's error distribution is tight at
+  the decision threshold, and that distribution is exactly what this
+  query measures on live data. Both quantities are rationals floored
+  to micros; the estimate reuses q52's EXACT permutation algebra
+  (queries/llm.py PERM_A/PERM_B), so the oracle replays it verbatim.
+- q221 is the t-closeness audit (Li, Li & Venkatasubramanian 2007),
+  completing the privacy trio with q214 (k-anonymity) and q215
+  (l-diversity): per quasi-identifier class, the Earth Mover's
+  Distance between the class's distribution of an ORDERED sensitive
+  attribute (order priority, ordinal 1..5) and the global
+  distribution — equal to the mean |cumulative-share difference| over
+  the m-1 interior domain boundaries. Every term is an exact
+  cross-multiplied rational floored to micros before the integer sum,
+  so the readout is bit-portable. A class can pass k and l yet sit
+  far from the global distribution (attribute disclosure); this is
+  the query that finds those classes.
+
+The reference delegates all analytics to Athena
+(/root/reference/src/app.py:97-189). Exactness conventions as in
+quality.py/mixture.py.
+
+100 TB shapes: q220 = q52's banding (the corpus's flagship dedup
+shape) + two hash-keyed joins confined to CANDIDATES, never all
+pairs; q221 = one (QI, sensitive)-keyed count aggregate, then
+dimension-sized grids (|classes| x 5 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import query, t
+from .llm import (
+    MERSENNE_P,
+    NUM_PERM,
+    PERM_A,
+    PERM_B,
+    _minhash_pairs_cte,
+    _SPARK_SHINGLES,
+    duck_h31,
+    spark_h31,
+)
+
+# --------------------------------------------------------------------------
+# q220 — MinHash estimate vs exact Jaccard on the q52 candidate pairs.
+# --------------------------------------------------------------------------
+
+
+def _q220_oracle() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    return (
+        _minhash_pairs_cte()
+        + f""",
+    sizes AS (SELECT doc_id, CAST(count(DISTINCT hs) AS BIGINT) AS n
+              FROM h GROUP BY 1),
+    shared AS (
+      SELECT p.d1, p.d2, CAST(count(DISTINCT ha.hs) AS BIGINT) AS both_n
+      FROM pairs p
+      JOIN h ha ON ha.doc_id = p.d1
+      JOIN h hb ON hb.doc_id = p.d2 AND hb.hs = ha.hs
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.d1, p.d2, CAST({matches} AS BIGINT) AS matches
+      FROM pairs p
+      JOIN mh a ON a.doc_id = p.d1
+      JOIN mh b ON b.doc_id = p.d2
+    ),
+    m AS (
+      SELECT e.d1, e.d2,
+             CAST(floor(1000000.0 * (CAST(e.matches AS DOUBLE)
+                  / CAST({NUM_PERM} AS DOUBLE))) AS BIGINT) AS est_micros,
+             CAST(floor(1000000.0 * (CAST(s.both_n AS DOUBLE)
+                  / CAST(na.n + nb.n - s.both_n AS DOUBLE))) AS BIGINT)
+               AS exact_micros
+      FROM est e
+      JOIN shared s ON s.d1 = e.d1 AND s.d2 = e.d2
+      JOIN sizes na ON na.doc_id = e.d1
+      JOIN sizes nb ON nb.doc_id = e.d2
+    )
+    SELECT d1, d2, est_micros, exact_micros,
+           abs(est_micros - exact_micros) AS abs_err_micros
+    FROM m ORDER BY d1, d2
+    """
+    )
+
+
+@query(
+    "q220_minhash_calibration",
+    oracle=_q220_oracle(),
+    category="dedup",
+    doc="signature-agreement estimate vs exact Jaccard on LSH candidates",
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    tok = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    )
+    h = tok.select("doc_id", F.expr(spark_h31("s")).alias("hs")).distinct()
+    mh = h.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(PERM_A[i]) * F.col("hs") + F.lit(PERM_B[i])) % MERSENNE_P
+            ).alias(f"m{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+    from .llm import _minhash_band_pairs
+
+    pairs = _minhash_band_pairs(spark, sf)
+    sizes = h.groupBy("doc_id").agg(F.countDistinct("hs").alias("n"))
+    shared = (
+        pairs.join(h.alias("ha"), F.col("ha.doc_id") == F.col("d1"))
+        .join(
+            h.alias("hb"),
+            (F.col("hb.doc_id") == F.col("d2"))
+            & (F.col("hb.hs") == F.col("ha.hs")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.countDistinct("ha.hs").alias("both_n"))
+    )
+    matches = " + ".join(
+        f"(CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    a = mh.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(NUM_PERM)],
+    )
+    b = mh.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(NUM_PERM)],
+    )
+    est = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select("d1", "d2", F.expr(f"CAST({matches} AS BIGINT)").alias("matches"))
+    )
+    m = (
+        est.join(shared, ["d1", "d2"])
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.expr(
+                f"CAST(floor(1000000.0 * (CAST(matches AS DOUBLE)"
+                f" / CAST({NUM_PERM} AS DOUBLE))) AS BIGINT)"
+            ).alias("est_micros"),
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(both_n AS DOUBLE)"
+                " / CAST(na + nb - both_n AS DOUBLE))) AS BIGINT)"
+            ).alias("exact_micros"),
+        )
+    )
+    return m.select(
+        "d1",
+        "d2",
+        "est_micros",
+        "exact_micros",
+        F.expr("abs(est_micros - exact_micros)").alias("abs_err_micros"),
+    ).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+# q221 — t-closeness: per QI class, EMD between the class's ordinal
+# sensitive distribution and the global one. With shares p_k (class)
+# and q_k (global) over the ordered domain 1..m, EMD = (1/(m-1)) *
+# sum over interior boundaries of |P_k - Q_k| where P/Q are cumulative
+# shares. Per-boundary term: |cum_c * N - cum_g * n_c| / (n_c * N) —
+# exact integers cross-multiplied, floored to micros, integer-summed,
+# divided by (m-1) via integer div.
+# --------------------------------------------------------------------------
+
+_BAL_BAND = "CAST(CAST(c_acctbal AS DECIMAL(28,2)) * 100 AS BIGINT) div 100000"
+_BAL_BAND_DUCK = "CAST(CAST(c_acctbal AS DECIMAL(28,2)) * 100 AS BIGINT) // 100000"
+_SENS_ORD = "CAST(substr(o_orderpriority, 1, 1) AS BIGINT)"
+
+
+@query(
+    "q221_t_closeness",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, {_BAL_BAND_DUCK} AS bal_band
+      FROM customer
+    ),
+    rows_ AS (
+      SELECT qi.c_nationkey, qi.c_mktsegment, qi.bal_band,
+             {_SENS_ORD} AS sens
+      FROM qi JOIN orders o ON o.o_custkey = qi.c_custkey
+    ),
+    cs AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, sens,
+             CAST(count(*) AS BIGINT) AS c
+      FROM rows_ GROUP BY 1, 2, 3, 4
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, CAST(sum(c) AS BIGINT) AS nc
+      FROM cs GROUP BY 1, 2, 3
+    ),
+    gl AS (SELECT sens, CAST(sum(c) AS BIGINT) AS g FROM cs GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cs),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_band, cls.nc,
+             gl.sens, gl.g, COALESCE(cs.c, 0) AS c
+      FROM cls CROSS JOIN gl
+      LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+                  AND cs.c_mktsegment = cls.c_mktsegment
+                  AND cs.bal_band = cls.bal_band
+                  AND cs.sens = gl.sens
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, nc, sens,
+             SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                          ORDER BY sens ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(g) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                          ORDER BY sens ROWS UNBOUNDED PRECEDING) AS cum_g
+      FROM grid
+    ),
+    terms AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, nc,
+             CAST(floor(1000000.0 * (CAST(abs(cum_c * n - cum_g * nc) AS DOUBLE)
+                  / (CAST(nc AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS term
+      FROM cum CROSS JOIN nt
+      WHERE sens < (SELECT max(sens) FROM gl)
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, nc AS n_rows,
+           CAST(sum(term) // ((SELECT count(*) FROM gl) - 1) AS BIGINT)
+             AS t_micros
+    FROM terms GROUP BY 1, 2, 3, 4
+    ORDER BY t_micros DESC, c_nationkey, c_mktsegment, bal_band
+    LIMIT 20
+    """,
+    category="privacy",
+    doc="t-closeness EMD of ordinal sensitive attribute per QI class",
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    qi = t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(_BAL_BAND).alias("bal_band"),
+    )
+    rows_ = (
+        t(spark, sf, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.expr(_SENS_ORD).alias("sens"),
+        )
+        .join(qi, "c_custkey")
+    )
+    cs = rows_.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sens").agg(
+        F.count("*").alias("c")
+    )
+    cls = cs.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.sum("c").alias("nc")
+    )
+    gl = cs.groupBy("sens").agg(F.sum("c").alias("g"))
+    nt = cs.agg(F.sum("c").alias("n"))
+    m_sens = gl.agg(
+        F.max("sens").alias("max_sens"), F.count("*").alias("m")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gl))
+        .join(cs, ["c_nationkey", "c_mktsegment", "bal_band", "sens"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "nc",
+            "sens",
+            "g",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "nc",
+        "sens",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("g").over(w).alias("cum_g"),
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(m_sens))
+        .filter(F.col("sens") < F.col("max_sens"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "nc",
+            "m",
+            F.expr(
+                "CAST(floor(1000000.0 * (CAST(abs(cum_c * n - cum_g * nc) AS DOUBLE)"
+                " / (CAST(nc AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment", "bal_band", "nc", "m")
+        .agg(F.sum("term").alias("_t"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            F.col("nc").alias("n_rows"),
+            F.expr("_t div (m - 1)").alias("t_micros"),
+        )
+        .orderBy(
+            F.col("t_micros").desc(), "c_nationkey", "c_mktsegment", "bal_band"
+        )
+        .limit(20)
+    )

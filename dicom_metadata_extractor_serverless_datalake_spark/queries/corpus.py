@@ -31,6 +31,7 @@ from . import mixture  # noqa: F401,E402
 from . import behavior  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402
 from . import evals  # noqa: F401,E402
+from . import audits  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -133,6 +134,8 @@ _PRIORITY = [
     "q217_brier_decomposition",
     "q218_cumulative_gains",
     "q219_conformal_coverage",
+    "q220_minhash_calibration",
+    "q221_t_closeness",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",
