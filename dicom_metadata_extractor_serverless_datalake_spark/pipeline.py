@@ -893,3 +893,45 @@ class TextCorpus:
             .select(self.id_col)
         )
         return self._with(self.df.join(sel, self.id_col, "semi"))
+
+    def neardup_calibration(self, hash_fn: str = "portable") -> DataFrame:
+        """MinHash estimator calibration (q220's shape): for every LSH
+        candidate pair of this corpus, the signature-agreement Jaccard
+        ESTIMATE next to the EXACT shingle Jaccard, both in floored
+        micros, with the absolute error. Run this before switching
+        :meth:`dedup_near` to ``verify='estimate'`` — the cheap mode is
+        safe exactly when this readout's error is tight around your
+        threshold. Returns (d1, d2, est_micros, exact_micros,
+        abs_err_micros)."""
+        from .operators.dedup import (
+            estimate_verify,
+            jaccard_verify,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingle_tokens,
+        )
+
+        tok = shingle_tokens(self.df, self.id_col, self.text_col)
+        sigs = minhash_signatures(tok, self.id_col, hash_fn).persist()
+        cands = lsh_candidate_pairs(sigs, self.id_col)
+        est = estimate_verify(cands, sigs, 0.0, self.id_col).select(
+            "d1",
+            "d2",
+            F.expr("CAST(floor(1000000.0 * jaccard) AS BIGINT)").alias(
+                "est_micros"
+            ),
+        )
+        ex = jaccard_verify(cands, tok, 0.0, self.id_col).select(
+            "d1",
+            "d2",
+            F.expr("CAST(floor(1000000.0 * jaccard) AS BIGINT)").alias(
+                "exact_micros"
+            ),
+        )
+        return est.join(ex, ["d1", "d2"]).select(
+            "d1",
+            "d2",
+            "est_micros",
+            "exact_micros",
+            F.expr("abs(est_micros - exact_micros)").alias("abs_err_micros"),
+        )

@@ -559,3 +559,27 @@ def test_take_token_budget_respects_budget(spark, docs):
     assert sorted(r.doc_id for r in sel.select("doc_id").collect()) == sorted(
         r.doc_id for r in again.select("doc_id").collect()
     )
+
+
+def test_neardup_calibration_pins_to_q220(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    got = sorted(
+        tuple(r) for r in TextCorpus(docs).neardup_calibration().collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["q220_minhash_calibration"].spark_fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_neardup_calibration_estimator_unbiased_enough(spark, docs):
+    # sanity on the readout itself: the 16-perm estimator's mean abs
+    # error over candidates stays under 2 sigma of a mid-range J
+    rows = TextCorpus(docs).neardup_calibration().collect()
+    assert rows
+    mean_err = sum(r.abs_err_micros for r in rows) / len(rows)
+    assert mean_err < 250_000  # 2 * sqrt(0.25/16) = 0.25
