@@ -569,10 +569,23 @@ _MW_VAR = (
     " - CAST(tie_term AS DOUBLE)"
     " / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))"
 )
+# degenerate-design guards (the q158 precedent, caught by the
+# adversarial all-ties case in tests/test_stats_reference.py): with
+# fewer than 2 pooled observations the variance itself divides by
+# zero, and when every value ties across both groups the variance is
+# exactly 0 and z divides by zero — NULL is the honest readout, and
+# under ANSI mode anything else is a crash.
+_MW_VAR_M = (
+    f"CASE WHEN n1 + n2 > 1 "
+    f"THEN CAST(floor(1000000.0 * ({_MW_VAR})) AS BIGINT) "
+    f"ELSE CAST(NULL AS BIGINT) END"
+)
 _MW_Z = (
-    "CAST(floor(1000000.0 * ((CAST(u1_x2 AS DOUBLE)"
+    f"CASE WHEN n1 + n2 > 1 AND {_MW_VAR} > CAST(0 AS DOUBLE) "
+    "THEN CAST(floor(1000000.0 * ((CAST(u1_x2 AS DOUBLE)"
     " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
-    f" / (2.0 * sqrt({_MW_VAR})))) AS BIGINT)"
+    f" / (2.0 * sqrt({_MW_VAR})))) AS BIGINT) "
+    "ELSE CAST(NULL AS BIGINT) END"
 )
 
 
@@ -603,7 +616,7 @@ _MW_Z = (
     ),
     u AS (SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_term FROM s)
     SELECT n1, n2, u1_x2, tie_term,
-           CAST(floor(1000000.0 * ({_MW_VAR})) AS BIGINT) AS var_micros,
+           {_MW_VAR_M} AS var_micros,
            {_MW_Z} AS z_micros
     FROM u
     """,
@@ -646,6 +659,6 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
         "n2",
         "u1_x2",
         "tie_term",
-        F.expr(f"CAST(floor(1000000.0 * ({_MW_VAR})) AS BIGINT)").alias("var_micros"),
+        F.expr(_MW_VAR_M).alias("var_micros"),
         F.expr(_MW_Z).alias("z_micros"),
     )
