@@ -313,9 +313,14 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
 # unchanged either way.
 # --------------------------------------------------------------------------
 
+# s = 0 (a source whose every document has zero mass) would divide by
+# 0.0, which Spark ANSI raises on even for doubles — Gini is undefined
+# there, so NULL
 _GINI = (
+    "CASE WHEN s > 0 THEN "
     "CAST(floor(1000000.0 * (CAST(a - (n + 1) * s AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)))) AS BIGINT)"
+    " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)))) AS BIGINT) "
+    "ELSE CAST(NULL AS BIGINT) END"
 )
 
 
@@ -547,8 +552,10 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT d.event_type, CAST(dow AS BIGINT) AS dow,
            CAST(n_dow AS BIGINT) AS n_days,
-           CAST(floor(1000000.0 * (CAST(s_dow * n_all AS DOUBLE)
-                / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT) AS idx_micros
+           CASE WHEN s_all <> 0 THEN
+             CAST(floor(1000000.0 * (CAST(s_dow * n_all AS DOUBLE)
+                  / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS idx_micros
     FROM d JOIN o USING (event_type)
     ORDER BY event_type, dow
     """,
@@ -574,8 +581,10 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
             F.col("dow").cast("bigint").alias("dow"),
             F.col("n_dow").cast("bigint").alias("n_days"),
             F.expr(
+                "CASE WHEN s_all <> 0 THEN "
                 "CAST(floor(1000000.0 * (CAST(s_dow * n_all AS DOUBLE)"
-                " / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT)"
+                " / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT) "
+                "ELSE CAST(NULL AS BIGINT) END"
             ).alias("idx_micros"),
         )
         .orderBy("event_type", "dow")

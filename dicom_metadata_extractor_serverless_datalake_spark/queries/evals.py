@@ -251,9 +251,11 @@ _SPEND = (
     SELECT decile, n_users, converters, spend_cents,
            CAST(SUM(converters) OVER (ORDER BY decile
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_converters,
-           CAST(floor(1000000.0 * (CAST(SUM(converters) OVER (ORDER BY decile
-                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(ct AS DOUBLE)))
-                AS BIGINT) AS cum_gain_micros
+           CASE WHEN ct > 0 THEN
+             CAST(floor(1000000.0 * (CAST(SUM(converters) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(ct AS DOUBLE)))
+                  AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS cum_gain_micros
     FROM g CROSS JOIN tot
     ORDER BY decile
     """,
@@ -295,9 +297,11 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
             "spend_cents",
             F.sum("converters").over(w).alias("cum_converters"),
             F.expr(
+                "CASE WHEN ct > 0 THEN "
                 "CAST(floor(1000000.0 * (CAST(SUM(converters) OVER ("
                 "ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND"
-                " CURRENT ROW) AS DOUBLE) / CAST(ct AS DOUBLE))) AS BIGINT)"
+                " CURRENT ROW) AS DOUBLE) / CAST(ct AS DOUBLE))) AS BIGINT) "
+                "ELSE CAST(NULL AS BIGINT) END"
             ).alias("cum_gain_micros"),
         )
         .orderBy("decile")
@@ -355,11 +359,12 @@ _CENTS1 = "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)"
       GROUP BY 1, 2, 3, 4
     )
     SELECT q.event_type, q.n_cal, q.n_test, q.qhat_cents,
-           CAST(floor(1000000.0 * (CAST(
-             (SELECT sum(ns) FROM vd WHERE vd.event_type = q.event_type
-                                       AND vd.v <= q.qhat_cents)
-             AS DOUBLE) / CAST(q.n_test AS DOUBLE))) AS BIGINT)
-             AS coverage_micros
+           CASE WHEN q.n_test > 0 THEN
+             CAST(floor(1000000.0 * (CAST(
+               (SELECT sum(ns) FROM vd WHERE vd.event_type = q.event_type
+                                         AND vd.v <= q.qhat_cents)
+               AS DOUBLE) / CAST(q.n_test AS DOUBLE))) AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS coverage_micros
     FROM q ORDER BY q.event_type
     """,
     category="evals",
@@ -410,8 +415,10 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
             cov.select(
                 "event_type",
                 F.expr(
+                    "CASE WHEN n_test > 0 THEN "
                     "CAST(floor(1000000.0 * (CAST(covered AS DOUBLE)"
-                    " / CAST(n_test AS DOUBLE))) AS BIGINT)"
+                    " / CAST(n_test AS DOUBLE))) AS BIGINT) "
+                    "ELSE CAST(NULL AS BIGINT) END"
                 ).alias("coverage_micros"),
             ),
             "event_type",

@@ -292,9 +292,15 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DSIR_B = 4096
+# nt = 0 (no target slice at all) would divide 0.0/0.0, which Spark
+# ANSI raises on even for doubles (tests/test_stats_reference.py) —
+# NULL lean is the honest readout then. ns >= 1 holds whenever a pool
+# row exists, so only the target total needs the guard.
 _DSIR_W = (
+    "CASE WHEN nt > 0 THEN "
     "CAST(floor(1000000.0 * (CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)"
-    " - CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))) AS BIGINT)"
+    " - CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))) AS BIGINT) "
+    "ELSE CAST(NULL AS BIGINT) END"
 )
 
 
@@ -407,11 +413,14 @@ _MIX_BUDGET = 1_000_000_000
       FROM s
     )
     SELECT source, tok,
-           CAST(floor(1000000.0 * (sqrt(CAST(tok AS DOUBLE)) / tot)) AS BIGINT)
-             AS weight_micros,
-           CAST(floor(1000000.0 * ((sqrt(CAST(tok AS DOUBLE)) / tot)
+           CASE WHEN tot > 0 THEN
+             CAST(floor(1000000.0 * (sqrt(CAST(tok AS DOUBLE)) / tot)) AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS weight_micros,
+           CASE WHEN tot > 0 AND tok > 0 THEN
+             CAST(floor(1000000.0 * ((sqrt(CAST(tok AS DOUBLE)) / tot)
                 * (CAST({_MIX_BUDGET} AS DOUBLE) / CAST(tok AS DOUBLE))))
-             AS BIGINT) AS epochs_micros
+             AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS epochs_micros
     FROM s CROSS JOIN a ORDER BY source
     """,
     category="mixing",
@@ -441,12 +450,16 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
             "source",
             "tok",
             F.expr(
-                "CAST(floor(1000000.0 * (sqrt(CAST(tok AS DOUBLE)) / tot)) AS BIGINT)"
+                "CASE WHEN tot > 0 THEN "
+                "CAST(floor(1000000.0 * (sqrt(CAST(tok AS DOUBLE)) / tot)) AS BIGINT) "
+                "ELSE CAST(NULL AS BIGINT) END"
             ).alias("weight_micros"),
             F.expr(
+                f"CASE WHEN tot > 0 AND tok > 0 THEN "
                 f"CAST(floor(1000000.0 * ((sqrt(CAST(tok AS DOUBLE)) / tot)"
                 f" * (CAST({_MIX_BUDGET} AS DOUBLE) / CAST(tok AS DOUBLE))))"
-                f" AS BIGINT)"
+                f" AS BIGINT) "
+                f"ELSE CAST(NULL AS BIGINT) END"
             ).alias("epochs_micros"),
         )
         .orderBy("source")

@@ -213,3 +213,28 @@ def test_q212_matches_scalar_recursion(spark, tmp_path):
     assert r.trend_milli == math.floor(1000.0 * bb)
     assert r.forecast7_cents == math.floor(l + 7.0 * bb)
     assert r.sse_cents2 == math.floor(e)
+
+
+# ---- ANSI division-by-zero guards on degenerate slices ----
+
+
+def test_q210_zero_mass_source_yields_null_gini(spark, tmp_path):
+    rows = [(i, "t", "en", "srcZ", 0) for i in range(4)]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = QUERIES["q210_gini_concentration"].spark_fn(spark, sf).collect()
+    assert len(got) == 1 and got[0].total_chars == 0
+    assert got[0].gini_micros is None  # undefined, not a crash
+
+
+def test_q218_no_converters_yields_null_gains(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), i % 3, "view", float(i + 1), "{}")
+        for i in range(12)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = QUERIES["q218_cumulative_gains"].spark_fn(spark, sf).collect()
+    assert got and all(r.converters == 0 for r in got)
+    assert all(r.cum_gain_micros is None for r in got)
