@@ -487,7 +487,9 @@ class EventLog:
             F.col("dow").cast("bigint").alias("dow"),
             F.col("n_dow").cast("bigint").alias("n_days"),
             F.expr(
+                "CASE WHEN s_all <> 0 THEN "
                 "CAST(floor(1000000.0 * (CAST(s_dow * n_all AS DOUBLE)"
-                " / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT)"
+                " / CAST(n_dow * s_all AS DOUBLE))) AS BIGINT) "
+                "ELSE CAST(NULL AS BIGINT) END"
             ).alias("idx_micros"),
         )

@@ -848,13 +848,15 @@ class TextCorpus:
             by,
             "tok",
             F.expr(
+                "CASE WHEN tot > 0 THEN "
                 "CAST(floor(1000000.0 * (sqrt(CAST(tok AS DOUBLE)) / tot))"
-                " AS BIGINT)"
+                " AS BIGINT) ELSE CAST(NULL AS BIGINT) END"
             ).alias("weight_micros"),
             F.expr(
+                f"CASE WHEN tot > 0 AND tok > 0 THEN "
                 f"CAST(floor(1000000.0 * ((sqrt(CAST(tok AS DOUBLE)) / tot)"
                 f" * (CAST({budget} AS DOUBLE) / CAST(tok AS DOUBLE))))"
-                f" AS BIGINT)"
+                f" AS BIGINT) ELSE CAST(NULL AS BIGINT) END"
             ).alias("epochs_micros"),
         )
 
