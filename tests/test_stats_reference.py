@@ -238,3 +238,124 @@ def test_q218_no_converters_yields_null_gains(spark, tmp_path):
     got = QUERIES["q218_cumulative_gains"].spark_fn(spark, sf).collect()
     assert got and all(r.converters == 0 for r in got)
     assert all(r.cum_gain_micros is None for r in got)
+
+
+# ---- q201 bigram LM vs dictionary brute force ----
+
+
+def test_q201_matches_count_definition(spark, tmp_path):
+    texts = {
+        0: "a b a b c",          # bigrams: ab, ba, ab, bc
+        1: "a b",                # ab
+        2: "c c c",              # cc, cc
+        3: "solo",               # no bigram -> absent from output
+        4: "",                   # empty -> absent
+    }
+    rows = [(i, t_, "en", "s0", len(t_)) for i, t_ in texts.items()]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_micros, r.avg_micros, r.min_micros)
+        for r in QUERIES["q201_bigram_lm_score"].spark_fn(spark, sf).collect()
+    }
+    # corpus counts from the definition
+    from collections import Counter
+
+    bg, ctx = Counter(), Counter()
+    for t_ in texts.values():
+        ws = [w for w in t_.split(" ") if w]
+        for i in range(len(ws) - 1):
+            bg[(ws[i], ws[i + 1])] += 1
+            ctx[ws[i]] += 1
+    want = {}
+    for d, t_ in texts.items():
+        ws = [w for w in t_.split(" ") if w]
+        ms = [
+            math.floor(1_000_000 * (bg[(ws[i], ws[i + 1])] / ctx[ws[i]]))
+            for i in range(len(ws) - 1)
+        ]
+        if ms:
+            want[d] = (len(ms), sum(ms), sum(ms) // len(ms), min(ms))
+    assert got == want
+
+
+# ---- q207 Markov transitions vs sequence brute force ----
+
+
+def test_q207_matches_sequence_definition(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    journeys = {1: ["view", "click", "view"], 2: ["view", "view"], 3: ["click"]}
+    rows = []
+    eid = 0
+    for uid, seq in journeys.items():
+        for i, et in enumerate(seq):
+            rows.append((eid, base + dt.timedelta(minutes=i), uid, et, 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p_micros)
+        for r in QUERIES["q207_markov_transitions"].spark_fn(spark, sf).collect()
+    }
+    from collections import Counter
+
+    c = Counter()
+    for seq in journeys.values():
+        for a, b in zip(seq, seq[1:]):
+            c[(a, b)] += 1
+    row_n = Counter()
+    for (a, _), n in c.items():
+        row_n[a] += n
+    want = {
+        k: (n, math.floor(1_000_000 * n / row_n[k[0]])) for k, n in c.items()
+    }
+    assert got == want
+
+
+# ---- q208 attribution: no-preceding-touch edge ----
+
+
+def test_q208_unattributed_purchase_lands_in_none(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: purchase FIRST (no touch before), then view, then purchase
+        (0, base, 1, "purchase", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+        # user 2: click then purchase
+        (3, base, 2, "click", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=1), 2, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.channel: (r.last_touch_purchases, r.first_touch_purchases)
+        for r in QUERIES["q208_touch_attribution"].spark_fn(spark, sf).collect()
+    }
+    assert got == {"(none)": (1, 1), "view": (1, 1), "click": (1, 1)}
+
+
+# ---- q216 head-energy share vs brute force ----
+
+
+def test_q216_matches_energy_definition(spark, tmp_path):
+    vecs = {
+        0: [1.0] * 32 + [0.0] * 32,   # all energy in the head -> 1.0
+        1: [0.0] * 32 + [2.0] * 32,   # none in the head -> 0.0
+        2: [0.5] * 64,                # uniform -> 0.5
+        3: [0.0] * 64,                # zero vector -> excluded
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v], 7) for k, v in vecs.items()],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = QUERIES["q216_matryoshka_audit"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].label == 7
+    assert got[0].n_vectors == 3  # the zero vector is excluded
+    assert got[0].min_share_micros == 0
+    assert got[0].max_share_micros == 1_000_000
+    assert got[0].avg_share_micros == 1_500_000 // 3
