@@ -2251,3 +2251,95 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sd2").cast("bigint").alias("sum_d2"),
         (F.lit(1) - (F.col("sd2") * 6).cast("double") / denom).alias("spearman"),
     )
+
+
+# --------------------------------------------------------------------------
+# q222 — sequence-completeness audit (round 7): the DICOM
+# series-completeness question ("did every InstanceNumber of this
+# series make it into the lake?") over the star schema's only
+# per-group sequence, lineitem.l_linenumber. The reference's ingest
+# can drop members of a series silently (a failed object lands in the
+# DLQ, /root/reference/README.md:116 — the rest of the series still
+# ingests), so the lake-side audit is: WITHIN each order, after the
+# ingest-window filter, is the surviving linenumber set exactly
+# 1..n?  Verdicts: 'duplicated' (a sequence number twice — CDC replay),
+# 'offset_start' (1 missing — head of the series lost), 'gapped'
+# (holes inside the span), 'complete'. The filter is what makes the
+# audit non-trivial: a partially-shipped order IS the
+# partially-ingested series.
+#
+# 100 TB shape: one map-side-prunable scan filter, ONE keyed
+# aggregate on the group key (count/distinct/min/max partials), then
+# a |verdicts|-row rollup. Nothing after the first aggregate scales
+# with data; the distinct runs inside the same grouped aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q222_sequence_completeness",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n,
+             COUNT(DISTINCT l_linenumber) AS d,
+             MIN(l_linenumber) AS mn,
+             MAX(l_linenumber) AS mx
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_orderkey
+    ),
+    v AS (
+      SELECT l_orderkey, n, d, mn, mx,
+             mx - mn + 1 - d AS missing_in_span,
+             n - d AS dup_rows,
+             CASE WHEN d < n THEN 'duplicated'
+                  WHEN mn > 1 THEN 'offset_start'
+                  WHEN mx > n THEN 'gapped'
+                  ELSE 'complete' END AS verdict
+      FROM g
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(SUM(missing_in_span) AS BIGINT) AS total_missing_in_span,
+           CAST(SUM(dup_rows) AS BIGINT) AS total_dup_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM v GROUP BY verdict ORDER BY verdict
+    """,
+    category="analytics",
+    doc="Series-completeness audit: is each group's sequence exactly 1..n post-filter",
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("l_linenumber").alias("d"),
+            F.min("l_linenumber").alias("mn"),
+            F.max("l_linenumber").alias("mx"),
+        )
+    )
+    v = g.select(
+        "l_orderkey",
+        "n",
+        (F.col("mx") - F.col("mn") + 1 - F.col("d")).alias("missing_in_span"),
+        (F.col("n") - F.col("d")).alias("dup_rows"),
+        F.when(F.col("d") < F.col("n"), "duplicated")
+        .when(F.col("mn") > 1, "offset_start")
+        .when(F.col("mx") > F.col("n"), "gapped")
+        .otherwise("complete")
+        .alias("verdict"),
+    )
+    return (
+        v.groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n").alias("total_rows"),
+            F.sum("missing_in_span").alias("total_missing_in_span"),
+            F.sum("dup_rows").alias("total_dup_rows"),
+            F.sum("l_orderkey").alias("key_checksum"),
+        )
+        .orderBy("verdict")
+    )

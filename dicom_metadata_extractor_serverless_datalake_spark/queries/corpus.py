@@ -32,6 +32,8 @@ from . import behavior  # noqa: F401,E402
 from . import privacy  # noqa: F401,E402
 from . import evals  # noqa: F401,E402
 from . import audits  # noqa: F401,E402
+from . import inference  # noqa: F401,E402
+from . import selection  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
@@ -136,6 +138,15 @@ _PRIORITY = [
     "q219_conformal_coverage",
     "q220_minhash_calibration",
     "q221_t_closeness",
+    # round-7 additions — no driver row yet
+    "q222_sequence_completeness",
+    "q223_hard_negatives",
+    "q224_quality_classifier",
+    "q225_ppl_buckets",
+    "q226_welch_ttest",
+    "q227_kendall_tau",
+    "q228_ngram_novelty",
+    "q229_length_buckets",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

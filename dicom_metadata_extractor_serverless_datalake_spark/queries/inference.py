@@ -1,0 +1,345 @@
+"""Round-7 batch 1: classical-inference completions (q226-q227).
+
+Completes the corpus's two-sample / association test suite around
+Mann-Whitney U (q206), one-way ANOVA F (q198), the exact two-sample
+KS statistic (q199), chi-squared independence (q188) and Spearman
+rank correlation (q186) with the two readouts an analyst reaches for
+first:
+
+- q226 is Welch's unequal-variance t-test (Welch 1947) over order
+  values split by priority arm. Counts, sums and sums of squares are
+  exact integers (cents, cents-squared through the long-limb exact
+  sum, so the sufficient statistics are bit-identical under any
+  partitioning); the t statistic and the Welch-Satterthwaite degrees
+  of freedom are one identical IEEE +,-,*,/,sqrt tree on both
+  engines. Degenerate designs (an arm with < 2 orders, zero pooled
+  variance) yield NULL t/dof via the same CASE guard on both sides —
+  the q158/q206 precedent.
+- q227 is exact tie-corrected Kendall tau-b between order month and
+  priority rank. Naively tau is an all-pairs O(n^2) statistic; over a
+  (12 x 5) ordinal domain the concordant/discordant pair counts come
+  exactly from the joint contingency table: C and D are 2-D suffix /
+  prefix sums over the DENSIFIED 60-cell grid (two window passes over
+  domain-sized rows — absent cells must be materialized as zeros or
+  the suffix sums skip their mass), and the tie terms n1/n2 come from
+  the marginals by the arithmetic-series identity (the q210 pattern).
+  Everything is integer until the final (C-D)/(sqrt(n0-n1)*sqrt(n0-n2))
+  division.
+
+The reference delegates all analytics to Athena
+(/root/reference/src/app.py:97-189); these are the statistical-test
+rows of that delegated surface re-expressed Spark-first. Exactness
+conventions as in quality.py/mixture.py.
+
+100 TB shapes: q226 is ONE map-side-combinable conditional aggregate
+over the fact table (fixed-size partials: 2 arms x 4 statistics);
+q227 is one (month, priority) count aggregate — 60 cells whatever the
+row count — plus windows over the 60-row grid. Nothing downstream of
+the first aggregation scales with data size in either query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import _exact_scaled_sum, query, t
+
+# --------------------------------------------------------------------------
+# q226 — Welch two-sample t-test: high-priority orders (priority 1-2)
+# vs the rest, on o_totalprice. Sufficient statistics per arm are
+# exact: n (count), s = sum(cents) (long — cents < 6e7 so a long sum
+# holds past 1.5e11 rows/arm), q = sum(cents^2) via the 3-limb exact
+# long decomposition (cents^2 < 2^52, exact in a double, summed
+# limb-wise into decimal(38,0) — the base.py machinery at scale 0).
+# The final statistics are doubles computed by the IDENTICAL
+# expression tree on both engines: every *, /, sqrt is correctly
+# rounded per IEEE 754, so equal exact inputs give equal doubles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q226_welch_ttest",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                  THEN 'h' ELSE 'l' END AS arm,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    a AS (
+      SELECT arm, COUNT(*) AS n,
+             SUM(cents) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
+      FROM c GROUP BY arm
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 'h' THEN n END) AS n1,
+             MAX(CASE WHEN arm = 'h' THEN CAST(s AS DOUBLE) END) AS s1,
+             MAX(CASE WHEN arm = 'h' THEN CAST(q AS DOUBLE) END) AS q1,
+             MAX(CASE WHEN arm = 'l' THEN n END) AS n2,
+             MAX(CASE WHEN arm = 'l' THEN CAST(s AS DOUBLE) END) AS s2,
+             MAX(CASE WHEN arm = 'l' THEN CAST(q AS DOUBLE) END) AS q2
+      FROM a
+    ),
+    v AS (
+      SELECT n1, n2,
+             s1 / n1 AS mean_high_cents,
+             s2 / n2 AS mean_low_cents,
+             CASE WHEN n1 >= 2
+                  THEN (q1 - s1 * s1 / n1) / (n1 - 1) END AS var_high_cents,
+             CASE WHEN n2 >= 2
+                  THEN (q2 - s2 * s2 / n2) / (n2 - 1) END AS var_low_cents
+      FROM w
+    ),
+    z AS (
+      SELECT *,
+             CASE WHEN var_high_cents IS NOT NULL AND var_low_cents IS NOT NULL
+                       AND var_high_cents / n1 + var_low_cents / n2 > 0
+                  THEN (mean_high_cents - mean_low_cents)
+                       / sqrt(var_high_cents / n1 + var_low_cents / n2)
+                  END AS t_welch,
+             CASE WHEN var_high_cents IS NOT NULL AND var_low_cents IS NOT NULL
+                       AND var_high_cents / n1 + var_low_cents / n2 > 0
+                       AND (var_high_cents > 0 OR var_low_cents > 0)
+                  THEN ((var_high_cents / n1 + var_low_cents / n2)
+                        * (var_high_cents / n1 + var_low_cents / n2))
+                       / ((var_high_cents / n1) * (var_high_cents / n1) / (n1 - 1)
+                          + (var_low_cents / n2) * (var_low_cents / n2) / (n2 - 1))
+                  END AS dof_welch
+      FROM v
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_high, CAST(n2 AS BIGINT) AS n_low,
+           mean_high_cents, mean_low_cents, var_high_cents, var_low_cents,
+           t_welch, dof_welch, abs(t_welch) > 1.96 AS significant
+    FROM z
+    """,
+    category="inference",
+    doc="Welch unequal-variance t-test from exact integer sufficient statistics",
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    arm = F.when(
+        F.substring("o_orderpriority", 1, 1).isin("1", "2"), "h"
+    ).otherwise("l")
+    c = t(spark, sf, "orders").select(
+        arm.alias("arm"),
+        cents.alias("cents"),
+        # cents^2 < 2^52: exact as a double, limb-summed exactly below
+        (cents * cents).cast("double").alias("c2"),
+    )
+    a = c.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        _exact_scaled_sum(F.col("c2"), 0).alias("q"),
+    )
+    pick = lambda arm_, col: F.max(F.when(F.col("arm") == arm_, F.col(col)))  # noqa: E731
+    w = a.agg(
+        pick("h", "n").alias("n1"),
+        pick("h", "s").cast("double").alias("s1"),
+        pick("h", "q").cast("double").alias("q1"),
+        pick("l", "n").alias("n2"),
+        pick("l", "s").cast("double").alias("s2"),
+        pick("l", "q").cast("double").alias("q2"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    v = w.select(
+        "n1",
+        "n2",
+        (F.col("s1") / d("n1")).alias("mean_high_cents"),
+        (F.col("s2") / d("n2")).alias("mean_low_cents"),
+        F.when(
+            F.col("n1") >= 2,
+            (F.col("q1") - F.col("s1") * F.col("s1") / d("n1")) / (d("n1") - 1),
+        ).alias("var_high_cents"),
+        F.when(
+            F.col("n2") >= 2,
+            (F.col("q2") - F.col("s2") * F.col("s2") / d("n2")) / (d("n2") - 1),
+        ).alias("var_low_cents"),
+    )
+    se2 = F.col("var_high_cents") / d("n1") + F.col("var_low_cents") / d("n2")
+    ok = (
+        F.col("var_high_cents").isNotNull()
+        & F.col("var_low_cents").isNotNull()
+        & (se2 > 0)
+    )
+    t_welch = F.when(
+        ok, (F.col("mean_high_cents") - F.col("mean_low_cents")) / F.sqrt(se2)
+    )
+    dof = F.when(
+        ok & ((F.col("var_high_cents") > 0) | (F.col("var_low_cents") > 0)),
+        (se2 * se2)
+        / (
+            (F.col("var_high_cents") / d("n1"))
+            * (F.col("var_high_cents") / d("n1"))
+            / (d("n1") - 1)
+            + (F.col("var_low_cents") / d("n2"))
+            * (F.col("var_low_cents") / d("n2"))
+            / (d("n2") - 1)
+        ),
+    )
+    return v.select(
+        F.col("n1").alias("n_high"),
+        F.col("n2").alias("n_low"),
+        "mean_high_cents",
+        "mean_low_cents",
+        "var_high_cents",
+        "var_low_cents",
+        t_welch.alias("t_welch"),
+        dof.alias("dof_welch"),
+        (F.abs(t_welch) > F.lit(1.96)).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q227 — exact Kendall tau-b between order month (1..12) and priority
+# rank (1..5). The pair counts come from the joint distribution, not
+# from pairs:  C = sum_ij n_ij * S_ij  with  S_ij = sum_{k>i, l>j} n_kl
+# computed as a suffix-over-y window inside each x followed by a
+# suffix-over-x window inside each y — two passes over the densified
+# 60-cell grid. D symmetrically with the prefix-over-y window. The
+# grid MUST be dense (absent cells as 0 rows): the second window sums
+# the first window's column at (k, j), which doesn't exist for a
+# missing cell even when row k has mass at l > j.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q227_kendall_tau",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS x,
+             CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS y,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.x, g.y, COALESCE(c.cnt, 0) AS cnt
+      FROM (SELECT CAST(gx.range AS INTEGER) AS x,
+                   CAST(gy.range AS INTEGER) AS y
+            FROM range(1, 13) gx, range(1, 6) gy) g
+      LEFT JOIN cells c ON c.x = g.x AND c.y = g.y
+    ),
+    sy AS (
+      SELECT x, y, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY x ORDER BY y
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS above_y,
+             COALESCE(SUM(cnt) OVER (PARTITION BY x ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below_y
+      FROM grid
+    ),
+    sxy AS (
+      SELECT x, y, cnt,
+             COALESCE(SUM(above_y) OVER (PARTITION BY y ORDER BY x
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS conc_cell,
+             COALESCE(SUM(below_y) OVER (PARTITION BY y ORDER BY x
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS disc_cell
+      FROM sy
+    ),
+    pairs AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * conc_cell) AS BIGINT) AS concordant,
+             CAST(SUM(cnt * disc_cell) AS BIGINT) AS discordant
+      FROM sxy
+    ),
+    tx AS (
+      SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS ties_x
+      FROM (SELECT SUM(cnt) AS m FROM grid GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS ties_y
+      FROM (SELECT SUM(cnt) AS m FROM grid GROUP BY y)
+    )
+    SELECT n, concordant, discordant, ties_x, ties_y,
+           CASE WHEN n * (n - 1) // 2 > ties_x AND n * (n - 1) // 2 > ties_y
+                THEN (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+                     / (sqrt(CAST(n * (n - 1) // 2 - ties_x AS DOUBLE))
+                        * sqrt(CAST(n * (n - 1) // 2 - ties_y AS DOUBLE)))
+                END AS tau_b
+    FROM pairs, tx, ty
+    """,
+    category="inference",
+    doc="Exact tie-corrected Kendall tau-b from the densified contingency grid",
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    cells = (
+        t(spark, sf, "orders")
+        .select(
+            F.month("o_orderdate").cast("int").alias("x"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # dense 12x5 grid via generate (no cross join): absent cells carry 0
+    grid_keys = (
+        spark.range(1)
+        .select(F.explode(F.expr("sequence(1, 12)")).alias("x"))
+        .select("x", F.explode(F.expr("sequence(1, 5)")).alias("y"))
+        .select(F.col("x").cast("int").alias("x"), F.col("y").cast("int").alias("y"))
+    )
+    grid = (
+        grid_keys.join(cells, ["x", "y"], "left")
+        .select("x", "y", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    w_above = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_below = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sy = grid.select(
+        "x",
+        "y",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_above), F.lit(0)).alias("above_y"),
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below_y"),
+    )
+    w_right = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    sxy = sy.select(
+        "x",
+        "y",
+        "cnt",
+        F.coalesce(F.sum("above_y").over(w_right), F.lit(0)).alias("conc_cell"),
+        F.coalesce(F.sum("below_y").over(w_right), F.lit(0)).alias("disc_cell"),
+    )
+    pairs = sxy.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("conc_cell")).alias("concordant"),
+        F.sum(F.col("cnt") * F.col("disc_cell")).alias("discordant"),
+    )
+    tx = (
+        grid.groupBy("x")
+        .agg(F.sum("cnt").alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) div 2")).alias("ties_x"))
+    )
+    ty = (
+        grid.groupBy("y")
+        .agg(F.sum("cnt").alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) div 2")).alias("ties_y"))
+    )
+    joined = pairs.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n0 = F.expr("n * (n - 1) div 2")
+    tau = F.when(
+        (n0 > F.col("ties_x")) & (n0 > F.col("ties_y")),
+        (F.col("concordant").cast("double") - F.col("discordant").cast("double"))
+        / (
+            F.sqrt((n0 - F.col("ties_x")).cast("double"))
+            * F.sqrt((n0 - F.col("ties_y")).cast("double"))
+        ),
+    )
+    return joined.select(
+        "n", "concordant", "discordant", "ties_x", "ties_y", tau.alias("tau_b")
+    )

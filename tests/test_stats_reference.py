@@ -359,3 +359,273 @@ def test_q216_matches_energy_definition(spark, tmp_path):
     assert got[0].min_share_micros == 0
     assert got[0].max_share_micros == 1_000_000
     assert got[0].avg_share_micros == 1_500_000 // 3
+
+
+# ---- round-7 batch: q222 / q224 / q226 / q227 / q228 / q229 ----
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: list of (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate, o_orderpriority)."""
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: list of (l_orderkey, l_linenumber, l_shipdate); the other
+    columns are filled with constants."""
+    full = [
+        (ok, 1, 1, ln, 1.0, 100.0, 0.0, 0.0, "N", "O", sd) for ok, ln, sd in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _h31(s: str) -> int:
+    """Python twin of the corpus's portable md5-based h31 hash."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+
+# ---- q222 sequence completeness: every verdict class exercised ----
+
+
+def test_q222_verdict_classification(spark, tmp_path):
+    import datetime as dt
+
+    early = dt.datetime(1996, 1, 1)
+    late = dt.datetime(1998, 6, 1)  # past the 1997-01-01 audit window
+    rows = [
+        # order 1: complete 1..3
+        (1, 1, early), (1, 2, early), (1, 3, early),
+        # order 2: gapped (1, 3)
+        (2, 1, early), (2, 3, early),
+        # order 3: offset start (2, 3)
+        (3, 2, early), (3, 3, early),
+        # order 4: duplicated (1, 1, 2) — the CDC-replay case TPC-H
+        # data never produces
+        (4, 1, early), (4, 1, early), (4, 2, early),
+        # order 5: complete ONLY because the late line is filtered out
+        (5, 1, early), (5, 2, early), (5, 3, late),
+        # order 6: entirely outside the window -> not audited at all
+        (6, 1, late),
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    got = {
+        r.verdict: r
+        for r in QUERIES["q222_sequence_completeness"].spark_fn(spark, sf).collect()
+    }
+    assert set(got) == {"complete", "gapped", "offset_start", "duplicated"}
+    assert got["complete"].n_groups == 2  # orders 1 and 5
+    assert got["complete"].key_checksum == 1 + 5
+    assert got["gapped"].n_groups == 1
+    assert got["gapped"].total_missing_in_span == 1  # linenumber 2 absent
+    assert got["offset_start"].n_groups == 1
+    assert got["duplicated"].n_groups == 1
+    assert got["duplicated"].total_dup_rows == 1
+
+
+# ---- q226 Welch vs textbook definition ----
+
+
+def _welch_reference(xs, ys):
+    """Textbook Welch from exact cents; returns (t, dof) or (None, None)."""
+    import math as m
+
+    c1 = [m.floor(v * 100 + 0.5) for v in xs]
+    c2 = [m.floor(v * 100 + 0.5) for v in ys]
+    n1, n2 = len(c1), len(c2)
+    if n1 < 2 or n2 < 2:
+        return None, None
+    m1, m2 = sum(c1) / n1, sum(c2) / n2
+    v1 = sum((x - m1) ** 2 for x in c1) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in c2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    if se2 <= 0:
+        return None, None
+    t = (m1 - m2) / m.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return t, dof
+
+
+@pytest.mark.parametrize(
+    "highs,lows",
+    [
+        ([100.0, 200.0, 300.0], [50.0, 60.0, 400.0, 10.0]),  # plain
+        ([77.0, 77.0, 77.0], [77.0, 77.0]),                   # zero variance both
+        ([10.0], [20.0, 30.0]),                               # singleton arm
+        ([1.0, 1.0, 2.0], [1000000.5, 0.25]),                 # scale mix + .5 cents
+    ],
+)
+def test_q226_matches_welch_definition(spark, tmp_path, highs, lows):
+    import datetime as dt
+
+    d = dt.datetime(1997, 5, 1)
+    rows = [
+        (i, 1, "O", float(v), d, "1-URGENT") for i, v in enumerate(highs)
+    ] + [
+        (100 + i, 1, "O", float(v), d, "5-LOW") for i, v in enumerate(lows)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    got = QUERIES["q226_welch_ttest"].spark_fn(spark, sf).collect()[0]
+    t, dof = _welch_reference(highs, lows)
+    assert (got.n_high, got.n_low) == (len(highs), len(lows))
+    if t is None:
+        assert got.t_welch is None
+        assert got.dof_welch is None
+    else:
+        assert got.t_welch == pytest.approx(t, rel=1e-12)
+        assert got.dof_welch == pytest.approx(dof, rel=1e-12)
+
+
+# ---- q227 Kendall tau-b vs all-pairs brute force ----
+
+
+def _kendall_reference(pairs):
+    """(C, D, ties_x, ties_y, tau_b) by enumerating every pair."""
+    import math as m
+
+    n = len(pairs)
+    C = D = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pairs[i][0] - pairs[j][0]
+            dy = pairs[i][1] - pairs[j][1]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    from collections import Counter
+
+    tx = sum(m_ * (m_ - 1) // 2 for m_ in Counter(x for x, _ in pairs).values())
+    ty = sum(m_ * (m_ - 1) // 2 for m_ in Counter(y for _, y in pairs).values())
+    n0 = n * (n - 1) // 2
+    if n0 <= tx or n0 <= ty:
+        return C, D, tx, ty, None
+    return C, D, tx, ty, (C - D) / (m.sqrt(n0 - tx) * m.sqrt(n0 - ty))
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # sparse grid: months {1, 3, 7}, priorities {1, 5} — most of the
+        # 12x5 grid is EMPTY cells (the densification regression)
+        [(1, 1), (1, 5), (3, 1), (3, 1), (7, 5), (7, 1), (3, 5)],
+        # perfect concordance along the diagonal
+        [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)],
+        # perfect discordance
+        [(1, 5), (2, 4), (3, 3), (4, 2), (5, 1)],
+        # all ties on x -> tau undefined (NULL)
+        [(6, 1), (6, 2), (6, 5), (6, 5)],
+    ],
+)
+def test_q227_matches_allpairs_definition(spark, tmp_path, pairs):
+    import datetime as dt
+
+    rows = [
+        (i, 1, "O", 100.0, dt.datetime(1997, mo, 3), f"{pr}-X")
+        for i, (mo, pr) in enumerate(pairs)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    got = QUERIES["q227_kendall_tau"].spark_fn(spark, sf).collect()[0]
+    C, D, tx, ty, tau = _kendall_reference(pairs)
+    assert got.n == len(pairs)
+    assert (got.concordant, got.discordant) == (C, D)
+    assert (got.ties_x, got.ties_y) == (tx, ty)
+    if tau is None:
+        assert got.tau_b is None
+    else:
+        assert got.tau_b == pytest.approx(tau, rel=1e-12)
+
+
+# ---- q228 novelty vs brute-force set logic ----
+
+
+def test_q228_matches_set_definition(spark, tmp_path):
+    # find doc ids on each side of the nv- hash split
+    eval_ids = [i for i in range(200) if _h31(f"nv-{i}") % 10 == 7]
+    train_ids = [i for i in range(200) if _h31(f"nv-{i}") % 10 != 7]
+    e1, e2 = eval_ids[0], eval_ids[1]
+    t1 = train_ids[0]
+    train_text = "a b c d e f g h"          # grams: abcde bcdef cdefg defgh
+    eval_novel = "p q r s t u"              # fully novel (2 grams)
+    eval_half = "a b c d e z z z z"         # grams: 1 seen (abcde) of 5
+    rows = [
+        (t1, train_text, "en", "src", 1),
+        (e1, eval_novel, "en", "src", 1),
+        (e2, eval_half, "en", "src", 1),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = QUERIES["q228_ngram_novelty"].spark_fn(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_eval_docs == 2
+    assert r.n_fully_novel == 1
+    # eval_half: 5 distinct grams, 4 novel -> 800000 micros
+    assert r.min_novelty_micros == 800_000
+    assert r.avg_novelty_micros == (1_000_000 + 800_000) // 2
+    assert r.n_memorized_half == 0
+
+
+# ---- q229 next-pow2 bucketing vs python ----
+
+
+def test_q229_matches_pow2_definition(spark, tmp_path):
+    counts = [1, 2, 3, 4, 5, 8, 9, 16, 17, 31, 33]
+    rows = [
+        (i, " ".join(["w"] * c), "en", "src", c) for i, c in enumerate(counts)
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r.cap: r for r in QUERIES["q229_length_buckets"].spark_fn(spark, sf).collect()}
+
+    def pow2(t):
+        c = 1
+        while c < t:
+            c *= 2
+        return c
+
+    from collections import Counter, defaultdict
+
+    exp_n = Counter(pow2(c) for c in counts)
+    exp_tok = defaultdict(int)
+    for c in counts:
+        exp_tok[pow2(c)] += c
+    assert {k: v.n_docs for k, v in got.items()} == dict(exp_n)
+    for cap, r in got.items():
+        assert r.total_tokens == exp_tok[cap]
+        assert r.total_pad == cap * exp_n[cap] - exp_tok[cap]
+        assert r.pad_share_micros == 1_000_000 * r.total_pad // (cap * exp_n[cap])
+
+
+# ---- q224 classifier margin vs python hash arithmetic ----
+
+
+def test_q224_matches_hash_weights(spark, tmp_path):
+    texts = ["alpha beta gamma", "delta", "alpha alpha"]
+    rows = [(i, s, "en", "src", len(s)) for i, s in enumerate(texts)]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = QUERIES["q224_quality_classifier"].spark_fn(spark, sf).collect()[0]
+
+    def margin(text):
+        return sum(
+            (_h31(f"qc-{tk}") % 64) * 2654435761 % 997 - 498
+            for tk in text.split(" ")
+        )
+
+    margins = [margin(s) for s in texts]
+    assert got.n_docs == 3
+    assert got.sum_margin == sum(margins)
+    assert got.n_accepted == sum(1 for m_ in margins if m_ > 0)
