@@ -348,6 +348,29 @@ class TextCorpus:
         )
         return self._with(self.df.join(losers, self.id_col, "left_anti"))
 
+    def classifier_filter(
+        self, threshold: int = 0, n_buckets: int = 64, salt: str = "qc-"
+    ) -> "TextCorpus":
+        """fastText-style hashed linear quality-classifier inference
+        (the q224 model): every token hashes into an ``n_buckets``-entry
+        weight table realized arithmetically inside ONE map-side
+        higher-order fold per document — weight(b) = (b * 2654435761)
+        % 997 - 498 — and documents with margin <= ``threshold`` drop.
+        No explode, no shuffle: the whole stage is a map-side filter,
+        so it composes freely before dedup/split stages. A production
+        deployment swaps the arithmetic table for trained weights as a
+        broadcast array literal; the plan shape is identical."""
+        h = (
+            f"CAST(conv(substr(md5(concat('{salt}', tk)),1,8),16,10) AS BIGINT)"
+            f" % {MERSENNE_P}"
+        )
+        margin = F.expr(
+            f"aggregate(transform(split({self.text_col}, ' '), "
+            f"tk -> (({h}) % {n_buckets}) * 2654435761 % 997 - 498), "
+            f"CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+        return self._with(self.df.filter(margin > threshold))
+
     def gopher_filter(
         self,
         min_words: int = 10,

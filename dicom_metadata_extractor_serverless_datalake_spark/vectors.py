@@ -198,6 +198,89 @@ class EmbeddingSet:
             .orderBy("q_id")
         )
 
+    def hard_negatives(self, anchors: int = 20, salt: str = "hn-") -> DataFrame:
+        """Triplet mining (q223): for each of a deterministic FIXED-COUNT
+        anchor set, the most-similar vector with a DIFFERENT label (the
+        hardest negative) next to the most-similar SAME-label vector
+        (the nearest positive) and the contrastive margin between them.
+        Returns (q_id, own_label, neg_id, neg_label, neg_cosine, pos_id,
+        pos_cosine, margin). Same scale shape as :meth:`label_audit`:
+        broadcast anchors, one streamed pass, per-anchor top-1 capped
+        map-side by the partial WindowGroupLimit."""
+        lab = self._require_label("hard_negatives")
+        did, vec = self.id_col, self.vec_col
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(did).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % MERSENNE_P
+        )
+        anchor_df = (
+            self.df.orderBy(h, F.col(did))
+            .limit(anchors)
+            .select(
+                F.col(did).alias("q_id"),
+                F.col(vec).alias("qe"),
+                F.col(lab).alias("own_label"),
+            )
+        )
+        scored = (
+            F.broadcast(anchor_df)
+            .crossJoin(self.df)
+            .filter(F.col(did) != F.col("q_id"))
+            .withColumn("dot", F.expr(_dot("qe", vec)))
+            .withColumn("qn", F.expr(_norm("qe")))
+            .withColumn("en", F.expr(_norm(vec)))
+            .select(
+                "q_id",
+                "own_label",
+                F.col(did),
+                F.col(lab).alias("n_label"),
+                (F.col("dot") / (F.col("qn") * F.col("en"))).alias("cosine"),
+            )
+        )
+        wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(did))
+        neg = (
+            scored.filter(F.col("n_label") != F.col("own_label"))
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .select(
+                "q_id",
+                "own_label",
+                F.col(did).alias("neg_id"),
+                F.col("n_label").alias("neg_label"),
+                F.col("cosine").alias("neg_cosine"),
+            )
+        )
+        pos = (
+            scored.filter(F.col("n_label") == F.col("own_label"))
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .select(
+                "q_id",
+                F.col(did).alias("pos_id"),
+                F.col("cosine").alias("pos_cosine"),
+            )
+        )
+        return (
+            neg.join(pos, "q_id")
+            .select(
+                "q_id",
+                "own_label",
+                "neg_id",
+                "neg_label",
+                "neg_cosine",
+                "pos_id",
+                "pos_cosine",
+                (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+            )
+            .orderBy("q_id")
+        )
+
     # ---- similarity ----
 
     def topk_similar(self, queries: DataFrame, k: int = 10) -> DataFrame:

@@ -583,3 +583,30 @@ def test_neardup_calibration_estimator_unbiased_enough(spark, docs):
     assert rows
     mean_err = sum(r.abs_err_micros for r in rows) / len(rows)
     assert mean_err < 250_000  # 2 * sqrt(0.25/16) = 0.25
+
+
+def test_classifier_filter_agrees_with_q224_accept_counts(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    surv = (
+        TextCorpus(docs)
+        .classifier_filter(threshold=0)
+        .df.groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r.source: r["count"] for r in surv}
+    want = {
+        r.source: r.n_accepted
+        for r in QUERIES["q224_quality_classifier"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_classifier_filter_is_map_side(spark, docs):
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plan = physical_plan(TextCorpus(docs).classifier_filter().df)
+    assert "Exchange" not in plan  # pure map-side filter stage

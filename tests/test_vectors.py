@@ -107,3 +107,16 @@ def test_truncation_audit_full_head_is_total(spark, emb):
         and r.max_share_micros == 1_000_000
         for r in rows
     )
+
+
+def test_hard_negatives_match_q223(spark, emb):
+    got = _vs(emb).hard_negatives(anchors=20).collect()
+    want = QUERIES["q223_hard_negatives"].spark_fn(spark, SF).collect()
+    assert got == want
+
+
+def test_hard_negatives_margin_sign(spark, emb):
+    # every row's margin is pos_cosine - neg_cosine by definition
+    for r in _vs(emb).hard_negatives(anchors=5).collect():
+        assert r.margin == r.pos_cosine - r.neg_cosine
+        assert r.neg_label != r.own_label
