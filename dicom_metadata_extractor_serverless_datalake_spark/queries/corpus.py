@@ -147,6 +147,8 @@ _PRIORITY = [
     "q227_kendall_tau",
     "q228_ngram_novelty",
     "q229_length_buckets",
+    "q230_stream_completeness",
+    "q231_stream_ab_monitor",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

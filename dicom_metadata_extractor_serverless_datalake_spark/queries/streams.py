@@ -30,7 +30,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import query
@@ -1657,4 +1657,333 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("first_touch", F.lit(0)).alias("first_touch_purchases"),
         )
         .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# q230 — STREAMING sequence-completeness monitor: q222's series audit
+# maintained as per-order state while lines arrive — the live view of
+# "which series are still incomplete" the batch audit only gives at
+# rest. State per order is a 64-bit BITMASK of seen linenumbers plus
+# (n, dups) counters — O(1) whatever the stream length; the verdict
+# (complete/gapped/offset_start/duplicated) is re-derived from the mask
+# on every arrival and re-emitted with a version counter, the sink
+# keeps latest-per-order (the q185 pattern) and rolls up to q222's
+# exact verdict table, so q222's SQL is the oracle verbatim. The
+# ingest-window filter (l_shipdate < 1997-01-01) is applied in the
+# source, mirroring the batch WHERE. A bitmask long covers sequence
+# domains <= 62 (TPC-H linenumbers <= 7); DICOM InstanceNumber series
+# run larger — widen the state to a fixed-size BinaryType bitmap, still
+# O(max_number/8) per series, never O(rows).
+#
+# 100 TB shape: the stateful exchange carries (orderkey, linenumber)
+# pairs — 16 bytes/row; state is 4 longs per open series.
+# --------------------------------------------------------------------------
+
+_COMP_STATE = "mask long, n long, dups long, version long"
+_COMP_OUT = (
+    "l_orderkey long, version long, n long, missing_in_span long, "
+    "dup_rows long, verdict string"
+)
+
+
+def _lineitem_stream_src(sf: str, time_splits: int = 3) -> str:
+    """Stream-source dir for the completeness monitor: lineitem rows
+    inside the audit window (l_shipdate < 1997-01-01), projected to
+    (l_orderkey, l_linenumber) and sliced into ``time_splits``
+    contiguous shipdate ranges — one file per range with strictly
+    increasing mtimes, so maxFilesPerTrigger=1 replays the series'
+    lines across micro-batches in ship order (an order's lines ship
+    months apart, so per-order state genuinely crosses batches)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="spark_stream_src_")
+    path = os.path.join(sf, "lineitem.parquet")
+    table = pads.dataset(path, format="parquet").to_table(
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"]
+    )
+    import datetime
+
+    cutoff = datetime.datetime(1997, 1, 1)
+    ts = table.column("l_shipdate")
+    table = table.filter(pc.less(ts, cutoff))
+    ts = table.column("l_shipdate")
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    delta = hi - lo
+    mtime = 1_000_000_000.0
+    for s in range(time_splits):
+        lo_b = lo + delta * s / time_splits
+        hi_b = lo + delta * (s + 1) / time_splits
+        mask = pc.and_(
+            pc.greater_equal(ts, lo_b),
+            pc.less(ts, hi_b) if s < time_splits - 1 else pc.less_equal(ts, hi_b),
+        )
+        chunk = table.filter(mask).select(["l_orderkey", "l_linenumber"])
+        if chunk.num_rows == 0:
+            continue
+        dst = os.path.join(src, f"lineitem_r{s}.parquet")
+        pq.write_table(chunk, dst)
+        os.utime(dst, (mtime, mtime))
+        mtime += 2.0
+    return src
+
+
+def _completeness_update(key, batches, state):
+    import pandas as pd
+
+    mask, n, dups, version = state.get if state.exists else (0, 0, 0, 0)
+    mask, n, dups = int(mask), int(n), int(dups)
+    for pdf in batches:
+        for ln in pdf["l_linenumber"]:
+            ln = int(ln)
+            if not 1 <= ln <= 62:
+                raise ValueError(
+                    f"linenumber {ln} outside the long-bitmask domain; "
+                    "widen state to a bytes bitmap for larger series"
+                )
+            bit = 1 << ln
+            n += 1
+            if mask & bit:
+                dups += 1
+            else:
+                mask |= bit
+    version = int(version) + 1
+    state.update((mask, n, dups, version))
+    d = bin(mask).count("1")
+    mn = (mask & -mask).bit_length() - 1
+    mx = mask.bit_length() - 1
+    if d < n:
+        verdict = "duplicated"
+    elif mn > 1:
+        verdict = "offset_start"
+    elif mx > n:
+        verdict = "gapped"
+    else:
+        verdict = "complete"
+    yield pd.DataFrame(
+        [(key[0], version, n, mx - mn + 1 - d, n - d, verdict)],
+        columns=[
+            "l_orderkey", "version", "n", "missing_in_span", "dup_rows", "verdict",
+        ],
+    )
+
+
+@query(
+    "q230_stream_completeness",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n,
+             COUNT(DISTINCT l_linenumber) AS d,
+             MIN(l_linenumber) AS mn,
+             MAX(l_linenumber) AS mx
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_orderkey
+    ),
+    v AS (
+      SELECT l_orderkey, n, d, mn, mx,
+             mx - mn + 1 - d AS missing_in_span,
+             n - d AS dup_rows,
+             CASE WHEN d < n THEN 'duplicated'
+                  WHEN mn > 1 THEN 'offset_start'
+                  WHEN mx > n THEN 'gapped'
+                  ELSE 'complete' END AS verdict
+      FROM g
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(SUM(missing_in_span) AS BIGINT) AS total_missing_in_span,
+           CAST(SUM(dup_rows) AS BIGINT) AS total_dup_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM v GROUP BY verdict ORDER BY verdict
+    """,
+    category="streaming",
+    doc="q222's completeness audit as live per-series bitmask state",
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src = _lineitem_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "lineitem", max_files_per_trigger=1)
+            .groupBy("l_orderkey")
+            .applyInPandasWithState(
+                _completeness_update,
+                outputStructType=_COMP_OUT,
+                stateStructType=_COMP_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    p = spark.table(name)
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("version").desc())
+    latest = p.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        latest.groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n").alias("total_rows"),
+            F.sum("missing_in_span").alias("total_missing_in_span"),
+            F.sum("dup_rows").alias("total_dup_rows"),
+            F.sum("l_orderkey").alias("key_checksum"),
+        )
+        .orderBy("verdict")
+    )
+
+
+# --------------------------------------------------------------------------
+# q231 — STREAMING A/B experiment monitor: q158's readout maintained as
+# the stream runs — the "peeking" dashboard that watches an experiment
+# converge instead of waiting for the batch job. Per-user state is one
+# conversion flag; a user's row is (re-)emitted only on first sight or
+# on a 0->1 conversion upgrade, whatever batch boundary separates the
+# user's events. The sink keeps latest-per-user, arms and the pooled
+# two-proportion z are derived from that ledger with q158's exact
+# expression tree, so q158's SQL is the oracle verbatim (the final
+# micro-batch's readout IS the batch answer).
+#
+# 100 TB shape: the stateful exchange carries (user, type, value)
+# triples; state is 2 longs per user; the readout after the drain is a
+# 2-row conditional aggregate + a 1-row IEEE tree.
+# --------------------------------------------------------------------------
+
+_AB_STATE = "conv long, version long"
+_AB_OUT = "user_id long, version long, c long"
+
+
+def _ab_monitor_update(key, batches, state):
+    import pandas as pd
+
+    conv, version = state.get if state.exists else (0, 0)
+    conv, version = int(conv), int(version)
+    new_conv = conv
+    for pdf in batches:
+        hit = ((pdf["event_type"] == "purchase") & (pdf["value"] > 250.0)).any()
+        if hit:
+            new_conv = 1
+    first_sight = version == 0
+    version += 1
+    state.update((new_conv, version))
+    if first_sight or new_conv != conv:
+        yield pd.DataFrame(
+            [(key[0], version, new_conv)], columns=["user_id", "version", "c"]
+        )
+    else:
+        yield pd.DataFrame([], columns=["user_id", "version", "c"])
+
+
+@query(
+    "q231_stream_ab_monitor",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 250.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2147483647 % 2 AS arm
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+      FROM conv
+    )
+    , zc AS (
+      SELECT n0, c0, n1, c1,
+             CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+                  THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                              * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                       / CAST(n0 + n1 AS DOUBLE))
+                              * (1.0 / CAST(n0 AS DOUBLE)
+                                 + 1.0 / CAST(n1 AS DOUBLE)))
+                  ELSE NULL END AS z
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           z, abs(z) > 1.96 AS significant
+    FROM zc
+    """,
+    category="streaming",
+    doc="q158's A/B z readout as a live per-user conversion ledger",
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .llm import spark_h31
+    from ..sources.tables import load_stream
+
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .select("user_id", "event_type", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _ab_monitor_update,
+                outputStructType=_AB_OUT,
+                stateStructType=_AB_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    p = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("version").desc())
+    conv = (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "c",
+            (F.expr(spark_h31("'ab-' || CAST(user_id AS STRING)")) % 2).alias("arm"),
+        )
+    )
+    arms = conv.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0)).alias("c1"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    p0 = d(F.col("c0")) / d(F.col("n0"))
+    p1 = d(F.col("c1")) / d(F.col("n1"))
+    pp = d(F.col("c0") + F.col("c1")) / d(F.col("n0") + F.col("n1"))
+    ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    )
+    z = F.when(
+        ok,
+        (p1 - p0)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / d(F.col("n0")) + F.lit(1.0) / d(F.col("n1")))
+        ),
+    )
+    return arms.select(
+        "n0", "c0", "n1", "c1",
+        p0.alias("p0"), p1.alias("p1"), z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
     )

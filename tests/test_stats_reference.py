@@ -629,3 +629,43 @@ def test_q224_matches_hash_weights(spark, tmp_path):
     assert got.n_docs == 3
     assert got.sum_margin == sum(margins)
     assert got.n_accepted == sum(1 for m_ in margins if m_ > 0)
+
+
+# ---- q230 streaming completeness: cross-batch state transitions ----
+
+
+def test_q230_matches_q222_and_crosses_batches(spark, tmp_path):
+    """An order whose lines ship months apart lands in different
+    micro-batches (the stream source slices shipdate into thirds), so
+    its verdict must UPGRADE across batches — gapped while linenumber 2
+    is in flight, complete once it arrives. The drained rollup must
+    equal the batch audit (q222) on the same table."""
+    import datetime as dt
+
+    jan, jun, dec = (
+        dt.datetime(1996, 1, 15),
+        dt.datetime(1996, 6, 15),
+        dt.datetime(1996, 12, 15),
+    )
+    rows = [
+        # order 1: 1,3 early -> gapped mid-stream; 2 arrives last -> complete
+        (1, 1, jan), (1, 3, jan), (1, 2, dec),
+        # order 2: single line, complete from batch one
+        (2, 1, jan),
+        # order 3: starts at 2 -> offset_start forever
+        (3, 2, jan), (3, 3, jun),
+        # order 4: duplicate linenumber split across batches
+        (4, 1, jan), (4, 1, dec), (4, 2, jun),
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["q230_stream_completeness"].spark_fn(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["q222_sequence_completeness"].spark_fn(spark, sf).collect()
+    )
+    assert got == want
+    verdicts = {r[0] for r in got}
+    assert verdicts == {"complete", "offset_start", "duplicated"}
