@@ -275,6 +275,51 @@ class DicomLake:
             .orderBy("change_type")
         )
 
+    def series_completeness(self) -> DataFrame:
+        """Series-completeness audit (q222's rule over the lake): for
+        every (study_id, series_number), is the set of ingested
+        InstanceNumbers exactly 1..n? The reference's ingest drops a
+        failed object into the DLQ while the rest of its series lands
+        (/root/reference/README.md:116), so a partially-ingested series
+        is invisible until something walks the sequence. InstanceNumber
+        is not a pinned lake column (the reference's Glue DDL omits it,
+        deploy/serverless.yml:537-567) — it rides in ``extra_tags``;
+        instances without the tag are reported as their own
+        ``untracked`` verdict rather than silently skipped. Returns one
+        row per series: (study_id, series_number, n_instances,
+        missing_in_span, dup_rows, verdict).
+
+        Scale shape: ONE keyed aggregate on the series key (count /
+        distinct / min / max partials) over a map-side projection."""
+        num = F.col("extra_tags").getItem("InstanceNumber").cast("int")
+        g = (
+            self.df()
+            .select("study_id", "series_number", num.alias("inum"))
+            .groupBy("study_id", "series_number")
+            .agg(
+                F.count("*").alias("n_instances"),
+                F.count("inum").alias("tagged"),
+                F.count_distinct("inum").alias("d"),
+                F.min("inum").alias("mn"),
+                F.max("inum").alias("mx"),
+            )
+        )
+        return g.select(
+            "study_id",
+            "series_number",
+            "n_instances",
+            F.coalesce(
+                F.col("mx") - F.col("mn") + 1 - F.col("d"), F.lit(0)
+            ).alias("missing_in_span"),
+            (F.col("tagged") - F.col("d")).alias("dup_rows"),
+            F.when(F.col("tagged") < F.col("n_instances"), "untracked")
+            .when(F.col("d") < F.col("tagged"), "duplicated")
+            .when(F.col("mn") > 1, "offset_start")
+            .when(F.col("mx") > F.col("tagged"), "gapped")
+            .otherwise("complete")
+            .alias("verdict"),
+        ).orderBy("study_id", "series_number")
+
     def reid_risk(self, quasi_cols: list[str] | None = None, k: int = 5) -> DataFrame:
         """Re-identification risk audit of the lake (q214's shape):
         equivalence-class size histogram over the quasi-identifier

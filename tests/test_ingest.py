@@ -241,3 +241,58 @@ def test_lake_reid_risk_audit(spark, tmp_path_factory):
     # finest quasi-identifier: every row its own class -> nothing at k=1
     fine = lake.reid_risk(quasi_cols=["source_s3_key"], k=1).collect()
     assert all(not r.at_risk for r in fine)
+
+
+def test_lake_series_completeness_audit(spark, tmp_path_factory):
+    """series_completeness: a fully-ingested series reads complete, a
+    series whose middle instance never landed reads gapped, one whose
+    head is missing reads offset_start, and instances without an
+    InstanceNumber tag surface as untracked instead of vanishing."""
+    from dicom_metadata_extractor_serverless_datalake_spark import DicomLake
+    from dicom_metadata_extractor_serverless_datalake_spark.dicom.codec import write_dicom
+
+    def inst(study, series, num, uid_seed, with_num=True):
+        tags = {
+            "SOPClassUID": "1.2.840.10008.5.1.4.1.1.7",
+            "SOPInstanceUID": f"1.2.826.0.1.3680043.8.498.{uid_seed}",
+            "Modality": "OT",
+            "StudyDate": "20210101",
+            "StudyID": study,
+            "SeriesNumber": series,
+        }
+        if with_num:
+            tags["InstanceNumber"] = str(num)
+        return write_dicom(tags, sop_instance_uid=tags["SOPInstanceUID"])
+
+    root = tmp_path_factory.mktemp("sc_in")
+    plan = [
+        # series A: complete 1..3
+        ("S1", "1", [1, 2, 3], True),
+        # series B: gapped (2 lost to the DLQ)
+        ("S1", "2", [1, 3], True),
+        # series C: offset start
+        ("S2", "1", [2, 3], True),
+        # series D: untagged instances
+        ("S2", "2", [1, 2], False),
+    ]
+    seed = 0
+    for study, series, nums, with_num in plan:
+        for n in nums:
+            seed += 1
+            (root / f"img{seed}.dcm").write_bytes(
+                inst(study, series, n, seed, with_num)
+            )
+    out = tmp_path_factory.mktemp("sc_out")
+    lake = DicomLake(spark, str(out / "lake"), quarantine_path=str(out / "quar"),
+                     table="sc_lake")
+    lake.ingest(str(root))
+
+    got = {
+        (r.study_id, r.series_number): r for r in lake.series_completeness().collect()
+    }
+    assert got[("S1", "1")].verdict == "complete"
+    assert got[("S1", "2")].verdict == "gapped"
+    assert got[("S1", "2")].missing_in_span == 1
+    assert got[("S2", "1")].verdict == "offset_start"
+    assert got[("S2", "2")].verdict == "untracked"
+    assert all(r.dup_rows == 0 for r in got.values())
