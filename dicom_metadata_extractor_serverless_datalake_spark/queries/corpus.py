@@ -149,6 +149,9 @@ _PRIORITY = [
     "q229_length_buckets",
     "q230_stream_completeness",
     "q231_stream_ab_monitor",
+    "q232_lang_kappa",
+    "q233_wilson_ci",
+    "q234_jackknife_se",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

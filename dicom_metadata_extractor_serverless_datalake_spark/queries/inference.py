@@ -343,3 +343,291 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select(
         "n", "concordant", "discordant", "ties_x", "ties_y", tau.alias("tau_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q232 — Cohen's kappa between the documents table's lang column and
+# the q57 stopword-voting language-ID heuristic: the chance-corrected
+# agreement readout behind "is the metadata trustworthy / is the
+# heuristic usable". Confusion mass lives on a <= 5x5 domain whatever
+# the corpus size; kappa = (n*agree - pe_num) / (n*n - pe_num) with
+# pe_num = sum_l row_l * col_l — all integer until the single final
+# division. Degenerate case (both sides constant on one class) yields
+# NULL via the same guard on both engines.
+# --------------------------------------------------------------------------
+
+
+def _q232_oracle() -> str:
+    from .llm import _ARGMAX_CASE, _GREATEST, _lang_scores_sql
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+      {_lang_scores_sql('string_split', 'list_filter', 'len')}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang, {_ARGMAX_CASE.replace('= m', f'= {_GREATEST}')} AS predicted
+      FROM scored
+    ),
+    cells AS (SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cells
+    ),
+    pe AS (
+      SELECT CAST(SUM(r.rm * c.cm) AS BIGINT) AS pe_num
+      FROM (SELECT lang AS l, SUM(n) AS rm FROM cells GROUP BY 1) r
+      JOIN (SELECT predicted AS l, SUM(n) AS cm FROM cells GROUP BY 1) c
+        ON r.l = c.l
+    )
+    SELECT n_docs, n_agree, pe_num,
+           CAST(1000000 * n_agree // n_docs AS BIGINT) AS accuracy_micros,
+           CASE WHEN n_docs * n_docs > pe_num
+                THEN (CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE)
+                      - CAST(pe_num AS DOUBLE))
+                     / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                        - CAST(pe_num AS DOUBLE))
+                END AS kappa
+    FROM tot, pe
+    """
+
+
+@query(
+    "q232_lang_kappa",
+    oracle=_q232_oracle(),
+    category="inference",
+    doc="Cohen's kappa: metadata lang vs the q57 language-ID heuristic",
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import _ARGMAX_CASE, _GREATEST, _LANG_STOPWORDS
+
+    docs = t(spark, sf, "documents")
+    scored = docs.select(
+        "lang",
+        *[
+            F.size(
+                F.expr(f"filter(split(text, ' '), tk -> tk IN {words})")
+            ).alias(f"s_{lang}")
+            for lang, words in sorted(_LANG_STOPWORDS.items())
+        ],
+    )
+    pred = scored.withColumn("m", F.expr(_GREATEST)).withColumn(
+        "predicted", F.expr(_ARGMAX_CASE)
+    )
+    cells = pred.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("predicted"), F.col("n")).otherwise(0))
+        .alias("n_agree"),
+    )
+    rm = cells.groupBy(F.col("lang").alias("l")).agg(F.sum("n").alias("rm"))
+    cm = cells.groupBy(F.col("predicted").alias("l")).agg(F.sum("n").alias("cm"))
+    pe = rm.join(cm, "l").agg(F.sum(F.col("rm") * F.col("cm")).alias("pe_num"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    joined = tot.crossJoin(F.broadcast(pe))
+    kappa = F.when(
+        F.col("n_docs") * F.col("n_docs") > F.col("pe_num"),
+        (d("n_docs") * d("n_agree") - d("pe_num"))
+        / (d("n_docs") * d("n_docs") - d("pe_num")),
+    )
+    return joined.select(
+        "n_docs",
+        "n_agree",
+        "pe_num",
+        F.expr("1000000 * n_agree div n_docs").alias("accuracy_micros"),
+        kappa.alias("kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q233 — Wilson score interval for per-type conversion proportions:
+# the binomial CI that stays inside [0,1] at small n and extreme p
+# (unlike the Wald interval q158's z implicitly inverts). n and x are
+# exact counts; the interval is one identical IEEE tree per row
+# (z = 1.96 as a shared literal, one sqrt).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q233_wilson_ci",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN value > 250.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_hits,
+           CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE) AS p_hat,
+           ((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE)
+             + 1.96 * 1.96 / (2.0 * CAST(n_events AS DOUBLE)))
+            - 1.96 * sqrt((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
+                          * (1.0 - CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
+                            / CAST(n_events AS DOUBLE)
+                          + 1.96 * 1.96
+                            / (4.0 * CAST(n_events AS DOUBLE)
+                                   * CAST(n_events AS DOUBLE))))
+           / (1.0 + 1.96 * 1.96 / CAST(n_events AS DOUBLE)) AS wilson_lo,
+           ((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE)
+             + 1.96 * 1.96 / (2.0 * CAST(n_events AS DOUBLE)))
+            + 1.96 * sqrt((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
+                          * (1.0 - CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
+                            / CAST(n_events AS DOUBLE)
+                          + 1.96 * 1.96
+                            / (4.0 * CAST(n_events AS DOUBLE)
+                                   * CAST(n_events AS DOUBLE))))
+           / (1.0 + 1.96 * 1.96 / CAST(n_events AS DOUBLE)) AS wilson_hi
+    FROM c ORDER BY event_type
+    """,
+    category="inference",
+    doc="Wilson score 95% interval per event-type conversion proportion",
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("value") > 250.0, 1).otherwise(0)).alias("n_hits"),
+        )
+    )
+    nd = F.col("n_events").cast("double")
+    p = F.col("n_hits").cast("double") / nd
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (F.lit(2.0) * nd)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + z2 / nd
+    return c.select(
+        "event_type",
+        "n_events",
+        "n_hits",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q234 — delete-a-group jackknife standard error of the mean order
+# value, groups = order months: the resampling-free uncertainty
+# estimate a distributed engine can afford (12 leave-one-out means by
+# broadcast subtraction — the q176 trick — never 12 re-scans). The
+# per-group sufficient statistics are exact cents sums; the two
+# 12-element float reductions (mean of the leave-one-out means, then
+# squared deviations) fold in month order on both engines — scalar
+# accumulators only, sidestepping DuckDB 1.0.0's struct-accumulator
+# list_reduce buffer reuse (see queries/behavior.py q212).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q234_jackknife_se",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s_g
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS big_g
+      FROM g
+    ),
+    loo AS (
+      -- t.n > g.n_g guards the G=1 degenerate (leave-the-only-group-out
+      -- divides by zero, which ANSI mode raises on): zero loo rows ->
+      -- NULL readouts on both engines instead of a crash
+      SELECT list(CAST(t.s - g.s_g AS DOUBLE) / CAST(t.n - g.n_g AS DOUBLE)
+                  ORDER BY g.m) AS thetas,
+             MAX(t.n) AS n, MAX(t.s) AS s, MAX(t.big_g) AS big_g
+      FROM g, tot t
+      WHERE t.n > g.n_g
+    ),
+    mean_t AS (
+      SELECT *,
+             list_reduce(thetas, (a, b) -> a + b) / CAST(big_g AS DOUBLE)
+               AS theta_dot
+      FROM loo
+    )
+    SELECT big_g AS n_groups, n AS n_rows,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS theta_all_cents,
+           CASE WHEN big_g >= 2
+                THEN sqrt((CAST(big_g - 1 AS DOUBLE) / CAST(big_g AS DOUBLE))
+                          * list_reduce(list_transform(thetas,
+                                          x -> (x - theta_dot) * (x - theta_dot)),
+                                        (a, b) -> a + b))
+                END AS jack_se_cents
+    FROM mean_t
+    """,
+    category="inference",
+    doc="Delete-a-month jackknife SE of the mean order value, exact partials",
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        t(spark, sf, "orders")
+        .select(F.month("o_orderdate").cast("int").alias("m"), cents.alias("c"))
+        .groupBy("m")
+        .agg(F.count("*").alias("n_g"), F.sum("c").alias("s_g"))
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count("*").alias("big_g"),
+    )
+    loo = (
+        g.crossJoin(F.broadcast(tot))
+        # G=1 guard: leave-the-only-group-out would divide by zero (ANSI
+        # raises even on DOUBLE); zero surviving rows -> NULL readouts
+        .filter(F.col("n") > F.col("n_g"))
+        .select(
+            "m",
+            "n",
+            "s",
+            "big_g",
+            (
+                (F.col("s") - F.col("s_g")).cast("double")
+                / (F.col("n") - F.col("n_g")).cast("double")
+            ).alias("theta"),
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, theta))), x -> x.theta)"
+            ).alias("thetas"),
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.max("big_g").alias("big_g"),
+        )
+    )
+    fold = "aggregate({arr}, CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    mean_t = loo.withColumn(
+        "theta_dot",
+        F.expr(fold.format(arr="thetas")) / F.col("big_g").cast("double"),
+    )
+    return mean_t.select(
+        F.col("big_g").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "theta_all_cents"
+        ),
+        F.when(
+            F.col("big_g") >= 2,
+            F.sqrt(
+                ((F.col("big_g") - 1).cast("double") / F.col("big_g").cast("double"))
+                * F.expr(
+                    fold.format(
+                        arr="transform(thetas, x -> (x - theta_dot) * (x - theta_dot))"
+                    )
+                )
+            ),
+        ).alias("jack_se_cents"),
+    )

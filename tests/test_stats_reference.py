@@ -669,3 +669,112 @@ def test_q230_matches_q222_and_crosses_batches(spark, tmp_path):
     assert got == want
     verdicts = {r[0] for r in got}
     assert verdicts == {"complete", "offset_start", "duplicated"}
+
+
+# ---- q232 Cohen's kappa vs textbook definition ----
+
+
+def test_q232_matches_kappa_definition(spark, tmp_path):
+    # texts built from q57's stopword lists so predictions are known:
+    # English stopwords -> 'en', German -> 'de'
+    en_text = "the a of and to is it on"
+    de_text = "der die das und ist nicht ein zu"
+    rows = [
+        (1, en_text, "en", "s", 1),   # correct
+        (2, en_text, "en", "s", 1),   # correct
+        (3, en_text, "fr", "s", 1),   # metadata says fr, heuristic says en
+        (4, de_text, "de", "s", 1),   # correct
+        (5, de_text, "en", "s", 1),   # metadata says en, heuristic says de
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = QUERIES["q232_lang_kappa"].spark_fn(spark, sf).collect()[0]
+    # confusion: truth x pred: (en,en)=2, (fr,en)=1, (de,de)=1, (en,de)=1
+    n, agree = 5, 3
+    row = {"en": 3, "fr": 1, "de": 1}
+    col = {"en": 3, "de": 2}
+    pe_num = sum(row[l] * col.get(l, 0) for l in row)
+    assert (got.n_docs, got.n_agree, got.pe_num) == (n, agree, pe_num)
+    assert got.kappa == pytest.approx(
+        (n * agree - pe_num) / (n * n - pe_num), rel=1e-12
+    )
+
+
+def test_q232_degenerate_constant_yields_null(spark, tmp_path):
+    rows = [(i, "the a of and to is it on", "en", "s", 1) for i in range(4)]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = QUERIES["q232_lang_kappa"].spark_fn(spark, sf).collect()[0]
+    assert got.n_agree == 4 and got.kappa is None  # pe == n^2
+
+
+# ---- q233 Wilson interval vs textbook formula ----
+
+
+def test_q233_matches_wilson_definition(spark, tmp_path):
+    import datetime as dt
+    import math as m
+
+    base = dt.datetime(2024, 1, 1)
+    # type A: 3/4 hits; type B: 0/3; type C: 2/2 (both edge cases)
+    spec = {"A": [300.0, 400.0, 500.0, 10.0], "B": [1.0, 2.0, 3.0], "C": [251.0, 252.0]}
+    rows, eid = [], 0
+    for ty, vals in spec.items():
+        for v in vals:
+            rows.append((eid, base, 1, ty, v, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in QUERIES["q233_wilson_ci"].spark_fn(spark, sf).collect()}
+
+    def wilson(x, n):
+        z = 1.96
+        p = x / n
+        center = p + z * z / (2 * n)
+        half = z * m.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        return (center - half) / (1 + z * z / n), (center + half) / (1 + z * z / n)
+
+    for ty, vals in spec.items():
+        x = sum(1 for v in vals if v > 250.0)
+        lo, hi = wilson(x, len(vals))
+        r = got[ty]
+        assert (r.n_events, r.n_hits) == (len(vals), x)
+        assert r.wilson_lo == pytest.approx(lo, rel=1e-12)
+        assert r.wilson_hi == pytest.approx(hi, rel=1e-12)
+        assert 0.0 <= r.wilson_lo <= r.wilson_hi <= 1.0  # the Wilson guarantee
+
+
+# ---- q234 jackknife vs textbook definition ----
+
+
+def test_q234_matches_jackknife_definition(spark, tmp_path):
+    import datetime as dt
+    import math as m
+
+    spec = {1: [100.0, 200.0], 2: [50.0], 3: [300.0, 400.0, 500.0]}
+    rows, oid = [], 0
+    for mo, vals in spec.items():
+        for v in vals:
+            rows.append((oid, 1, "O", v, dt.datetime(1997, mo, 10), "1-URGENT"))
+            oid += 1
+    sf = _write_orders(spark, tmp_path, rows)
+    got = QUERIES["q234_jackknife_se"].spark_fn(spark, sf).collect()[0]
+
+    cents = {mo: [m.floor(v * 100 + 0.5) for v in vals] for mo, vals in spec.items()}
+    N = sum(len(v) for v in cents.values())
+    S = sum(sum(v) for v in cents.values())
+    G = len(cents)
+    thetas = [
+        (S - sum(cents[mo])) / (N - len(cents[mo])) for mo in sorted(cents)
+    ]
+    td = sum(thetas) / G
+    se = m.sqrt((G - 1) / G * sum((x - td) ** 2 for x in thetas))
+    assert (got.n_groups, got.n_rows) == (G, N)
+    assert got.theta_all_cents == pytest.approx(S / N, rel=1e-12)
+    assert got.jack_se_cents == pytest.approx(se, rel=1e-12)
+
+
+def test_q234_single_group_yields_null_not_crash(spark, tmp_path):
+    import datetime as dt
+
+    rows = [(i, 1, "O", 100.0, dt.datetime(1997, 4, 2), "1-URGENT") for i in range(3)]
+    sf = _write_orders(spark, tmp_path, rows)
+    got = QUERIES["q234_jackknife_se"].spark_fn(spark, sf).collect()[0]
+    assert got.jack_se_cents is None
