@@ -2343,3 +2343,108 @@ def q222(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# --------------------------------------------------------------------------
+# q235 — degree assortativity (Newman 2002) of the q120 user
+# co-engagement graph: do high-degree users co-occur with high-degree
+# users (hub-hub, r > 0) or with leaves (hub-spoke, r < 0)? The
+# diagnostic that tells a sampler whether user-level subsampling
+# (q155) will shear hubs apart. The Pearson correlation over edge
+# endpoint degrees reduces to FOUR exact integer sums over the edge
+# list — M, sum(du*dv), sum(du+dv), sum(du^2+dv^2) — via
+# r = (4*M*Sjk - Sj^2) / (2*M*Sj2 - Sj^2); both sides compute that
+# final tree in DOUBLE from the identical exact integers (products
+# exceed the 2^53 window at scale, but correctly-rounded identical
+# ops on identical inputs stay bit-equal). Regular graph (den 0) ->
+# NULL.
+#
+# 100 TB shape: q120's bucket-confined self-join builds the edges; the
+# degree join is two keyed shuffles of 16-byte rows; the statistics
+# are ONE aggregate with 4 long partials.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q235_assortativity",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp, user_id FROM events
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM du a JOIN du b
+        ON a.event_type = b.event_type AND a.grp = b.grp AND a.user_id < b.user_id
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(da.d * db.d) AS BIGINT) AS s_jk,
+             CAST(SUM(da.d + db.d) AS BIGINT) AS s_j,
+             CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS s_j2
+      FROM e JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node
+    )
+    SELECT m AS n_edges, s_jk AS sum_jk, s_j AS sum_j, s_j2 AS sum_j2,
+           CASE WHEN 2.0 * CAST(m AS DOUBLE) * CAST(s_j2 AS DOUBLE)
+                     - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE) > 0
+                THEN (4.0 * CAST(m AS DOUBLE) * CAST(s_jk AS DOUBLE)
+                      - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE))
+                     / (2.0 * CAST(m AS DOUBLE) * CAST(s_j2 AS DOUBLE)
+                        - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE))
+                END AS assortativity
+    FROM s
+    """,
+    category="analytics",
+    doc="Newman degree assortativity of the co-engagement graph, 4 exact sums",
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    du = (
+        t(spark, sf, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("grp"), "user_id")
+        .distinct()
+    )
+    a, b = du.alias("a"), du.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    s = (
+        e.join(da, "u")
+        .join(db, "v")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(F.col("du") * F.col("dv")).alias("s_jk"),
+            F.sum(F.col("du") + F.col("dv")).alias("s_j"),
+            F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias(
+                "s_j2"
+            ),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = F.lit(2.0) * d("m") * d("s_j2") - d("s_j") * d("s_j")
+    num = F.lit(4.0) * d("m") * d("s_jk") - d("s_j") * d("s_j")
+    return s.select(
+        F.col("m").alias("n_edges"),
+        F.col("s_jk").alias("sum_jk"),
+        F.col("s_j").alias("sum_j"),
+        F.col("s_j2").alias("sum_j2"),
+        F.when(den > 0, num / den).alias("assortativity"),
+    )

@@ -152,6 +152,8 @@ _PRIORITY = [
     "q232_lang_kappa",
     "q233_wilson_ci",
     "q234_jackknife_se",
+    "q235_assortativity",
+    "q236_source_modularity",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

@@ -1473,3 +1473,113 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
         )
         .alias("ndcg"),
     ).orderBy("q_id")
+
+
+# --------------------------------------------------------------------------
+# q236 — modularity of the SOURCE partition under the near-dup candidate
+# graph: with documents grouped by their source column, Newman-Girvan
+# modularity Q = sum_c [e_c/m - (d_c/2m)^2] over the q52 LSH candidate
+# pairs says whether near-duplication concentrates within sources
+# (Q near its partition-induced max: dedup per-source, then a light
+# cross-source pass) or leaks across them (Q near 0: cross-source
+# dedup is load-bearing — the normalized single-number companion to
+# q179's raw overlap counts). Q = sum_c (4m*e_c - d_c^2) / (4m^2):
+# integer until one division.
+#
+# 100 TB shape: q52's banded blocking builds the pairs; sources attach
+# by two id-keyed joins of (id, source) rows; the rollup domain is
+# |sources|.
+# --------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    base = _minhash_oracle()
+    tail = "    SELECT d1, d2 FROM pairs ORDER BY d1, d2"
+    assert tail in base
+    return base.replace("pairs AS (", "pairs_base AS (", 1).replace(
+        tail,
+        """    , pairs AS (SELECT * FROM pairs_base),
+    pe AS (
+      SELECT p.d1, p.d2, da.source AS s1, db.source AS s2
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.d1
+      JOIN documents db ON db.doc_id = p.d2
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pe),
+    deg AS (
+      SELECT node, src, COUNT(*) AS d FROM (
+        SELECT d1 AS node, s1 AS src FROM pe
+        UNION ALL SELECT d2 AS node, s2 AS src FROM pe
+      ) GROUP BY 1, 2
+    ),
+    dsum AS (SELECT src, CAST(SUM(d) AS BIGINT) AS d_c FROM deg GROUP BY 1),
+    intra AS (
+      SELECT s1 AS src, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM pe WHERE s1 = s2 GROUP BY 1
+    ),
+    terms AS (
+      SELECT ds.src, COALESCE(i.e_c, 0) AS e_c, ds.d_c
+      FROM dsum ds LEFT JOIN intra i ON i.src = ds.src
+    )
+    SELECT mm.m AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_sources_in_graph,
+           CAST(SUM(e_c) AS BIGINT) AS intra_edges,
+           CAST(SUM(4 * mm.m * e_c - d_c * d_c) AS BIGINT) AS q_num,
+           CAST(SUM(4 * mm.m * e_c - d_c * d_c) AS DOUBLE)
+             / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS modularity
+    FROM terms, mm GROUP BY mm.m""",
+    )
+
+
+@query(
+    "q236_source_modularity",
+    oracle=_modularity_oracle(),
+    category="dedup",
+    doc="Newman modularity of the source partition under the LSH pair graph",
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _minhash_band_pairs(spark, sf)
+    src = t(spark, sf, "documents").select("doc_id", "source")
+    pe = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")),
+            "d1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")),
+            "d2",
+        )
+    )
+    deg = (
+        pe.select(F.col("d1").alias("node"), F.col("s1").alias("src"))
+        .unionAll(pe.select(F.col("d2").alias("node"), F.col("s2").alias("src")))
+        .groupBy("node", "src")
+        .agg(F.count("*").alias("d"))
+    )
+    dsum = deg.groupBy("src").agg(F.sum("d").alias("d_c"))
+    intra = (
+        pe.filter(F.col("s1") == F.col("s2"))
+        .groupBy(F.col("s1").alias("src"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    mm = pe.agg(F.count("*").alias("m"))
+    terms = (
+        dsum.join(intra, "src", "left")
+        .select("src", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c")
+        .crossJoin(F.broadcast(mm))
+    )
+    agg = terms.groupBy("m").agg(
+        F.count("*").alias("n_sources_in_graph"),
+        F.sum("e_c").alias("intra_edges"),
+        F.sum(4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")).alias(
+            "q_num"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        "n_sources_in_graph",
+        "intra_edges",
+        "q_num",
+        (d("q_num") / (F.lit(4.0) * d("m") * d("m"))).alias("modularity"),
+    )

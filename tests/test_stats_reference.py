@@ -778,3 +778,87 @@ def test_q234_single_group_yields_null_not_crash(spark, tmp_path):
     sf = _write_orders(spark, tmp_path, rows)
     got = QUERIES["q234_jackknife_se"].spark_fn(spark, sf).collect()[0]
     assert got.jack_se_cents is None
+
+
+# ---- q235 assortativity vs all-edges brute force ----
+
+
+def test_q235_matches_newman_definition(spark, tmp_path):
+    import datetime as dt
+    import math as m
+
+    # star around user 1 (each co-occurrence in its OWN hour bucket) plus
+    # a 3-clique {10,11,12} in one shared bucket
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, hour, ty="view"):
+        nonlocal eid
+        eid += 1
+        return (eid, base + dt.timedelta(hours=hour), user, ty, 1.0, "{}")
+
+    for i, leaf in enumerate([2, 3, 4]):
+        rows += [ev(1, i), ev(leaf, i)]
+    rows += [ev(10, 50), ev(11, 50), ev(12, 50)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = QUERIES["q235_assortativity"].spark_fn(spark, sf).collect()[0]
+
+    edges = {(1, 2), (1, 3), (1, 4), (10, 11), (10, 12), (11, 12)}
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    M = len(edges)
+    sjk = sum(deg[u] * deg[v] for u, v in edges)
+    sj = sum(deg[u] + deg[v] for u, v in edges)
+    sj2 = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    assert (got.n_edges, got.sum_jk, got.sum_j, got.sum_j2) == (M, sjk, sj, sj2)
+    r = (4.0 * M * sjk - sj * sj) / (2.0 * M * sj2 - sj * sj)
+    assert got.assortativity == pytest.approx(r, rel=1e-12)
+
+
+def test_q235_regular_graph_yields_null(spark, tmp_path):
+    import datetime as dt
+
+    # one bucket with 3 users -> a triangle: every degree 2, den = 0
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, u, "view", 1.0, "{}") for i, u in enumerate([1, 2, 3])]
+    sf = _write_events(spark, tmp_path, rows)
+    got = QUERIES["q235_assortativity"].spark_fn(spark, sf).collect()[0]
+    assert got.n_edges == 3 and got.assortativity is None
+
+
+# ---- q236 modularity vs brute force over the actual pair set ----
+
+
+def test_q236_matches_modularity_definition(spark):
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _minhash_band_pairs
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r.d1, r.d2) for r in _minhash_band_pairs(spark, sf).collect()]
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    from collections import Counter
+
+    m = len(pairs)
+    deg = Counter()
+    for u, v in pairs:
+        deg[u] += 1
+        deg[v] += 1
+    d_c = Counter()
+    for node, d in deg.items():
+        d_c[src[node]] += d
+    e_c = Counter()
+    for u, v in pairs:
+        if src[u] == src[v]:
+            e_c[src[u]] += 1
+    q_num = sum(4 * m * e_c[c] - d_c[c] ** 2 for c in d_c)
+    got = QUERIES["q236_source_modularity"].spark_fn(spark, sf).collect()[0]
+    assert got.n_edges == m
+    assert got.intra_edges == sum(e_c.values())
+    assert got.q_num == q_num
+    assert got.modularity == pytest.approx(q_num / (4.0 * m * m), rel=1e-12)
