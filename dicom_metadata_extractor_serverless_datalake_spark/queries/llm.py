@@ -1505,7 +1505,6 @@ def _modularity_oracle() -> str:
       JOIN documents da ON da.doc_id = p.d1
       JOIN documents db ON db.doc_id = p.d2
     ),
-    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pe),
     deg AS (
       SELECT node, src, COUNT(*) AS d FROM (
         SELECT d1 AS node, s1 AS src FROM pe
@@ -1520,14 +1519,21 @@ def _modularity_oracle() -> str:
     terms AS (
       SELECT ds.src, COALESCE(i.e_c, 0) AS e_c, ds.d_c
       FROM dsum ds LEFT JOIN intra i ON i.src = ds.src
+    ),
+    s AS (
+      -- sum(d_c) over sources counts every edge endpoint once = 2m,
+      -- so m needs no separate scalar attach
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+             CAST(SUM(e_c) AS BIGINT) AS s_e,
+             CAST(SUM(d_c * d_c) AS BIGINT) AS s_d2,
+             CAST(SUM(d_c) AS BIGINT) // 2 AS m
+      FROM terms
     )
-    SELECT mm.m AS n_edges,
-           CAST(COUNT(*) AS BIGINT) AS n_sources_in_graph,
-           CAST(SUM(e_c) AS BIGINT) AS intra_edges,
-           CAST(SUM(4 * mm.m * e_c - d_c * d_c) AS BIGINT) AS q_num,
-           CAST(SUM(4 * mm.m * e_c - d_c * d_c) AS DOUBLE)
-             / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS modularity
-    FROM terms, mm GROUP BY mm.m""",
+    SELECT m AS n_edges, n_src AS n_sources_in_graph, s_e AS intra_edges,
+           CAST(4 * m * s_e - s_d2 AS BIGINT) AS q_num,
+           CAST(4 * m * s_e - s_d2 AS DOUBLE)
+             / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
+    FROM s""",
     )
 
 
@@ -1562,24 +1568,23 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("s1").alias("src"))
         .agg(F.count("*").alias("e_c"))
     )
-    mm = pe.agg(F.count("*").alias("m"))
-    terms = (
-        dsum.join(intra, "src", "left")
-        .select("src", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c")
-        .crossJoin(F.broadcast(mm))
+    terms = dsum.join(intra, "src", "left").select(
+        "src", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c"
     )
-    agg = terms.groupBy("m").agg(
-        F.count("*").alias("n_sources_in_graph"),
-        F.sum("e_c").alias("intra_edges"),
-        F.sum(4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")).alias(
-            "q_num"
-        ),
+    # sum(d_c) counts every edge endpoint once = 2m: no scalar attach,
+    # the whole readout is ONE aggregate over the |sources| rows
+    s = terms.agg(
+        F.count("*").alias("n_src"),
+        F.sum("e_c").alias("s_e"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("s_d2"),
+        F.expr("CAST(sum(d_c) AS BIGINT) div 2").alias("m"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    return agg.select(
+    q_num = 4 * F.col("m") * F.col("s_e") - F.col("s_d2")
+    return s.select(
         F.col("m").alias("n_edges"),
-        "n_sources_in_graph",
-        "intra_edges",
-        "q_num",
-        (d("q_num") / (F.lit(4.0) * d("m") * d("m"))).alias("modularity"),
+        F.col("n_src").alias("n_sources_in_graph"),
+        F.col("s_e").alias("intra_edges"),
+        q_num.alias("q_num"),
+        (q_num.cast("double") / (F.lit(4.0) * d("m") * d("m"))).alias("modularity"),
     )
