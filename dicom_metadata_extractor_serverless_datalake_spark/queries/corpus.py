@@ -37,17 +37,17 @@ from . import selection  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
-# driver-oracle verification is least established go first. Round-5's
-# driver artifacts (CORRECTNESS_r05 / BENCH_r05 / a round-5 VERDICT)
-# were never delivered, so as of round 6 the never-driver-verified set
-# is q135 (red r04, fixed) + q144-q200 = 58 queries against a 50-entry
-# window. Round-6 window: q135 first (certifies the serialized
-# top_docs fix under the driver's own canonicalizer), then q144-q177
-# (the 34 round-4c/d/f queries — q166 now registered with fixed-COUNT
-# anchors, q168/q171 serialize ctx), then q178-q192. q193-q200 are
-# queued immediately after for the round-7 window, followed by the
-# stalest greens (relational core, last rows round 1/2); round-4-green
-# families rotate to the back.
+# driver-oracle verification is least established go first. The last
+# delivered driver artifact is CORRECTNESS_r04 (49/50 green, q135 red —
+# since fixed by serializing top_docs), so the never-driver-verified
+# set is q135 + q144-q236 against a 50-entry window. Current window:
+# q135 first (certifies the serialization fix under the driver's own
+# canonicalizer), then q144-q177 (the round-4c/d/f families — q166
+# registered with fixed-COUNT anchors, q168/q171 serialize ctx), then
+# q178-q192. q193-q236 queue immediately after for the following
+# window, then the stalest greens (relational core, last rows round
+# 1/2); round-4-green families rotate to the back. After each new
+# CORRECTNESS artifact lands, rotate its greens out of the front.
 _PRIORITY = [
     # round-4 red — fixed this round, must re-verify first
     "q135_inverted_index",
