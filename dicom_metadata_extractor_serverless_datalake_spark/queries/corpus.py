@@ -154,6 +154,7 @@ _PRIORITY = [
     "q234_jackknife_se",
     "q235_assortativity",
     "q236_source_modularity",
+    "q237_adjusted_rand",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

@@ -425,3 +425,128 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q237 — Adjusted Rand Index (Hubert & Arabie 1985) between an
+# UNSUPERVISED clustering (q146's deterministic seed-centroid
+# assignment) and the label column: the chance-corrected clustering
+# agreement that completes q232's kappa (which scores a CLASSIFIER
+# against labels — ARI is invariant to cluster renumbering, kappa is
+# not). All pair-counting terms come from the (cluster, label)
+# contingency — sum C(nij,2), row/column margins, C(n,2) — exact
+# integers on a <= K x |labels| domain whatever the corpus size; the
+# final ARI is one identical double tree over those four scalars
+# (their cross-products pass 2^63 at corpus scale, so the division
+# runs in DOUBLE from the exact BIGINTs on both engines). Identical
+# or independent degenerate partitions (den 0) yield NULL.
+#
+# 100 TB shape: broadcast K centroids, ONE map-side assignment pass,
+# one (cid, label) count aggregate; everything after is grid math.
+# --------------------------------------------------------------------------
+
+_ARI_K = 8
+
+
+def _ari_oracle() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.c[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    cnorm = (
+        "list_reduce(list_transform(generate_series(1, len(s.c)), "
+        "i -> CAST(s.c[i] AS DOUBLE) * CAST(s.c[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_ARI_K})
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, s.cid,
+             -2 * {dot} + {cnorm} AS d
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT vec_id, label, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    cells AS (SELECT cid, label, COUNT(*) AS n FROM assign GROUP BY 1, 2),
+    ij AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sc_ij FROM cells),
+    am AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS sc_a
+           FROM (SELECT SUM(n) AS a FROM cells GROUP BY cid)),
+    bm AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS sc_b
+           FROM (SELECT SUM(n) AS b FROM cells GROUP BY label)),
+    nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                  CAST(SUM(n) * (SUM(n) - 1) // 2 AS BIGINT) AS comb_n
+           FROM cells)
+    SELECT n AS n_vectors, sc_ij AS sum_comb_ij, sc_a AS sum_comb_clusters,
+           sc_b AS sum_comb_labels, comb_n,
+           CASE WHEN CAST(comb_n AS DOUBLE) * (CAST(sc_a AS DOUBLE) + CAST(sc_b AS DOUBLE))
+                     - 2.0 * CAST(sc_a AS DOUBLE) * CAST(sc_b AS DOUBLE) <> 0
+                THEN (2.0 * CAST(comb_n AS DOUBLE) * CAST(sc_ij AS DOUBLE)
+                      - 2.0 * CAST(sc_a AS DOUBLE) * CAST(sc_b AS DOUBLE))
+                     / (CAST(comb_n AS DOUBLE) * (CAST(sc_a AS DOUBLE) + CAST(sc_b AS DOUBLE))
+                        - 2.0 * CAST(sc_a AS DOUBLE) * CAST(sc_b AS DOUBLE))
+                END AS ari
+    FROM ij, am, bm, nn
+    """
+
+
+@query(
+    "q237_adjusted_rand",
+    oracle=_ari_oracle(),
+    category="evals",
+    doc="Adjusted Rand Index: seed-centroid clusters vs labels, exact pair counts",
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ann import _nearest_centroids
+
+    emb = t(spark, sf, "embeddings")
+    w = Window.orderBy("vec_id")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_ARI_K)
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assign = _nearest_centroids(emb, seeds, "embedding", n=1, out_col="cid")
+    cells = assign.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    ij = cells.agg(F.sum(F.expr("n * (n - 1) div 2")).alias("sc_ij"))
+    am = (
+        cells.groupBy("cid")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(F.expr("a * (a - 1) div 2")).alias("sc_a"))
+    )
+    bm = (
+        cells.groupBy("label")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(F.expr("b * (b - 1) div 2")).alias("sc_b"))
+    )
+    nn = cells.agg(
+        F.sum("n").alias("n"),
+        F.expr("CAST(sum(n) * (sum(n) - 1) div 2 AS BIGINT)").alias("comb_n"),
+    )
+    joined = (
+        nn.crossJoin(F.broadcast(ij))
+        .crossJoin(F.broadcast(am))
+        .crossJoin(F.broadcast(bm))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = d("comb_n") * (d("sc_a") + d("sc_b")) - F.lit(2.0) * d("sc_a") * d("sc_b")
+    num = F.lit(2.0) * d("comb_n") * d("sc_ij") - F.lit(2.0) * d("sc_a") * d("sc_b")
+    return joined.select(
+        F.col("n").alias("n_vectors"),
+        F.col("sc_ij").alias("sum_comb_ij"),
+        F.col("sc_a").alias("sum_comb_clusters"),
+        F.col("sc_b").alias("sum_comb_labels"),
+        "comb_n",
+        F.when(den != 0, num / den).alias("ari"),
+    )

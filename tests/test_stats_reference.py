@@ -862,3 +862,62 @@ def test_q236_matches_modularity_definition(spark):
     assert got.intra_edges == sum(e_c.values())
     assert got.q_num == q_num
     assert got.modularity == pytest.approx(q_num / (4.0 * m * m), rel=1e-12)
+
+
+# ---- q237 ARI vs sklearn-free brute force over the actual assignment ----
+
+
+def test_q237_matches_ari_definition(spark):
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.ann import _nearest_centroids
+    from pyspark.sql import Window, functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    w = Window.orderBy("vec_id")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assign = [
+        (r.cid, r.label)
+        for r in _nearest_centroids(emb, seeds, "embedding", n=1, out_col="cid")
+        .select("cid", "label")
+        .collect()
+    ]
+    from collections import Counter
+
+    cells = Counter(assign)
+    a = Counter()
+    b = Counter()
+    for (c, l), n in cells.items():
+        a[c] += n
+        b[l] += n
+    comb = lambda x: x * (x - 1) // 2  # noqa: E731
+    sc_ij = sum(comb(n) for n in cells.values())
+    sc_a = sum(comb(n) for n in a.values())
+    sc_b = sum(comb(n) for n in b.values())
+    n = sum(cells.values())
+    comb_n = comb(n)
+    exp = sc_ij - sc_a * sc_b / comb_n
+    mx = 0.5 * (sc_a + sc_b) - sc_a * sc_b / comb_n
+    got = QUERIES["q237_adjusted_rand"].spark_fn(spark, sf).collect()[0]
+    assert (got.n_vectors, got.sum_comb_ij) == (n, sc_ij)
+    assert (got.sum_comb_clusters, got.sum_comb_labels) == (sc_a, sc_b)
+    assert got.ari == pytest.approx(exp / mx, rel=1e-9)
+
+
+def test_q237_identical_partitions_would_score_one(spark, tmp_path):
+    # sanity on the formula itself: clusters == labels -> ARI == 1
+    # (construct directly from the contingency identity, no Spark run)
+    comb = lambda x: x * (x - 1) // 2  # noqa: E731
+    sizes = [5, 7, 3]
+    sc_ij = sc_a = sc_b = sum(comb(s) for s in sizes)
+    n = sum(sizes)
+    comb_n = comb(n)
+    num = 2.0 * comb_n * sc_ij - 2.0 * sc_a * sc_b
+    den = comb_n * (sc_a + sc_b) - 2.0 * sc_a * sc_b
+    assert num / den == pytest.approx(1.0)
