@@ -296,6 +296,60 @@ class TextCorpus:
         )
         return self._with(self.df.join(losers, self.id_col, "left_anti"))
 
+    def novelty(
+        self,
+        eval_df: DataFrame,
+        n: int = 5,
+        eval_id_col: str = "doc_id",
+        eval_text_col: str = "text",
+    ) -> DataFrame:
+        """Per-eval-doc n-gram novelty against THIS corpus as the
+        training side (the q228 readout generalized over any eval
+        frame): the exact fraction of each eval doc's DISTINCT word
+        n-grams absent from the corpus, floored to micros.
+        ``decontaminate`` says WHETHER a doc overlaps; this says HOW
+        MUCH of it is novel — the Carlini-style memorization-exposure
+        number per document. Returns (eval_id_col, total_grams,
+        novel_grams, novelty_micros); eval docs shorter than ``n``
+        tokens carry no grams and are absent. Shuffles carry only
+        (gram, id) pairs — never text."""
+
+        def grams(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+            g = df.select(
+                *([F.col(id_col)] if id_col else []),
+                F.split(F.col(text_col), " ").alias("w"),
+            ).filter(F.size("w") >= n)
+            return g.select(
+                *([id_col] if id_col else []),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(w) - {n - 1}), "
+                        f"i -> concat_ws(' ', slice(w, i, {n})))"
+                    )
+                ).alias("gram"),
+            )
+
+        train_grams = grams(self.df, None, self.text_col).distinct()
+        eg = grams(eval_df, eval_id_col, eval_text_col).distinct()
+        return (
+            eg.join(train_grams.withColumn("_hit", F.lit(1)), "gram", "left")
+            .groupBy(eval_id_col)
+            .agg(
+                F.count("*").alias("total_grams"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias(
+                    "novel_grams"
+                ),
+            )
+            .select(
+                eval_id_col,
+                "total_grams",
+                "novel_grams",
+                F.expr("1000000 * novel_grams div total_grams").alias(
+                    "novelty_micros"
+                ),
+            )
+        )
+
     def repetition_filter(
         self,
         max_top2_share: float = 0.10,

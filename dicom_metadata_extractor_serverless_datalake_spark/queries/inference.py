@@ -464,23 +464,23 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_type, n_events, n_hits,
            CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE) AS p_hat,
            ((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE)
-             + 1.96 * 1.96 / (2.0 * CAST(n_events AS DOUBLE)))
+             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n_events AS DOUBLE)))
             - 1.96 * sqrt((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
                           * (1.0 - CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
                             / CAST(n_events AS DOUBLE)
-                          + 1.96 * 1.96
+                          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
                             / (4.0 * CAST(n_events AS DOUBLE)
                                    * CAST(n_events AS DOUBLE))))
-           / (1.0 + 1.96 * 1.96 / CAST(n_events AS DOUBLE)) AS wilson_lo,
+           / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_events AS DOUBLE)) AS wilson_lo,
            ((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE)
-             + 1.96 * 1.96 / (2.0 * CAST(n_events AS DOUBLE)))
+             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n_events AS DOUBLE)))
             + 1.96 * sqrt((CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
                           * (1.0 - CAST(n_hits AS DOUBLE) / CAST(n_events AS DOUBLE))
                             / CAST(n_events AS DOUBLE)
-                          + 1.96 * 1.96
+                          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
                             / (4.0 * CAST(n_events AS DOUBLE)
                                    * CAST(n_events AS DOUBLE))))
-           / (1.0 + 1.96 * 1.96 / CAST(n_events AS DOUBLE)) AS wilson_hi
+           / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_events AS DOUBLE)) AS wilson_hi
     FROM c ORDER BY event_type
     """,
     category="inference",

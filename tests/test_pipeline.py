@@ -610,3 +610,36 @@ def test_classifier_filter_is_map_side(spark, docs):
 
     plan = physical_plan(TextCorpus(docs).classifier_filter().df)
     assert "Exchange" not in plan  # pure map-side filter stage
+
+
+def test_novelty_matches_q228_rollup(spark, docs):
+    """TextCorpus.novelty over the q228 hash split must reproduce
+    q228's per-source rollup exactly."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    h = F.expr(
+        "CAST(conv(substr(md5('nv-' || CAST(doc_id AS STRING)),1,8),16,10) "
+        "AS BIGINT) % 2147483647"
+    )
+    eval_df = docs.filter(h % 10 == 7)
+    train = docs.filter(h % 10 != 7)
+    per_doc = TextCorpus(train).novelty(eval_df)
+    got = {
+        r.source: (r.n, r.s)
+        for r in per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("novelty_micros").alias("s"))
+        .collect()
+    }
+    want = {
+        r.source: (r.n_eval_docs, r.avg_novelty_micros)
+        for r in QUERIES["q228_ngram_novelty"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for src, (n, s) in got.items():
+        assert n == want[src][0]
+        assert s // n == want[src][1]  # q228 reports the floored mean
