@@ -589,3 +589,190 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --------------------------------------------------------------------------
+# q238 — time-to-convert (round 7): exact order statistics of the
+# first-view -> first-subsequent-purchase delay — the latency companion
+# to q87's conversion COUNTS and q209's survival curve. Delays are
+# exact integer microseconds; the median and p90 are true order
+# statistics selected at rank ceil(n/2) / ceil(9n/10) from the parallel
+# two-phase global numbering (operators/rank.py, the q97 machinery) —
+# never a percentile sketch, never a single-partition sort. The rank
+# frame carries 16-byte (delay, user) rows.
+#
+# 100 TB shape: one conditional min per user (map-side combinable),
+# one purchase-side re-join keyed by user, one range exchange of
+# 16-byte rows for the numbering, a 2-row rank selection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q238_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             epoch_us(MIN(e.ts)) - epoch_us(fv.first_view) AS delay_us
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+            AND e.ts > fv.first_view
+      GROUP BY e.user_id, fv.first_view
+    ),
+    ranked AS (
+      SELECT user_id, delay_us,
+             row_number() OVER (ORDER BY delay_us, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           CAST(MIN(delay_us) AS BIGINT) AS min_delay_us,
+           CAST(MAX(delay_us) AS BIGINT) AS max_delay_us,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN delay_us END) AS BIGINT)
+             AS median_delay_us,
+           CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_us END) AS BIGINT)
+             AS p90_delay_us
+    FROM ranked
+    """,
+    category="behavior",
+    doc="Exact median/p90 first-view to first-purchase latency by rank selection",
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import global_positions
+
+    ev = t(spark, sf, "events")
+    fv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv.filter(F.col("first_view").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.col("first_view"))
+            ).alias("delay_us")
+        )
+        .select("user_id", "delay_us")
+    )
+    ranked = global_positions(conv, ["delay_us", "user_id"], position_col="rk")
+    nrow = conv.agg(
+        F.count("*").alias("n"),
+        F.min("delay_us").alias("min_delay_us"),
+        F.max("delay_us").alias("max_delay_us"),
+    )
+    sel = ranked.crossJoin(F.broadcast(nrow)).filter(
+        (F.col("rk") == F.expr("(n + 1) div 2"))
+        | (F.col("rk") == F.expr("(9 * n + 9) div 10"))
+    )
+    return sel.agg(
+        F.max("n").alias("n_converters"),
+        F.max("min_delay_us").alias("min_delay_us"),
+        F.max("max_delay_us").alias("max_delay_us"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("delay_us"))
+        ).alias("median_delay_us"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("delay_us"))
+        ).alias("p90_delay_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q239 — inter-arrival burstiness (Goh & Barabasi 2008) per event type:
+# B = (sigma - mu) / (sigma + mu) over the consecutive-event gaps —
+# -1 for a perfectly regular stream, 0 for Poisson, -> 1 for bursty.
+# The capacity-planning diagnostic behind "can this stream be watermark-
+# windowed with small state". Gaps are exact integer microseconds from
+# ONE type-keyed lag window; gap^2 passes both 2^53 and 2^63 at real
+# time spans, so the sum of squares runs in DECIMAL(38,0) from
+# DECIMAL(19,0) gaps — exact on both engines (HUGEINT on the oracle
+# side) — and only the final mu/sigma/B tree is double. Degenerate
+# types (n < 2 gaps, zero total gap) yield NULL B.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q239_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(gap_us) AS BIGINT) AS n,
+             CAST(SUM(gap_us) AS BIGINT) AS sg,
+             SUM(CAST(gap_us AS HUGEINT) * gap_us) AS sq
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sg,
+             CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us,
+             CASE WHEN n >= 2
+                  THEN sqrt((CAST(sq AS DOUBLE)
+                             - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0))
+                  END AS sd_gap_us
+      FROM s
+    )
+    SELECT event_type, n AS n_gaps, mean_gap_us, sd_gap_us,
+           CASE WHEN sd_gap_us IS NOT NULL AND sd_gap_us + mean_gap_us > 0
+                THEN (sd_gap_us - mean_gap_us) / (sd_gap_us + mean_gap_us)
+                END AS burstiness
+    FROM m ORDER BY event_type
+    """,
+    category="behavior",
+    doc="Goh-Barabasi burstiness of inter-event gaps per type, exact moments",
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = t(spark, sf, "events").select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    s = (
+        g.filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n"),
+            F.sum("gap_us").alias("sg"),
+            F.sum(
+                F.col("gap_us").cast("decimal(19,0)")
+                * F.col("gap_us").cast("decimal(19,0)")
+            ).alias("sq"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sg") / d("n")
+    sd = F.when(
+        F.col("n") >= 2,
+        F.sqrt((d("sq") - (d("sg") * d("sg")) / d("n")) / (d("n") - F.lit(1.0))),
+    )
+    m = s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        mean.alias("mean_gap_us"),
+        sd.alias("sd_gap_us"),
+    )
+    b = F.when(
+        F.col("sd_gap_us").isNotNull()
+        & (F.col("sd_gap_us") + F.col("mean_gap_us") > 0),
+        (F.col("sd_gap_us") - F.col("mean_gap_us"))
+        / (F.col("sd_gap_us") + F.col("mean_gap_us")),
+    )
+    return m.select(
+        "event_type", "n_gaps", "mean_gap_us", "sd_gap_us", b.alias("burstiness")
+    ).orderBy("event_type")

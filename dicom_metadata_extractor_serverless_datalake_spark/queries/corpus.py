@@ -155,6 +155,8 @@ _PRIORITY = [
     "q235_assortativity",
     "q236_source_modularity",
     "q237_adjusted_rand",
+    "q238_time_to_convert",
+    "q239_burstiness",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

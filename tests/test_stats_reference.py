@@ -921,3 +921,75 @@ def test_q237_identical_partitions_would_score_one(spark, tmp_path):
     num = 2.0 * comb_n * sc_ij - 2.0 * sc_a * sc_b
     den = comb_n * (sc_a + sc_b) - 2.0 * sc_a * sc_b
     assert num / den == pytest.approx(1.0)
+
+
+# ---- q238 time-to-convert vs brute-force order statistics ----
+
+
+def test_q238_matches_rank_definition(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, minutes, ty):
+        nonlocal eid
+        eid += 1
+        return (eid, base + dt.timedelta(minutes=minutes), user, ty, 1.0, "{}")
+
+    # users 1..5 convert with known delays (minutes): 10, 20, 30, 40, 50
+    for u, dly in enumerate([10, 20, 30, 40, 50], start=1):
+        rows += [ev(u, 0, "view"), ev(u, dly, "purchase")]
+    # user 6: purchase BEFORE any view -> not a converter
+    rows += [ev(6, 5, "purchase"), ev(6, 10, "view")]
+    # user 7: view only
+    rows += [ev(7, 0, "view")]
+    # user 1: a later purchase must not change the FIRST-purchase delay
+    rows += [ev(1, 500, "purchase")]
+    sf = _write_events(spark, tmp_path, rows)
+    got = QUERIES["q238_time_to_convert"].spark_fn(spark, sf).collect()[0]
+    delays = sorted([10, 20, 30, 40, 50])
+    us = lambda m: m * 60_000_000  # noqa: E731
+    n = len(delays)
+    assert got.n_converters == n
+    assert got.min_delay_us == us(delays[0])
+    assert got.max_delay_us == us(delays[-1])
+    assert got.median_delay_us == us(delays[(n + 1) // 2 - 1])
+    assert got.p90_delay_us == us(delays[(9 * n + 9) // 10 - 1])
+
+
+# ---- q239 burstiness vs textbook moments ----
+
+
+def test_q239_matches_moment_definition(spark, tmp_path):
+    import datetime as dt
+    import math as m
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # type A: gaps 60s, 120s, 600s (bursty-ish); type B: regular 60s gaps
+    for ty, offsets in {"A": [0, 1, 3, 13], "B": [0, 1, 2, 3]}.items():
+        for off in offsets:
+            eid += 1
+            rows.append((eid, base + dt.timedelta(minutes=off), 1, ty, 1.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in QUERIES["q239_burstiness"].spark_fn(spark, sf).collect()}
+
+    def ref(offsets):
+        gaps = [
+            (b - a) * 60_000_000 for a, b in zip(offsets, offsets[1:])
+        ]
+        n = len(gaps)
+        mu = sum(gaps) / n
+        var = sum((g - mu) ** 2 for g in gaps) / (n - 1)
+        sd = m.sqrt(var)
+        return n, mu, sd, (sd - mu) / (sd + mu)
+
+    for ty, offsets in {"A": [0, 1, 3, 13], "B": [0, 1, 2, 3]}.items():
+        n, mu, sd, b = ref(offsets)
+        r = got[ty]
+        assert r.n_gaps == n
+        assert r.mean_gap_us == pytest.approx(mu, rel=1e-12)
+        assert r.sd_gap_us == pytest.approx(sd, rel=1e-12)
+        assert r.burstiness == pytest.approx(b, rel=1e-12)
+    assert got["B"].burstiness == pytest.approx(-1.0)  # perfectly regular
