@@ -331,3 +331,130 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q240 — LSH blocking-recall audit (round 7): q52's banded candidates
+# measured against the COMPLETE exact shingle-Jaccard >= 0.8 pair set —
+# recall (what fraction of true near-dup pairs the bands surface) next
+# to the reduction ratio (what fraction of the n-choose-2 pair space
+# the bands prune away). q220 calibrates the MinHash ESTIMATE on pairs
+# the bands already found; this is the other half of the
+# blocking-evaluation story — the pairs the bands MISS. Ground truth
+# is exact-complete without LSH: J >= 0.8 > 0 forces >= 1 shared
+# shingle, so a shingle-keyed equi-join with the lossless 5*min >=
+# 4*max size prefilter (min/max set-size ratio >= J) enumerates every
+# qualifying pair; the threshold test is the integer cross-
+# multiplication 10*both >= 8*union. At 100 TB the truth side is the
+# expensive half (it exists to audit the cheap half) — run it on a
+# hash-sampled corpus slice the q72 way; the registered form keeps the
+# full set so the oracle can certify it.
+# --------------------------------------------------------------------------
+
+
+def _q240_oracle() -> str:
+    from .llm import _minhash_pairs_cte
+
+    return f"""{_minhash_pairs_cte()},
+    hd AS (SELECT DISTINCT doc_id, hs FROM h),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hd GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS both_n
+      FROM hd a JOIN hd b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT s.d1, s.d2
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.d1
+      JOIN sizes sb ON sb.doc_id = s.d2
+      WHERE s.both_n * 10 >= (sa.n + sb.n - s.both_n) * 8
+    ),
+    hit AS (
+      SELECT t.d1 FROM truth t JOIN pairs p ON p.d1 = t.d1 AND p.d2 = t.d2
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hits
+    )
+    SELECT n_docs, n_truth_pairs, n_candidates, n_hits,
+           CASE WHEN n_truth_pairs > 0
+                THEN CAST(1000000 * n_hits // n_truth_pairs AS BIGINT)
+                END AS recall_micros,
+           CASE WHEN n_docs >= 2
+                THEN CAST(1000000 * (n_docs * (n_docs - 1) // 2 - n_candidates)
+                          // (n_docs * (n_docs - 1) // 2) AS BIGINT)
+                END AS reduction_micros
+    FROM agg
+    """
+
+
+@query(
+    "q240_blocking_recall",
+    oracle=_q240_oracle(),
+    category="evals",
+    doc="LSH band recall vs the exact-complete Jaccard>=0.8 pair set + reduction ratio",
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import _SPARK_SHINGLES, _minhash_band_pairs, spark_h31
+
+    docs = t(spark, sf, "documents")
+    hd = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .select("doc_id", F.expr(spark_h31("s")).alias("hs"))
+        .distinct()
+    )
+    sizes = hd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hd2 = hd.join(sizes, "doc_id")
+    a, b = hd2.alias("a"), hd2.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # lossless at J >= 0.8: min/max set-size ratio >= J
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("both_n"))
+    )
+    truth = shared.filter(
+        F.col("both_n") * 10 >= (F.col("na") + F.col("nb") - F.col("both_n")) * 8
+    ).select("d1", "d2")
+    candidates = _minhash_band_pairs(spark, sf)
+    hits = truth.join(candidates, ["d1", "d2"], "left_semi")
+    nd = sizes.agg(F.count("*").alias("n_docs"))
+    nt = truth.agg(F.count("*").alias("n_truth_pairs"))
+    nc = candidates.agg(F.count("*").alias("n_candidates"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    out = (
+        nd.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+    )
+    return out.select(
+        "n_docs",
+        "n_truth_pairs",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.expr("1000000 * n_hits div n_truth_pairs"),
+        ).alias("recall_micros"),
+        F.when(
+            F.col("n_docs") >= 2,
+            F.expr(
+                "1000000 * (n_docs * (n_docs - 1) div 2 - n_candidates)"
+                " div (n_docs * (n_docs - 1) div 2)"
+            ),
+        ).alias("reduction_micros"),
+    )

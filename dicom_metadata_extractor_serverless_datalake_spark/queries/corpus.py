@@ -157,6 +157,7 @@ _PRIORITY = [
     "q237_adjusted_rand",
     "q238_time_to_convert",
     "q239_burstiness",
+    "q240_blocking_recall",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

@@ -993,3 +993,41 @@ def test_q239_matches_moment_definition(spark, tmp_path):
         assert r.sd_gap_us == pytest.approx(sd, rel=1e-12)
         assert r.burstiness == pytest.approx(b, rel=1e-12)
     assert got["B"].burstiness == pytest.approx(-1.0)  # perfectly regular
+
+
+# ---- q240 blocking recall vs brute-force truth ----
+
+
+def test_q240_matches_brute_force_truth(spark):
+    """Recompute the exact Jaccard>=0.8 truth set and the LSH candidate
+    set in Python over sf0.001 and check every count."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _minhash_band_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    shingles = {}
+    for r in docs:
+        w = r.text.split(" ")
+        ss = {
+            _h31(" ".join(w[i : i + 3])) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+        shingles[r.doc_id] = ss
+    ids = sorted(d for d, s in shingles.items() if s)
+    truth = set()
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            a, b = shingles[d1], shingles[d2]
+            both = len(a & b)
+            if both * 10 >= (len(a) + len(b) - both) * 8:
+                truth.add((d1, d2))
+    cand = {(r.d1, r.d2) for r in _minhash_band_pairs(spark, sf).collect()}
+    got = QUERIES["q240_blocking_recall"].spark_fn(spark, sf).collect()[0]
+    assert got.n_docs == len(ids)
+    assert got.n_truth_pairs == len(truth)
+    assert got.n_candidates == len(cand)
+    assert got.n_hits == len(truth & cand)
+    if truth:
+        assert got.recall_micros == 1_000_000 * len(truth & cand) // len(truth)
+    n = len(ids)
+    pt = n * (n - 1) // 2
+    assert got.reduction_micros == 1_000_000 * (pt - len(cand)) // pt
