@@ -158,6 +158,7 @@ _PRIORITY = [
     "q238_time_to_convert",
     "q239_burstiness",
     "q240_blocking_recall",
+    "q241_stream_burstiness",
     # 14 stalest greens: relational core, last driver row round 1/2
     "q01_pricing_summary",
     "q02_filter_project",

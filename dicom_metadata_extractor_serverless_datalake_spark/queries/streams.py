@@ -1987,3 +1987,157 @@ def q231(spark: SparkSession, sf: str) -> DataFrame:
         p0.alias("p0"), p1.alias("p1"), z.alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# q241 — STREAMING burstiness monitor: q239's inter-arrival moments
+# maintained as per-type state while events arrive — the live "is this
+# stream getting burstier" readout a watermark-sizing operator wants
+# continuously, where the batch q239 re-pays a full window pass per
+# refresh. State per type is (last event (ts, id) + exact moment
+# partials n / sum / sum-of-squares); gaps form in (ts, event_id)
+# order WITHIN each batch and the carried last-event bridges batch
+# boundaries, so the drained moments equal the batch window pass
+# exactly whatever boundary falls between two events. sum(gap^2)
+# passes 2^63 at real time spans, so it rides in the state as a
+# decimal STRING (the q185 string-state precedent) and re-enters SQL
+# through one decimal(38,0) cast; the final mu/sigma/B tree is q239's
+# verbatim, as is the oracle. The chronological stream source slices
+# by event-time VALUE, so ties never straddle batches.
+#
+# 100 TB shape: the stateful exchange carries (type, ts, id) rows;
+# state is 4 longs + one short string per type.
+# --------------------------------------------------------------------------
+
+_BURST_STATE = "last_us long, last_id long, n long, sg long, sq string"
+_BURST_OUT = "event_type string, version long, n long, sg long, sq string"
+
+
+def _burst_update(key, batches, state):
+    import pandas as pd
+
+    if state.exists:
+        last_us, last_id, n, sg, sq_s = state.get
+        last_us, last_id, n, sg, sq = (
+            int(last_us), int(last_id), int(n), int(sg), int(sq_s),
+        )
+        have_last = True
+    else:
+        last_us = last_id = n = sg = sq = 0
+        have_last = False
+    for pdf in batches:
+        us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        for t_us, eid in sorted(zip((int(x) for x in us), pdf["event_id"])):
+            eid = int(eid)
+            if have_last:
+                gap = t_us - last_us
+                n += 1
+                sg += gap
+                sq += gap * gap
+            last_us, last_id, have_last = t_us, eid, True
+    state.update((last_us, last_id, n, sg, str(sq)))
+    # n is monotone per batch-with-arrivals, so it doubles as the
+    # version for the latest-per-key sink pick; duplicate version-0
+    # emissions (a key's very first event) carry identical content
+    yield pd.DataFrame(
+        [(key[0], n, n, sg, str(sq))],
+        columns=["event_type", "version", "n", "sg", "sq"],
+    )
+
+
+@query(
+    "q241_stream_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(gap_us) AS BIGINT) AS n,
+             CAST(SUM(gap_us) AS BIGINT) AS sg,
+             SUM(CAST(gap_us AS HUGEINT) * gap_us) AS sq
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sg,
+             CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us,
+             CASE WHEN n >= 2
+                  THEN sqrt((CAST(sq AS DOUBLE)
+                             - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0))
+                  END AS sd_gap_us
+      FROM s
+    )
+    SELECT event_type, n AS n_gaps, mean_gap_us, sd_gap_us,
+           CASE WHEN sd_gap_us IS NOT NULL AND sd_gap_us + mean_gap_us > 0
+                THEN (sd_gap_us - mean_gap_us) / (sd_gap_us + mean_gap_us)
+                END AS burstiness
+    FROM m ORDER BY event_type
+    """,
+    category="streaming",
+    doc="q239's burstiness as live per-type exact-moment state",
+)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources.tables import load_stream
+
+    src, _ = _events_stream_src(sf, time_splits=3)
+    try:
+        stateful = (
+            load_stream(spark, src, "events", max_files_per_trigger=1)
+            .select("event_type", "ts", "event_id")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _burst_update,
+                outputStructType=_BURST_OUT,
+                stateStructType=_BURST_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name, n_batches = _run_to_memory(stateful, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    p = spark.table(name)
+    w = Window.partitionBy("event_type").orderBy(F.col("version").desc())
+    latest = (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            "sg",
+            F.col("sq").cast("decimal(38,0)").alias("sq"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sg") / d("n_gaps")
+    sd = F.when(
+        F.col("n_gaps") >= 2,
+        F.sqrt(
+            (d("sq") - (d("sg") * d("sg")) / d("n_gaps"))
+            / (d("n_gaps") - F.lit(1.0))
+        ),
+    )
+    m = latest.select(
+        "event_type",
+        "n_gaps",
+        mean.alias("mean_gap_us"),
+        sd.alias("sd_gap_us"),
+    )
+    b = F.when(
+        F.col("sd_gap_us").isNotNull()
+        & (F.col("sd_gap_us") + F.col("mean_gap_us") > 0),
+        (F.col("sd_gap_us") - F.col("mean_gap_us"))
+        / (F.col("sd_gap_us") + F.col("mean_gap_us")),
+    )
+    return m.select(
+        "event_type", "n_gaps", "mean_gap_us", "sd_gap_us", b.alias("burstiness")
+    ).orderBy("event_type")

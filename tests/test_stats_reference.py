@@ -33,12 +33,20 @@ def _write_documents(spark, tmp_path, rows):
 
 
 def _write_events(spark, tmp_path, rows):
-    """rows: list of (event_id, ts, user_id, event_type, value, props)."""
+    """rows: list of (event_id, ts, user_id, event_type, value, props).
+
+    ts is written as TIMESTAMP_NTZ (INT64 micros) to match the driver
+    testdata encoding — a plain timestamp would write INT96, which the
+    streaming-twin sources' pyarrow re-slicer round-trips to
+    nanosecond INT64 and the stream reader then schema-mismatches
+    (the make_scale_data.py events note)."""
+    from pyspark.sql import functions as F
+
     df = spark.createDataFrame(
         rows,
         "event_id bigint, ts timestamp, user_id bigint, event_type string,"
         " value double, props string",
-    )
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     return str(tmp_path)
 
@@ -1031,3 +1039,35 @@ def test_q240_matches_brute_force_truth(spark):
     n = len(ids)
     pt = n * (n - 1) // 2
     assert got.reduction_micros == 1_000_000 * (pt - len(cand)) // pt
+
+
+# ---- q241 streaming burstiness: cross-batch gap carry ----
+
+
+def test_q241_matches_q239_across_batches(spark, tmp_path):
+    """Events span the full time range, so the stream source's three
+    chronological slices put consecutive events of the same type in
+    DIFFERENT micro-batches — the carried last-event state must bridge
+    every boundary for the drained moments to equal the batch window
+    pass."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # type A: irregular gaps spread over 30 days; type B: two events
+    # only, one at each END of the range (the gap spans ALL batches)
+    for off_h in [0, 1, 5, 100, 101, 400, 700, 719]:
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=off_h), 1, "A", 1.0, "{}"))
+    for off_h in [0, 720]:
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=off_h), 2, "B", 1.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = sorted(
+        tuple(r) for r in QUERIES["q241_stream_burstiness"].spark_fn(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r) for r in QUERIES["q239_burstiness"].spark_fn(spark, sf).collect()
+    )
+    assert got == want
+    assert len(got) == 2
