@@ -211,6 +211,64 @@ def _bucketize(spark, src_dir: str, out_dir: str, tables: dict[str, str]) -> str
     return out_dir
 
 
+def _write_custkey_layout(spark, orders_src: str, out_dir: str, rep_base: int | None = None) -> None:
+    """Maintain q31's clustered copy: a covering projection of orders
+    (o_orderkey, o_custkey, o_totalprice + the materialized descending
+    sort helper o_totalprice_neg — bucket sort specs are ascending-only)
+    hash-bucketed on o_custkey with ONE file per bucket, bucket-sorted
+    on (o_custkey, o_totalprice_neg, o_orderkey). With the single-file
+    buckets the scan reports both the clustering and the ordering, so
+    the top-N-per-group window runs exchange-free AND sort-free — the
+    sort of the whole fact table is paid once at write time, like any
+    clustered-index maintenance. ``rep_base`` replicates 10x first
+    (the crossover layout), offsetting o_orderkey exactly like the
+    orders replica so the two copies stay row-identical."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    loc = os.path.join(out_dir, "orders_by_custkey.bucketed")
+    mpath = os.path.join(out_dir, "orders_by_custkey.bucketed.json")
+    if os.path.exists(mpath) and os.path.exists(os.path.join(loc, "_SUCCESS")):
+        return
+    df = spark.read.parquet(orders_src).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    if rep_base is not None:
+        df = (
+            df.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
+            .withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.col("__rep").cast("long") * F.lit(rep_base),
+            )
+            .drop("__rep")
+        )
+    df = df.withColumn("o_totalprice_neg", -F.col("o_totalprice"))
+    tmp = "bench_bucketed_" + hashlib.md5(loc.encode()).hexdigest()[:12]
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        df.repartition(32, "o_custkey")
+        .write.bucketBy(32, "o_custkey")
+        .sortBy("o_custkey", "o_totalprice_neg", "o_orderkey")
+        .option("path", loc)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    with open(mpath, "w") as fh:
+        _json.dump(
+            {
+                "location": loc,
+                "bucket_col": "o_custkey",
+                "sort_col": "o_custkey, o_totalprice_neg, o_orderkey",
+                "num_buckets": 32,
+                "schema_ddl": df.schema.toDDL(),
+            },
+            fh,
+        )
+
+
 def _duck_views(con, d: str) -> None:
     """Register the dataset dir's tables as DuckDB views — bucket-file
     globs where a bucketed layout exists, so both engines read the
@@ -244,6 +302,9 @@ def _scale_section(spark, queries) -> dict | None:
             plain,
             os.environ.get("SPARK_GRAFT_SCALE_BDIR", "/tmp/sfsynth10b"),
             {"lineitem": "l_orderkey", "orders": "o_orderkey"},
+        )
+        _write_custkey_layout(
+            spark, os.path.join(plain, "orders.parquet"), scale_dir
         )
     except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
         print(f"scale section skipped: {type(e).__name__}: {e}", file=sys.stderr)
@@ -394,6 +455,15 @@ def _crossover_section(spark, queries) -> dict | None:
 
         _replicate_bucketed("lineitem", "l_orderkey")
         _replicate_bucketed("orders", "o_orderkey")
+        if stale:
+            for f in ("orders_by_custkey.bucketed.json",):
+                try:
+                    os.remove(os.path.join(xdir, f))
+                except OSError:
+                    pass
+        _write_custkey_layout(
+            spark, os.path.join(base10, "orders.parquet"), xdir, rep_base=base
+        )
         with open(marker, "w") as fh:
             fh.write(str(base))
         for t in SCALE_TABLES:

@@ -38,77 +38,14 @@ from . import selection  # noqa: F401,E402
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. The last
-# delivered driver artifact is CORRECTNESS_r04 (49/50 green, q135 red —
-# since fixed by serializing top_docs), so the never-driver-verified
-# set is q135 + q144-q236 against a 50-entry window. Current window:
-# q135 first (certifies the serialization fix under the driver's own
-# canonicalizer), then q144-q177 (the round-4c/d/f families — q166
-# registered with fixed-COUNT anchors, q168/q171 serialize ctx), then
-# q178-q192. q193-q236 queue immediately after for the following
-# window, then the stalest greens (relational core, last rows round
-# 1/2); round-4-green families rotate to the back. After each new
-# CORRECTNESS artifact lands, rotate its greens out of the front.
+# delivered driver artifact is CORRECTNESS_r05 (50/50 green: q135 +
+# q144-q192), leaving q193-q241 (49) as the only never-driver-verified
+# set. Current window: all 49 of those, plus the single stalest green
+# (q01, last driver row round 1) to fill the 50-entry window. After
+# each new CORRECTNESS artifact lands, rotate its greens out of the
+# front and front-load whatever is still unverified.
 _PRIORITY = [
-    # round-4 red — fixed this round, must re-verify first
-    "q135_inverted_index",
-    # round-4c curation family — never driver-verified
-    "q144_ngram_decontaminate",
-    "q145_intradoc_repetition",
-    "q146_semantic_dedup",
-    "q147_recursive_cte",
-    # round-4d retrieval & signals family — never driver-verified
-    "q148_bm25_topk",
-    "q149_kcore",
-    "q150_gopher_rules",
-    "q151_ewma_anomaly",
-    "q152_interval_overlap",
-    "q153_twap",
-    "q154_table_diff",
-    "q155_consistent_sample",
-    "q156_bpe_merges",
-    "q157_best_split",
-    "q158_ab_test",
-    "q159_pit_join",
-    "q160_kmeans_fixpoint",
-    "q161_dynamic_partition_pruning",
-    "q162_pca_top_eigen",
-    "q163_stream_ewma",
-    "q164_stream_late_drop",
-    "q165_auc_exact",
-    # round-4f model-prep family — never driver-verified
-    "q166_knn_label_audit",
-    "q167_feature_hashing",
-    "q168_event_sequences",
-    "q169_group_reservoir",
-    "q170_negative_sampling",
-    "q171_stream_sequences",
-    "q172_class_prototypes",
-    "q173_class_outliers",
-    "q174_timeseries_cv",
-    "q175_centroid_confusion",
-    "q176_target_encoding",
-    "q177_stream_funnel",
-    # round-5/6 additions — no driver row yet
-    "q178_stream_lsh_dedup",
-    "q179_source_overlap",
-    "q180_split_leakage",
-    "q181_dedup_yield",
-    "q182_calibration_ece",
-    "q183_stratified_split",
-    "q184_ndcg_exact",
-    "q185_stream_reservoir",
-    "q186_spearman_exact",
-    "q187_winnowing",
-    "q188_chisq_independence",
-    "q189_autocorrelation",
-    "q190_link_prediction",
-    "q191_benford_audit",
-    "q192_quantile_norm",
-    # ^ exactly 50 entries (the driver window). Below: the remaining
-    # never-verified round-6 additions queued first for the round-7
-    # window, then the stalest greens (relational core, last driver row
-    # round 1/2), then next-stalest (r02 LLM/training family, r03
-    # analytics/windows/set-ops), the round-4-green families last.
+    # round-6 statistics/drift family — never driver-verified
     "q193_hellinger_drift",
     "q194_dup_span_coverage",
     "q195_winnow_match",
@@ -159,7 +96,11 @@ _PRIORITY = [
     "q239_burstiness",
     "q240_blocking_recall",
     "q241_stream_burstiness",
-    # 14 stalest greens: relational core, last driver row round 1/2
+    # ^ 49 never-verified + q01 below = exactly 50 (the driver window).
+    # Below: stalest greens (relational core, last driver row round
+    # 1/2), then next-stalest (r02 LLM/training, r03 analytics/windows/
+    # set-ops); the r05-green families (q135, q144-q192) rotate to the
+    # very back.
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_join_broadcast_agg",

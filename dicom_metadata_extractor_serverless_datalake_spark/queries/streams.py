@@ -2025,16 +2025,24 @@ def _burst_update(key, batches, state):
     else:
         last_us = last_id = n = sg = sq = 0
         have_last = False
+    # A group's micro-batch rows arrive as MULTIPLE Arrow chunks (the
+    # runner slices at maxRecordsPerBatch) in arbitrary post-shuffle
+    # order, so sorting per-chunk would fold gaps across chunk seams
+    # against the wrong predecessor. Accumulate every (ts, id) pair
+    # first, sort the combined batch once, then fold.
+    pairs: list[tuple[int, int]] = []
     for pdf in batches:
         us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-        for t_us, eid in sorted(zip((int(x) for x in us), pdf["event_id"])):
-            eid = int(eid)
-            if have_last:
-                gap = t_us - last_us
-                n += 1
-                sg += gap
-                sq += gap * gap
-            last_us, last_id, have_last = t_us, eid, True
+        pairs.extend(
+            (int(t), int(e)) for t, e in zip(us, pdf["event_id"])
+        )
+    for t_us, eid in sorted(pairs):
+        if have_last:
+            gap = t_us - last_us
+            n += 1
+            sg += gap
+            sq += gap * gap
+        last_us, last_id, have_last = t_us, eid, True
     state.update((last_us, last_id, n, sg, str(sq)))
     # n is monotone per batch-with-arrivals, so it doubles as the
     # version for the latest-per-key sink pick; duplicate version-0

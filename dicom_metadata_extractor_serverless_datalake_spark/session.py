@@ -85,6 +85,14 @@ def get_spark(
         # default thresholds re-enable it exactly when the sides are
         # big enough to win.
         .config("spark.sql.session.timeZone", "UTC")
+        # Report bucket sort order from bucketed scans (Spark lists the
+        # bucket files at planning and claims sortedness ONLY when each
+        # bucket is a single file, so this is a planning-cost tradeoff,
+        # not a correctness one). It lets a window/merge-join over a
+        # bucket-sorted single-file-per-bucket layout skip BOTH the
+        # exchange and the sort — q31's orders_by_custkey layout reads
+        # straight into WindowGroupLimit.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # metadata rows are wide but shallow; 10k rows/Arrow batch keeps

@@ -65,6 +65,10 @@ def _load_bucketed(spark: SparkSession, marker_path: str) -> DataFrame:
     import hashlib
     import json as _json
 
+    # report bucket sort order from the scan (claimed only when each
+    # bucket is a single file — a planning-cost conf, not a correctness
+    # one); runtime-set so sessions predating the builder default get it
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     with open(marker_path) as fh:
         meta = _json.load(fh)
     loc = meta["location"]

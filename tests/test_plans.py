@@ -450,6 +450,68 @@ def test_q04_layout_aware_strategy(spark, sf_dir, tmp_path):
     ]
 
 
+def test_q31_layout_aware_sort_free(spark, sf_dir, tmp_path):
+    """q31 over the orders_by_custkey clustered copy (bucketed on
+    o_custkey, one file per bucket, bucket-sorted with the materialized
+    o_totalprice_neg helper) must plan sort-free and exchange-free up
+    to the window: scan -> WindowGroupLimit -> Window. The only Sort /
+    Exchange allowed is the final tiny ORDER BY of the <=3-per-group
+    result. Results bit-identical to the plain-layout window plan."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+
+    plain_df = _q("q31_top_n_per_group", spark, sf_dir)
+
+    bdir = tmp_path / "custkey_sf"
+    bdir.mkdir()
+    loc = str(bdir / "orders_by_custkey.bucketed")
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("o_totalprice_neg", -F.col("o_totalprice"))
+    )
+    spark.sql("DROP TABLE IF EXISTS t_q31_layout")
+    (
+        df.repartition(4, "o_custkey")
+        .write.bucketBy(4, "o_custkey")
+        .sortBy("o_custkey", "o_totalprice_neg", "o_orderkey")
+        .option("path", loc)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("t_q31_layout")
+    )
+    json.dump(
+        {
+            "location": loc,
+            "bucket_col": "o_custkey",
+            "sort_col": "o_custkey, o_totalprice_neg, o_orderkey",
+            "num_buckets": 4,
+            "schema_ddl": df.schema.toDDL(),
+        },
+        open(bdir / "orders_by_custkey.bucketed.json", "w"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", bdir / f"{t}.parquet")
+
+    bdf = _q("q31_top_n_per_group", spark, str(bdir))
+    bplan = physical_plan(bdf)
+    assert "WindowGroupLimit" in bplan
+    # the window reads the clustered layout directly: no exchange on
+    # o_custkey and no sort below the group limit (the plan's only sort
+    # is the final ORDER BY above the filter)
+    assert "Exchange hashpartitioning(o_custkey" not in bplan
+    window_part = bplan[bplan.index("WindowGroupLimit"):]
+    assert "Sort" not in window_part.split("Scan parquet")[0]
+    assert [tuple(r) for r in plain_df.collect()] == [
+        tuple(r) for r in bdf.collect()
+    ]
+
+
 def test_q152_interval_join_is_equi_join(spark, sf_dir):
     """The banded interval-overlap join must plan as a hash equi-join
     on (day, band) — never a BroadcastNestedLoopJoin/CartesianProduct

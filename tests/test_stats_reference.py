@@ -1071,3 +1071,41 @@ def test_q241_matches_q239_across_batches(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 2
+
+
+def test_q241_multi_chunk_batches(spark, tmp_path):
+    """A group whose micro-batch exceeds arrow maxRecordsPerBatch is
+    delivered to applyInPandasWithState as MULTIPLE pandas chunks in
+    arbitrary (file) order. The gap fold must sort the COMBINED batch,
+    not each chunk — per-chunk sorting computes seam gaps against the
+    wrong predecessor. Chunk size is forced tiny (7) and the source
+    rows are written in shuffled ts order so every chunk seam is a
+    genuine out-of-order boundary."""
+    import datetime as dt
+    import random
+
+    base = dt.datetime(2024, 3, 1)
+    # 90 type-A events with irregular (quadratic-ish) gaps across 30
+    # days -> each of the 3 time slices holds ~30 rows = ~5 chunks.
+    offs = [i * 7 + (i * i) % 13 for i in range(90)]
+    rows = [
+        (i + 1, base + dt.timedelta(hours=h), 1, "A", 1.0, "{}")
+        for i, h in enumerate(offs)
+    ]
+    random.Random(241).shuffle(rows)  # file order != event-time order
+    sf = _write_events(spark, tmp_path, rows)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "7")
+    try:
+        got = sorted(
+            tuple(r)
+            for r in QUERIES["q241_stream_burstiness"].spark_fn(spark, sf).collect()
+        )
+    finally:
+        spark.conf.set(conf, prev)
+    want = sorted(
+        tuple(r) for r in QUERIES["q239_burstiness"].spark_fn(spark, sf).collect()
+    )
+    assert got == want
+    assert len(got) == 1
