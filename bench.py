@@ -121,6 +121,8 @@ def main() -> None:
                 times[name] = dt
             _ = len(rows)
 
+    ingest = _ingest_section(spark)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_corpus_total_sec",
@@ -135,6 +137,8 @@ def main() -> None:
         out["scale"] = scale
     if xover:
         out["crossover_600m"] = xover
+    if ingest:
+        out["ingest"] = ingest
     line = json.dumps(out)
     # tee every run to a committed-on-round artifact so any number
     # quoted in BASELINE.md is traceable to a file (round-4 ADVICE item)
@@ -149,6 +153,76 @@ def main() -> None:
     except OSError as e:  # noqa: PERF203 — artifact tee must never kill the run
         print(f"bench artifact tee failed: {e}", file=sys.stderr)
     print(line)
+
+
+def _ingest_section(spark) -> dict | None:
+    """Ingest-throughput row (files/s, MB/s) through the fused
+    listing -> ranged-read -> parse -> flatten -> partitioned-write
+    path (ingest_batch) over a synthetic .dcm corpus built with the
+    engine's own Part-10 writer (2000 files x ~50 KB pixels, cached
+    under /tmp). Reported as min of 2 passes, lake + quarantine writes
+    included — makes ingest regressions visible round-over-round
+    alongside the query numbers. SPARK_GRAFT_INGEST=0 skips."""
+    if os.environ.get("SPARK_GRAFT_INGEST", "1") != "1":
+        return None
+    try:
+        import random
+        import shutil
+        import tempfile
+
+        from dicom_metadata_extractor_serverless_datalake_spark.dicom.codec import write_dicom
+        from dicom_metadata_extractor_serverless_datalake_spark.ingest.pipeline import ingest_batch
+
+        n_files = int(os.environ.get("SPARK_GRAFT_INGEST_FILES", "2000"))
+        corpus = f"/tmp/ingest_bench_corpus_{n_files}"
+        marker = corpus + ".complete"
+        if not os.path.exists(marker):
+            shutil.rmtree(corpus, ignore_errors=True)
+            os.makedirs(corpus)
+            dates = ("20220814", "19990101", "19870403")
+            for i in range(n_files):
+                rng = random.Random(i)
+                tags = {
+                    "SOPInstanceUID": f"1.2.826.0.1.3680043.8.498.{i}",
+                    "StudyDate": dates[i % 3],
+                    "Modality": ("CT", "MR", "US", "XA")[i % 4],
+                    "PatientID": f"PID{i:06d}",
+                    "PatientName": f"Family{i}^Given{i}",
+                    "StudyID": f"SID{i:04d}",
+                    "InstanceNumber": str(i % 500 + 1),
+                    "Rows": 600,
+                    "Columns": 600,
+                }
+                with open(os.path.join(corpus, f"img-{i:05d}.dcm"), "wb") as fh:
+                    fh.write(write_dicom(tags, pixel_data=rng.randbytes(50_000)))
+            open(marker, "w").close()
+        total_mb = sum(
+            os.path.getsize(os.path.join(corpus, f))
+            for f in os.listdir(corpus)
+            if f.endswith(".dcm")
+        ) / 1e6
+        best, rows = None, (0, 0)
+        for _ in range(2):
+            lake = tempfile.mkdtemp(prefix="ingest_bench_lake_")
+            t0 = time.perf_counter()
+            rows = ingest_batch(spark, corpus, lake, lake + "_q")
+            dt = time.perf_counter() - t0
+            shutil.rmtree(lake, ignore_errors=True)
+            shutil.rmtree(lake + "_q", ignore_errors=True)
+            if best is None or dt < best:
+                best = dt
+        return {
+            "files": n_files,
+            "mb": round(total_mb, 1),
+            "sec": round(best, 3),
+            "files_per_sec": round(n_files / best, 1),
+            "mb_per_sec": round(total_mb / best, 1),
+            "lake_rows": rows[0],
+            "quarantined": rows[1],
+        }
+    except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
+        print(f"ingest section skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
 
 
 SCALE_QUERIES = (
