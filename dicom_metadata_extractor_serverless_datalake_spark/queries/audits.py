@@ -348,7 +348,8 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
 # multiplication 10*both >= 8*union. At 100 TB the truth side is the
 # expensive half (it exists to audit the cheap half) — run it on a
 # hash-sampled corpus slice the q72 way; the registered form keeps the
-# full set so the oracle can certify it.
+# full set so the oracle can certify it. q242 below is that production
+# (sampled-truth) form, registered with its own oracle.
 # --------------------------------------------------------------------------
 
 
@@ -457,4 +458,158 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
                 " div (n_docs * (n_docs - 1) div 2)"
             ),
         ).alias("reduction_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q242 — blocking-recall audit, PRODUCTION (sampled-truth) form. q240's
+# exact ground truth is a complete shared-shingle self-join — measured
+# to exhaust shuffle disk at 500k docs (BASELINE.md round-7 batch 7),
+# so it cannot be the form that runs at 100 TB. This variant draws a
+# deterministic hash sample of the corpus (the q72 pattern:
+# h31('s242-' || doc_id) % 100 < 30) and computes the SAME exact truth
+# join restricted to the slice — quadratic cost falls by 1/rate^2
+# (~11x at 30%) and keeps falling as the rate is turned down at scale.
+# Band signatures are per-doc, so the LSH candidate pairs computed over
+# the slice are exactly the full-corpus candidate set restricted to
+# in-slice pairs: recall measured here is an unbiased estimate of
+# corpus recall over pair space. The readout carries the estimator
+# bound — the Wilson 95% lower bound on recall (q233's IEEE tree,
+# floored to micros) — so a consumer sees not just the point estimate
+# but the worst recall the sample is consistent with.
+# 100 TB shape: one linear shingle scan over the slice, one
+# size-prefiltered shingle equi-join bounded by the slice, one banded
+# equi-join bounded by the slice; all shuffles carry (digest, id).
+# --------------------------------------------------------------------------
+
+_Q242_SAMPLE_PCT = 30
+
+
+def _q242_oracle() -> str:
+    from .llm import _minhash_pairs_cte, duck_h31
+
+    sample_pred = (
+        f"{duck_h31(chr(39) + 's242-' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+        f" % 100 < {_Q242_SAMPLE_PCT}"
+    )
+    src = f"(SELECT doc_id, text FROM documents WHERE {sample_pred})"
+    return f"""{_minhash_pairs_cte(src)},
+    hd AS (SELECT DISTINCT doc_id, hs FROM h),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hd GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS both_n
+      FROM hd a JOIN hd b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT s.d1, s.d2
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.d1
+      JOIN sizes sb ON sb.doc_id = s.d2
+      WHERE s.both_n * 10 >= (sa.n + sb.n - s.both_n) * 8
+    ),
+    hit AS (
+      SELECT t.d1 FROM truth t JOIN pairs p ON p.d1 = t.d1 AND p.d2 = t.d2
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_docs_sampled,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hits
+    )
+    SELECT n_docs_sampled, n_truth_pairs, n_candidates, n_hits,
+           CASE WHEN n_truth_pairs > 0
+                THEN CAST(1000000 * n_hits // n_truth_pairs AS BIGINT)
+                END AS recall_micros,
+           CASE WHEN n_truth_pairs > 0 THEN CAST(floor(1000000.0 * (
+             ((CAST(n_hits AS DOUBLE) / CAST(n_truth_pairs AS DOUBLE)
+               + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                 / (2.0 * CAST(n_truth_pairs AS DOUBLE)))
+              - 1.96 * sqrt((CAST(n_hits AS DOUBLE) / CAST(n_truth_pairs AS DOUBLE))
+                            * (1.0 - CAST(n_hits AS DOUBLE) / CAST(n_truth_pairs AS DOUBLE))
+                              / CAST(n_truth_pairs AS DOUBLE)
+                            + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                              / (4.0 * CAST(n_truth_pairs AS DOUBLE)
+                                     * CAST(n_truth_pairs AS DOUBLE))))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                      / CAST(n_truth_pairs AS DOUBLE))
+           )) AS BIGINT) END AS wilson_lb_micros
+    FROM agg
+    """
+
+
+@query(
+    "q242_blocking_recall_sampled",
+    oracle=_q242_oracle(),
+    category="evals",
+    doc="LSH band recall on a 30% hash slice: exact truth within the sample + Wilson 95% lower bound",
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import _SPARK_SHINGLES, _minhash_band_pairs, spark_h31
+
+    docs = t(spark, sf, "documents").filter(
+        F.expr(spark_h31("concat('s242-', CAST(doc_id AS STRING))")) % 100
+        < _Q242_SAMPLE_PCT
+    )
+    hd = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .select("doc_id", F.expr(spark_h31("s")).alias("hs"))
+        .distinct()
+    )
+    sizes = hd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hd2 = hd.join(sizes, "doc_id")
+    a, b = hd2.alias("a"), hd2.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # lossless at J >= 0.8: min/max set-size ratio >= J
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("both_n"))
+    )
+    truth = shared.filter(
+        F.col("both_n") * 10 >= (F.col("na") + F.col("nb") - F.col("both_n")) * 8
+    ).select("d1", "d2")
+    candidates = _minhash_band_pairs(spark, sf, docs=docs)
+    hits = truth.join(candidates, ["d1", "d2"], "left_semi")
+    nd = sizes.agg(F.count("*").alias("n_docs_sampled"))
+    nt = truth.agg(F.count("*").alias("n_truth_pairs"))
+    nc = candidates.agg(F.count("*").alias("n_candidates"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    out = (
+        nd.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+    )
+    ntd = F.col("n_truth_pairs").cast("double")
+    p = F.col("n_hits").cast("double") / ntd
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (F.lit(2.0) * ntd)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / ntd + z2 / (F.lit(4.0) * ntd * ntd)
+    )
+    denom = F.lit(1.0) + z2 / ntd
+    return out.select(
+        "n_docs_sampled",
+        "n_truth_pairs",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.expr("1000000 * n_hits div n_truth_pairs"),
+        ).alias("recall_micros"),
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.floor(F.lit(1000000.0) * ((center - half) / denom)).cast("bigint"),
+        ).alias("wilson_lb_micros"),
     )

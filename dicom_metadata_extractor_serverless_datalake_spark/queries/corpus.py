@@ -37,71 +37,17 @@ from . import selection  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
-# driver-oracle verification is least established go first. The last
-# delivered driver artifact is CORRECTNESS_r05 (50/50 green: q135 +
-# q144-q192), leaving q193-q241 (49) as the only never-driver-verified
-# set. Current window: all 49 of those, plus the single stalest green
-# (q01, last driver row round 1) to fill the 50-entry window. After
-# each new CORRECTNESS artifact lands, rotate its greens out of the
-# front and front-load whatever is still unverified.
+# driver-oracle verification is least established go first. As of
+# CORRECTNESS_r06 every registered query (241) has a green driver row,
+# so the window is now a staleness rotation: the new-this-round q242
+# (never driver-verified), then the 45 queries whose latest row dates
+# from round 2, then the 4 stalest round-3 rows — exactly 50. After
+# each new CORRECTNESS artifact lands, rotate its greens to the back
+# and front-load whatever is newest/stalest.
 _PRIORITY = [
-    # round-6 statistics/drift family — never driver-verified
-    "q193_hellinger_drift",
-    "q194_dup_span_coverage",
-    "q195_winnow_match",
-    "q196_cusum_changepoint",
-    "q197_theil_sen",
-    "q198_anova_f",
-    "q199_ks_test",
-    "q200_stream_cusum",
-    "q201_bigram_lm_score",
-    "q202_sequence_packing",
-    "q203_dsir_importance",
-    "q204_temperature_mix",
-    "q205_token_budget_curriculum",
-    "q206_mann_whitney",
-    "q207_markov_transitions",
-    "q208_touch_attribution",
-    "q209_kaplan_meier",
-    "q210_gini_concentration",
-    "q211_stream_attribution",
-    "q212_holt_trend",
-    "q213_dow_seasonality",
-    "q214_k_anonymity",
-    "q215_l_diversity",
-    "q216_matryoshka_audit",
-    "q217_brier_decomposition",
-    "q218_cumulative_gains",
-    "q219_conformal_coverage",
-    "q220_minhash_calibration",
-    "q221_t_closeness",
-    # round-7 additions — no driver row yet
-    "q222_sequence_completeness",
-    "q223_hard_negatives",
-    "q224_quality_classifier",
-    "q225_ppl_buckets",
-    "q226_welch_ttest",
-    "q227_kendall_tau",
-    "q228_ngram_novelty",
-    "q229_length_buckets",
-    "q230_stream_completeness",
-    "q231_stream_ab_monitor",
-    "q232_lang_kappa",
-    "q233_wilson_ci",
-    "q234_jackknife_se",
-    "q235_assortativity",
-    "q236_source_modularity",
-    "q237_adjusted_rand",
-    "q238_time_to_convert",
-    "q239_burstiness",
-    "q240_blocking_recall",
-    "q241_stream_burstiness",
-    # ^ 49 never-verified + q01 below = exactly 50 (the driver window).
-    # Below: stalest greens (relational core, last driver row round
-    # 1/2), then next-stalest (r02 LLM/training, r03 analytics/windows/
-    # set-ops); the r05-green families (q135, q144-q192) rotate to the
-    # very back.
-    "q01_pricing_summary",
+    # new this round — never driver-verified
+    "q242_blocking_recall_sampled",
+    # stalest greens: last driver row round 2
     "q02_filter_project",
     "q03_join_broadcast_agg",
     "q04_star_join",
@@ -113,8 +59,9 @@ _PRIORITY = [
     "q10_cross_join",
     "q11_range_join",
     "q12_agg_stats",
-    "q13_count_distinct",
-    "q18_collect_sorted",
+    "q14_approx_count_distinct",
+    "q45_json",
+    "q49_distinct_math",
     "q50_dedup_exact",
     "q51_jaccard_pairs",
     "q53_simhash",
@@ -146,13 +93,15 @@ _PRIORITY = [
     "q81_skew_report",
     "q82_decontamination",
     "q85_stream_upsert_snapshot",
-    "q29_latest_per_key",
-    "q45_json",
-    "q49_distinct_math",
-    "q14_approx_count_distinct",
+    # stalest round-3 rows to fill the 50-entry window
+    "q13_count_distinct",
     "q15_rollup",
     "q16_cube",
     "q17_grouping_sets",
+    # ^ exactly 50 = the driver window.
+    # Below: the rest of round 3, then round 4; round-5/6-green families
+    # rotate to the very back via registration order.
+    "q18_collect_sorted",
     "q19_union_all",
     "q20_intersect",
     "q21_except",
@@ -163,17 +112,12 @@ _PRIORITY = [
     "q26_not_exists",
     "q27_pivot",
     "q28_unpivot",
+    "q29_latest_per_key",
     "q30_ranking",
     "q31_top_n_per_group",
     "q32_percentiles",
     "q33_lag_lead",
-    "q111_audio_features",
-    "q112_multimodal_neardup",
-    "q113_udtf_lateral",
     "q83_stream_tumbling",
-    "q100_stream_session_window",
-    "q109_stream_interval_join",
-    "q110_stream_static_enrich",
     "q86_cohort_retention",
     "q87_funnel_steps",
     "q88_sessionize_lag",
@@ -187,6 +131,7 @@ _PRIORITY = [
     "q96_mode_median",
     "q97_decile_stats",
     "q98_pareto_frontier",
+    "q100_stream_session_window",
     "q101_time_proximity_join",
     "q102_rolling_distinct_sketch",
     "q103_variant_json",
@@ -194,8 +139,14 @@ _PRIORITY = [
     "q106_data_quality_audit",
     "q107_kll_quantile_rollup",
     "q108_theta_set_algebra",
-    # round-4-green window (freshest driver rows) — rotate to the back;
-    # anything unlisted follows in registration order via _apply_priority
+    "q109_stream_interval_join",
+    "q110_stream_static_enrich",
+    "q111_audio_features",
+    "q112_multimodal_neardup",
+    "q113_udtf_lateral",
+    "q01_pricing_summary",
+    # round-4..6-green windows (freshest driver rows) follow in
+    # registration order via _apply_priority
 ]
 
 

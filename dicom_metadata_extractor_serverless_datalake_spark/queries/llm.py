@@ -154,10 +154,13 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _minhash_pairs_cte() -> str:
+def _minhash_pairs_cte(src: str = "documents") -> str:
     """The q52 signature algebra as a reusable WITH-clause prefix ending
     in a ``pairs (d1, d2)`` CTE — shared by the q52 oracle and by any
-    downstream oracle that consumes the candidate-pair set (q180)."""
+    downstream oracle that consumes the candidate-pair set (q180).
+    ``src`` is the relation (table name or parenthesized subquery with
+    ``doc_id, text``) the signatures are computed over — q242 passes a
+    hash-sampled slice."""
     mins = ",\n           ".join(
         f"MIN(({PERM_A[i]} * hs + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
         for i in range(NUM_PERM)
@@ -172,7 +175,7 @@ def _minhash_pairs_cte() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
     tok AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(w) - 2),
@@ -201,11 +204,17 @@ _SPARK_SHINGLES = (
 )
 
 
-def _minhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def _minhash_band_pairs(
+    spark: SparkSession, sf: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Distinct (d1, d2) MinHash-LSH candidate pairs over the full
     documents table — q52's banded equi-join, shared as the blocking
-    stage by q68/q70/q77."""
-    docs = t(spark, sf, "documents")
+    stage by q68/q70/q77. Band signatures are per-doc (independent of
+    the rest of the corpus), so passing a filtered ``docs`` slice
+    yields exactly the full-corpus candidate set restricted to pairs
+    with both endpoints in the slice — q242 exploits this."""
+    if docs is None:
+        docs = t(spark, sf, "documents")
     # no distinct on (doc_id, shingle): MIN() is insensitive to duplicates,
     # and skipping it keeps the shingle strings map-local — the only
     # shuffle is the 16-column partial-aggregated signature per doc.

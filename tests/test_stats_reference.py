@@ -1109,3 +1109,59 @@ def test_q241_multi_chunk_batches(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 1
+
+
+# ---- q242 sampled-truth blocking recall vs brute-force truth ----
+
+
+def test_q242_matches_brute_force_sampled_truth(spark):
+    """Recompute the 30% hash slice, the exact Jaccard>=0.8 truth set
+    WITHIN the slice, and the LSH candidate set over the slice in
+    Python at sf0.001; check every count plus the Wilson lower bound
+    (same IEEE tree as the engine)."""
+    import math as m
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.audits import _Q242_SAMPLE_PCT
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _minhash_band_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    sampled = [r for r in docs if _h31(f"s242-{r.doc_id}") % 100 < _Q242_SAMPLE_PCT]
+    assert 0 < len(sampled) < len(docs)  # the slice is real and proper
+    shingles = {}
+    for r in sampled:
+        w = r.text.split(" ")
+        ss = {
+            _h31(" ".join(w[i : i + 3])) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+        shingles[r.doc_id] = ss
+    ids = sorted(d for d, s in shingles.items() if s)
+    truth = set()
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            a, b = shingles[d1], shingles[d2]
+            both = len(a & b)
+            if both * 10 >= (len(a) + len(b) - both) * 8:
+                truth.add((d1, d2))
+    # candidate set over the slice == full-corpus candidates restricted
+    # to in-slice pairs (band signatures are per-doc)
+    full_cand = {(r.d1, r.d2) for r in _minhash_band_pairs(spark, sf).collect()}
+    in_slice = set(shingles)
+    cand = {(a, b) for a, b in full_cand if a in in_slice and b in in_slice}
+    got = QUERIES["q242_blocking_recall_sampled"].spark_fn(spark, sf).collect()[0]
+    assert got.n_docs_sampled == len(ids)
+    assert got.n_truth_pairs == len(truth)
+    assert got.n_candidates == len(cand)
+    assert got.n_hits == len(truth & cand)
+    if truth:
+        hits, n = len(truth & cand), len(truth)
+        assert got.recall_micros == 1_000_000 * hits // n
+        z = 1.96
+        p = hits / n
+        center = p + z * z / (2.0 * n)
+        half = z * m.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        lb = (center - half) / (1.0 + z * z / n)
+        assert got.wilson_lb_micros == m.floor(1_000_000.0 * lb)
+        assert got.wilson_lb_micros <= got.recall_micros
+    else:
+        assert got.recall_micros is None and got.wilson_lb_micros is None
