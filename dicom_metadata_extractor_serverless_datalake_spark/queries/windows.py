@@ -86,6 +86,10 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         from ..sources.tables import load_table
 
         tbl = load_table(spark, sf, "orders_by_custkey")
+        # o_totalprice_neg ASC == o_totalprice DESC only for non-null
+        # prices (ASC is NULLS FIRST, DESC is NULLS LAST); the layout
+        # writer certifies NOT NULL o_totalprice at write time
+        # (bench.py _write_custkey_layout), so the paths cannot diverge
         w = Window.partitionBy("o_custkey").orderBy(
             F.asc("o_totalprice_neg"), F.asc("o_orderkey")
         )

@@ -67,8 +67,12 @@ def _load_bucketed(spark: SparkSession, marker_path: str) -> DataFrame:
 
     # report bucket sort order from the scan (claimed only when each
     # bucket is a single file — a planning-cost conf, not a correctness
-    # one); runtime-set so sessions predating the builder default get it
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # one). The session builder (session.get_spark) sets it already;
+    # only backfill sessions that predate the builder default, so the
+    # loader stays side-effect free for externally configured sessions.
+    _ORDERING_CONF = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    if spark.conf.get(_ORDERING_CONF, "false") != "true":
+        spark.conf.set(_ORDERING_CONF, "true")
     with open(marker_path) as fh:
         meta = _json.load(fh)
     loc = meta["location"]
