@@ -17,6 +17,7 @@ This package re-expresses that dataflow Spark-first:
 __version__ = "0.1.0"
 
 from .api import DicomLake  # noqa: F401,E402
+from .cloud import cloud_conf, cloud_session  # noqa: F401,E402
 from .pipeline import TextCorpus  # noqa: F401,E402
 from .vectors import EmbeddingSet  # noqa: F401,E402
 from .eventlog import EventLog  # noqa: F401,E402

@@ -113,7 +113,17 @@ def encode_pq(
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
     books = F.lit(codebooks)  # array<array<array<double>>>
-    v = F.expr(_unit(vec_col))
+    # Materialize the unit-normalized vector in its OWN projection.
+    # Inlined, the normalize tree (64 mults + fold + sqrt) re-evaluates
+    # inside every (subspace, centroid) lambda — m*k=256 times per row
+    # under interpreted HOF evaluation (HOFs are CodegenFallback).
+    # Measured: 100 ms/row inlined vs ~1 ms/row hoisted. CollapseProject
+    # re-inlines any non-cheap column referenced once, so the guard
+    # below references _pq_vn a second time (degenerate empty-vector
+    # branch) to pin the projection boundary.
+    vn_col = "_pq_vn"
+    vectors = vectors.withColumn(vn_col, F.expr(_unit(vec_col)))
+    v = F.col(vn_col)
 
     def code_for(s: F.Column) -> F.Column:
         sub = F.slice(v, (s * dsub + 1).cast("int"), dsub)
@@ -134,7 +144,12 @@ def encode_pq(
         return F.element_at(ranked, 1)["code"]
 
     codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
-    return vectors.withColumn("codes", codes)
+    # second textual reference to _pq_vn: blocks CollapseProject from
+    # inlining the normalize tree back into the 256-lambda code tree
+    codes = F.when(F.size(v) > 0, codes).otherwise(
+        F.array_repeat(F.lit(0), m)
+    )
+    return vectors.withColumn("codes", codes).drop(vn_col)
 
 
 def pq_search(

@@ -134,13 +134,27 @@ def test_no_exchange_carries_heavy_payload_columns(spark, sf_dir):
     corpus bytes. (At 100 TB, an exchange carrying `text` IS the
     outage.)"""
     import re
+    from concurrent.futures import ThreadPoolExecutor
 
     from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import register_star_schema
 
     heavy = ("embedding#", "text#", "content#", " qe#", "centroid#")
+    # register views once up-front so threaded construction never races
+    # the temp-view registration; plan construction itself is py4j +
+    # driver-side jobs, which release the GIL — 8 threads cut the
+    # 242-query sweep ~4x (the slowest constructions are driver-side
+    # fits that overlap fine)
+    register_star_schema(spark, sf_dir)
+
+    def plan_of(item):
+        name, q = item
+        return name, physical_plan(q.spark_fn(spark, sf_dir))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        plans = list(pool.map(plan_of, sorted(QUERIES.items())))
     offenders = []
-    for name, q in sorted(QUERIES.items()):
-        plan = physical_plan(q.spark_fn(spark, sf_dir))
+    for name, plan in plans:
         for m in re.finditer(r"Exchange (hash|range)partitioning\([^\n]*", plan):
             line = m.group(0)
             if any(c in line for c in heavy):
