@@ -44,6 +44,7 @@ def cloud_conf(
     staging_tmp: str | None = None,
     connection_maximum: int = 96,
     threads_max: int = 64,
+    commit_protocol: bool = True,
 ) -> dict[str, str]:
     """Return the Spark conf dict for S3A-backed lakes.
 
@@ -53,19 +54,25 @@ def cloud_conf(
     ingest shape, ``sequential`` for full-file scan-heavy jobs.
     ``warehouse``: ``s3a://`` URI for ``spark.sql.warehouse.dir`` so
     catalog DDL (sources/catalog.py) lands tables in the bucket.
+
+    Classpath dependencies, measured in-sandbox (no cloud jars):
+
+    - ``commit_protocol=True`` emits the two Spark-side committer
+      classes from the ``spark-hadoop-cloud`` module. Without that jar
+      on the driver classpath EVERY query fails at its first action
+      (the conf is read during query execution setup), so pass
+      ``commit_protocol=False`` on installs that lack it — the
+      ``fs.s3a.*`` keys alone are inert until an ``s3a://`` URI is
+      touched and always safe to carry.
+    - an ``s3a://`` ``warehouse`` is resolved EAGERLY at first catalog
+      use (SharedState qualifies the path), so it additionally needs
+      ``hadoop-aws`` present even for jobs that never read the lake.
     """
     if committer not in _COMMITTERS:
         raise ValueError(f"committer must be one of {_COMMITTERS}, got {committer!r}")
     if fadvise not in ("random", "sequential", "normal"):
         raise ValueError(f"unknown fadvise policy {fadvise!r}")
     conf = {
-        # route Spark's file writes through the S3A committer factory
-        "spark.sql.sources.commitProtocolClass": (
-            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
-        ),
-        "spark.sql.parquet.output.committer.class": (
-            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
-        ),
         "spark.hadoop.fs.s3a.committer.name": committer,
         "spark.hadoop.fs.s3a.experimental.input.fadvise": fadvise,
         "spark.hadoop.fs.s3a.fast.upload.buffer": "disk",
@@ -75,6 +82,14 @@ def cloud_conf(
         # writes (safe on any modern client)
         "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
     }
+    if commit_protocol:
+        # route Spark's file writes through the S3A committer factory
+        conf["spark.sql.sources.commitProtocolClass"] = (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        )
+        conf["spark.sql.parquet.output.committer.class"] = (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        )
     if committer == "magic":
         conf["spark.hadoop.fs.s3a.committer.magic.enabled"] = "true"
     else:

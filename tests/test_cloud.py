@@ -59,6 +59,17 @@ def test_bad_enums_rejected():
         cloud_conf(fadvise="chaotic")
 
 
+def test_commit_protocol_opt_out():
+    # measured in-sandbox: the two committer classes live in the
+    # spark-hadoop-cloud module; without the jar every query fails at
+    # its first action, so installs lacking it must be able to carry
+    # the fs.s3a.* posture alone
+    c = cloud_conf(commit_protocol=False)
+    assert "spark.sql.sources.commitProtocolClass" not in c
+    assert "spark.sql.parquet.output.committer.class" not in c
+    assert c["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+
 def test_scan_heavy_override():
     c = cloud_conf(fadvise="sequential", connection_maximum=200, threads_max=128)
     assert c["spark.hadoop.fs.s3a.experimental.input.fadvise"] == "sequential"
