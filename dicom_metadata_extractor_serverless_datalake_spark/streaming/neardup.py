@@ -56,6 +56,9 @@ from ..queries.llm import (
 LSH_STATE_SCHEMA = "owner BIGINT"
 LSH_OUT_SCHEMA = "doc_id BIGINT, dup_of BIGINT"
 
+# sharded variant: state holds every occupied bucket of the shard
+LSH_SHARD_STATE_SCHEMA = "sigs ARRAY<STRING>, owners ARRAY<BIGINT>"
+
 
 def lsh_bucket_update(key, batches, state):
     """Per-bucket stateful update: owner = min doc id ever seen; every
@@ -111,21 +114,73 @@ def minhash_bands_streaming(
     return sig.select("doc_id", F.posexplode(sig_array).alias("band", "sig"))
 
 
+def lsh_shard_update(key, batches, state):
+    """Sharded stateful update: one state group holds MANY buckets
+    (parallel sigs/owners arrays); per bucket the logic is identical to
+    ``lsh_bucket_update``. Exists because the per-bucket keying pays
+    one Python group dispatch per touched bucket (~0.22 ms each,
+    BASELINE round 5) — with 4 bands/doc that tax dominates small
+    batches. Sharding amortizes it: dispatches per batch are bounded by
+    the shard count, rows per dispatch grow, and pandas does the rest.
+    The trade: state value size grows from one long to the shard's
+    occupied-bucket map (still corpus-bounded overall, and each shard
+    round-trips only when touched)."""
+    import pandas as pd
+
+    if state.exists:
+        sigs, owners = state.get
+        buckets = dict(zip(sigs, (int(o) for o in owners)))
+    else:
+        buckets = {}
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
+    rows = []
+    for sig, d in zip(pdf["k"], pdf["doc_id"]):
+        d = int(d)
+        owner = buckets.get(sig)
+        if owner is not None and owner < d:
+            rows.append((d, owner))
+        if owner is None or d < owner:
+            buckets[sig] = d
+    state.update((list(buckets.keys()), list(buckets.values())))
+    yield pd.DataFrame(rows, columns=["doc_id", "dup_of"])
+
+
 def lsh_dedup_stream(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int | None = None,
 ) -> DataFrame:
     """Streaming (id, text) frame -> streaming (doc_id, dup_of) verdict
     frame (update output mode). Arrivals must be id-ordered across
     micro-batches for "dup_of" to mean "smallest EARLIER near-dup";
     reduce multi-band verdicts with ``min(dup_of)`` per doc at the sink
-    (a doc can collide with different owners in different bands)."""
+    (a doc can collide with different owners in different bands).
+
+    ``shards=None`` keys state per LSH bucket (one long of state per
+    bucket; one Python dispatch per touched bucket per batch).
+    ``shards=N`` groups buckets into N hash shards (bounded dispatches
+    per batch, larger state values) — measured cost model in
+    BASELINE.md round 7; verdict sets are identical."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     bands = minhash_bands_streaming(docs, id_col, text_col)
-    return bands.groupBy("band", "sig").applyInPandasWithState(
-        lsh_bucket_update,
+    if shards is None:
+        return bands.groupBy("band", "sig").applyInPandasWithState(
+            lsh_bucket_update,
+            outputStructType=LSH_OUT_SCHEMA,
+            stateStructType=LSH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    keyed = bands.select(
+        "doc_id",
+        F.concat_ws("|", F.col("band").cast("string"), "sig").alias("k"),
+    ).withColumn("shard", F.pmod(F.xxhash64("k"), F.lit(shards)))
+    return keyed.groupBy("shard").applyInPandasWithState(
+        lsh_shard_update,
         outputStructType=LSH_OUT_SCHEMA,
-        stateStructType=LSH_STATE_SCHEMA,
+        stateStructType=LSH_SHARD_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

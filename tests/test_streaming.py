@@ -461,3 +461,44 @@ def test_neardup_stream_operator_matches_q52_banding(spark):
     )
     want = QUERIES["q52_minhash_lsh"].spark_fn(spark, sf).collect()
     assert [tuple(r) for r in pairs] == [tuple(r) for r in want]
+
+
+def test_lsh_dedup_stream_sharded_matches_per_bucket(spark):
+    """The sharded stateful variant (fewer, larger state groups —
+    BASELINE round-7 dispatch cost model) must produce the identical
+    per-doc verdict set as per-bucket keying across a genuinely
+    multi-micro-batch drain."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.streams import (
+        _docs_stream_src,
+        _run_to_memory,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming.neardup import (
+        lsh_dedup_stream,
+    )
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    out = {}
+    for label, shards in (("bucket", None), ("sharded", 64)):
+        src = _docs_stream_src(sf, splits=3)
+        try:
+            docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+            name, n_batches = _run_to_memory(
+                lsh_dedup_stream(docs, shards=shards), "update"
+            )
+            assert n_batches >= 3, (label, n_batches)
+            rows = (
+                spark.table(name)
+                .groupBy("doc_id")
+                .agg(F.min("dup_of").alias("dup_of"))
+                .orderBy("doc_id")
+                .collect()
+            )
+            out[label] = [tuple(r) for r in rows]
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+    assert out["bucket"] == out["sharded"]
+    assert len(out["bucket"]) > 0
