@@ -97,6 +97,46 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     )
 
 
+def lsh_star_edges(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (d1, d2) STAR edges per LSH band bucket: every bucket
+    member links to the bucket's minimum id (d1 = rep < d2 = member)
+    instead of to every other member.
+
+    This is the scale form of :func:`lsh_candidate_pairs` for corpora
+    with LARGE duplicate clusters: a bucket of c docs emits c - 1 star
+    edges instead of c(c-1)/2 pairs, so candidate volume is linear in
+    bucket size rather than quadratic. For connected-components
+    clustering the transitive closure over unverified star edges equals
+    the closure over all-pairs edges (both connect exactly the bucket);
+    under per-edge verification the star is an approximation — a member
+    is compared only against bucket representatives, so a cluster can
+    split where all-pairs would have held it together via a non-rep
+    bridge. That trade (possible cluster splits, never false merges)
+    is the standard production posture when cluster sizes are unbounded
+    — at 1000-member near-dup clusters the all-pairs set measured ~2.5B
+    candidates vs ~5M star edges (BASELINE.md round-7 5M-doc profile).
+
+    One window-min shuffle on (band, sig); no join back."""
+    from pyspark.sql import Window
+
+    sig_array = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = signatures.select(id_col, F.posexplode(sig_array).alias("band", "sig"))
+    rep = F.min(id_col).over(Window.partitionBy("band", "sig"))
+    return (
+        bands.withColumn("_rep", rep)
+        .filter(F.col(id_col) > F.col("_rep"))
+        .select(F.col("_rep").alias("d1"), F.col(id_col).alias("d2"))
+        .distinct()
+    )
+
+
 def jaccard_verify(
     candidates: DataFrame,
     tok: DataFrame,
@@ -213,18 +253,27 @@ def neardup_pairs(
     text_col: str = "text",
     hash_fn: str = "portable",
     verify: str = "exact",
+    candidates: str = "pairs",
 ) -> DataFrame:
     """The full pipeline: shingle -> sign -> LSH candidates -> verified
     (d1, d2, jaccard) pairs at or above ``threshold``. ``verify``:
     "exact" re-derives shingle sets for candidate pairs
     (:func:`jaccard_verify`); "estimate" scores pairs from signature
     agreement alone (:func:`estimate_verify`) — the production mode
-    when verification dominates wall time."""
+    when verification dominates wall time. ``candidates``: "pairs"
+    emits every in-bucket pair (:func:`lsh_candidate_pairs`); "star"
+    emits member->bucket-min edges only (:func:`lsh_star_edges`) —
+    linear in bucket size, the required mode when duplicate clusters
+    are unbounded (a 1000-member cluster is ~500k pairs but ~999
+    star edges)."""
+    if candidates not in ("pairs", "star"):
+        raise ValueError(f"candidates must be 'pairs' or 'star', got {candidates!r}")
     tok = shingle_tokens(docs, id_col, text_col)
     sigs = minhash_signatures(tok, id_col, hash_fn)
     if verify == "estimate":
         sigs = sigs.persist()
-    cands = lsh_candidate_pairs(sigs, id_col)
+    gen = lsh_star_edges if candidates == "star" else lsh_candidate_pairs
+    cands = gen(sigs, id_col)
     if verify == "estimate":
         return estimate_verify(cands, sigs, threshold, id_col)
     if verify != "exact":

@@ -74,6 +74,7 @@ class TextCorpus:
         threshold: float = 0.8,
         hash_fn: str = "fast",
         verify: str = "exact",
+        candidates: str = "pairs",
     ) -> "TextCorpus":
         """Drop near-duplicates: LSH-banded candidate pairs, Jaccard-
         verified at ``threshold``, clustered by connected components,
@@ -88,7 +89,11 @@ class TextCorpus:
         on a dup-heavy 500k-doc corpus (BASELINE.md per-stage profile)
         and the estimate path removes nearly all of it, at the cost of
         coin-flip decisions on pairs within ~0.1 Jaccard of the
-        threshold."""
+        threshold. ``candidates="star"`` emits member->bucket-min edges
+        instead of all in-bucket pairs — linear in cluster size, the
+        mode to run when duplicate clusters are unbounded (boilerplate-
+        heavy web corpora); see operators/dedup.lsh_star_edges for the
+        split-vs-merge semantics."""
         from .operators.cluster import dedup_clusters
         from .operators.dedup import neardup_pairs
 
@@ -99,6 +104,7 @@ class TextCorpus:
             text_col=self.text_col,
             hash_fn=hash_fn,
             verify=verify,
+            candidates=candidates,
         )
         losers = (
             dedup_clusters(pairs)

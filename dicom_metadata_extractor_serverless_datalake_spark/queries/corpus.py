@@ -47,6 +47,7 @@ from . import selection  # noqa: F401,E402
 _PRIORITY = [
     # new this round — never driver-verified
     "q242_blocking_recall_sampled",
+    "q243_neardup_star",
     # stalest greens: last driver row round 2
     "q02_filter_project",
     "q03_join_broadcast_agg",
@@ -97,10 +98,10 @@ _PRIORITY = [
     "q13_count_distinct",
     "q15_rollup",
     "q16_cube",
-    "q17_grouping_sets",
-    # ^ exactly 50 = the driver window.
+    # ^ exactly 50 = the driver window (q17 displaced by new q243).
     # Below: the rest of round 3, then round 4; round-5/6-green families
     # rotate to the very back via registration order.
+    "q17_grouping_sets",
     "q18_collect_sorted",
     "q19_union_all",
     "q20_intersect",

@@ -260,6 +260,56 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q243 — star-edge near-dedup: the unbounded-cluster scale form of q52.
+# A band bucket of c docs emits c-1 member->bucket-min edges instead of
+# c(c-1)/2 pairs (one window-min shuffle on (band, sig), no self-join),
+# then each edge is scored by MinHash signature agreement — the whole
+# pipeline is linear in bucket size. Motivated by the measured blow-up
+# in BASELINE.md's round-7 5M-doc profile: 1000-member near-dup clusters
+# make the all-pairs candidate set ~2.5B rows while star edges stay ~5M.
+# Oracle replays the identical bucket-min + agreement arithmetic.
+# --------------------------------------------------------------------------
+
+_STAR_THRESHOLD = 0.5  # agreement >= 8/16; estimate-verify semantics
+
+
+def _star_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    return (
+        _minhash_pairs_cte()
+        + f""",
+    reps AS (SELECT band, sig, MIN(doc_id) AS rep FROM bands GROUP BY band, sig),
+    star AS (
+      SELECT DISTINCT r.rep AS d1, b.doc_id AS d2
+      FROM reps r JOIN bands b ON r.band = b.band AND r.sig = b.sig
+      WHERE b.doc_id > r.rep
+    )
+    SELECT s.d1, s.d2, CAST({agree} AS DOUBLE) / {NUM_PERM} AS jaccard
+    FROM star s JOIN mh a ON a.doc_id = s.d1 JOIN mh b ON b.doc_id = s.d2
+    WHERE CAST({agree} AS DOUBLE) / {NUM_PERM} >= {_STAR_THRESHOLD}
+    ORDER BY d1, d2
+    """
+    )
+
+
+@query("q243_neardup_star", oracle=_star_oracle(), category="dedup")
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import (
+        estimate_verify,
+        lsh_star_edges,
+        minhash_signatures,
+        shingle_tokens,
+    )
+
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable").persist()
+    edges = lsh_star_edges(sigs)
+    return estimate_verify(edges, sigs, threshold=_STAR_THRESHOLD).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
 # q53 — SimHash (31-bit) near-dup: per-token hash bits vote per position;
 # docs pair when Hamming distance <= 3. Signature build is linear; the
 # pair scan is BANDED, not quadratic: the signature splits into 4 8-bit

@@ -271,6 +271,68 @@ def test_neardup_estimate_mode_agrees_with_exact(spark, sf_dir):
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in est_rows)
 
 
+def test_lsh_star_edges_linear_and_closure_equivalent(spark, sf_dir):
+    """Star edges (member -> bucket-min) are a subset of the all-pairs
+    candidate set, every edge's d1 is a band-bucket minimum (d1 < d2 by
+    construction), and — the property that makes them a valid dedup
+    blocking stage — connected components over UNVERIFIED star edges
+    equal components over unverified all-pairs edges: both connect
+    exactly the members of each band bucket."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.cluster import connected_components
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+        shingle_tokens,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="fast").persist()
+    pairs = {(r["d1"], r["d2"]) for r in lsh_candidate_pairs(sigs).collect()}
+    star = {(r["d1"], r["d2"]) for r in lsh_star_edges(sigs).collect()}
+    assert 0 < len(star) <= len(pairs)
+    assert star <= pairs
+    assert all(d1 < d2 for d1, d2 in star)
+
+    def comps(edges):
+        df = spark.createDataFrame(list(edges), ["src", "dst"])
+        return {(r["node"], r["component"]) for r in connected_components(df).collect()}
+
+    assert comps(star) == comps(pairs)
+
+
+def test_neardup_star_estimate_subset_of_pairs_estimate(spark, sf_dir):
+    """candidates='star' + verify='estimate' emits a subset of the
+    all-pairs estimate output (same scoring, fewer candidates), keeps
+    the same jaccard value on shared edges, and dedup_near(star) never
+    keeps FEWER docs than dedup_near(pairs) — star can split clusters
+    (each member is checked only against bucket reps) but never merges
+    docs all-pairs would keep apart."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import neardup_pairs
+    from dicom_metadata_extractor_serverless_datalake_spark.pipeline import TextCorpus
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    allp = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in neardup_pairs(docs, hash_fn="fast", verify="estimate").collect()
+    }
+    star = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in neardup_pairs(
+            docs, hash_fn="fast", verify="estimate", candidates="star"
+        ).collect()
+    }
+    assert 0 < len(star) <= len(allp)
+    assert set(star) <= set(allp)
+    assert all(star[k] == allp[k] for k in star)
+
+    kept_pairs = TextCorpus(docs).dedup_near(verify="estimate").df.count()
+    kept_star = TextCorpus(docs).dedup_near(verify="estimate", candidates="star").df.count()
+    assert kept_star >= kept_pairs
+
+
 def test_pagerank_matches_dense_power_iteration(spark):
     """pagerank() on a small digraph (with a dangling node and a
     parallel-edge multiplicity) matches a dense numpy power iteration
