@@ -776,3 +776,111 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
     return m.select(
         "event_type", "n_gaps", "mean_gap_us", "sd_gap_us", b.alias("burstiness")
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q247 — RFM segmentation (recency / frequency / monetary), the classic
+# customer-value grid marketing analytics cuts before any modeling:
+# per customer, days since last order (vs the corpus's latest order
+# date), order count, and lifetime spend in exact integer cents
+# (per-order floor(price*100), then integer sum — no float
+# accumulation); each metric quintiled 1..5 so that 5 = best (most
+# recent / most frequent / highest spend), then one row per (r, f, m)
+# cell with its population and spend mass.
+#
+# Quintiles are exact ntile(5) semantics over a TOTAL order (metric +
+# custkey tie-break) — but computed WITHOUT the single-partition global
+# window: positions come from the parallel numbering operator
+# (operators/rank.global_positions, range partition + per-partition
+# offsets) and the ntile bucket from its closed form
+#   q = n div 5, r = n mod 5
+#   tile(p) = (p-1) div (q+1) + 1                 if p <= r*(q+1)
+#           = r + (p - r*(q+1) - 1) div q + 1     otherwise
+# which reproduces ntile's big-buckets-first allocation exactly; the
+# oracle uses plain ntile(5) and must hash-match. Customer-dimension
+# scale: three numbered sorts over (metric, key) pairs + three
+# equi-joins back on custkey.
+#
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+def _q247_oracle() -> str:
+    return """
+    WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), maxd.d) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders, maxd GROUP BY o_custkey, maxd.d
+    ),
+    scored AS (
+      SELECT custkey, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r,
+             CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents, custkey) AS BIGINT) AS m
+      FROM base
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """
+
+
+def _exact_ntile(pos: F.Column, n: int, k: int = 5) -> F.Column:
+    """ntile(k) bucket for 1-based position ``pos`` of ``n`` total rows:
+    first n%k buckets get n//k+1 rows (SQL-standard allocation)."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    small = (  # guard q=0 (n < k): all rows land in the big buckets
+        F.lit(r) + F.floor((pos - F.lit(big) - 1) / F.lit(max(q, 1))) + 1
+    )
+    return (
+        F.when(pos <= F.lit(big), F.floor((pos - 1) / F.lit(q + 1)) + 1)
+        .otherwise(small)
+        .cast("long")
+    )
+
+
+@query("q247_rfm_segments", oracle=_q247_oracle(), category="behavior")
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import global_positions
+
+    orders = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    maxd = orders.agg(F.max("d").alias("maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("custkey")
+        .agg(
+            F.datediff(F.min("maxd"), F.max("d")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .persist()
+    )
+    n = base.count()  # driver scalar: one int, pins the ntile closed form
+
+    def score(order_cols, name):
+        pos = global_positions(base, order_cols, position_col="_p")
+        return pos.select("custkey", _exact_ntile(F.col("_p"), n).alias(name))
+
+    r = score([F.col("recency_days").desc(), F.col("custkey")], "r")
+    f = score([F.col("frequency"), F.col("custkey")], "f")
+    m = score([F.col("monetary_cents"), F.col("custkey")], "m")
+    return (
+        base.join(r, "custkey")
+        .join(f, "custkey")
+        .join(m, "custkey")
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r", "f", "m")
+    )

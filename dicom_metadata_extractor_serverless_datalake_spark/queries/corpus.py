@@ -48,6 +48,10 @@ _PRIORITY = [
     # new this round — never driver-verified
     "q242_blocking_recall_sampled",
     "q243_neardup_star",
+    "q244_incremental_neardup",
+    "q245_fdr_bh",
+    "q246_fellegi_sunter",
+    "q247_rfm_segments",
     # stalest greens: last driver row round 2
     "q02_filter_project",
     "q03_join_broadcast_agg",
@@ -93,14 +97,15 @@ _PRIORITY = [
     "q80_boilerplate_ngrams",
     "q81_skew_report",
     "q82_decontamination",
+    # ^ exactly 50 = the driver window (6 new-this-round queries first,
+    # then the 44 stalest round-2 greens; q85 and the round-3 fillers
+    # q13/q15/q16/q17 were displaced by the new registrations).
+    # Below: the rest of round 3, then round 4; round-5/6-green families
+    # rotate to the very back via registration order.
     "q85_stream_upsert_snapshot",
-    # stalest round-3 rows to fill the 50-entry window
     "q13_count_distinct",
     "q15_rollup",
     "q16_cube",
-    # ^ exactly 50 = the driver window (q17 displaced by new q243).
-    # Below: the rest of round 3, then round 4; round-5/6-green families
-    # rotate to the very back via registration order.
     "q17_grouping_sets",
     "q18_collect_sorted",
     "q19_union_all",

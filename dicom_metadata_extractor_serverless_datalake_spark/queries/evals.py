@@ -550,3 +550,129 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
         "comb_n",
         F.when(den != 0, num / den).alias("ari"),
     )
+
+
+# --------------------------------------------------------------------------
+# q245 — Benjamini-Hochberg FDR control over a family of per-hour
+# behavior-mix tests. An eval pipeline that screens 24 hourly cohorts
+# (or 10k prompts, or 500 slices) for distribution drift runs one
+# hypothesis test per cohort; rejecting every p < 0.05 inflates false
+# discoveries, and BH (Benjamini & Hochberg 1995) is the standard
+# step-up correction: sort p ascending, find the largest k with
+# p_(k) <= k*q/m, reject ranks 1..k.
+#
+# Per hour: 3-cell goodness-of-fit (browse=click+view, convert=
+# purchase+signup, error) against the global mix -> chi-square with 2
+# dof. The 2-dof choice is deliberate: chi2(2) survival is EXACTLY
+# exp(-x/2), so p_(k) <= k*q/m is equivalent to chi2_(k) >= -2*ln(k*q/m)
+# and the 24 thresholds are Python-precomputed integer-micro LITERALS —
+# no transcendental evaluated engine-side, so Spark and DuckDB compare
+# the same integers and the rejection set is bit-portable. m = 24 is
+# the fixed family size (the clock), q = 0.10. Chi-square terms follow
+# the repo convention: each (o-e)^2/e floored to micros, then integer-
+# summed; ranking ties break by hour.
+#
+# 100 TB shape: one (hour, cell) count aggregate over the corpus, then
+# 24-row arithmetic — windows and joins touch dimension-sized frames
+# only. Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_BH_Q = "0.10"
+_BH_M = 24
+# floor(1e6 * -2*ln(k*0.10/24)) for k = 1..24 (see header)
+_BH_THR_MICROS = [
+    10961277, 9574983, 8764053, 8188689, 7742402, 7377758, 7069457,
+    6802394, 6566828, 6356107, 6165487, 5991464, 5831379, 5683163,
+    5545177, 5416100, 5294851, 5180534, 5072399, 4969813, 4872232,
+    4779192, 4690289, 4605170,
+]
+
+_BH_CELL = (
+    "CASE WHEN event_type IN ('click', 'view') THEN 'browse' "
+    "WHEN event_type IN ('purchase', 'signup') THEN 'convert' "
+    "ELSE 'error' END"
+)
+
+
+def _q245_oracle() -> str:
+    thr_rows = ", ".join(f"({k + 1}, {t})" for k, t in enumerate(_BH_THR_MICROS))
+    return f"""
+    WITH ev AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, {_BH_CELL} AS cell
+      FROM events
+    ),
+    obs AS (SELECT hour, cell, CAST(COUNT(*) AS BIGINT) AS o FROM ev GROUP BY 1, 2),
+    nh AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1),
+    gc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS g FROM ev GROUP BY 1),
+    gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ev),
+    grid AS (SELECT nh.hour, nh.n_events, gc.cell, gc.g, gt.t FROM nh, gc, gt),
+    terms AS (
+      SELECT grid.hour, grid.n_events,
+             CAST(floor(1000000.0 * (
+               (COALESCE(o.o, 0) - CAST(grid.n_events AS DOUBLE) * grid.g / grid.t)
+               * (COALESCE(o.o, 0) - CAST(grid.n_events AS DOUBLE) * grid.g / grid.t)
+               / (CAST(grid.n_events AS DOUBLE) * grid.g / grid.t))) AS BIGINT) AS m
+      FROM grid LEFT JOIN obs o ON o.hour = grid.hour AND o.cell = grid.cell
+    ),
+    chi AS (
+      SELECT hour, MIN(n_events) AS n_events, CAST(SUM(m) AS BIGINT) AS chi2_micros
+      FROM terms GROUP BY hour
+    ),
+    ranked AS (
+      SELECT hour, n_events, chi2_micros,
+             CAST(row_number() OVER (ORDER BY chi2_micros DESC, hour) AS BIGINT) AS p_rank
+      FROM chi
+    ),
+    thr(k, thr_micros) AS (VALUES {thr_rows}),
+    marked AS (
+      SELECT r.*, (r.chi2_micros >= t.thr_micros) AS passes
+      FROM ranked r JOIN thr t ON t.k = r.p_rank
+    ),
+    kmax AS (SELECT MAX(CASE WHEN passes THEN p_rank END) AS k FROM marked)
+    SELECT m.hour, m.n_events, m.chi2_micros, m.p_rank,
+           COALESCE(m.p_rank <= kmax.k, FALSE) AS rejected
+    FROM marked m, kmax ORDER BY hour
+    """
+
+
+@query("q245_fdr_bh", oracle=_q245_oracle(), category="evals")
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").select(
+        F.hour("ts").cast("int").alias("hour"), F.expr(_BH_CELL).alias("cell")
+    )
+    obs = ev.groupBy("hour", "cell").agg(F.count("*").alias("o"))
+    nh = ev.groupBy("hour").agg(F.count("*").alias("n_events"))
+    gc = ev.groupBy("cell").agg(F.count("*").alias("g"))
+    gt = ev.agg(F.count("*").alias("t"))
+    grid = nh.crossJoin(F.broadcast(gc)).crossJoin(F.broadcast(gt))
+    e = F.col("n_events").cast("double") * F.col("g") / F.col("t")
+    o = F.coalesce(F.col("o"), F.lit(0))
+    term = F.floor(F.lit(1000000.0) * ((o - e) * (o - e) / e)).cast("long")
+    chi = (
+        grid.join(obs, ["hour", "cell"], "left")
+        .select("hour", "n_events", term.alias("m"))
+        .groupBy("hour")
+        .agg(F.min("n_events").alias("n_events"), F.sum("m").alias("chi2_micros"))
+    )
+    w = Window.orderBy(F.col("chi2_micros").desc(), "hour")  # 24-row frame
+    ranked = chi.withColumn("p_rank", F.row_number().over(w).cast("long"))
+    thr = ranked.sparkSession.createDataFrame(
+        [(k + 1, t_) for k, t_ in enumerate(_BH_THR_MICROS)], "k long, thr_micros long"
+    )
+    marked = ranked.join(
+        F.broadcast(thr), ranked["p_rank"] == thr["k"]
+    ).withColumn("passes", F.col("chi2_micros") >= F.col("thr_micros"))
+    kmax = marked.agg(
+        F.max(F.when(F.col("passes"), F.col("p_rank"))).alias("kx")
+    )
+    return (
+        marked.crossJoin(F.broadcast(kmax))
+        .select(
+            "hour",
+            "n_events",
+            "chi2_micros",
+            "p_rank",
+            F.coalesce(F.col("p_rank") <= F.col("kx"), F.lit(False)).alias("rejected"),
+        )
+        .orderBy("hour")
+    )

@@ -310,6 +310,85 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q244 — INCREMENTAL near-dedup: a daily-crawl delta (docs with
+# doc_id % 10 = 0, the "new snapshot") screened against the standing
+# corpus (the other 90%). Candidates come from an ASYMMETRIC band join —
+# new-side bands probe corpus-side bands, so the work is O(|delta|)
+# band lookups, never a corpus self-join; this is the batch complement
+# of the q178 streaming LSH dedup. Per matched new doc: how many corpus
+# docs it collided-and-verified with, the smallest matching corpus id
+# (the canonical doc an ingest pipeline would attribute it to) and the
+# best agreement score. Jaccard is the signature-agreement estimate
+# (k/16 — exact binary fractions, bit-portable with no flooring).
+# --------------------------------------------------------------------------
+
+
+def _q244_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    )
+    return (
+        _minhash_pairs_cte()
+        + f""",
+    delta AS (
+      SELECT DISTINCT n.doc_id AS d1, o.doc_id AS d2
+      FROM bands n JOIN bands o ON n.band = o.band AND n.sig = o.sig
+      WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+    ),
+    est AS (
+      SELECT s.d1, s.d2, CAST({agree} AS DOUBLE) / {NUM_PERM} AS jaccard
+      FROM delta s JOIN mh a ON a.doc_id = s.d1 JOIN mh b ON b.doc_id = s.d2
+      WHERE CAST({agree} AS DOUBLE) / {NUM_PERM} >= {_STAR_THRESHOLD}
+    )
+    SELECT d1 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(d2) AS canonical_id, MAX(jaccard) AS best_jaccard
+    FROM est GROUP BY d1 ORDER BY doc_id
+    """
+    )
+
+
+@query("q244_incremental_neardup", oracle=_q244_oracle(), category="dedup")
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import (
+        estimate_verify,
+        minhash_signatures,
+        shingle_tokens,
+    )
+
+    docs = t(spark, sf, "documents")
+    # signatures are per-doc, so computing them over the full table and
+    # slicing the BAND rows is identical to signing the slices — one
+    # scan, one signature shuffle
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable").persist()
+    sig_array = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(sig_array).alias("band", "sig"))
+    new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
+    old = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
+    cands = (
+        new.join(old, (F.col("n.band") == F.col("o.band")) & (F.col("n.sig") == F.col("o.sig")))
+        .select(F.col("n.doc_id").alias("d1"), F.col("o.doc_id").alias("d2"))
+        .distinct()
+    )
+    est = estimate_verify(cands, sigs, threshold=_STAR_THRESHOLD)
+    return (
+        est.groupBy(F.col("d1").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("d2").alias("canonical_id"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # q53 — SimHash (31-bit) near-dup: per-token hash bits vote per position;
 # docs pair when Hamming distance <= 3. Signature build is linear; the
 # pair scan is BANDED, not quadratic: the signature splits into 4 8-bit

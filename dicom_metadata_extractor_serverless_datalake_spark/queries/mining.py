@@ -1379,3 +1379,121 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
             / (F.lit(2) * dec(F.col("n_pos")) * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# q246 — Fellegi-Sunter record linkage (Fellegi & Sunter, JASA 1969):
+# probabilistic match scoring over blocked candidate pairs. Each pair
+# gets an agreement vector over three fields — length bucket, 5-word
+# head, last word — and a log-likelihood match weight
+# sum_f log2(m_f/u_f) on agreement, log2((1-m_f)/(1-u_f)) on
+# disagreement, with (m, u) priors fixed up front the way production
+# linkage starts before EM refinement. Pairs classify into
+# match / possible / non-match by weight thresholds.
+#
+# All six log-weights are Python-precomputed DOUBLE LITERALS, so
+# engine-side arithmetic is three CASE picks + two additions in fixed
+# written order — bit-portable; the summed weight floors to micros.
+# Blocking on (lang, source, n_chars div 50) keeps pair generation an
+# equi-join (blocking-first, never a corpus self-scan); production
+# would tighten the key or swap in SNM (q134) / LSH bands (q52) — the
+# scoring stage is identical over any candidate generator.
+#
+# 100 TB shape: one map-side projection per doc (head/tail/bucket),
+# one hash equi-join on the block key, per-pair scalar arithmetic.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_FS_W = {  # field -> (agree_weight, disagree_weight), log2(m/u), log2((1-m)/(1-u))
+    "len": (3.169925001442312, -3.1699250014423126),   # m=0.9,  u=0.1
+    "head": (5.409390936137702, -2.707819248506689),   # m=0.85, u=0.02
+    "tail": (3.8073549220576037, -1.6629650127224291), # m=0.7,  u=0.05
+}
+_FS_MATCH_MICROS = 6_000_000  # weight >= 6 bits -> match; >= 0 -> possible
+
+
+def _q246_oracle() -> str:
+    wl, wh, wt = _FS_W["len"], _FS_W["head"], _FS_W["tail"]
+    return f"""
+    WITH side AS (
+      SELECT doc_id, lang, source, n_chars // 50 AS blk, n_chars // 10 AS len10,
+             array_to_string((string_split(text, ' '))[1:5], ' ') AS head,
+             (string_split(text, ' '))[-1] AS tail
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(a.len10 = b.len10 AS INTEGER) AS a_len,
+             CAST(a.head = b.head AS INTEGER) AS a_head,
+             CAST(a.tail = b.tail AS INTEGER) AS a_tail
+      FROM side a JOIN side b
+        ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT d1, d2, a_len, a_head, a_tail,
+             CAST(floor(1000000.0 * (
+               (CASE WHEN a_len = 1 THEN CAST({wl[0]} AS DOUBLE)
+                     ELSE CAST({wl[1]} AS DOUBLE) END)
+               + (CASE WHEN a_head = 1 THEN CAST({wh[0]} AS DOUBLE)
+                       ELSE CAST({wh[1]} AS DOUBLE) END)
+               + (CASE WHEN a_tail = 1 THEN CAST({wt[0]} AS DOUBLE)
+                       ELSE CAST({wt[1]} AS DOUBLE) END))) AS BIGINT)
+               AS weight_micros
+      FROM pairs
+    )
+    SELECT d1, d2, a_len, a_head, a_tail, weight_micros,
+           CASE WHEN weight_micros >= {_FS_MATCH_MICROS} THEN 'match'
+                WHEN weight_micros >= 0 THEN 'possible'
+                ELSE 'non-match' END AS decision
+    FROM scored ORDER BY d1, d2
+    """
+
+
+@query("q246_fellegi_sunter", oracle=_q246_oracle(), category="mining")
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    wl, wh, wt = _FS_W["len"], _FS_W["head"], _FS_W["tail"]
+    w = F.split("text", " ")
+    side = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 50").alias("blk"),
+        F.expr("n_chars div 10").alias("len10"),
+        F.concat_ws(" ", F.slice(w, 1, 5)).alias("head"),
+        F.element_at(w, -1).alias("tail"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        (F.col("a.len10") == F.col("b.len10")).cast("int").alias("a_len"),
+        (F.col("a.head") == F.col("b.head")).cast("int").alias("a_head"),
+        (F.col("a.tail") == F.col("b.tail")).cast("int").alias("a_tail"),
+    )
+    weight = (
+        F.when(F.col("a_len") == 1, F.lit(wl[0])).otherwise(F.lit(wl[1]))
+        + F.when(F.col("a_head") == 1, F.lit(wh[0])).otherwise(F.lit(wh[1]))
+        + F.when(F.col("a_tail") == 1, F.lit(wt[0])).otherwise(F.lit(wt[1]))
+    )
+    scored = pairs.withColumn(
+        "weight_micros", F.floor(F.lit(1000000.0) * weight).cast("long")
+    )
+    return scored.select(
+        "d1",
+        "d2",
+        "a_len",
+        "a_head",
+        "a_tail",
+        "weight_micros",
+        F.when(F.col("weight_micros") >= _FS_MATCH_MICROS, "match")
+        .when(F.col("weight_micros") >= 0, "possible")
+        .otherwise("non-match")
+        .alias("decision"),
+    ).orderBy("d1", "d2")

@@ -78,18 +78,27 @@ def make_doc_scale(out: str, factor: int, src: str = SRC, spark=None) -> None:
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     doc_base = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     vec_base = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    dparts, eparts = [], []
-    for i in range(factor):
-        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_base))
-        if i:
-            d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
-        dparts.append(d)
-        eparts.append(emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_base)))
-    du, eu = dparts[0], eparts[0]
-    for p in dparts[1:]:
-        du = du.unionByName(p)
-    for p in eparts[1:]:
-        eu = eu.unionByName(p)
+    # ONE scan + explode of a factor-element range per table (a
+    # factor-way union blows up Catalyst analysis time at factor=1000);
+    # identical content to the per-copy union: copy i shifts the id by
+    # i*base and suffixes replica text with " r{i}" (i >= 1 only).
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__rep")
+    du = (
+        docs.select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep").cast("long") * F.lit(doc_base))
+        .withColumn(
+            "text",
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" r"), F.col("__rep").cast("string"))
+            ),
+        )
+        .drop("__rep")
+    )
+    eu = (
+        emb.select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep").cast("long") * F.lit(vec_base))
+        .drop("__rep")
+    )
     du.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     eu.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 

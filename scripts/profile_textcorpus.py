@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--dir", default=None)
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--verify", choices=("exact", "estimate"), default="exact")
+    ap.add_argument("--candidates", choices=("pairs", "star"), default="pairs")
     args = ap.parse_args()
     scale_dir = args.dir or f"/tmp/sfsynthdoc{args.factor}"
 
@@ -62,6 +63,7 @@ def main() -> None:
     out: dict = {
         "factor": args.factor,
         "verify": args.verify,
+        "candidates": args.candidates,
         "stages": {},
         "counts": {},
     }
@@ -82,7 +84,44 @@ def main() -> None:
 
     tok = shingle_tokens(survivors)
     sigs = stage("2_minhash_signatures", minhash_signatures(tok, hash_fn="fast"))
-    cands = stage("3_lsh_candidates", lsh_candidate_pairs(sigs))
+    if args.candidates == "star":
+        from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import (
+            N_BANDS,
+            ROWS_PER_BAND,
+            lsh_star_edges,
+        )
+
+        # analytic all-pairs volume from bucket sizes — what mode=pairs
+        # WOULD have generated, without materializing it: sum c(c-1)/2
+        # over (band, sig) buckets (upper bound: pre-distinct volume)
+        sig_array = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        buckets = (
+            sigs.select(F.posexplode(sig_array).alias("band", "sig"))
+            .groupBy("band", "sig")
+            .agg(F.count("*").alias("c"))
+        )
+        vol = buckets.agg(
+            F.sum(F.expr("c * (c - 1) div 2")).alias("pairs"),
+            F.sum(F.expr("c - 1")).alias("star"),
+            F.max("c").alias("max_bucket"),
+        ).collect()[0]
+        out["pairs_volume_would_be"] = int(vol["pairs"] or 0)
+        out["star_volume_bound"] = int(vol["star"] or 0)
+        out["max_bucket"] = int(vol["max_bucket"] or 0)
+        cands = stage("3_lsh_candidates", lsh_star_edges(sigs))
+    else:
+        cands = stage("3_lsh_candidates", lsh_candidate_pairs(sigs))
     if args.verify == "estimate":
         pairs = stage("4_estimate_verify", estimate_verify(cands, sigs, args.threshold))
     else:
