@@ -1165,3 +1165,75 @@ def test_q242_matches_brute_force_sampled_truth(spark):
         assert got.wilson_lb_micros <= got.recall_micros
     else:
         assert got.recall_micros is None and got.wilson_lb_micros is None
+
+
+def test_exact_ntile_closed_form_matches_sql_ntile(spark):
+    """q247's closed-form ntile (via parallel numbering positions)
+    reproduces SQL ntile(5)'s big-buckets-first allocation for row
+    counts around every remainder class, including n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.behavior import _exact_ntile
+
+    for n in (1, 3, 4, 5, 6, 7, 23, 100, 101, 104):
+        df = spark.range(1, n + 1).withColumnRenamed("id", "pos")
+        w = Window.orderBy("pos")
+        got = (
+            df.select(
+                "pos",
+                _exact_ntile(F.col("pos"), n).alias("mine"),
+                F.ntile(5).over(w).cast("long").alias("sql"),
+            )
+            .filter(F.col("mine") != F.col("sql"))
+            .count()
+        )
+        assert got == 0, f"n={n}"
+
+
+def test_q244_incremental_shape_and_brute_force(spark, sf_dir):
+    """q244's output: every screened doc is in the delta slice
+    (doc_id % 10 == 0), every canonical attribution is a corpus doc,
+    and (n_matches, canonical_id, best_jaccard) reproduce a Python
+    brute force over the full band-collision x signature-agreement
+    definition at sf0.001."""
+    from collections import defaultdict
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.base import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _minhash_band_pairs  # noqa: F401
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import (
+        NUM_PERM,
+        minhash_signatures,
+        shingle_tokens,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(NUM_PERM)]
+        for r in minhash_signatures(shingle_tokens(docs)).collect()
+    }
+    bands = defaultdict(set)
+    for d, m in sigs.items():
+        for b in range(4):
+            key = (b, tuple(m[b * 4 : b * 4 + 4]))
+            bands[key].add(d)
+    want = defaultdict(list)
+    for members in bands.values():
+        for dn in members:
+            if dn % 10 != 0:
+                continue
+            for do in members:
+                if do % 10 != 0 and do != dn:
+                    agree = sum(a == b for a, b in zip(sigs[dn], sigs[do]))
+                    if agree / NUM_PERM >= 0.5:
+                        want[dn].append((do, agree / NUM_PERM))
+    expect = {
+        dn: (len(set(m)), min(d for d, _ in m), max(j for _, j in m))
+        for dn, m in ((dn, list(set(m))) for dn, m in want.items())
+    }
+    got = {
+        r["doc_id"]: (r["n_matches"], r["canonical_id"], r["best_jaccard"])
+        for r in QUERIES["q244_incremental_neardup"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expect
