@@ -631,3 +631,164 @@ def q234(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("jack_se_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q249 — group-sequential A/B monitoring with O'Brien-Fleming stopping
+# boundaries: q158's pooled two-proportion z evaluated at K = 5 interim
+# cuts of the experiment timeline, each |z_k| compared against the OBF
+# boundary C * sqrt(K/k) (conservative early, ~C at the final look) —
+# the "can we stop the experiment early" readout that naive repeated
+# q158 peeking gets wrong (inflated false positives). C = 2.04, the
+# standard two-sided alpha = 0.05, K = 5 OBF constant; the five
+# boundaries are Python-precomputed double literals, so the crossing
+# decision engine-side is one abs(z) > literal comparison.
+#
+# Interim cuts are INTEGER microsecond timestamps: cut_k = tmin +
+# ((tmax - tmin) * k) div 5 over the event-time span — exact in both
+# engines. Per cut, exposures = users first seen by the cut and
+# conversions = users first converted (purchase, value > 250) by the
+# cut, per arm (the q158 portable-hash assignment with a 'gs-' salt).
+# All counts exact integers; z is q158's identical IEEE tree (one
+# correctly-rounded sqrt), NULL-guarded for degenerate interims.
+# stopped_by_k is the monitoring verdict: an earlier interim (<= k)
+# crossed its boundary.
+#
+# 100 TB shape: ONE map-side-combinable per-user aggregate (first-seen
+# / first-conversion micros + arm), a broadcast of the 5-row cut grid,
+# one 5-group conditional-sum aggregate, then 5-row arithmetic.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_GS_K = 5
+# C * sqrt(K/k) for k = 1..5, C = 2.04 (OBF, two-sided 0.05, K = 5)
+_GS_BOUNDS = [
+    4.561578674099572,
+    3.2255232133717473,
+    2.6336286754210434,
+    2.280789337049786,
+    2.04,
+]
+
+
+def _q249_oracle() -> str:
+    from .llm import duck_h31
+
+    bounds = ", ".join(
+        f"({k + 1}, CAST({b} AS DOUBLE))" for k, b in enumerate(_GS_BOUNDS)
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             {duck_h31("'gs-' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+             MIN(epoch_us(ts)) AS seen_us,
+             MIN(CASE WHEN event_type = 'purchase' AND value > 250.0
+                      THEN epoch_us(ts) END) AS conv_us
+      FROM events GROUP BY user_id
+    ),
+    span AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events),
+    cuts AS (
+      SELECT k, t0 + ((t1 - t0) * k) // {_GS_K} AS cut_us
+      FROM span, (SELECT unnest(generate_series(1, {_GS_K})) AS k)
+    ),
+    interim AS (
+      SELECT c.k, c.cut_us,
+             CAST(SUM(CASE WHEN u.arm = 0 AND u.seen_us <= c.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN u.arm = 0 AND u.conv_us <= c.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN u.arm = 1 AND u.seen_us <= c.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN u.arm = 1 AND u.conv_us <= c.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM cuts c, u GROUP BY c.k, c.cut_us
+    ),
+    zc AS (
+      SELECT k, cut_us, n0, c0, n1, c1,
+             CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+                  THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                              * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                       / CAST(n0 + n1 AS DOUBLE))
+                              * (1.0 / CAST(n0 AS DOUBLE)
+                                 + 1.0 / CAST(n1 AS DOUBLE)))
+                  ELSE NULL END AS z
+      FROM interim
+    ),
+    b(k, boundary) AS (VALUES {bounds}),
+    marked AS (
+      SELECT zc.k AS k, cut_us, n0, c0, n1, c1, z, boundary,
+             COALESCE(abs(z) > boundary, FALSE) AS crossed
+      FROM zc JOIN b ON b.k = zc.k
+    )
+    SELECT k, cut_us, n0, c0, n1, c1, z, boundary, crossed,
+           CAST(MAX(CASE WHEN crossed THEN 1 ELSE 0 END)
+                OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BOOLEAN)
+             AS stopped_by_k
+    FROM marked ORDER BY k
+    """
+
+
+@query("q249_group_sequential", oracle=_q249_oracle(), category="inference")
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import spark_h31
+
+    ev = t(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.first(F.expr(spark_h31("'gs-' || CAST(user_id AS STRING)")) % 2).alias("arm"),
+        F.min(F.unix_micros("ts")).alias("seen_us"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250.0),
+                F.unix_micros("ts"),
+            )
+        ).alias("conv_us"),
+    )
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
+    )
+    cuts = span.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_GS_K))).alias("k"), "t0", "t1"
+    ).select(
+        "k", (F.col("t0") + F.expr(f"((t1 - t0) * k) div {_GS_K}")).alias("cut_us")
+    )
+    j = u.crossJoin(F.broadcast(cuts))
+    flag = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    interim = j.groupBy("k", "cut_us").agg(
+        flag((F.col("arm") == 0) & (F.col("seen_us") <= F.col("cut_us"))).alias("n0"),
+        flag((F.col("arm") == 0) & (F.col("conv_us") <= F.col("cut_us"))).alias("c0"),
+        flag((F.col("arm") == 1) & (F.col("seen_us") <= F.col("cut_us"))).alias("n1"),
+        flag((F.col("arm") == 1) & (F.col("conv_us") <= F.col("cut_us"))).alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pool = (d("c0") + d("c1")) / (d("n0") + d("n1"))
+    ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    )
+    z = F.when(
+        ok,
+        (d("c1") / d("n1") - d("c0") / d("n0"))
+        / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / d("n0") + F.lit(1.0) / d("n1"))),
+    )
+    b = interim.sparkSession.createDataFrame(
+        [(k + 1, v) for k, v in enumerate(_GS_BOUNDS)], "k long, boundary double"
+    )
+    marked = (
+        interim.withColumn("z", z)
+        .join(F.broadcast(b), "k")
+        .withColumn(
+            "crossed", F.coalesce(F.abs(F.col("z")) > F.col("boundary"), F.lit(False))
+        )
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)  # 5-row frame
+    return (
+        marked.withColumn(
+            "stopped_by_k",
+            F.max(F.col("crossed").cast("int")).over(w).cast("boolean"),
+        )
+        .select(
+            "k", "cut_us", "n0", "c0", "n1", "c1", "z", "boundary",
+            "crossed", "stopped_by_k",
+        )
+        .orderBy("k")
+    )

@@ -1115,6 +1115,92 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q248 — cluster-balanced selection: dedup-aware diversity sampling.
+# After near-dup clustering (q77), keeping ONE doc per cluster throws
+# away intra-cluster variation while keeping ALL of a 10k-member
+# boilerplate cluster drowns the mixture — the standard middle course
+# keeps ceil(sqrt(cluster_size)) docs per cluster (sublinear cluster
+# mass, every cluster still represented). Selection within a cluster is
+# by the portable content hash then id — deterministic, unbiased by
+# ingestion order. Docs in no candidate pair are singleton clusters and
+# always survive. sqrt is IEEE-correctly-rounded in both engines and
+# exact on perfect squares, so ceil(sqrt(n)) is bit-portable.
+#
+# Scale shape: q77's CC (edge-keyed shuffles) + one per-cluster window
+# (hash-partitioned by cluster_id, no global sort) + an anti-join for
+# singletons. Output is the survivor set with its cluster accounting.
+# --------------------------------------------------------------------------
+
+
+def _q248_oracle() -> str:
+    base = _minhash_pairs_cte()
+    return (
+        base.replace("WITH w3", "WITH RECURSIVE w3", 1)
+        + f""",
+    sym AS (
+      SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    labels AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    membership AS (
+      SELECT doc_id, cluster_id FROM labels
+      UNION ALL
+      SELECT d.doc_id, d.doc_id AS cluster_id
+      FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM labels)
+    ),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM membership
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, cluster_size,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY {duck_h31("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM sized
+    )
+    SELECT doc_id, cluster_id, cluster_size
+    FROM ranked
+    WHERE rn <= CAST(ceil(sqrt(CAST(cluster_size AS DOUBLE))) AS BIGINT)
+    ORDER BY doc_id
+    """
+    )
+
+
+@query("q248_cluster_balanced_sample", oracle=_q248_oracle(), category="selection")
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.cluster import dedup_clusters
+
+    docs = t(spark, sf, "documents")
+    pairs = _minhash_band_pairs(spark, sf)
+    clustered = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    singles = docs.join(clustered, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    membership = clustered.unionByName(singles)
+    wsize = Window.partitionBy("cluster_id")
+    worder = Window.partitionBy("cluster_id").orderBy(
+        F.expr(spark_h31("CAST(doc_id AS STRING)")), "doc_id"
+    )
+    return (
+        membership.withColumn("cluster_size", F.count("*").over(wsize))
+        .withColumn("rn", F.row_number().over(worder))
+        .filter(
+            F.col("rn")
+            <= F.ceil(F.sqrt(F.col("cluster_size").cast("double"))).cast("long")
+        )
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # q78 — int8 scalar quantization of embeddings: the storage/memory scale
 # path for ANN (4x smaller vectors, SIMD-friendly int dot products).
 # Quantize q = clamp(floor(x * 127/S + 0.5)), reconstruct, and report
