@@ -574,6 +574,72 @@ class TextCorpus:
             .drop("__rk")
         )
 
+    def diversity_sample(
+        self,
+        threshold: float = 0.0,
+        hash_fn: str = "fast",
+        candidates: str = "pairs",
+    ) -> "TextCorpus":
+        """Cluster-balanced selection (q248's shape): near-dup cluster
+        each doc, keep ceil(sqrt(cluster_size)) docs per cluster —
+        sublinear mass for boilerplate clusters, every cluster still
+        represented, singletons always kept. The middle course between
+        ``dedup_near`` (keep 1 per cluster) and keeping everything.
+        Within-cluster choice is by salted portable hash of the id
+        (stable across runs/engines). ``threshold=0.0`` clusters raw
+        LSH candidates (q77 semantics); higher thresholds cluster only
+        verified pairs. ``candidates='star'`` for unbounded-cluster
+        corpora (q243's linear blocking)."""
+        from pyspark.sql.window import Window
+
+        from .operators.cluster import dedup_clusters
+        from .operators.dedup import neardup_pairs
+
+        did = self.id_col
+        if threshold > 0.0:
+            pairs = neardup_pairs(
+                self.df,
+                threshold=threshold,
+                id_col=did,
+                text_col=self.text_col,
+                hash_fn=hash_fn,
+                verify="estimate",
+                candidates=candidates,
+            )
+        else:  # raw candidates: skip the (vacuous at t=0) verify stage
+            from .operators.dedup import (
+                lsh_candidate_pairs,
+                lsh_star_edges,
+                minhash_signatures,
+                shingle_tokens,
+            )
+
+            sigs = minhash_signatures(
+                shingle_tokens(self.df, did, self.text_col), did, hash_fn
+            )
+            gen = lsh_star_edges if candidates == "star" else lsh_candidate_pairs
+            pairs = gen(sigs, did)
+        clustered = dedup_clusters(pairs).select(
+            F.col("doc_id").alias(did), "cluster_id"
+        )
+        membership = self.df.select(did).join(clustered, did, "left").select(
+            did, F.coalesce("cluster_id", F.col(did)).alias("cluster_id")
+        )
+        h = (
+            F.conv(F.substring(F.md5(F.col(did).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % MERSENNE_P
+        )
+        wsize = Window.partitionBy("cluster_id")
+        worder = Window.partitionBy("cluster_id").orderBy(h, did)
+        keep = (
+            membership.withColumn("__n", F.count("*").over(wsize))
+            .withColumn("__rk", F.row_number().over(worder))
+            .filter(F.col("__rk") <= F.ceil(F.sqrt(F.col("__n").cast("double"))).cast("long"))
+            .select(did)
+        )
+        return self._with(self.df.join(keep, did, "left_semi"))
+
     # ---- materialization ----
 
     def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "TextCorpus":

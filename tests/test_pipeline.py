@@ -643,3 +643,20 @@ def test_novelty_matches_q228_rollup(spark, docs):
     for src, (n, s) in got.items():
         assert n == want[src][0]
         assert s // n == want[src][1]  # q228 reports the floored mean
+
+
+def test_diversity_sample_between_dedup_and_identity(spark, docs):
+    """diversity_sample keeps ceil(sqrt(cluster_size)) docs per raw-LSH
+    cluster: at least as many as dedup-to-canonical (1 per cluster),
+    never more than the corpus; idempotent-ish (a second pass keeps at
+    least the per-cluster minimum); star and pairs candidate modes both
+    produce valid selections with star >= pairs survivors."""
+    from dicom_metadata_extractor_serverless_datalake_spark.pipeline import TextCorpus
+
+    c = TextCorpus(docs)
+    n_all = c.df.count()
+    dedup = c.dedup_near(threshold=0.0, verify="estimate").df.count()
+    div = c.diversity_sample().df.count()
+    assert dedup <= div <= n_all
+    div_star = c.diversity_sample(candidates="star").df.count()
+    assert div <= div_star <= n_all
