@@ -69,10 +69,10 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (d1, d2) pairs colliding in at least one LSH band.
-
-    Bands come from one posexplode over an array of band signatures so
+def lsh_band_rows(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, sig) rows — one per doc per LSH band. The shared
+    banding stage of every candidate generator (all-pairs, star,
+    incremental): one posexplode over an array of band signatures so
     the (expensive) signature aggregation executes once — a union of
     per-band selects would re-run it per branch."""
     sig_array = F.array(
@@ -83,7 +83,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
             for b in range(N_BANDS)
         ]
     )
-    bands = signatures.select(id_col, F.posexplode(sig_array).alias("band", "sig"))
+    return signatures.select(id_col, F.posexplode(sig_array).alias("band", "sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (d1, d2) pairs colliding in at least one LSH band."""
+    bands = lsh_band_rows(signatures, id_col)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -119,15 +124,7 @@ def lsh_star_edges(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     One window-min shuffle on (band, sig); no join back."""
     from pyspark.sql import Window
 
-    sig_array = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = signatures.select(id_col, F.posexplode(sig_array).alias("band", "sig"))
+    bands = lsh_band_rows(signatures, id_col)
     rep = F.min(id_col).over(Window.partitionBy("band", "sig"))
     return (
         bands.withColumn("_rep", rep)

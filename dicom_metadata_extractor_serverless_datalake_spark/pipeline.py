@@ -41,6 +41,17 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def _salted_h31(col: F.Column, salt: str = "") -> F.Column:
+    """Portable 31-bit hash of ``salt || col`` — the deterministic
+    ordering key every hash-ranked selection in this module shares
+    (stable across runs/engines/cluster sizes; distinct salts give
+    decorrelated orderings)."""
+    salted = F.concat(F.lit(salt), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint") % MERSENNE_P
+    )
+
+
 class TextCorpus:
     """A document set flowing through training-data prep stages.
 
@@ -562,11 +573,7 @@ class TextCorpus:
         forwards at most k rows per group before the exchange."""
         from pyspark.sql.window import Window
 
-        salted = F.concat(F.lit(salt), F.col(self.id_col).cast("string"))
-        h = (
-            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
-            % MERSENNE_P
-        )
+        h = _salted_h31(F.col(self.id_col), salt)
         w = Window.partitionBy(by).orderBy(h, self.id_col)
         return self._with(
             self.df.withColumn("__rk", F.row_number().over(w))
@@ -579,14 +586,16 @@ class TextCorpus:
         threshold: float = 0.0,
         hash_fn: str = "fast",
         candidates: str = "pairs",
+        salt: str = "",
     ) -> "TextCorpus":
         """Cluster-balanced selection (q248's shape): near-dup cluster
         each doc, keep ceil(sqrt(cluster_size)) docs per cluster —
         sublinear mass for boilerplate clusters, every cluster still
         represented, singletons always kept. The middle course between
         ``dedup_near`` (keep 1 per cluster) and keeping everything.
-        Within-cluster choice is by salted portable hash of the id
-        (stable across runs/engines). ``threshold=0.0`` clusters raw
+        Within-cluster choice is by the ``salt``-keyed portable hash of
+        the id (stable across runs/engines; pass a salt to decorrelate
+        from other hash-ranked selections). ``threshold=0.0`` clusters raw
         LSH candidates (q77 semantics); higher thresholds cluster only
         verified pairs. ``candidates='star'`` for unbounded-cluster
         corpora (q243's linear blocking)."""
@@ -625,11 +634,7 @@ class TextCorpus:
         membership = self.df.select(did).join(clustered, did, "left").select(
             did, F.coalesce("cluster_id", F.col(did)).alias("cluster_id")
         )
-        h = (
-            F.conv(F.substring(F.md5(F.col(did).cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % MERSENNE_P
-        )
+        h = _salted_h31(F.col(did), salt)
         wsize = Window.partitionBy("cluster_id")
         worder = Window.partitionBy("cluster_id").orderBy(h, did)
         keep = (

@@ -42,6 +42,8 @@ count aggregates + one cumulative window over the score domain.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -577,14 +579,14 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
 # only. Reference delegates analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
-_BH_Q = "0.10"
-_BH_M = 24
-# floor(1e6 * -2*ln(k*0.10/24)) for k = 1..24 (see header)
+_BH_Q = 0.10  # FDR level; thresholds derive from it at import time
+_BH_M = 24  # fixed family size (the clock)
+# floor(1e6 * -2*ln(k*q/m)) for k = 1..m — Python-side math.log, never
+# engine-side (cross-libm ln is not bit-portable; these are literals by
+# the time either engine sees them). k=1 at q=0.10, m=24: 10_961_277.
 _BH_THR_MICROS = [
-    10961277, 9574983, 8764053, 8188689, 7742402, 7377758, 7069457,
-    6802394, 6566828, 6356107, 6165487, 5991464, 5831379, 5683163,
-    5545177, 5416100, 5294851, 5180534, 5072399, 4969813, 4872232,
-    4779192, 4690289, 4605170,
+    math.floor(1e6 * -2.0 * math.log(k * _BH_Q / _BH_M))
+    for k in range(1, _BH_M + 1)
 ]
 
 _BH_CELL = (
@@ -640,10 +642,12 @@ def q245(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events").select(
         F.hour("ts").cast("int").alias("hour"), F.expr(_BH_CELL).alias("cell")
     )
-    obs = ev.groupBy("hour", "cell").agg(F.count("*").alias("o"))
-    nh = ev.groupBy("hour").agg(F.count("*").alias("n_events"))
-    gc = ev.groupBy("cell").agg(F.count("*").alias("g"))
-    gt = ev.agg(F.count("*").alias("t"))
+    # the ONE corpus-sized aggregate; everything below sums the <=72-row
+    # obs frame (persisted so nh/gc/gt don't re-derive the corpus scan)
+    obs = ev.groupBy("hour", "cell").agg(F.count("*").alias("o")).persist()
+    nh = obs.groupBy("hour").agg(F.sum("o").alias("n_events"))
+    gc = obs.groupBy("cell").agg(F.sum("o").alias("g"))
+    gt = obs.agg(F.sum("o").alias("t"))
     grid = nh.crossJoin(F.broadcast(gc)).crossJoin(F.broadcast(gt))
     e = F.col("n_events").cast("double") * F.col("g") / F.col("t")
     o = F.coalesce(F.col("o"), F.lit(0))
@@ -662,11 +666,12 @@ def q245(spark: SparkSession, sf: str) -> DataFrame:
     marked = ranked.join(
         F.broadcast(thr), ranked["p_rank"] == thr["k"]
     ).withColumn("passes", F.col("chi2_micros") >= F.col("thr_micros"))
-    kmax = marked.agg(
-        F.max(F.when(F.col("passes"), F.col("p_rank"))).alias("kx")
-    )
+    # step-up cutoff as a whole-frame window max (24 rows) — one lineage,
+    # no self-join that would re-evaluate the aggregate subtree
+    whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    kmax = F.max(F.when(F.col("passes"), F.col("p_rank"))).over(whole)
     return (
-        marked.crossJoin(F.broadcast(kmax))
+        marked.withColumn("kx", kmax)
         .select(
             "hour",
             "n_events",

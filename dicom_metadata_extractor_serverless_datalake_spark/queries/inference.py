@@ -731,25 +731,27 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
     from .llm import spark_h31
 
     ev = t(spark, sf, "events")
+    # ONE corpus pass: the per-user aggregate also carries each user's
+    # max timestamp, so the experiment span folds from the (small) user
+    # frame instead of a second events scan
     u = ev.groupBy("user_id").agg(
         F.first(F.expr(spark_h31("'gs-' || CAST(user_id AS STRING)")) % 2).alias("arm"),
         F.min(F.unix_micros("ts")).alias("seen_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
         F.min(
             F.when(
                 (F.col("event_type") == "purchase") & (F.col("value") > 250.0),
                 F.unix_micros("ts"),
             )
         ).alias("conv_us"),
-    )
-    span = ev.agg(
-        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
-    )
+    ).persist()
+    span = u.agg(F.min("seen_us").alias("t0"), F.max("last_us").alias("t1"))
     cuts = span.select(
         F.explode(F.sequence(F.lit(1), F.lit(_GS_K))).alias("k"), "t0", "t1"
     ).select(
         "k", (F.col("t0") + F.expr(f"((t1 - t0) * k) div {_GS_K}")).alias("cut_us")
     )
-    j = u.crossJoin(F.broadcast(cuts))
+    j = u.drop("last_us").crossJoin(F.broadcast(cuts))
     flag = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
     interim = j.groupBy("k", "cut_us").agg(
         flag((F.col("arm") == 0) & (F.col("seen_us") <= F.col("cut_us"))).alias("n0"),

@@ -351,6 +351,7 @@ def _q244_oracle() -> str:
 def q244(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import (
         estimate_verify,
+        lsh_band_rows,
         minhash_signatures,
         shingle_tokens,
     )
@@ -360,15 +361,7 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
     # slicing the BAND rows is identical to signing the slices — one
     # scan, one signature shuffle
     sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable").persist()
-    sig_array = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.posexplode(sig_array).alias("band", "sig"))
+    bands = lsh_band_rows(sigs)
     new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
     old = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
     cands = (

@@ -86,28 +86,15 @@ def main() -> None:
     sigs = stage("2_minhash_signatures", minhash_signatures(tok, hash_fn="fast"))
     if args.candidates == "star":
         from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import (
-            N_BANDS,
-            ROWS_PER_BAND,
+            lsh_band_rows,
             lsh_star_edges,
         )
 
         # analytic all-pairs volume from bucket sizes — what mode=pairs
         # WOULD have generated, without materializing it: sum c(c-1)/2
         # over (band, sig) buckets (upper bound: pre-distinct volume)
-        sig_array = F.array(
-            *[
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-                for b in range(N_BANDS)
-            ]
-        )
         buckets = (
-            sigs.select(F.posexplode(sig_array).alias("band", "sig"))
+            lsh_band_rows(sigs)
             .groupBy("band", "sig")
             .agg(F.count("*").alias("c"))
         )

@@ -132,10 +132,7 @@ def main() -> None:
         import duckdb
 
         con = duckdb.connect()
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        bench_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        sys.path.insert(0, bench_dir)
-        from bench import _duck_views
+        from bench import _duck_views  # repo root is on sys.path (line 37)
 
         _duck_views(con, d)
     except Exception as e:  # noqa: BLE001 — spark-side numbers still useful
