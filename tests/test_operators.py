@@ -1140,3 +1140,48 @@ def test_grouped_positions_keeps_null_group(spark):
     assert out.count() == 5
     nulls = {r["v"]: r["position"] for r in out.filter(F.col("g").isNull()).collect()}
     assert nulls == {3: 1, 4: 2}
+
+
+def test_neardup_degenerate_docs_all_modes(spark):
+    """Docs below the 3-token shingle floor (empty text, 1-2 words)
+    produce no signature row and silently pass through every candidate
+    mode and the dedup/diversity facades — never an error, never a
+    false pair; exact duplicates above the floor still pair in both
+    candidate modes."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+        neardup_pairs,
+        shingle_tokens,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.pipeline import TextCorpus
+
+    rows = [
+        (1, ""),                       # empty
+        (2, "one"),                    # 1 token
+        (3, "just two"),               # 2 tokens
+        (4, "alpha beta gamma delta"),  # above floor
+        (5, "alpha beta gamma delta"),  # exact dup of 4
+        (6, "totally different words here entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="fast")
+    assert {r["doc_id"] for r in sigs.collect()} == {4, 5, 6}
+    pairs = {(r["d1"], r["d2"]) for r in lsh_candidate_pairs(sigs).collect()}
+    star = {(r["d1"], r["d2"]) for r in lsh_star_edges(sigs).collect()}
+    assert (4, 5) in pairs and (4, 5) in star
+    assert not any(d in (1, 2, 3) for p in pairs | star for d in p)
+    for cand in ("pairs", "star"):
+        verified = {
+            (r["d1"], r["d2"])
+            for r in neardup_pairs(
+                docs, hash_fn="fast", verify="estimate", candidates=cand
+            ).collect()
+        }
+        assert verified == {(4, 5)}
+        kept = TextCorpus(docs).dedup_near(verify="estimate", candidates=cand).df
+        assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 4, 6}
+        varied = TextCorpus(docs).diversity_sample(candidates=cand).df
+        # cluster {4,5} has size 2 -> ceil(sqrt(2)) = 2: both kept
+        assert varied.count() == 6
