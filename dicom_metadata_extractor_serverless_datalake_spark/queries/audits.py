@@ -613,3 +613,143 @@ def q242(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.lit(1000000.0) * ((center - half) / denom)).cast("bigint"),
         ).alias("wilson_lb_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# q251 — LSH S-curve parameter sweep: for every banding of the 16-perm
+# signature ((bands, rows) in {16x1, 8x2, 4x4, 2x8, 1x16}), the
+# expected candidate-catch mass over the OBSERVED pair-similarity
+# spectrum. P(collide | J) = 1 - (1 - J^r)^b is the textbook S-curve;
+# evaluated pointwise on the exact shingle Jaccard of every q52
+# candidate pair, it turns the abstract curve into THIS corpus's
+# tuning table — which factorization catches the J >= 0.8 mass without
+# dragging in the weak-similarity tail. Completes the blocking-audit
+# trio: q220 scores the estimator, q240/q242 measure achieved recall,
+# q251 predicts recall for the parameterizations NOT run.
+#
+# Determinism: J is one exact integer ratio per pair; the powers are
+# LEFT-ASSOCIATIVE multiplication chains (r, b <= 16) written
+# identically in both engines — no pow(), no libm; per-pair P floors
+# to micros and aggregates as integer sums.
+#
+# 100 TB shape: q52's banding + the q220-style candidate-confined
+# exact-Jaccard joins; the sweep itself adds 5 aggregate branches over
+# the (small) scored-pair frame, persisted once.
+# --------------------------------------------------------------------------
+
+_SCURVE_GRID = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]  # (bands, rows)
+
+
+def _chain(expr: str, n: int) -> str:
+    """Left-associative n-fold product of ``expr`` (identical parse in
+    Spark SQL and DuckDB)."""
+    out = expr
+    for _ in range(n - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def _q251_oracle() -> str:
+    branches = []
+    for b, r in _SCURVE_GRID:
+        jr = _chain("jac", r)
+        p = f"(CAST(1 AS DOUBLE) - {_chain(f'(CAST(1 AS DOUBLE) - {jr})', b)})"
+        branches.append(f"""
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(floor(1000000.0 * {p}) AS BIGINT)) AS BIGINT)
+               AS expected_caught_micros,
+             CAST(SUM(CASE WHEN strong THEN 1 ELSE 0 END) AS BIGINT) AS strong_pairs,
+             CAST(SUM(CASE WHEN strong
+                  THEN CAST(floor(1000000.0 * {p}) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS expected_caught_strong_micros
+      FROM j""")
+    union = "\n      UNION ALL".join(branches)
+    return (
+        _minhash_pairs_cte()
+        + f""",
+    sizes AS (SELECT doc_id, CAST(count(DISTINCT hs) AS BIGINT) AS n
+              FROM h GROUP BY 1),
+    shared AS (
+      SELECT p.d1, p.d2, CAST(count(DISTINCT ha.hs) AS BIGINT) AS both_n
+      FROM pairs p
+      JOIN h ha ON ha.doc_id = p.d1
+      JOIN h hb ON hb.doc_id = p.d2 AND hb.hs = ha.hs
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.d1, s.d2,
+             CAST(s.both_n AS DOUBLE) / CAST(na.n + nb.n - s.both_n AS DOUBLE)
+               AS jac,
+             s.both_n * 10 >= (na.n + nb.n - s.both_n) * 8 AS strong
+      FROM shared s
+      JOIN sizes na ON na.doc_id = s.d1
+      JOIN sizes nb ON nb.doc_id = s.d2
+    )
+    SELECT * FROM ({union}) ORDER BY bands DESC
+    """
+    )
+
+
+@query(
+    "q251_lsh_s_curve",
+    oracle=_q251_oracle(),
+    category="dedup",
+    doc="expected catch mass of every 16-perm banding over the observed pair spectrum",
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    from functools import reduce
+
+    from .llm import _minhash_band_pairs
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
+    )
+    h = tok.select("doc_id", F.expr(spark_h31("s")).alias("hs")).distinct()
+    pairs = _minhash_band_pairs(spark, sf)
+    sizes = h.groupBy("doc_id").agg(F.countDistinct("hs").alias("n"))
+    shared = (
+        pairs.join(h.alias("ha"), F.col("ha.doc_id") == F.col("d1"))
+        .join(
+            h.alias("hb"),
+            (F.col("hb.doc_id") == F.col("d2")) & (F.col("hb.hs") == F.col("ha.hs")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.countDistinct("ha.hs").alias("both_n"))
+    )
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    union_n = F.col("na") + F.col("nb") - F.col("both_n")
+    j = (
+        shared.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select(
+            (F.col("both_n").cast("double") / union_n.cast("double")).alias("jac"),
+            (F.col("both_n") * 10 >= union_n * 8).alias("strong"),
+        )
+        .persist()
+    )
+    one = F.lit(1.0)
+    branches = []
+    for b, r in _SCURVE_GRID:
+        jr = reduce(lambda acc, _: acc * F.col("jac"), range(r - 1), F.col("jac"))
+        miss = one - jr
+        p = one - reduce(lambda acc, _: acc * miss, range(b - 1), miss)
+        pm = F.floor(F.lit(1000000.0) * p).cast("long")
+        branches.append(
+            j.agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.count("*").alias("n_pairs"),
+                F.sum(pm).alias("expected_caught_micros"),
+                F.sum(F.col("strong").cast("long")).alias("strong_pairs"),
+                F.sum(F.when(F.col("strong"), pm).otherwise(F.lit(0))).alias(
+                    "expected_caught_strong_micros"
+                ),
+            )
+        )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out.orderBy(F.col("bands").desc())

@@ -625,3 +625,140 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# q250 — LTTB series downsampling (Steinarsson 2013, "Largest Triangle
+# Three Buckets"), the standard dashboard decimation: reduce the daily
+# revenue series (~2400 points) to N_OUT points that preserve visual
+# shape — each interior bucket keeps its point of largest triangle
+# area against the neighboring buckets. This is the PARALLEL variant
+# (anchor = neighbor bucket AVERAGES rather than the previously
+# selected point): the sequential dependence is gone so every bucket
+# scores its points independently in one window pass — the form a
+# distributed engine can run; classic LTTB degrades to it gracefully
+# and M4/streaming implementations use the same simplification. First
+# and last points are always kept.
+#
+# Determinism: x = integer epoch-days, y = integer cents (per-order
+# floor(price*100), integer-summed). Bucket anchors are Sx/c, Sy/c
+# double divisions and the triangle area |(xp-xn)(y-yp)-(xp-x)(yn-yp)|
+# is one identical IEEE tree on exact integer inputs; argmax ties
+# break on x. Bucket assignment is all-integer: pos 2..n-1 maps to
+# 1 + ((pos-2)*(N_OUT-2)) div (n-2).
+#
+# 100 TB shape: the corpus-sized work is ONE (day)-keyed aggregate;
+# everything after operates on the ~|days| series (dimension-sized
+# windows and 20-row bucket joins). Reference delegates analytics to
+# Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_LTTB_N_OUT = 20
+
+
+def _q250_oracle() -> str:
+    n_out = _LTTB_N_OUT
+    return f"""
+    WITH series AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pos AS (
+      SELECT x, y, row_number() OVER (ORDER BY x) AS p, COUNT(*) OVER () AS n
+      FROM series
+    ),
+    bucketed AS (
+      SELECT x, y, p, n,
+             CASE WHEN p = 1 THEN 0
+                  WHEN p = n THEN {n_out - 1}
+                  ELSE 1 + ((p - 2) * {n_out - 2}) // (n - 2) END AS bucket
+      FROM pos
+    ),
+    anchors AS (
+      SELECT bucket, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM bucketed GROUP BY bucket
+    ),
+    scored AS (
+      SELECT b.x, b.y, b.bucket,
+             abs( (CAST(ap.sx AS DOUBLE) / ap.c - CAST(an.sx AS DOUBLE) / an.c)
+                  * (CAST(b.y AS DOUBLE) - CAST(ap.sy AS DOUBLE) / ap.c)
+                - (CAST(ap.sx AS DOUBLE) / ap.c - CAST(b.x AS DOUBLE))
+                  * (CAST(an.sy AS DOUBLE) / an.c - CAST(ap.sy AS DOUBLE) / ap.c)
+             ) AS area2
+      FROM bucketed b
+      JOIN anchors ap ON ap.bucket = b.bucket - 1
+      JOIN anchors an ON an.bucket = b.bucket + 1
+      WHERE b.bucket BETWEEN 1 AND {n_out - 2}
+    ),
+    picked AS (
+      SELECT x, y, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY area2 DESC, x) AS rk
+      FROM scored
+    )
+    SELECT x AS epoch_day, y AS cents, bucket FROM picked WHERE rk = 1
+    UNION ALL
+    SELECT x, y, bucket FROM bucketed WHERE bucket IN (0, {n_out - 1})
+    ORDER BY epoch_day
+    """
+
+
+@query("q250_lttb_downsample", oracle=_q250_oracle(), category="signals")
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n_out = _LTTB_N_OUT
+    series = (
+        t(spark, sf, "orders")
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    # |days|-sized frame from here on — the windows are dimension-sized
+    wp = Window.orderBy("x")
+    pos = series.select(
+        "x", "y",
+        F.row_number().over(wp).alias("p"),
+        F.count("*").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
+    )
+    bucketed = pos.withColumn(
+        "bucket",
+        F.when(F.col("p") == 1, F.lit(0))
+        .when(F.col("p") == F.col("n"), F.lit(n_out - 1))
+        .otherwise(F.lit(1) + F.expr(f"((p - 2) * {n_out - 2}) div (n - 2)")),
+    ).persist()
+    anchors = bucketed.groupBy("bucket").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count("*").alias("c")
+    )
+    ap = anchors.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("sx").alias("sxp"), F.col("sy").alias("syp"), F.col("c").alias("cp"),
+    )
+    an = anchors.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("sx").alias("sxn"), F.col("sy").alias("syn"), F.col("c").alias("cn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    xp, yp = d("sxp") / F.col("cp"), d("syp") / F.col("cp")
+    xn, yn = d("sxn") / F.col("cn"), d("syn") / F.col("cn")
+    area2 = F.abs((xp - xn) * (d("y") - yp) - (xp - d("x")) * (yn - yp))
+    scored = (
+        bucketed.filter(F.col("bucket").between(1, n_out - 2))
+        .join(F.broadcast(ap), "bucket")
+        .join(F.broadcast(an), "bucket")
+        .withColumn("area2", area2)
+    )
+    wk = Window.partitionBy("bucket").orderBy(F.col("area2").desc(), "x")
+    picked = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(F.col("x").alias("epoch_day"), F.col("y").alias("cents"), "bucket")
+    )
+    ends = bucketed.filter(F.col("bucket").isin(0, n_out - 1)).select(
+        F.col("x").alias("epoch_day"), F.col("y").alias("cents"), "bucket"
+    )
+    return picked.unionByName(ends).orderBy("epoch_day")
