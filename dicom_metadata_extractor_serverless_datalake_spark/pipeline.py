@@ -544,16 +544,11 @@ class TextCorpus:
         total = sum(weights.values())
         if total != 100:
             raise ValueError(f"split weights must sum to 100, got {total}")
-        # Column-API build of the h31 hash (conv/substr/md5) — same
-        # values as the SQL-string form the corpus oracles use, but the
-        # salt and id column are passed as values, never interpolated
-        # into SQL text (a quote in the salt must not break parsing).
-        salted = F.concat(F.lit(salt), F.col(self.id_col).cast("string"))
-        h = (
-            F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
-            % MERSENNE_P
-            % 100
-        )
+        # _salted_h31: same values as the SQL-string form the corpus
+        # oracles use, but the salt and id column are passed as values,
+        # never interpolated into SQL text (a quote in the salt must
+        # not break parsing).
+        h = _salted_h31(F.col(self.id_col), salt) % 100
         out: dict[str, DataFrame] = {}
         lo = 0
         for name, pct in weights.items():
@@ -604,6 +599,10 @@ class TextCorpus:
         from .operators.cluster import dedup_clusters
         from .operators.dedup import neardup_pairs
 
+        if candidates not in ("pairs", "star"):
+            raise ValueError(
+                f"candidates must be 'pairs' or 'star', got {candidates!r}"
+            )
         did = self.id_col
         if threshold > 0.0:
             pairs = neardup_pairs(

@@ -29,14 +29,51 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    """The formatted physical plan as a string (final plan only — under
-    AQE, explain repeats every node in an '== Initial Plan ==' section,
-    which would double-count)."""
+    """The formatted physical plan as a string, FINAL plan only.
+
+    Two AQE layouts need normalizing (both would otherwise corrupt the
+    audit):
+
+    - finalized plans append a trailing '== Initial Plan ==' section
+      that repeats nodes — truncated (the historical behavior);
+    - plans whose construction materialized a cached subframe embed a
+      '+- == Initial Plan ==' marker INSIDE the tree, BEFORE the node
+      detail sections. Naive truncation there cuts every detail section
+      — this shipped an all-zero PLANS.md row for eleven queries and
+      would let substring assertions pass vacuously. Here the initial
+      SUBTREE is removed from the tree and only the detail sections
+      belonging exclusively to it are dropped (stage ids shared with
+      the final plan are kept)."""
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    plan = buf.getvalue()
-    return plan.split("== Initial Plan ==")[0]
+    raw = buf.getvalue()
+    lines = raw.splitlines()
+    first_detail = next(
+        (i for i, l in enumerate(lines) if re.match(r"^\(\d+\) ", l)), None
+    )
+    if first_detail is None:
+        return raw.split("== Initial Plan ==")[0]
+    tree, rest = lines[:first_detail], lines[first_detail:]
+    marker = next(
+        (i for i, l in enumerate(tree) if "== Initial Plan ==" in l), None
+    )
+    if marker is not None:
+        final_ids = set(re.findall(r"\((\d+)\)", "\n".join(tree[:marker])))
+        init_ids = set(re.findall(r"\((\d+)\)", "\n".join(tree[marker:])))
+        drop = init_ids - final_ids
+        tree = tree[:marker]
+        kept, keep = [], True
+        for line in rest:
+            if "== Initial Plan ==" in line:
+                break  # trailing duplicate section after the details
+            m = re.match(r"^\((\d+)\) ", line)
+            if m:
+                keep = m.group(1) not in drop
+            if keep:
+                kept.append(line)
+        return "\n".join(tree + kept)
+    return "\n".join(tree) + "\n" + "\n".join(rest).split("== Initial Plan ==")[0]
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -721,9 +721,13 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     union_n = F.col("na") + F.col("nb") - F.col("both_n")
+    # no broadcast hint on the per-doc sizes joins: locally AQE
+    # broadcasts them anyway; at billions of docs they exceed any
+    # broadcast budget and the planner must be free to shuffle
+    # (estimate_verify's documented rationale — q220 does the same)
     j = (
-        shared.join(F.broadcast(na), "d1")
-        .join(F.broadcast(nb), "d2")
+        shared.join(na, "d1")
+        .join(nb, "d2")
         .select(
             (F.col("both_n").cast("double") / union_n.cast("double")).alias("jac"),
             (F.col("both_n") * 10 >= union_n * 8).alias("strong"),

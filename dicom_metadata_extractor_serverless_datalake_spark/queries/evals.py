@@ -42,8 +42,6 @@ count aggregates + one cumulative window over the score domain.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -579,14 +577,21 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
 # only. Reference delegates analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
-_BH_Q = 0.10  # FDR level; thresholds derive from it at import time
+_BH_Q = 0.10  # FDR level the frozen thresholds below encode
 _BH_M = 24  # fixed family size (the clock)
-# floor(1e6 * -2*ln(k*q/m)) for k = 1..m — Python-side math.log, never
-# engine-side (cross-libm ln is not bit-portable; these are literals by
-# the time either engine sees them). k=1 at q=0.10, m=24: 10_961_277.
+# floor(1e6 * -2*ln(k*q/m)) for k = 1..m, FROZEN as integer literals:
+# deriving them at import via math.log would reintroduce the host-libm
+# dependence the design avoids (a 1-ulp ln difference near a floor
+# boundary would change the rejection set across machines). The
+# derivation is pinned by test_q245_bh_thresholds_match_derivation,
+# which asserts these equal the math.log computation ON THE TEST HOST —
+# drift on any host surfaces as a test failure, not a silent decision
+# change.
 _BH_THR_MICROS = [
-    math.floor(1e6 * -2.0 * math.log(k * _BH_Q / _BH_M))
-    for k in range(1, _BH_M + 1)
+    10961277, 9574983, 8764053, 8188689, 7742402, 7377758, 7069457,
+    6802394, 6566828, 6356107, 6165487, 5991464, 5831379, 5683163,
+    5545177, 5416100, 5294851, 5180534, 5072399, 4969813, 4872232,
+    4779192, 4690289, 4605170,
 ]
 
 _BH_CELL = (

@@ -697,9 +697,15 @@ def _q250_oracle() -> str:
              row_number() OVER (PARTITION BY bucket ORDER BY area2 DESC, x) AS rk
       FROM scored
     )
-    SELECT x AS epoch_day, y AS cents, bucket FROM picked WHERE rk = 1
+    SELECT x AS epoch_day, y AS cents, bucket
+    FROM picked WHERE rk = 1 AND (SELECT MAX(n) FROM pos) > {n_out}
     UNION ALL
-    SELECT x, y, bucket FROM bucketed WHERE bucket IN (0, {n_out - 1})
+    SELECT x, y, bucket FROM bucketed
+    WHERE bucket IN (0, {n_out - 1}) AND (SELECT MAX(n) FROM pos) > {n_out}
+    UNION ALL
+    -- base case: n <= N_OUT points means nothing to decimate — LTTB's
+    -- contract is the identity (every point, bucket = position - 1)
+    SELECT x, y, p - 1 AS bucket FROM pos WHERE (SELECT MAX(n) FROM pos) <= {n_out}
     ORDER BY epoch_day
     """
 
@@ -755,10 +761,17 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
     wk = Window.partitionBy("bucket").orderBy(F.col("area2").desc(), "x")
     picked = (
         scored.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") == 1)
+        .filter((F.col("rk") == 1) & (F.col("n") > n_out))
         .select(F.col("x").alias("epoch_day"), F.col("y").alias("cents"), "bucket")
     )
-    ends = bucketed.filter(F.col("bucket").isin(0, n_out - 1)).select(
-        F.col("x").alias("epoch_day"), F.col("y").alias("cents"), "bucket"
+    ends = bucketed.filter(
+        F.col("bucket").isin(0, n_out - 1) & (F.col("n") > n_out)
+    ).select(F.col("x").alias("epoch_day"), F.col("y").alias("cents"), "bucket")
+    # base case: n <= N_OUT is the identity — the anchor joins would
+    # otherwise drop interior points whose neighbor buckets are empty
+    identity = bucketed.filter(F.col("n") <= n_out).select(
+        F.col("x").alias("epoch_day"),
+        F.col("y").alias("cents"),
+        (F.col("p") - 1).alias("bucket"),
     )
-    return picked.unionByName(ends).orderBy("epoch_day")
+    return picked.unionByName(ends).unionByName(identity).orderBy("epoch_day")

@@ -1237,3 +1237,40 @@ def test_q244_incremental_shape_and_brute_force(spark, sf_dir):
         for r in QUERIES["q244_incremental_neardup"].spark_fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_q245_bh_thresholds_match_derivation():
+    """The frozen BH threshold literals equal floor(1e6 * -2*ln(k*q/m))
+    computed on this host — drift between the frozen decision set and
+    the documented derivation surfaces here instead of silently."""
+    import math
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.evals import _BH_M, _BH_Q, _BH_THR_MICROS
+
+    derived = [
+        math.floor(1e6 * -2.0 * math.log(k * _BH_Q / _BH_M))
+        for k in range(1, _BH_M + 1)
+    ]
+    assert _BH_THR_MICROS == derived
+
+
+def test_q250_lttb_short_series_identity(spark, tmp_path):
+    """LTTB's contract for a series of n <= N_OUT points is the
+    identity: a 5-day orders table must return all 5 points (the anchor
+    joins would otherwise silently drop interior points whose sparse
+    neighbor buckets are empty)."""
+    import datetime
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    d = str(tmp_path / "mini")
+    rows = [
+        (i, datetime.datetime(1995, 1, 1 + i), 100.0 + i) for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).write.parquet(f"{d}/orders.parquet")
+    out = QUERIES["q250_lttb_downsample"].spark_fn(spark, d).collect()
+    assert len(out) == 5
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["cents"] for r in out] == [10000 + 100 * i for i in range(5)]
