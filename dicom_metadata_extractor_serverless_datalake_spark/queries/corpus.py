@@ -39,8 +39,8 @@ from . import selection  # noqa: F401,E402
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. As of
 # CORRECTNESS_r06 every registered query (241) has a green driver row,
-# so the window is now a staleness rotation: the 10 queries registered
-# this round (never driver-verified) first, then the 40 stalest
+# so the window is now a staleness rotation: the 11 queries registered
+# this round (never driver-verified) first, then the 39 stalest
 # round-2 greens — exactly 50. After each new CORRECTNESS artifact
 # lands, rotate its greens to the back and front-load whatever is
 # newest/stalest.
@@ -56,6 +56,7 @@ _PRIORITY = [
     "q249_group_sequential",
     "q250_lttb_downsample",
     "q251_lsh_s_curve",
+    "q252_sax_symbolic",
     # stalest greens: last driver row round 2
     "q02_filter_project",
     "q03_join_broadcast_agg",
@@ -96,10 +97,10 @@ _PRIORITY = [
     "q75_vocab_topk",
     "q76_epoch_shuffle",
     "q77_dedup_clusters",
-    "q78_embedding_quantization",
-    # ^ exactly 50 = the driver window (10 new-this-round queries first,
-    # then the 40 stalest round-2 greens; q79-q82/q85 and the round-3
+    # ^ exactly 50 = the driver window (11 new-this-round queries first,
+    # then the 39 stalest round-2 greens; q78-q82/q85 and the round-3
     # fillers q13/q15/q16/q17 were displaced by the new registrations).
+    "q78_embedding_quantization",
     "q79_filter_funnel",
     "q80_boilerplate_ngrams",
     "q81_skew_report",

@@ -775,3 +775,126 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p") - 1).alias("bucket"),
     )
     return picked.unionByName(ends).unionByName(identity).orderBy("epoch_day")
+
+
+# --------------------------------------------------------------------------
+# q252 — SAX symbolic aggregate approximation (Lin, Keogh et al. 2003):
+# the daily revenue series z-normalized, piecewise-aggregate-averaged
+# into W equal-count segments, each segment quantized into an A-letter
+# alphabet by the standard normal breakpoints — the symbolic form that
+# makes time-series motif/anomaly mining a string problem (and the
+# companion to q187/q195's winnowing on text). Breakpoints for A=4 are
+# the +-0.6745/0 normal quartiles, injected as double LITERALS (no
+# engine-side quantile function); z-normalization is one identical
+# IEEE tree over exact integer cents sums (mean, then a population-
+# variance sqrt); segment assignment is all-integer ((p-1)*W div n).
+#
+# 100 TB shape: ONE day-keyed corpus aggregate, then |days|-sized
+# windows and a W-row output. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_SAX_W = 64  # segments
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)  # A=4 standard normal breakpoints
+
+
+def _q252_oracle() -> str:
+    b1, b2, b3 = _SAX_BREAKS
+    return f"""
+    WITH series AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      -- y^2 passes 2^63 (daily cents sums squared), so the sum of
+      -- squares runs in HUGEINT / DECIMAL(38,0) — the q239 pattern
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS ss
+      FROM series
+    ),
+    pos AS (
+      SELECT x, y, row_number() OVER (ORDER BY x) AS p FROM series
+    ),
+    seg AS (
+      SELECT ((p - 1) * {_SAX_W}) // stats.n AS seg_id, y, stats.n, stats.s, stats.ss
+      FROM pos, stats
+    ),
+    paa AS (
+      SELECT seg_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+             MIN(n) AS n, MIN(s) AS s, MIN(ss) AS ss,
+             CAST(SUM(y) AS BIGINT) AS seg_sum
+      FROM seg GROUP BY seg_id
+    ),
+    z AS (
+      SELECT seg_id, n_days,
+             ((CAST(seg_sum AS DOUBLE) / CAST(n_days AS DOUBLE))
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / sqrt((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS zval
+      FROM paa
+    )
+    SELECT seg_id, n_days,
+           CAST(floor(1000000.0 * zval) AS BIGINT) AS z_micros,
+           CAST(CASE WHEN zval < {b1} THEN 0
+                     WHEN zval < {b2} THEN 1
+                     WHEN zval < {b3} THEN 2
+                     ELSE 3 END AS BIGINT) AS symbol
+    FROM z ORDER BY seg_id
+    """
+
+
+@query("q252_sax_symbolic", oracle=_q252_oracle(), category="signals")
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b1, b2, b3 = _SAX_BREAKS
+    series = (
+        t(spark, sf, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    stats = series.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        # y^2 passes 2^63 — exact decimal sum, the q239 pattern
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("ss"),
+    )
+    pos = series.select("x", "y", F.row_number().over(Window.orderBy("x")).alias("p"))
+    seg = pos.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"((p - 1) * {_SAX_W}) div n").alias("seg_id"), "y", "n", "s", "ss"
+    )
+    paa = seg.groupBy("seg_id").agg(
+        F.count("*").alias("n_days"),
+        F.min("n").alias("n"),
+        F.min("s").alias("s"),
+        F.min("ss").alias("ss"),
+        F.sum("y").alias("seg_sum"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d("s") / d("n")
+    z = (d("seg_sum") / d("n_days") - mu) / F.sqrt(d("ss") / d("n") - mu * mu)
+    return (
+        paa.withColumn("zval", z)
+        .select(
+            "seg_id",
+            "n_days",
+            F.floor(F.lit(1000000.0) * F.col("zval")).cast("long").alias("z_micros"),
+            F.when(F.col("zval") < b1, 0)
+            .when(F.col("zval") < b2, 1)
+            .when(F.col("zval") < b3, 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("symbol"),
+        )
+        .orderBy("seg_id")
+    )
