@@ -649,7 +649,7 @@ def _chain(expr: str, n: int) -> str:
     return out
 
 
-def _q251_oracle() -> str:
+def _q251_oracle(src: str = "documents") -> str:
     branches = []
     for b, r in _SCURVE_GRID:
         jr = _chain("jac", r)
@@ -666,7 +666,7 @@ def _q251_oracle() -> str:
       FROM j""")
     union = "\n      UNION ALL".join(branches)
     return (
-        _minhash_pairs_cte()
+        _minhash_pairs_cte(src)
         + f""",
     sizes AS (SELECT doc_id, CAST(count(DISTINCT hs) AS BIGINT) AS n
               FROM h GROUP BY 1),
@@ -691,23 +691,24 @@ def _q251_oracle() -> str:
     )
 
 
-@query(
-    "q251_lsh_s_curve",
-    oracle=_q251_oracle(),
-    category="dedup",
-    doc="expected catch mass of every 16-perm banding over the observed pair spectrum",
-)
-def q251(spark: SparkSession, sf: str) -> DataFrame:
+def _s_curve_frame(
+    spark: SparkSession, sf: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The q251 sweep over ``docs`` (full table when None). Band
+    signatures are per-doc, so a filtered slice yields exactly the
+    full-corpus candidate set restricted to in-slice pairs (the q242
+    invariant) — q253 exploits this for the rate-bounded form."""
     from functools import reduce
 
     from .llm import _minhash_band_pairs
 
-    docs = t(spark, sf, "documents")
+    if docs is None:
+        docs = t(spark, sf, "documents")
     tok = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
     )
     h = tok.select("doc_id", F.expr(spark_h31("s")).alias("hs")).distinct()
-    pairs = _minhash_band_pairs(spark, sf)
+    pairs = _minhash_band_pairs(spark, sf, docs=docs)
     sizes = h.groupBy("doc_id").agg(F.countDistinct("hs").alias("n"))
     shared = (
         pairs.join(h.alias("ha"), F.col("ha.doc_id") == F.col("d1"))
@@ -757,3 +758,55 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
     for br in branches[1:]:
         out = out.unionByName(br)
     return out.orderBy(F.col("bands").desc())
+
+
+@query(
+    "q251_lsh_s_curve",
+    oracle=_q251_oracle(),
+    category="dedup",
+    doc="expected catch mass of every 16-perm banding over the observed pair spectrum",
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    return _s_curve_frame(spark, sf)
+
+
+# --------------------------------------------------------------------------
+# q253 — the PRODUCTION (rate-bounded) form of q251. The exact sweep
+# scores EVERY LSH candidate pair (measured 734.7 s cold at 500k docs,
+# BASELINE.md round-7 batch 8 — audit-class cost that grows with the
+# candidate set), so like q240 -> q242 the registered scale path is a
+# deterministic hash slice: h31('s253-' || doc_id) % 100 < rate, the
+# q72/q242 sampling pattern. Candidate pairs AND exact Jaccards are
+# computed only within the slice; per-doc band signatures make the
+# sliced candidate set exactly the full set restricted to in-slice
+# pairs, so every per-banding expectation is an unbiased estimate of
+# the full-corpus sweep over pair space and the quadratic scoring cost
+# falls by rate^2 (~11x at 30%). Arithmetic is q251's verbatim —
+# exact within the slice, bit-portable.
+# --------------------------------------------------------------------------
+
+_Q253_SAMPLE_PCT = 30
+
+
+def _q253_src() -> str:
+    from .llm import duck_h31
+
+    pred = (
+        f"{duck_h31(chr(39) + 's253-' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+        f" % 100 < {_Q253_SAMPLE_PCT}"
+    )
+    return f"(SELECT doc_id, text FROM documents WHERE {pred})"
+
+
+@query(
+    "q253_lsh_s_curve_sampled",
+    oracle=_q251_oracle(_q253_src()),
+    category="dedup",
+    doc="q251's banding sweep on a 30% hash slice: exact within the sample, cost bounded by rate^2",
+)
+def q253(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").filter(
+        F.expr(spark_h31("concat('s253-', CAST(doc_id AS STRING))")) % 100
+        < _Q253_SAMPLE_PCT
+    )
+    return _s_curve_frame(spark, sf, docs=docs)

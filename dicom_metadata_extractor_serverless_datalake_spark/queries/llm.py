@@ -1166,12 +1166,12 @@ def _q248_oracle() -> str:
     )
 
 
-@query("q248_cluster_balanced_sample", oracle=_q248_oracle(), category="selection")
-def q248(spark: SparkSession, sf: str) -> DataFrame:
+def _cluster_balanced_keep(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """q248's selection tail over any candidate-edge set: CC-cluster,
+    add singletons, keep ceil(sqrt(cluster_size)) docs per cluster by
+    the portable hash rank."""
     from ..operators.cluster import dedup_clusters
 
-    docs = t(spark, sf, "documents")
-    pairs = _minhash_band_pairs(spark, sf)
     clustered = dedup_clusters(pairs).select("doc_id", "cluster_id")
     singles = docs.join(clustered, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
@@ -1191,6 +1191,48 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "cluster_id", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+@query("q248_cluster_balanced_sample", oracle=_q248_oracle(), category="selection")
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    pairs = _minhash_band_pairs(spark, sf)
+    return _cluster_balanced_keep(docs, pairs)
+
+
+# --------------------------------------------------------------------------
+# q254 — q248 on STAR-EDGE candidates: the unbounded-cluster scale form
+# of diversity sampling. Connected components are closed over q243's
+# c-1 member->bucket-min star edges instead of the c(c-1)/2 all-pairs
+# band edges; the closure over unverified star edges EQUALS the
+# closure over all-pairs edges (both connect exactly each band
+# bucket), so the cluster sets — and therefore the kept doc set — are
+# identical while the edge volume feeding CC is linear in bucket size
+# (measured: 8.88B all-pairs candidates vs 17.9M star edges at 5M
+# docs, BASELINE.md round-7). The oracle is q248's VERBATIM all-pairs
+# recursive-CTE closure: a green row here IS the driver-checked proof
+# of the closure equivalence. This is the form
+# ``TextCorpus.diversity_sample(candidates='star')`` runs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q254_diversity_sample_star",
+    oracle=_q248_oracle(),
+    category="selection",
+    doc="cluster-balanced selection over star edges; oracle = q248's all-pairs closure (equivalence proof)",
+)
+def q254(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import (
+        lsh_star_edges,
+        minhash_signatures,
+        shingle_tokens,
+    )
+
+    docs = t(spark, sf, "documents")
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable")
+    edges = lsh_star_edges(sigs)
+    return _cluster_balanced_keep(docs, edges)
 
 
 # --------------------------------------------------------------------------

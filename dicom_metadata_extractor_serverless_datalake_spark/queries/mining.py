@@ -1497,3 +1497,142 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("non-match")
         .alias("decision"),
     ).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+# q255 — q246 with a BLOCK-SIZE CAP: the guarded form for replica-heavy
+# corpora. q246's (lang, source, len-bucket) block key is quadratic in
+# block size and unguarded — measured 182M scored pairs at 500k docs
+# when replica clusters push blocks to ~100 members (BASELINE.md
+# round-7). Here every block of c docs is deterministically split into
+# ceil(c / CAP) sub-blocks by the salted portable hash of the doc id,
+# and pairs form only within a sub-block, so expected sub-block size is
+# <= CAP and blocked-pair volume is O(c * CAP) per block — linear in
+# block size — instead of O(c^2). The trade is recall: a true match
+# whose two records hash to different sub-blocks is not scored (the
+# standard cost of any capped/secondary blocking key); scoring
+# arithmetic over the pairs that DO form is q246's verbatim.
+#
+# 100 TB shape: one extra count aggregate on the block key (broadcast
+# back — block-cardinality sized), then the same hash equi-join now on
+# (block, sub); no stage is quadratic in block size.
+# --------------------------------------------------------------------------
+
+_Q255_CAP = 16
+
+
+def _q255_oracle() -> str:
+    from .llm import duck_h31
+
+    wl, wh, wt = _FS_W["len"], _FS_W["head"], _FS_W["tail"]
+    h = duck_h31(chr(39) + "s255-" + chr(39) + " || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH side AS (
+      SELECT doc_id, lang, source, n_chars // 50 AS blk, n_chars // 10 AS len10,
+             array_to_string((string_split(text, ' '))[1:5], ' ') AS head,
+             (string_split(text, ' '))[-1] AS tail,
+             {h} AS hsh
+      FROM documents
+    ),
+    bc AS (
+      SELECT lang, source, blk, CAST(count(*) AS BIGINT) AS c
+      FROM side GROUP BY 1, 2, 3
+    ),
+    sub AS (
+      SELECT s.*, s.hsh % ((bc.c + {_Q255_CAP - 1}) // {_Q255_CAP}) AS sb
+      FROM side s JOIN bc USING (lang, source, blk)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(a.len10 = b.len10 AS INTEGER) AS a_len,
+             CAST(a.head = b.head AS INTEGER) AS a_head,
+             CAST(a.tail = b.tail AS INTEGER) AS a_tail
+      FROM sub a JOIN sub b
+        ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+       AND a.sb = b.sb AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT d1, d2, a_len, a_head, a_tail,
+             CAST(floor(1000000.0 * (
+               (CASE WHEN a_len = 1 THEN CAST({wl[0]} AS DOUBLE)
+                     ELSE CAST({wl[1]} AS DOUBLE) END)
+               + (CASE WHEN a_head = 1 THEN CAST({wh[0]} AS DOUBLE)
+                       ELSE CAST({wh[1]} AS DOUBLE) END)
+               + (CASE WHEN a_tail = 1 THEN CAST({wt[0]} AS DOUBLE)
+                       ELSE CAST({wt[1]} AS DOUBLE) END))) AS BIGINT)
+               AS weight_micros
+      FROM pairs
+    )
+    SELECT d1, d2, a_len, a_head, a_tail, weight_micros,
+           CASE WHEN weight_micros >= {_FS_MATCH_MICROS} THEN 'match'
+                WHEN weight_micros >= 0 THEN 'possible'
+                ELSE 'non-match' END AS decision
+    FROM scored ORDER BY d1, d2
+    """
+
+
+@query(
+    "q255_linkage_capped_blocks",
+    oracle=_q255_oracle(),
+    category="mining",
+    doc="Fellegi-Sunter scoring over hash-capped sub-blocks: pair volume linear in block size",
+)
+def q255(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import spark_h31
+
+    wl, wh, wt = _FS_W["len"], _FS_W["head"], _FS_W["tail"]
+    w = F.split("text", " ")
+    side = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 50").alias("blk"),
+        F.expr("n_chars div 10").alias("len10"),
+        F.concat_ws(" ", F.slice(w, 1, 5)).alias("head"),
+        F.element_at(w, -1).alias("tail"),
+        F.expr(spark_h31("concat('s255-', CAST(doc_id AS STRING))")).alias("hsh"),
+    )
+    bc = side.groupBy("lang", "source", "blk").agg(F.count("*").alias("c"))
+    # block-cardinality-sized frame; let AQE pick broadcast locally —
+    # at corpus scale the planner may need to shuffle it (q220 rationale)
+    sub = side.join(bc, ["lang", "source", "blk"]).withColumn(
+        "sb", F.expr(f"hsh % ((c + {_Q255_CAP - 1}) div {_Q255_CAP})")
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.sb") == F.col("b.sb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        (F.col("a.len10") == F.col("b.len10")).cast("int").alias("a_len"),
+        (F.col("a.head") == F.col("b.head")).cast("int").alias("a_head"),
+        (F.col("a.tail") == F.col("b.tail")).cast("int").alias("a_tail"),
+    )
+    weight = (
+        F.when(F.col("a_len") == 1, F.lit(wl[0])).otherwise(F.lit(wl[1]))
+        + F.when(F.col("a_head") == 1, F.lit(wh[0])).otherwise(F.lit(wh[1]))
+        + F.when(F.col("a_tail") == 1, F.lit(wt[0])).otherwise(F.lit(wt[1]))
+    )
+    return (
+        pairs.withColumn(
+            "weight_micros", F.floor(F.lit(1000000.0) * weight).cast("long")
+        )
+        .select(
+            "d1",
+            "d2",
+            "a_len",
+            "a_head",
+            "a_tail",
+            "weight_micros",
+            F.when(F.col("weight_micros") >= _FS_MATCH_MICROS, "match")
+            .when(F.col("weight_micros") >= 0, "possible")
+            .otherwise("non-match")
+            .alias("decision"),
+        )
+        .orderBy("d1", "d2")
+    )
