@@ -1636,3 +1636,205 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# q257 — chi-square collocation mining (Manning & Schütze ch. 5): the
+# classic "which word pairs co-occur more than chance" extractor used
+# for boilerplate phrase discovery and tokenizer-merge candidates.
+# For each adjacent bigram (w1, w2) with O11 >= 5, the 2x2 contingency
+# table against the corpus bigram stream (a=O11, b=R1-O11, c=C1-O11,
+# d=N-R1-C1+O11) and the chi-square statistic
+# N * (ad - bc)^2 / (R1 * C1 * (N-R1) * (N-C1)). PMI needs a log;
+# chi-square ranks the same collocations with PURE RATIONAL arithmetic
+# — the cross-engine-determinism rule (no engine-side transcendentals).
+# Numerator reaches ~1e31 at sf0.01 scales, so the integer products run
+# in DECIMAL(38,0) / HUGEINT (the q239 overflow pattern), cast once to
+# DOUBLE for the single division, floored to micros. Top-100 by
+# (chi2, w1, w2) — a total order.
+#
+# 100 TB shape: one map-side bigram explode, one (w1,w2) count
+# aggregate, two vocabulary-sized marginal aggregates joined back on
+# their keys, one broadcast scalar; top-k via TakeOrderedAndProject.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q257_chi2_collocations",
+    oracle="""
+    WITH w3 AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bgl AS (SELECT list_transform(generate_series(1, len(w) - 1),
+                    i -> struct_pack(w1 := w[i], w2 := w[i + 1])) AS bl
+            FROM w3 WHERE len(w) >= 2),
+    bg AS (SELECT unnest(bl) AS b FROM bgl),
+    cnt AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS o11
+            FROM bg GROUP BY 1, 2),
+    r1 AS (SELECT w1, CAST(SUM(o11) AS BIGINT) AS r1 FROM cnt GROUP BY w1),
+    c1 AS (SELECT w2, CAST(SUM(o11) AS BIGINT) AS c1 FROM cnt GROUP BY w2),
+    tot AS (SELECT CAST(SUM(o11) AS BIGINT) AS n FROM cnt),
+    j AS (
+      SELECT cnt.w1, cnt.w2, cnt.o11, r1.r1, c1.c1, tot.n
+      FROM cnt JOIN r1 USING (w1) JOIN c1 USING (w2) CROSS JOIN tot
+      WHERE cnt.o11 >= 5 AND r1.r1 < tot.n AND c1.c1 < tot.n
+    ),
+    scored AS (
+      SELECT w1, w2, o11,
+             CAST(floor(1000000.0 * (
+               CAST(CAST(n AS HUGEINT)
+                    * (CAST(o11 AS HUGEINT) * (n - r1 - c1 + o11)
+                       - CAST(r1 - o11 AS HUGEINT) * (c1 - o11))
+                    * (CAST(o11 AS HUGEINT) * (n - r1 - c1 + o11)
+                       - CAST(r1 - o11 AS HUGEINT) * (c1 - o11)) AS DOUBLE)
+               / CAST(CAST(r1 AS HUGEINT) * c1 * (n - r1) * (n - c1) AS DOUBLE)
+             )) AS BIGINT) AS chi2_micros
+      FROM j
+    )
+    SELECT w1, w2, o11, chi2_micros
+    FROM scored ORDER BY chi2_micros DESC, w1, w2 LIMIT 100
+    """,
+    category="mining",
+    doc="top-100 adjacent-bigram collocations by exact-rational chi-square",
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    bg = (
+        t(spark, sf, "documents")
+        .select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("o11")).persist()
+    r1 = cnt.groupBy("w1").agg(F.sum("o11").alias("r1"))
+    c1 = cnt.groupBy("w2").agg(F.sum("o11").alias("c1"))
+    tot = cnt.agg(F.sum("o11").alias("n"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ad_bc = dec(F.col("o11")) * (
+        F.col("n") - F.col("r1") - F.col("c1") + F.col("o11")
+    ) - dec(F.col("r1") - F.col("o11")) * (F.col("c1") - F.col("o11"))
+    num = dec(F.col("n")) * ad_bc * ad_bc
+    den = (
+        dec(F.col("r1"))
+        * F.col("c1")
+        * (F.col("n") - F.col("r1"))
+        * (F.col("n") - F.col("c1"))
+    )
+    return (
+        cnt.filter(F.col("o11") >= 5)
+        .join(r1, "w1")
+        .join(c1, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("r1") < F.col("n")) & (F.col("c1") < F.col("n")))
+        .select(
+            "w1",
+            "w2",
+            "o11",
+            F.floor(
+                F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
+            )
+            .cast("long")
+            .alias("chi2_micros"),
+        )
+        .orderBy(F.col("chi2_micros").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q258 — Mann-Whitney U with tie correction (Mann & Whitney 1947): the
+# standard nonparametric two-sample test, here comparing purchase vs
+# click event values — does one event family stochastically dominate
+# the other? Complements q165 (rank-biserial AUC over a binary label)
+# with the INFERENTIAL readout: the tie-corrected normal approximation
+# z = (U - n1 n2 / 2) / sigma, sigma^2 = (n1 n2 / 12) ((n+1) -
+# sum(t^3 - t) / (n (n-1))). Ranks are handled in 2x integer space
+# (average rank of a tie group of size m starting after cum rows is
+# (2 cum + m + 1) / 2), so U and the tie term are exact BIGINTs; the
+# z tree is fixed-order double arithmetic with one sqrt (IEEE-
+# identical both engines), floored to micros.
+#
+# 100 TB shape: one (value)-keyed count aggregate, one running-sum
+# window over the DISTINCT-VALUE frame (bounded by value cardinality,
+# not row count), one scalar row out. The tie term t^3 - t assumes
+# tie groups << 2^21 rows; a corpus where one exact double value
+# carries millions of rows needs the term summed in DECIMAL(38,0).
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_Q258_Z_SQL = """floor(1000000.0 * (
+      (CAST(r2a - n1 * (n1 + 1) AS DOUBLE)
+       - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      / (2.0 * sqrt(
+          (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+          * (CAST(n1 + n2 + 1 AS DOUBLE)
+             - CAST(tie_term AS DOUBLE)
+               / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+    ))"""
+
+
+@query(
+    "q258_mann_whitney",
+    oracle=f"""
+    WITH g AS (
+      SELECT value AS v,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY value
+    ),
+    c AS (
+      SELECT v, m, p,
+             CAST(COALESCE(SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS n1,
+             CAST(SUM(m - p) AS BIGINT) AS n2,
+             CAST(SUM(p * (2 * cum + m + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(m * m * m - m) AS BIGINT) AS tie_term
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u2,
+           tie_term,
+           CAST({_Q258_Z_SQL} AS BIGINT) AS z_micros
+    FROM tot
+    """,
+    category="mining",
+    doc="tie-corrected Mann-Whitney U: purchase vs click values, exact 2x-rank integers + one-sqrt z",
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("p"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "v", "m", "p", F.coalesce(F.sum("m").over(w), F.lit(0)).alias("cum")
+    )
+    tot = c.agg(
+        F.sum("p").alias("n1"),
+        F.sum(F.col("m") - F.col("p")).alias("n2"),
+        F.sum(F.col("p") * (F.lit(2) * F.col("cum") + F.col("m") + 1)).alias("r2a"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m")).alias("tie_term"),
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        (F.col("r2a") - F.col("n1") * (F.col("n1") + 1)).cast("long").alias("u2"),
+        "tie_term",
+        F.expr(_Q258_Z_SQL).cast("long").alias("z_micros"),
+    )

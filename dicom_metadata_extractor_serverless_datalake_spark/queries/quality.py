@@ -1148,3 +1148,77 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("d_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q256 — Good-Turing frequency-of-frequencies (Good, Biometrika 1953):
+# the vocabulary-mass readout behind smoothed LM estimates and
+# "how much of this corpus is unseen-once" coverage decisions. One
+# token scan -> per-word counts r -> N_r = |{words seen exactly r
+# times}|, then the Turing estimate r* = (r+1) N_{r+1} / N_r per
+# frequency class and the unseen-mass share p0 = N_1 / N. All
+# integers; the two ratios floor to micros with integer `div`, so the
+# readout is bit-portable with no float in sight.
+#
+# 100 TB shape: two hash aggregates (word -> count, count -> class
+# size; the second is tiny) + a self-join of the frequency table on
+# r+1 — the frequency table has O(hundreds) rows whatever the corpus
+# size, so everything after the first groupBy is driver-trivial.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q256_good_turing",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY w),
+    fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM wc GROUP BY r),
+    tot AS (
+      SELECT CAST(SUM(r * n_types) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) AS BIGINT) AS n1
+      FROM fof
+    )
+    SELECT f.r, f.n_types,
+           CAST(1000000 * (f.r + 1) * nx.n_types // f.n_types AS BIGINT)
+             AS r_star_micros,
+           CAST(1000000 * t.n1 // t.n_tokens AS BIGINT) AS p0_micros
+    FROM fof f
+    LEFT JOIN fof nx ON nx.r = f.r + 1
+    CROSS JOIN tot t
+    ORDER BY f.r
+    """,
+    category="quality",
+    doc="frequency-of-frequencies + Turing-smoothed r* and unseen mass, exact integer ratios",
+)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
+        .select(F.explode("ws").alias("w"))
+    )
+    wc = tok.groupBy("w").agg(F.count("*").alias("r"))
+    fof = wc.groupBy("r").agg(F.count("*").alias("n_types"))
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_types")).alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_types")).otherwise(F.lit(0))).alias(
+            "n1"
+        ),
+    )
+    nx = fof.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("nx_types"))
+    return (
+        fof.join(nx, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_types",
+            F.expr("1000000 * (r + 1) * nx_types div n_types").alias(
+                "r_star_micros"
+            ),
+            F.expr("1000000 * n1 div n_tokens").alias("p0_micros"),
+        )
+        .orderBy("r")
+    )
