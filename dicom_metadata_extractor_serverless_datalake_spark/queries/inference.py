@@ -794,3 +794,168 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# q259 — deterministic k-means over embeddings (Lloyd's algorithm,
+# k=4, 2 unrolled iterations): the semantic-clustering primitive
+# behind semantic dedup, topic bucketing, and DSIR-style domain
+# assignment. Float k-means is NOT cross-engine reproducible (row
+# order changes every float centroid sum), so the whole algorithm
+# runs on an integer grid: coordinates quantize to micros ONCE, every
+# distance is an exact BIGINT sum of squares, centroid updates are
+# integer mean (truncating div — identical in Spark and DuckDB,
+# verified on negatives), seeds are the k lowest vec_ids, and
+# ties assign to the lowest centroid id. Two engines, bit-identical
+# clusters by construction — and the oracle replays both Lloyd
+# rounds in SQL to prove it.
+#
+# 100 TB shape: assignment is MAP-SIDE ONLY — the k x d centroid
+# table is collected (k*d = 256 longs, a bounded driver scalar like
+# q67's centroids) and embedded as literal arrays, the Spark analogue
+# of MLlib's per-iteration centroid broadcast; the update is one
+# posexplode -> (cid, pos) aggregate whose partial (map-side) combine
+# reduces the shuffle to k*d rows per task. Inertia sums squared
+# micro-distances in DECIMAL(38,0) (passes 2^63 at ~500k vectors) and
+# surfaces as the correctly-rounded DOUBLE.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_D = 64
+
+
+def _km_trunc_div(s: int, c: int) -> int:
+    """Truncate-toward-zero integer division (Spark `div` / DuckDB `//`
+    semantics; Python's // floors, which differs on negatives)."""
+    q = abs(s) // c
+    return q if s >= 0 else -q
+
+
+def _km_dist_expr(vec: list[int]) -> str:
+    lits = ", ".join(f"CAST({x} AS BIGINT)" for x in vec)
+    return (
+        f"aggregate(zip_with(v, array({lits}), (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _km_assign(e: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-side argmin over literal centroid arrays: (vec_id, v, cid,
+    dist), ties to the lowest cid via struct ordering."""
+    struct_arr = F.array(
+        *[
+            F.struct(
+                F.expr(_km_dist_expr(vec)).alias("dist"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_min(struct_arr)
+    return e.select(
+        "vec_id", "v", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+
+
+def _km_update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """Integer-mean centroid update; k*d bounded collect (the
+    broadcast-back of Lloyd's iteration)."""
+    rows = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    acc: dict[int, list[int]] = {}
+    for r in rows:
+        acc.setdefault(r.cid, [0] * _KM_D)[r.pos] = _km_trunc_div(r.s, r.c)
+    return sorted(acc.items())
+
+
+def _q259_oracle() -> str:
+    def dist(va: str, vb: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {_KM_D}), "
+            f"i -> ({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i])))"
+        )
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+      FROM e ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v, c.cid, {dist('e.v', 'c.v')} AS dist
+      FROM e CROSS JOIN c0 c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
+    ),
+    cm AS (
+      SELECT a1.cid, gs.i, SUM(a1.v[gs.i]) // COUNT(*) AS coord
+      FROM a1 CROSS JOIN generate_series(1, {_KM_D}) AS gs(i)
+      GROUP BY a1.cid, gs.i
+    ),
+    c1 AS (SELECT cid, list(coord ORDER BY i) AS v FROM cm GROUP BY cid),
+    a2 AS (
+      SELECT e.vec_id, c.cid, {dist('e.v', 'c.v')} AS dist
+      FROM e CROSS JOIN c1 c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
+    )
+    SELECT a2.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(a2.vec_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(CAST(a2.dist AS HUGEINT)) AS DOUBLE) AS inertia,
+           CAST(MIN(cs.coord_sum) AS BIGINT) AS centroid_coord_sum
+    FROM a2
+    JOIN (SELECT cid, list_sum(v) AS coord_sum FROM c1 GROUP BY cid, v) cs
+      ON cs.cid = a2.cid
+    GROUP BY a2.cid
+    ORDER BY a2.cid
+    """
+
+
+@query(
+    "q259_kmeans_embeddings",
+    oracle=_q259_oracle(),
+    category="similarity",
+    doc="integer-grid Lloyd k-means (k=4, 2 rounds): map-side assignment, broadcast centroids, bit-identical clusters",
+)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))"
+            ).alias("v"),
+        )
+        .persist()
+    )
+    seeds = e.orderBy("vec_id").limit(_KM_K).collect()  # k vectors: bounded
+    c0 = [(i, list(r.v)) for i, r in enumerate(seeds)]
+    a1 = _km_assign(e, c0)
+    c1 = _km_update(a1)
+    a2 = _km_assign(e, c1)
+    csums = spark.createDataFrame(
+        [(cid, sum(vec)) for cid, vec in c1], "cid long, centroid_coord_sum long"
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("vec_id").alias("id_checksum"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).cast("double").alias(
+                "inertia"
+            ),
+        )
+        .join(F.broadcast(csums), "cid")
+        .select("cid", "n_vecs", "id_checksum", "inertia", "centroid_coord_sum")
+        .orderBy("cid")
+    )
