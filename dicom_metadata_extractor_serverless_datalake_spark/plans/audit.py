@@ -47,7 +47,14 @@ def physical_plan(df: DataFrame) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    raw = buf.getvalue()
+    return _normalize_formatted(buf.getvalue())
+
+
+def _normalize_formatted(raw: str) -> str:
+    """Pure normalization of ``explain('formatted')`` text (see
+    :func:`physical_plan`); split out so canned explain strings for
+    both AQE layouts can be unit-tested without a live plan
+    (tests/test_plans.py::test_normalize_formatted_*)."""
     lines = raw.splitlines()
     first_detail = next(
         (i for i, l in enumerate(lines) if re.match(r"^\(\d+\) ", l)), None

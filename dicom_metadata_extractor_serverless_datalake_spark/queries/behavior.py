@@ -829,16 +829,21 @@ def _q247_oracle() -> str:
     """
 
 
-def _exact_ntile(pos: F.Column, n: int, k: int = 5) -> F.Column:
-    """ntile(k) bucket for 1-based position ``pos`` of ``n`` total rows:
-    first n%k buckets get n//k+1 rows (SQL-standard allocation)."""
+def _exact_ntile(pos_col: str, n: int, k: int = 5) -> F.Column:
+    """ntile(k) bucket for 1-based position column ``pos_col`` of ``n``
+    total rows: first n%k buckets get n//k+1 rows (SQL-standard
+    allocation). All-integer closed form: `div` keeps the arithmetic
+    in int64 (the q250/q252 convention), exact for every position —
+    floor-of-double division would only be exact while pos stays
+    under 2^53."""
     q, r = divmod(n, k)
     big = r * (q + 1)
+    pos = F.col(pos_col)
     small = (  # guard q=0 (n < k): all rows land in the big buckets
-        F.lit(r) + F.floor((pos - F.lit(big) - 1) / F.lit(max(q, 1))) + 1
+        F.lit(r) + F.expr(f"({pos_col} - {big} - 1) div {max(q, 1)}") + 1
     )
     return (
-        F.when(pos <= F.lit(big), F.floor((pos - 1) / F.lit(q + 1)) + 1)
+        F.when(pos <= F.lit(big), F.expr(f"({pos_col} - 1) div {q + 1}") + 1)
         .otherwise(small)
         .cast("long")
     )
@@ -868,7 +873,7 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
 
     def score(order_cols, name):
         pos = global_positions(base, order_cols, position_col="_p")
-        return pos.select("custkey", _exact_ntile(F.col("_p"), n).alias(name))
+        return pos.select("custkey", _exact_ntile("_p", n).alias(name))
 
     r = score([F.col("recency_days").desc(), F.col("custkey")], "r")
     f = score([F.col("frequency"), F.col("custkey")], "f")

@@ -171,8 +171,26 @@ def _apply_priority() -> None:
 _apply_priority()
 
 
+def _cache_local(fn: Callable[[SparkSession, str], DataFrame]):
+    """Queries that persist() intermediates cannot unpersist them before
+    the caller's action runs, so in a long-lived session cached
+    partitions would accumulate and CacheManager plan substitution
+    could rewrite LATER queries' plans (ADVICE r07; the class of bug
+    scripts/plan_audit.py works around the same way). Dropping the
+    accumulated cache at query CONSTRUCTION keeps caching query-local
+    for every harness that goes through ``queries()`` — the driver's
+    correctness gate and oracle_sweep — without touching bench.py's
+    warm-timing path (which calls ``Query.spark_fn`` directly)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark_fn for name, q in QUERIES.items()}
+    return {name: _cache_local(q.spark_fn) for name, q in QUERIES.items()}
 
 
 def get_oracles() -> dict[str, str]:

@@ -120,6 +120,10 @@ def main() -> int:
                 and "TakeOrderedAndProject" not in plan
             ):
                 flags.append(f"{name}: degenerate audit (no plan nodes recognized)")
+                # the allowlist heuristic can false-positive on a
+                # legitimately minimal plan shape — dump the raw text so
+                # the flag is adjudicable from the artifact (ADVICE r07)
+                print(f"-- raw plan for flagged {name} --\n{plan}\n--", file=sys.stderr)
         rows.append((name, m))
         # single-row scalar-attach broadcasts (cross joins of 1-row
         # aggregate frames) legitimately appear as BNLJ; flag only

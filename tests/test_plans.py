@@ -703,3 +703,94 @@ def test_q180_split_leakage_costs_what_q52_costs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Join") == q52_plan.count("Join")
+
+
+# ---- _normalize_formatted: canned AQE explain layouts (ADVICE r07) ----
+# A Spark-version change in explain() layout must fail loudly here, not
+# silently zero PLANS.md rows again (the round-7 truncation bug).
+
+_TRAILING_LAYOUT = """== Physical Plan ==
+AdaptiveSparkPlan (3)
++- * HashAggregate (2)
+   +- Scan parquet  (1)
+
+
+(1) Scan parquet
+Output [2]: [a#1, b#2]
+PushedFilters: [IsNotNull(a)]
+
+(2) HashAggregate [codegen id : 1]
+Input [2]: [a#1, b#2]
+
+(3) AdaptiveSparkPlan
+Output [1]: [sum#3]
+
+== Initial Plan ==
+HashAggregate (5)
++- Exchange (4)
+
+(4) Exchange
+Arguments: hashpartitioning(a#1, 32)
+
+(5) HashAggregate
+Input [2]: [a#1, b#2]
+"""
+
+_EMBEDDED_LAYOUT = """== Physical Plan ==
+AdaptiveSparkPlan (6)
++- == Final Plan ==
+   * HashAggregate (3)
+   +- AQEShuffleRead (2)
+      +- ShuffleQueryStage (1), Statistics(sizeInBytes=1.0 B)
++- == Initial Plan ==
+   HashAggregate (5)
+   +- Exchange (4)
+
+
+(1) ShuffleQueryStage
+Output [2]: [a#1, b#2]
+
+(2) AQEShuffleRead
+Input [2]: [a#1, b#2]
+
+(3) HashAggregate [codegen id : 1]
+Input [2]: [a#1, b#2]
+
+(4) Exchange
+Input [2]: [a#1, b#2]
+Arguments: hashpartitioning(a#1, 32)
+
+(5) HashAggregate
+Input [2]: [a#1, b#2]
+
+(6) AdaptiveSparkPlan
+Output [1]: [sum#3]
+"""
+
+
+def test_normalize_formatted_trailing_section():
+    from dicom_metadata_extractor_serverless_datalake_spark.plans.audit import _normalize_formatted
+
+    out = _normalize_formatted(_TRAILING_LAYOUT)
+    assert "== Initial Plan ==" not in out
+    # final-plan nodes and their detail sections survive
+    assert "(1) Scan parquet" in out and "PushedFilters: [IsNotNull(a)]" in out
+    assert "(3) AdaptiveSparkPlan" in out
+    # initial-plan-only nodes are gone
+    assert "(4) Exchange" not in out and "(5) HashAggregate" not in out
+
+
+def test_normalize_formatted_embedded_subtree():
+    from dicom_metadata_extractor_serverless_datalake_spark.plans.audit import _normalize_formatted
+
+    out = _normalize_formatted(_EMBEDDED_LAYOUT)
+    assert "== Initial Plan ==" not in out
+    # the final subtree's nodes keep their detail sections — the
+    # round-7 bug dropped ALL details after the embedded marker
+    assert "(2) AQEShuffleRead" in out
+    assert "(3) HashAggregate [codegen id : 1]" in out
+    assert "(6) AdaptiveSparkPlan" in out
+    # nodes exclusive to the initial subtree are dropped, tree and details
+    assert "(4) Exchange" not in out
+    assert "hashpartitioning" not in out
+    assert "(5) HashAggregate" not in out
