@@ -4,6 +4,7 @@ over a streamed copy of the events table (SURVEY §2.B streaming row)."""
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dicom_metadata_extractor_serverless_datalake_spark.streaming import (
@@ -502,3 +503,108 @@ def test_lsh_dedup_stream_sharded_matches_per_bucket(spark):
             shutil.rmtree(src, ignore_errors=True)
     assert out["bucket"] == out["sharded"]
     assert len(out["bucket"]) > 0
+
+
+def test_stateful_crash_recovery_from_checkpoint(spark, sf_dir, tmp_path_factory):
+    """Kill the q230 completeness drain between micro-batches and restart
+    a NEW query from the same checkpoint: per-order bitmask state must
+    be RESTORED from the state store (not recomputed), so the resumed
+    run's latest-per-order rollup equals the uninterrupted batch truth.
+    This is the production failure mode the reference covers with
+    Lambda retries + DLQ (deploy/serverless.yml:188-190); here recovery
+    is Structured Streaming's checkpoint contract."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.streams import (
+        _COMP_OUT,
+        _COMP_STATE,
+        _completeness_update,
+        _lineitem_stream_src,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream
+
+    base = tmp_path_factory.mktemp("ckpt_recovery")
+    src, ckpt, out = base / "src", base / "ckpt", base / "out"
+    os.makedirs(src)
+
+    staged = _lineitem_stream_src(sf_dir, time_splits=3)
+    files = sorted(os.listdir(staged))
+    assert len(files) == 3
+
+    def run_from_checkpoint():
+        stateful = (
+            load_stream(spark, str(src), "lineitem", max_files_per_trigger=1)
+            .groupBy("l_orderkey")
+            .applyInPandasWithState(
+                _completeness_update,
+                outputStructType=_COMP_OUT,
+                stateStructType=_COMP_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stateful.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    # run 1: only the first shipdate slice exists; the availableNow drain
+    # checkpoints its state and terminates ("crash" after batch commit)
+    shutil.move(os.path.join(staged, files[0]), src / files[0])
+    run_from_checkpoint()
+    n_after_first = spark.read.parquet(str(out)).count()
+    assert n_after_first > 0
+
+    # the remaining slices land; a NEW query resumes from the checkpoint
+    for f in files[1:]:
+        shutil.move(os.path.join(staged, f), src / f)
+    shutil.rmtree(staged, ignore_errors=True)
+    run_from_checkpoint()
+
+    emitted = spark.read.parquet(str(out))
+    # state genuinely carried across the restart: an order whose lines
+    # span the split is re-emitted with a version > 1 AFTER the restart
+    resumed = emitted.filter(F.col("version") >= 2).count()
+    assert resumed > 0, "no order state survived the restart"
+
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("version").desc())
+    latest = (
+        emitted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_orderkey", "n", "missing_in_span", "dup_rows", "verdict")
+    )
+    truth = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).filter(
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    expected = (
+        truth.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("l_linenumber").alias("d"),
+            F.min("l_linenumber").alias("mn"),
+            F.max("l_linenumber").alias("mx"),
+        )
+        .select(
+            "l_orderkey",
+            "n",
+            (F.col("mx") - F.col("mn") + 1 - F.col("d")).alias("missing_in_span"),
+            (F.col("n") - F.col("d")).alias("dup_rows"),
+            F.when(F.col("d") < F.col("n"), "duplicated")
+            .when(F.col("mn") > 1, "offset_start")
+            .when(F.col("mx") > F.col("n"), "gapped")
+            .otherwise("complete")
+            .alias("verdict"),
+        )
+    )
+    assert latest.count() == expected.count()
+    assert latest.exceptAll(expected).count() == 0
+    assert expected.exceptAll(latest).count() == 0
