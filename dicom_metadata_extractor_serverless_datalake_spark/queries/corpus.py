@@ -37,76 +37,29 @@ from . import selection  # noqa: F401,E402
 
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
-# driver-oracle verification is least established go first. As of
-# CORRECTNESS_r06 every registered query (241) has a green driver row,
-# so the window is now a staleness rotation: the 11 queries registered
-# this round (never driver-verified) first, then the 39 stalest
-# round-2 greens — exactly 50. After each new CORRECTNESS artifact
-# lands, rotate its greens to the back and front-load whatever is
-# newest/stalest.
+# driver-oracle verification is least established go first. Every
+# registered query has a green driver row (cumulative 252/252 as of
+# CORRECTNESS_r07), so the window is a staleness rotation: the 7
+# queries registered this round (never driver-verified) first, then
+# the 43 stalest greens (last driver rows rounds 2-3) — exactly 50.
+# After each new CORRECTNESS artifact lands, rotate its greens to the
+# back and front-load whatever is newest/stalest.
 _PRIORITY = [
     # new this round — never driver-verified
-    "q242_blocking_recall_sampled",
-    "q243_neardup_star",
-    "q244_incremental_neardup",
-    "q245_fdr_bh",
-    "q246_fellegi_sunter",
-    "q247_rfm_segments",
-    "q248_cluster_balanced_sample",
-    "q249_group_sequential",
-    "q250_lttb_downsample",
-    "q251_lsh_s_curve",
-    "q252_sax_symbolic",
-    # stalest greens: last driver row round 2
-    "q02_filter_project",
-    "q03_join_broadcast_agg",
-    "q04_star_join",
-    "q05_left_join",
-    "q06_right_join",
-    "q07_full_outer_join",
-    "q08_semi_join",
-    "q09_anti_join",
-    "q10_cross_join",
-    "q11_range_join",
-    "q12_agg_stats",
-    "q14_approx_count_distinct",
-    "q45_json",
-    "q49_distinct_math",
-    "q50_dedup_exact",
-    "q51_jaccard_pairs",
-    "q53_simhash",
-    "q54_cosine_topk",
-    "q55_ann_lsh",
-    "q56_text_stats",
-    "q57_language_id",
-    "q58_fingerprint",
-    "q59_token_count",
-    "q60_embedding_neardup",
-    "q61_image_features",
-    "q62_frame_sample",
-    "q63_modality_rollup",
-    "q65_grouped_map_pandas",
-    "q66_grouped_agg_pandas",
-    "q68_neardup_pipeline",
-    "q69_approx_percentile",
-    "q70_levenshtein_pairs",
-    "q71_train_split",
-    "q72_stratified_sample",
-    "q73_doc_chunking",
-    "q74_pii_redaction",
-    "q75_vocab_topk",
-    "q76_epoch_shuffle",
-    "q77_dedup_clusters",
-    # ^ exactly 50 = the driver window (11 new-this-round queries first,
-    # then the 39 stalest round-2 greens; q78-q82/q85 and the round-3
-    # fillers q13/q15/q16/q17 were displaced by the new registrations).
+    "q253_lsh_s_curve_sampled",
+    "q254_diversity_sample_star",
+    "q255_linkage_capped_blocks",
+    "q256_good_turing",
+    "q257_chi2_collocations",
+    "q258_mann_whitney",
+    "q259_kmeans_embeddings",
+    # stalest greens: last driver row rounds 2-3 (the q78-q102 band
+    # VERDICT r07 task 6 named)
     "q78_embedding_quantization",
     "q79_filter_funnel",
     "q80_boilerplate_ngrams",
     "q81_skew_report",
     "q82_decontamination",
-    # Below: the rest of round 3, then round 4; round-5/6-green families
-    # rotate to the very back via registration order.
     "q85_stream_upsert_snapshot",
     "q13_count_distinct",
     "q15_rollup",
@@ -145,6 +98,8 @@ _PRIORITY = [
     "q100_stream_session_window",
     "q101_time_proximity_join",
     "q102_rolling_distinct_sketch",
+    # ^ exactly 50 = the driver window (7 new this round + the 43
+    # stalest round-2/3 greens).
     "q103_variant_json",
     "q105_event_transitions",
     "q106_data_quality_audit",
@@ -156,7 +111,8 @@ _PRIORITY = [
     "q112_multimodal_neardup",
     "q113_udtf_lateral",
     "q01_pricing_summary",
-    # round-4..6-green windows (freshest driver rows) follow in
+    # the r07 window (q242-q252 + the q02-q77 band) holds the freshest
+    # driver rows and rotates behind; everything unlisted follows in
     # registration order via _apply_priority
 ]
 
