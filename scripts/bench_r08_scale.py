@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Round-8 scale rows (BASELINE.md): run one SECTION per fresh JVM
+(heap aging inflates repeated-section numbers — measurement-hygiene
+rule), warm min-of-2 through the noop sink, timing INCLUDING query
+construction (driver-action rounds — CC fixpoints, k-means centroid
+collects — are part of the operator's cost).
+
+Usage: python scripts/bench_r08_scale.py {doc100|doc1000|ev100|ev1000}
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SECTIONS = {
+    "doc100": (
+        "/tmp/sfsynthdoc100",
+        [
+            "q253_lsh_s_curve_sampled",
+            "q254_diversity_sample_star",
+            "q255_linkage_capped_blocks",
+            "q256_good_turing",
+            "q257_chi2_collocations",
+            "q259_kmeans_embeddings",
+        ],
+        2,
+    ),
+    "doc1000": ("/tmp/sfsynthdoc1000", ["q254_diversity_sample_star"], 1),
+    "ev100": ("/tmp/evsynth100", ["q258_mann_whitney"], 2),
+    "ev1000": (
+        "/tmp/evsynth1000",
+        ["q241_stream_burstiness", "q171_stream_sequences"],
+        1,
+    ),
+}
+
+
+def main() -> None:
+    section = sys.argv[1]
+    sf_dir, names, passes = SECTIONS[section]
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_r08_{section}")
+    for name in names:
+        walls = []
+        rows = None
+        for _ in range(passes):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = QUERIES[name].spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+            if rows is None and passes >= 2:
+                rows = df.count()  # cheap relative to the warm pass
+        print(
+            f"RESULT {section} {name}: wall={min(walls):.1f}s "
+            f"(passes={[f'{w:.1f}' for w in walls]}) rows={rows}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
