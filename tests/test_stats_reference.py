@@ -1274,3 +1274,192 @@ def test_q250_lttb_short_series_identity(spark, tmp_path):
     assert len(out) == 5
     assert [r["bucket"] for r in out] == [0, 1, 2, 3, 4]
     assert [r["cents"] for r in out] == [10000 + 100 * i for i in range(5)]
+
+
+# ---- round 8: q253-q259 third opinions ----
+
+
+def test_q254_equals_q248_allpairs(spark, sf_dir):
+    """Star-edge CC closure == all-pairs CC closure, LOCALLY (the
+    driver oracle proves it against DuckDB; this pins it engine-side
+    so a refactor of lsh_star_edges can't silently split clusters)."""
+    star = QUERIES["q254_diversity_sample_star"].spark_fn(spark, sf_dir)
+    allp = QUERIES["q248_cluster_balanced_sample"].spark_fn(spark, sf_dir)
+    assert star.exceptAll(allp).count() == 0
+    assert allp.exceptAll(star).count() == 0
+
+
+def test_q255_subset_of_q246_with_identical_scores(spark, sf_dir):
+    """Capped sub-blocking only DROPS pairs (recall trade), never adds
+    or rescores: q255's output is a strict subset of q246's rows."""
+    capped = QUERIES["q255_linkage_capped_blocks"].spark_fn(spark, sf_dir)
+    full = QUERIES["q246_fellegi_sunter"].spark_fn(spark, sf_dir)
+    assert capped.count() > 0
+    assert capped.exceptAll(full).count() == 0
+
+
+def test_q256_good_turing_brute_force(spark, tmp_path):
+    """Crafted corpus: word frequencies {a:3, b:3, c:2, d:1, e:1, f:1}
+    -> N_1=3, N_2=1, N_3=2, N=11 tokens. Turing r* checked against the
+    hand formula, p0 = N_1/N."""
+    rows = [
+        (1, "a a a b", "en", "s", 7),
+        (2, "b b c c d", "en", "s", 9),
+        (3, "e f", "en", "s", 3),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = {
+        r["r"]: r
+        for r in QUERIES["q256_good_turing"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_types"] == 3 and out[2]["n_types"] == 1 and out[3]["n_types"] == 2
+    # r*=1: (1+1)*N_2/N_1 = 2*1/3 -> 666666 micros (floor)
+    assert out[1]["r_star_micros"] == 666_666
+    # r*=2: (2+1)*N_3/N_2 = 3*2/1 = 6.0 exactly
+    assert out[2]["r_star_micros"] == 6_000_000
+    # no N_4 -> NULL
+    assert out[3]["r_star_micros"] is None
+    assert all(r["p0_micros"] == 1_000_000 * 3 // 11 for r in out.values())
+
+
+def test_q257_chi2_brute_force(spark, tmp_path):
+    """One repeated strong collocation against a noise background;
+    chi-square recomputed from the textbook 2x2 table in Python."""
+    phrase = " ".join(["deep learning"] * 6)  # 'deep learning' x6 + bridges
+    noise = "the of and to in for the of and to in for"
+    rows = [
+        (1, phrase, "en", "s", len(phrase)),
+        (2, noise, "en", "s", len(noise)),
+        (3, noise, "en", "s", len(noise)),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = QUERIES["q257_chi2_collocations"].spark_fn(spark, str(tmp_path)).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    assert ("deep", "learning") in got
+    row = got[("deep", "learning")]
+    # brute-force table over ALL bigrams of the three docs
+    bigrams = []
+    for _, text, *_ in rows:
+        ws = text.split(" ")
+        bigrams += list(zip(ws, ws[1:]))
+    n = len(bigrams)
+    o11 = bigrams.count(("deep", "learning"))
+    r1 = sum(1 for a, _ in bigrams if a == "deep")
+    c1 = sum(1 for _, b in bigrams if b == "learning")
+    assert row["o11"] == o11 == 6
+    ad_bc = o11 * (n - r1 - c1 + o11) - (r1 - o11) * (c1 - o11)
+    chi2 = n * ad_bc * ad_bc / (r1 * c1 * (n - r1) * (n - c1))
+    assert row["chi2_micros"] == math.floor(1_000_000 * chi2)
+
+
+def test_q258_mann_whitney_brute_force(spark, tmp_path):
+    """Adversarial ties (cross-group and within-group): U and the
+    tie-corrected z recomputed from per-row average ranks."""
+    import datetime as dt
+
+    vals_a = [1.0, 2.0, 2.0, 5.0, 7.0]   # purchase
+    vals_b = [2.0, 3.0, 5.0, 5.0]        # click
+    rows, eid = [], 0
+    for v in vals_a:
+        rows.append((eid, dt.datetime(2024, 1, 1), 1, "purchase", v, "{}")); eid += 1
+    for v in vals_b:
+        rows.append((eid, dt.datetime(2024, 1, 1), 2, "click", v, "{}")); eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 1), 3, "view", 9.9, "{}"))  # excluded
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q258_mann_whitney"].spark_fn(spark, str(tmp_path)).collect()
+
+    pooled = sorted([(v, "a") for v in vals_a] + [(v, "b") for v in vals_b])
+    # average ranks
+    ranks, i = {}, 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # mean of ranks i+1..j
+        ranks[pooled[i][0]] = avg
+        i = j
+    ra = sum(ranks[v] for v in vals_a)
+    n1, n2 = len(vals_a), len(vals_b)
+    u = ra - n1 * (n1 + 1) / 2
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["u2"] == int(2 * u)
+    # tie term over pooled value multiplicities
+    from collections import Counter
+
+    tie = sum(m**3 - m for m in Counter(v for v, _ in pooled).values())
+    assert out["tie_term"] == tie
+    nn = n1 + n2
+    sigma2 = (n1 * n2 / 12) * ((nn + 1) - tie / (nn * (nn - 1)))
+    z = (u - n1 * n2 / 2) / math.sqrt(sigma2)
+    assert out["z_micros"] == math.floor(1_000_000 * z)
+
+
+def test_q259_kmeans_brute_force(spark, tmp_path):
+    """Tiny planted clusters; Lloyd (k=4, 2 rounds) replayed in Python
+    on the same integer micro-grid with truncating division."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = [np.full(64, c, dtype=np.float64) for c in (-0.4, -0.1, 0.2, 0.45)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(10):
+            v = c + rng.uniform(-0.03, 0.03, 64)
+            rows.append((vid, [float(x) for x in v], ci))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = QUERIES["q259_kmeans_embeddings"].spark_fn(spark, str(tmp_path)).collect()
+
+    # brute force on the micro grid (floats pass through float32 storage)
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(str(tmp_path / "embeddings.parquet"))
+    vecs = {
+        int(i): [math.floor(1_000_000 * float(x)) for x in v]
+        for i, v in zip(table["vec_id"].to_pylist(), table["embedding"].to_pylist())
+    }
+
+    def tdiv(s, c):
+        q = abs(s) // c
+        return q if s >= 0 else -q
+
+    cents = [vecs[i] for i in sorted(vecs)[:4]]
+
+    def assign(cs):
+        a = {}
+        for vid_, v in vecs.items():
+            best = min(
+                (sum((x - y) ** 2 for x, y in zip(v, c)), ci)
+                for ci, c in enumerate(cs)
+            )
+            a[vid_] = best  # (dist, cid)
+        return a
+
+    a1 = assign(cents)
+    new = {}
+    for vid_, (_, cid) in a1.items():
+        new.setdefault(cid, []).append(vecs[vid_])
+    cents2 = {
+        cid: [tdiv(sum(col), len(vs)) for col in zip(*vs)]
+        for cid, vs in new.items()
+    }
+    a2 = assign([cents2[c] for c in sorted(cents2)])
+    exp = {}
+    for vid_, (dist, cid) in a2.items():
+        e = exp.setdefault(cid, [0, 0, 0])
+        e[0] += 1
+        e[1] += vid_
+        e[2] += dist
+    got = {r["cid"]: r for r in out}
+    assert set(got) == set(exp)
+    for cid, (nv, ids, inertia) in exp.items():
+        assert got[cid]["n_vecs"] == nv
+        assert got[cid]["id_checksum"] == ids
+        assert got[cid]["inertia"] == float(inertia)
+        assert got[cid]["centroid_coord_sum"] == sum(cents2[cid])
