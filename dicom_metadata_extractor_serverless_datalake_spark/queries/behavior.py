@@ -889,3 +889,194 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+# --------------------------------------------------------------------------
+# q260 — association rules over per-user event-type baskets (Agrawal &
+# Srikant, VLDB 1994): the market-basket operator on behavioral data —
+# "users who error also purchase?" Each user's basket is their DISTINCT
+# event-type set; for every ordered type pair (a -> b), support
+# |users with both| / N, confidence |both| / |a|, and lift
+# N * |both| / (|a| * |b|). With a 5-type domain the pair space is
+# dimension-sized however large the corpus: everything after the
+# per-user distinct is a self-join of a 5-row frame. All three
+# readouts are exact integer ratios floored to micros (lift's
+# numerator N * both reaches ~2^53 only past 10^9 users * pairs —
+# fine in BIGINT).
+#
+# 100 TB shape: one (user, type) distinct -> one type-count aggregate
+# (5 rows) + one pair-count aggregate (25 rows); the rules table never
+# leaves dimension scale. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q260_association_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM b),
+    tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM b GROUP BY 1),
+    pc AS (
+      SELECT x.event_type AS antecedent, y.event_type AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.event_type <> y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           CAST(1000000 * p.n_both // n.n_users AS BIGINT) AS support_micros,
+           CAST(1000000 * p.n_both // ta.n_t AS BIGINT) AS confidence_micros,
+           CAST(1000000 * n.n_users * p.n_both // (ta.n_t * tb.n_t) AS BIGINT)
+             AS lift_micros
+    FROM pc p
+    JOIN tc ta ON ta.event_type = p.antecedent
+    JOIN tc tb ON tb.event_type = p.consequent
+    CROSS JOIN n
+    ORDER BY antecedent, consequent
+    """,
+    category="behavior",
+    doc="per-user event-type baskets -> support/confidence/lift for every type pair, exact integer micros",
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    b = t(spark, sf, "events").select("user_id", "event_type").distinct()
+    n = b.agg(F.countDistinct("user_id").alias("n_users"))
+    tc = b.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    x, y = b.alias("x"), b.alias("y")
+    pc = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") != F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("antecedent"),
+            F.col("y.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("antecedent"), F.col("n_t").alias("na"))
+    tb = tc.select(F.col("event_type").alias("consequent"), F.col("n_t").alias("nb"))
+    return (
+        pc.join(F.broadcast(ta), "antecedent")
+        .join(F.broadcast(tb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.expr("1000000 * n_both div n_users").alias("support_micros"),
+            F.expr("1000000 * n_both div na").alias("confidence_micros"),
+            F.expr("1000000 * n_users * n_both div (na * nb)").alias("lift_micros"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# --------------------------------------------------------------------------
+# q261 — McNemar's paired test (McNemar, Psychometrika 1947): did
+# purchasing behavior CHANGE between the first and second half of the
+# observation window, on the SAME users? The unpaired tests (q158 A/B,
+# q258 Mann-Whitney) compare different populations; McNemar conditions
+# on the discordant pairs — users who purchased in exactly one half —
+# and tests b vs c. Statistic with Edwards' continuity correction:
+# (|b - c| - 1)^2 / (b + c), pure integer arithmetic until one double
+# division floored to micros. The half-window split is the midpoint of
+# the observed [min_ts, max_ts] — computed as an epoch-micros integer
+# average, so both engines cut the timeline at the identical
+# microsecond.
+#
+# 100 TB shape: one min/max scalar, one per-user 2-flag aggregate, one
+# 4-cell rollup. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q261_mcnemar_paired",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut_us FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) < bounds.cut_us THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h1,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) >= bounds.cut_us THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h2
+      FROM events CROSS JOIN bounds GROUP BY user_id, bounds.cut_us
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM per_user
+    )
+    SELECT a, b, c, d,
+           CASE WHEN b + c > 0 THEN CAST(floor(1000000.0 *
+             (CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+              / CAST(b + c AS DOUBLE))) AS BIGINT) END AS chi2_micros
+    FROM cells
+    """,
+    category="behavior",
+    doc="paired first-half vs second-half purchase change: discordant cells + continuity-corrected chi-square",
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    bounds = ev.agg(
+        (
+            (
+                F.unix_micros(F.min("ts").cast("timestamp"))
+                + F.unix_micros(F.max("ts").cast("timestamp"))
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("cut_us")
+    )
+    pu = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("cut_us"))
+                ).cast("bigint")
+            ).alias("h1"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros(F.col("ts").cast("timestamp")) >= F.col("cut_us"))
+                ).cast("bigint")
+            ).alias("h2"),
+        )
+    )
+    cells = pu.agg(
+        F.sum(((F.col("h1") == 1) & (F.col("h2") == 1)).cast("bigint")).alias("a"),
+        F.sum(((F.col("h1") == 1) & (F.col("h2") == 0)).cast("bigint")).alias("b"),
+        F.sum(((F.col("h1") == 0) & (F.col("h2") == 1)).cast("bigint")).alias("c"),
+        F.sum(((F.col("h1") == 0) & (F.col("h2") == 0)).cast("bigint")).alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    (
+                        (F.abs(F.col("b") - F.col("c")) - 1)
+                        * (F.abs(F.col("b") - F.col("c")) - 1)
+                    ).cast("double")
+                    / (F.col("b") + F.col("c")).cast("double")
+                )
+            ).cast("long"),
+        ).alias("chi2_micros"),
+    )

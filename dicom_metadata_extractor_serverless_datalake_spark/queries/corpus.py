@@ -53,6 +53,8 @@ _PRIORITY = [
     "q257_chi2_collocations",
     "q258_mann_whitney",
     "q259_kmeans_embeddings",
+    "q260_association_rules",
+    "q261_mcnemar_paired",
     # stalest greens: last driver row rounds 2-3 (the q78-q102 band
     # VERDICT r07 task 6 named)
     "q78_embedding_quantization",
@@ -96,10 +98,10 @@ _PRIORITY = [
     "q97_decile_stats",
     "q98_pareto_frontier",
     "q100_stream_session_window",
+    # ^ exactly 50 = the driver window (9 new this round + the 41
+    # stalest round-2/3 greens).
     "q101_time_proximity_join",
     "q102_rolling_distinct_sketch",
-    # ^ exactly 50 = the driver window (7 new this round + the 43
-    # stalest round-2/3 greens).
     "q103_variant_json",
     "q105_event_transitions",
     "q106_data_quality_audit",

@@ -1182,7 +1182,7 @@ def test_exact_ntile_closed_form_matches_sql_ntile(spark):
         got = (
             df.select(
                 "pos",
-                _exact_ntile(F.col("pos"), n).alias("mine"),
+                _exact_ntile("pos", n).alias("mine"),
                 F.ntile(5).over(w).cast("long").alias("sql"),
             )
             .filter(F.col("mine") != F.col("sql"))
