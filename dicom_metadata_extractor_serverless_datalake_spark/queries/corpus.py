@@ -39,9 +39,9 @@ from . import selection  # noqa: F401,E402
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
 # registered query has a green driver row (cumulative 252/252 as of
-# CORRECTNESS_r07), so the window is a staleness rotation: the 7
+# CORRECTNESS_r07), so the window is a staleness rotation: the 9
 # queries registered this round (never driver-verified) first, then
-# the 43 stalest greens (last driver rows rounds 2-3) — exactly 50.
+# the 41 stalest greens (last driver rows rounds 2-3) — exactly 50.
 # After each new CORRECTNESS artifact lands, rotate its greens to the
 # back and front-load whatever is newest/stalest.
 _PRIORITY = [

@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECTIONS = {
+    "ev100b": ("/tmp/evsynth100", ["q260_association_rules", "q261_mcnemar_paired"], 2),
     "doc100": (
         "/tmp/sfsynthdoc100",
         [
