@@ -1847,3 +1847,89 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
         q_num.alias("q_num"),
         (q_num.cast("double") / (F.lit(4.0) * d("m") * d("m"))).alias("modularity"),
     )
+
+
+# --------------------------------------------------------------------------
+# q263 — exact substring-span duplication audit (the ExactSubstr
+# operator class of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL 2022): near-dedup (q52/q243) catches
+# mostly-similar DOCUMENTS; this catches verbatim PASSAGES repeated
+# across otherwise-different documents — boilerplate, licenses,
+# templated spans — the duplication mode document-level dedup is blind
+# to. Every 20-token span is fingerprinted (h31 of the span string —
+# fingerprint semantics: a hash collision counts as a duplicate,
+# identically in both engines); a span instance is duplicated when its
+# fingerprint occurs >= 2 times in the corpus (cross-doc or within-doc,
+# the Lee et al. criterion). Per doc: span count, duplicated-span
+# count, and the duplicated fraction in floored micros — the per-doc
+# readout a pipeline thresholds on before span-level excision.
+#
+# 100 TB shape: one token scan -> span explode (linear, ~n_tokens rows
+# per doc), one fingerprint-keyed count aggregate and one fingerprint
+# equi-join back — every shuffle carries (digest, id) pairs only,
+# never span text (the q179 digest-only-shuffle contract).
+# --------------------------------------------------------------------------
+
+_SPAN_K = 20
+
+
+def _q263_oracle() -> str:
+    return f"""
+    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+      SELECT doc_id,
+             {duck_h31(f"array_to_string(w[i:i + {_SPAN_K - 1}], ' ')")} AS hs
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS i
+            FROM w3 WHERE len(w) >= {_SPAN_K})
+    ),
+    freq AS (SELECT hs, CAST(count(*) AS BIGINT) AS n FROM spans GROUP BY hs)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(1000000 * SUM(CASE WHEN f.n >= 2 THEN 1 ELSE 0 END) // count(*)
+                AS BIGINT) AS dup_fraction_micros
+    FROM spans s JOIN freq f ON f.hs = s.hs
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """
+
+
+@query(
+    "q263_substring_dedup",
+    oracle=_q263_oracle(),
+    category="dedup",
+    doc="Lee-et-al exact 20-token-span duplication: per-doc duplicated-span fraction, digest-only shuffles",
+)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    spans = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SPAN_K - 1}), "
+                    f"i -> concat_ws(' ', slice(w, i, {_SPAN_K})))"
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", F.expr(spark_h31("span")).alias("hs"))
+    )
+    freq = spans.groupBy("hs").agg(F.count("*").alias("n"))
+    return (
+        spans.join(freq, "hs")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n") >= 2).cast("bigint")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("1000000 * n_dup_spans div n_spans").alias(
+                "dup_fraction_micros"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1838,3 +1838,100 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
         "tie_term",
         F.expr(_Q258_Z_SQL).cast("long").alias("z_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# q262 — Count-Min sketch audit (Cormode & Muthukrishnan, J.Alg 2005):
+# the mergeable point-query sketch next to the corpus's KLL (q107),
+# theta (q108) and Misra-Gries (q122) family — CM answers "how often
+# did THIS item occur" with a one-sided (overestimate-only) error,
+# and unlike MG it never drops an item. d=4 rows x w=256 counters,
+# row hashes h31('cm{i}-' || word); the query materializes the sketch
+# AS the 1024-cell aggregate it is at any corpus size, then audits it:
+# for the exact top-20 words, the CM estimate (min over the 4 row
+# counters) side by side with the exact count and the overestimate.
+# Everything is exact integer counting — the sketch's error is real,
+# the arithmetic auditing it is not approximate.
+#
+# 100 TB shape: one token scan feeding a 1024-cell aggregate (map-side
+# partial combine — the sketch IS mergeable, this is the merge), one
+# exact word count + top-k, one 80-row bucket join. The audit join
+# touches 20 words; the sketch never exceeds d*w cells.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_CM_D = 4
+_CM_W = 256
+
+
+def _q262_oracle() -> str:
+    from .llm import duck_h31
+
+    def bucket(i: int) -> str:
+        return f"{duck_h31(chr(39) + f'cm{i}-' + chr(39) + ' || w')} % {_CM_W}"
+
+    rows = " UNION ALL ".join(
+        f"SELECT w, {i} AS i, {bucket(i)} AS bucket FROM tok" for i in range(_CM_D)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    hashed AS ({rows}),
+    counters AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY i, bucket
+    ),
+    exact AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY w),
+    top AS (SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20),
+    est AS (
+      SELECT t.w, t.exact_n, MIN(c.c) AS cm_est
+      FROM top t
+      JOIN (SELECT DISTINCT w, i, bucket FROM hashed) h
+        ON h.w = t.w
+      JOIN counters c ON c.i = h.i AND c.bucket = h.bucket
+      GROUP BY t.w, t.exact_n
+    )
+    SELECT w, exact_n, CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - exact_n AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_n DESC, w
+    """
+
+
+@query(
+    "q262_countmin_audit",
+    oracle=_q262_oracle(),
+    category="mining",
+    doc="Count-Min sketch (4x256) materialized as a 1024-cell aggregate; top-20 words audited est-vs-exact",
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import spark_h31
+
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.expr("filter(split(text, ' '), x -> x <> '')").alias("ws"))
+        .select(F.explode("ws").alias("w"))
+    )
+    bucket_exprs = []
+    for i in range(_CM_D):
+        salted = "concat('cm" + str(i) + "-', w)"
+        bucket_exprs.append(F.expr(f"{spark_h31(salted)} % {_CM_W}"))
+    buckets = F.array(*bucket_exprs)
+    hashed = tok.select("w", F.posexplode(buckets).alias("i", "bucket"))
+    counters = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    exact = tok.groupBy("w").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "w").limit(20)
+    top_buckets = top.select("w", "exact_n", F.posexplode(buckets).alias("i", "bucket"))
+    return (
+        top_buckets.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "w",
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_n").desc(), "w")
+    )
