@@ -17,6 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECTIONS = {
+    "doc100b": ("/tmp/sfsynthdoc100", ["q262_countmin_audit"], 2),
+    "doc100c": ("/tmp/sfsynthdoc100", ["q263_substring_dedup"], 2),
     "ev100b": ("/tmp/evsynth100", ["q260_association_rules", "q261_mcnemar_paired"], 2),
     "doc100": (
         "/tmp/sfsynthdoc100",
