@@ -1463,3 +1463,87 @@ def test_q259_kmeans_brute_force(spark, tmp_path):
         assert got[cid]["id_checksum"] == ids
         assert got[cid]["inertia"] == float(inertia)
         assert got[cid]["centroid_coord_sum"] == sum(cents2[cid])
+
+
+def test_q260_association_rules_brute_force(spark, tmp_path):
+    """3 users, hand-computed baskets: u1={click,view}, u2={click,
+    purchase}, u3={click,view,purchase}."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for uid, types in ((1, ["click", "view"]), (2, ["click", "purchase"]),
+                       (3, ["click", "view", "purchase"])):
+        for ty in types:
+            rows.append((eid, dt.datetime(2024, 1, 1), uid, ty, 1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in QUERIES["q260_association_rules"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    r = out[("view", "purchase")]
+    # both={u3}=1, n_view=2, n_purchase=2, N=3
+    assert r["n_both"] == 1
+    assert r["support_micros"] == 1_000_000 * 1 // 3
+    assert r["confidence_micros"] == 1_000_000 * 1 // 2
+    assert r["lift_micros"] == 1_000_000 * 3 * 1 // 4
+    r2 = out[("click", "view")]
+    assert r2["n_both"] == 2 and r2["confidence_micros"] == 1_000_000 * 2 // 3
+
+
+def test_q261_mcnemar_brute_force(spark, tmp_path):
+    """Timeline [t0, t0+10h]: cut at +5h. u1 purchases both halves (a),
+    u2 only H1 (b), u3+u4 only H2 (c), u5 never (d). Continuity-
+    corrected chi2 = (|1-2|-1)^2/3 = 0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        (0, at(0), 1, "purchase", 1.0, "{}"),   # pins min_ts
+        (1, at(9), 1, "purchase", 1.0, "{}"),
+        (2, at(1), 2, "purchase", 1.0, "{}"),
+        (3, at(8), 2, "click", 1.0, "{}"),
+        (4, at(2), 3, "click", 1.0, "{}"),
+        (5, at(8), 3, "purchase", 1.0, "{}"),
+        (6, at(7), 4, "purchase", 1.0, "{}"),
+        (7, at(3), 5, "click", 1.0, "{}"),
+        (8, at(10), 5, "view", 1.0, "{}"),      # pins max_ts
+    ]
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q261_mcnemar_paired"].spark_fn(spark, str(tmp_path)).collect()
+    assert (out["a"], out["b"], out["c"], out["d"]) == (1, 1, 2, 1)
+    assert out["chi2_micros"] == 0  # (|1-2|-1)^2 / 3
+
+
+def test_q262_countmin_one_sided_error(spark, sf_dir):
+    """CM's guarantee is one-sided: est >= exact for every audited
+    word, and est == exact when no other word shares all 4 buckets."""
+    out = QUERIES["q262_countmin_audit"].spark_fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(r["overestimate"] >= 0 for r in out)
+    assert all(r["cm_est"] == r["exact_n"] + r["overestimate"] for r in out)
+
+
+def test_q263_substring_dedup_brute_force(spark, tmp_path):
+    """Two docs share one verbatim 25-token passage; a third is unique.
+    Expected duplicated-span counts computed by hand: a 25-token
+    shared block inside longer distinct docs yields exactly 6 shared
+    20-token spans per doc."""
+    shared = " ".join(f"s{i}" for i in range(25))
+    d1 = "a1 a2 a3 " + shared + " z1 z2"
+    d2 = "b1 b2 " + shared + " y1 y2 y3"
+    d3 = " ".join(f"u{i}" for i in range(30))
+    rows = [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2)),
+            (3, d3, "en", "s", len(d3))]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           QUERIES["q263_substring_dedup"].spark_fn(spark, str(tmp_path)).collect()}
+    # doc1: 30 tokens -> 11 spans; the 6 spans fully inside the shared
+    # block (offsets 4..9, 1-based) also occur in doc2
+    assert out[1]["n_spans"] == 11 and out[1]["n_dup_spans"] == 6
+    assert out[2]["n_spans"] == 11 and out[2]["n_dup_spans"] == 6
+    assert out[3]["n_spans"] == 11 and out[3]["n_dup_spans"] == 0
+    assert out[1]["dup_fraction_micros"] == 1_000_000 * 6 // 11
