@@ -1941,3 +1941,115 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "w")
     )
+
+
+# --------------------------------------------------------------------------
+# q265 — RAKE keyword extraction (Rose et al., "Automatic Keyword
+# Extraction from Individual Documents", 2010): the classic
+# unsupervised keyphrase miner. Documents split into candidate PHRASES
+# at stopword boundaries (gaps-and-islands over the word stream: a
+# phrase is a maximal run of non-stopwords); each word scores
+# deg(w)/freq(w) where freq counts phrase occurrences and deg sums the
+# lengths of the phrases it appears in (co-occurrence incl. self); a
+# phrase scores the sum of its words' scores. Word scores floor to
+# micros BEFORE the phrase sum (integer-sum convention), so the
+# ranking is bit-portable; top-20 under (score, phrase) — a total
+# order. Complements TF-IDF q95 (single terms, document-frequency
+# weighting) with multi-word phrases and degree weighting.
+#
+# 100 TB shape: one doc-keyed window exchange (the islands numbering),
+# one (doc, phrase-id) aggregate, one vocabulary-sized word-stat
+# aggregate joined back on the word key; top-k via
+# TakeOrderedAndProject. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_RAKE_STOP = ("a", "the", "of", "and", "to", "in", "is")
+
+
+def _q265_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    return f"""
+    WITH w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tagged AS (
+      SELECT doc_id, b.pos AS pos, b.word AS word
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)),
+                          i -> struct_pack(pos := i, word := w[i]))) AS b
+            FROM w3)
+    ),
+    ns AS (
+      SELECT doc_id, pos, word,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tagged WHERE word NOT IN ({stop})
+    ),
+    phr AS (
+      SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM ns GROUP BY doc_id, grp
+    ),
+    memb AS (
+      SELECT ns.doc_id, ns.grp, ns.word, p.plen
+      FROM ns JOIN phr p ON p.doc_id = ns.doc_id AND p.grp = ns.grp
+    ),
+    wstat AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM memb GROUP BY word
+    ),
+    occ AS (
+      SELECT m.doc_id, m.grp,
+             CAST(SUM(1000000 * s.deg // s.freq) AS BIGINT) AS score
+      FROM memb m JOIN wstat s ON s.word = m.word GROUP BY m.doc_id, m.grp
+    )
+    SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(o.score) AS BIGINT) AS score_micros
+    FROM phr p JOIN occ o ON o.doc_id = p.doc_id AND o.grp = p.grp
+    GROUP BY p.phrase
+    ORDER BY score_micros DESC, phrase LIMIT 20
+    """
+
+
+@query(
+    "q265_rake_keywords",
+    oracle=_q265_oracle(),
+    category="mining",
+    doc="RAKE keyphrases: stopword-boundary phrases, deg/freq word scores in micros, top-20 total order",
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    words = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    )
+    ns = words.filter(~F.col("word").isin(*_RAKE_STOP)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    phr = ns.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    memb = ns.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    wstat = memb.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    occ = (
+        memb.join(wstat, "word")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum(F.expr("1000000 * deg div freq")).alias("score"))
+    )
+    return (
+        phr.join(occ, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("score").alias("score_micros"),
+        )
+        .orderBy(F.col("score_micros").desc(), "phrase")
+        .limit(20)
+    )

@@ -898,3 +898,136 @@ def q252(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("seg_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q264 — exact autocorrelation function (Box-Jenkins ACF) of the daily
+# revenue series at lags 1..14: the identification tool for the
+# AR/seasonality structure the forecast family (q212 Holt trend, q213
+# day-of-week seasonality) assumes. The estimator
+# r_k = sum_{t<=n-k} (y_t - m)(y_{t+k} - m) / sum (y_t - m)^2 is
+# computed with NO per-row float: multiplying through by n^2 gives
+#   num_k = n^2 C_k - n S (A_k + B_k) + (n-k) S^2
+#   den   = n^2 SS - n S^2
+# where C_k = sum y_t y_{t+k}, A_k/B_k the overlap partial sums, S/SS
+# the series sum and sum of squares — ALL exact integers in
+# DECIMAL(38,0)/HUGEINT (n^2 C_k reaches ~1e32 at the 600M scale, the
+# q239 overflow pattern), cast once to DOUBLE for the single division,
+# floored to micros. Lags are ROW lags on the day-ordered series
+# (robust to calendar gaps); the lag join is an EQUI-join — the lag
+# offsets explode map-side (k=1..14) so no range/BNLJ join exists.
+#
+# 100 TB shape: one day-keyed corpus aggregate; everything after runs
+# on the ~n_days frame (14 equi-joined copies, dimension-sized).
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 14
+
+
+def _q264_oracle() -> str:
+    return f"""
+    WITH series AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pos AS (SELECT y, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS p
+            FROM series),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss
+      FROM pos
+    ),
+    lagged AS (
+      SELECT gs.k, a.y AS ya, b.y AS yb
+      FROM pos a
+      CROSS JOIN generate_series(1, {_ACF_MAX_LAG}) AS gs(k)
+      JOIN pos b ON b.p = a.p + gs.k
+    ),
+    agg AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(ya AS HUGEINT) * yb) AS HUGEINT) AS c_k,
+             CAST(SUM(ya) AS BIGINT) AS a_k,
+             CAST(SUM(yb) AS BIGINT) AS b_k
+      FROM lagged GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+           CAST(floor(1000000.0 * (
+             CAST(CAST(n AS HUGEINT) * n * c_k
+                  - CAST(n AS HUGEINT) * s * (a_k + b_k)
+                  + CAST(n - k AS HUGEINT) * s * s AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n * ss
+                    - CAST(n AS HUGEINT) * s * s AS DOUBLE)
+           )) AS BIGINT) AS acf_micros
+    FROM agg CROSS JOIN stats
+    ORDER BY lag
+    """
+
+
+@query(
+    "q264_autocorrelation",
+    oracle=_q264_oracle(),
+    category="signals",
+    doc="Box-Jenkins ACF at lags 1..14 over daily revenue: exact decimal integer algebra, one double division",
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    series = (
+        t(spark, sf, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    pos = series.select(
+        "y", F.row_number().over(Window.orderBy("x")).cast("long").alias("p")
+    ).persist()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = pos.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("ss"),
+    )
+    a = pos.select(
+        F.explode(F.expr(f"sequence(CAST(1 AS BIGINT), CAST({_ACF_MAX_LAG} AS BIGINT))")).alias("k"),
+        F.col("y").alias("ya"),
+        F.col("p").alias("pa"),
+    ).withColumn("pk", F.col("pa") + F.col("k"))
+    b = pos.select(F.col("p").alias("pk"), F.col("y").alias("yb"))
+    agg = (
+        a.join(b, "pk")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(dec(F.col("ya")) * F.col("yb")).alias("c_k"),
+            F.sum("ya").alias("a_k"),
+            F.sum("yb").alias("b_k"),
+        )
+    )
+    num = (
+        dec(F.col("n")) * F.col("n") * F.col("c_k")
+        - dec(F.col("n")) * F.col("s") * (F.col("a_k") + F.col("b_k"))
+        + dec(F.col("n") - F.col("k")) * F.col("s") * F.col("s")
+    )
+    den = dec(F.col("n")) * F.col("n") * F.col("ss") - dec(F.col("n")) * F.col(
+        "s"
+    ) * F.col("s")
+    return (
+        agg.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("k").alias("lag"),
+            "n_pairs",
+            F.floor(F.lit(1000000.0) * (num.cast("double") / den.cast("double")))
+            .cast("long")
+            .alias("acf_micros"),
+        )
+        .orderBy("lag")
+    )
