@@ -1547,3 +1547,53 @@ def test_q263_substring_dedup_brute_force(spark, tmp_path):
     assert out[2]["n_spans"] == 11 and out[2]["n_dup_spans"] == 6
     assert out[3]["n_spans"] == 11 and out[3]["n_dup_spans"] == 0
     assert out[1]["dup_fraction_micros"] == 1_000_000 * 6 // 11
+
+
+def test_q264_acf_brute_force(spark, tmp_path):
+    """Tiny orders series with known daily sums; ACF recomputed from
+    the textbook mean-centered estimator in Python floats."""
+    import datetime as dt
+
+    daily = [100.0, 200.0, 150.0, 300.0, 250.0, 180.0, 220.0]
+    rows = []
+    for i, v in enumerate(daily):
+        rows.append((i, 1, "O", v, dt.date(2024, 1, 1) + dt.timedelta(days=i)))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["lag"]: r
+        for r in QUERIES["q264_autocorrelation"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    y = [math.floor(v * 100) for v in daily]
+    n = len(y)
+    m = sum(y) / n
+    den = sum((v - m) ** 2 for v in y)
+    for k in range(1, 7):  # lags up to n-1 produce pairs
+        num = sum((y[t] - m) * (y[t + k] - m) for t in range(n - k))
+        assert out[k]["n_pairs"] == n - k
+        # integer algebra equals the float formula up to the micro floor
+        assert abs(out[k]["acf_micros"] - math.floor(1_000_000 * num / den)) <= 1
+    assert set(out) == set(range(1, 7))  # lags beyond n-1 have no pairs
+
+
+def test_q265_rake_brute_force(spark, tmp_path):
+    """Hand corpus: 'deep neural nets' twice, 'neural nets' once, with
+    stopword boundaries. deg/freq scores recomputed by hand."""
+    d1 = "deep neural nets the deep neural nets"
+    d2 = "a neural nets of fast code"
+    rows = [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2))]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["phrase"]: r for r in
+           QUERIES["q265_rake_keywords"].spark_fn(spark, str(tmp_path)).collect()}
+    # phrases: 'deep neural nets' x2, 'neural nets' x1, 'fast code' x1
+    assert out["deep neural nets"]["n_occurrences"] == 2
+    assert out["neural nets"]["n_occurrences"] == 1
+    assert out["fast code"]["n_occurrences"] == 1
+    # freq/deg: deep f2 d6; neural f3 d8; nets f3 d8; fast f1 d2; code f1 d2
+    s = lambda deg, fr: 1_000_000 * deg // fr  # noqa: E731
+    assert out["deep neural nets"]["score_micros"] == s(6, 2) + s(8, 3) + s(8, 3)
+    assert out["neural nets"]["score_micros"] == s(8, 3) + s(8, 3)
+    assert out["fast code"]["score_micros"] == s(2, 1) + s(2, 1)
