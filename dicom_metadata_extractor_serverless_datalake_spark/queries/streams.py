@@ -2149,3 +2149,97 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
     return m.select(
         "event_type", "n_gaps", "mean_gap_us", "sd_gap_us", b.alias("burstiness")
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q266 — STREAMING Count-Min sketch: q262's 4x256 sketch maintained as
+# a live streaming aggregate while documents arrive — the canonical
+# "sketch the stream, audit against batch truth" shape (CM was DESIGNED
+# as a streaming summary; this is its native habitat). The sketch IS a
+# streaming groupBy(i, bucket) count over the hashed token stream —
+# 1024 cells of state regardless of stream length; every micro-batch
+# re-emits the cells it touched with their CURRENT totals (update
+# mode), and because counters are MONOTONE the drained sink's
+# max-per-cell equals the final state without any version bookkeeping.
+# The audit joins the drained sketch against the exact batch top-20 —
+# identical arithmetic to q262, so q262's oracle is the oracle
+# VERBATIM: the drained stream sketch must equal the batch sketch
+# cell-for-cell.
+#
+# 100 TB shape: the stateful exchange carries (i, bucket) pairs only
+# (16 bytes/row after map-side partial aggregation); state is d*w
+# longs forever. The audit is a 20-word broadcast join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q266_stream_countmin",
+    oracle=None,  # set below to q262's oracle verbatim
+    category="streaming",
+    doc="q262's Count-Min sketch as a live streaming aggregate; drained cells == batch sketch, q262 oracle verbatim",
+)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from .mining import _CM_D, _CM_W
+
+    from .llm import spark_h31
+
+    src = _docs_stream_src(sf, splits=3)
+    try:
+        docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        tok = docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+        )
+        bucket_exprs = []
+        for i in range(_CM_D):
+            salted = "concat('cm" + str(i) + "-', w)"
+            bucket_exprs.append(F.expr(f"{spark_h31(salted)} % {_CM_W}"))
+        hashed = tok.select(F.posexplode(F.array(*bucket_exprs)).alias("i", "bucket"))
+        counters = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+        name, n_batches = _run_to_memory(counters, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # counters are monotone: the latest emission per cell is its max
+    sketch = (
+        spark.table(name).groupBy("i", "bucket").agg(F.max("c").alias("c"))
+    )
+    # batch-exact top-20 audit (q262's tail, verbatim arithmetic)
+    from .base import t
+
+    tok_b = (
+        t(spark, sf, "documents")
+        .select(F.expr("filter(split(text, ' '), x -> x <> '')").alias("ws"))
+        .select(F.explode("ws").alias("w"))
+    )
+    bucket_exprs_b = []
+    for i in range(_CM_D):
+        salted = "concat('cm" + str(i) + "-', w)"
+        bucket_exprs_b.append(F.expr(f"{spark_h31(salted)} % {_CM_W}"))
+    exact = tok_b.groupBy("w").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "w").limit(20)
+    top_buckets = top.select(
+        "w", "exact_n", F.posexplode(F.array(*bucket_exprs_b)).alias("i", "bucket")
+    )
+    return (
+        top_buckets.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "w",
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_n").desc(), "w")
+    )
+
+
+def _set_q266_oracle() -> None:
+    from .base import QUERIES
+    from .mining import _q262_oracle
+
+    QUERIES["q266_stream_countmin"].oracle = _q262_oracle()
+
+
+_set_q266_oracle()

@@ -42,6 +42,7 @@ STREAMING_EXECUTED = {
     "q230_stream_completeness",
     "q231_stream_ab_monitor",
     "q241_stream_burstiness",
+    "q266_stream_countmin",
 }
 
 
