@@ -1026,17 +1026,12 @@ def q260(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q261(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events")
+    # integer `div`, not float /2: exact at any epoch (a double round
+    # trip is exact only while the micros sum stays under 2^53)
     bounds = ev.agg(
-        (
-            (
-                F.unix_micros(F.min("ts").cast("timestamp"))
-                + F.unix_micros(F.max("ts").cast("timestamp"))
-            )
-            / F.lit(2)
-        )
-        .cast("long")
-        .alias("cut_us")
-    )
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("_mn"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("_mx"),
+    ).select(F.expr("(_mn + _mx) div 2").alias("cut_us"))
     pu = (
         ev.crossJoin(F.broadcast(bounds))
         .groupBy("user_id")
