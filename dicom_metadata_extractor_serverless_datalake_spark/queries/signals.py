@@ -1031,3 +1031,92 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# q267 — classical additive seasonal decomposition (the moving-average
+# method, Kendall & Stuart): daily revenue = trend + weekly seasonal +
+# remainder. Trend is the centered 7-day moving average (full windows
+# only); the seasonal component is the day-of-week mean of the
+# detrended series. Completes the series toolkit: q212 models trend,
+# q213 tests day-of-week effects, q264 identifies lags — this one
+# EXTRACTS the components. Exactness: the detrended value y_t -
+# sum7_t/7 is carried as the INTEGER numerator 7*y_t - sum7_t; the
+# per-dow mean divides once in DOUBLE and floors to micros (floor, not
+# integer div: the numerator is signed and truncation is not floor).
+# Day-of-week is day-index % 7 — pure arithmetic, no engine calendar.
+#
+# 100 TB shape: one day-keyed corpus aggregate; the moving-average
+# window and the 7-row dow rollup run on the ~n_days frame.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q267_seasonal_decompose",
+    oracle="""
+    WITH series AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT x, y,
+             CAST(SUM(y) OVER (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS w7
+      FROM series
+    ),
+    det AS (
+      SELECT x % 7 AS dow, 7 * y - sum7 AS num7
+      FROM win WHERE w7 = 7
+    )
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(floor(1000000.0 * (CAST(SUM(num7) AS DOUBLE)
+                / (7.0 * CAST(COUNT(*) AS DOUBLE)))) AS BIGINT)
+             AS seasonal_micros
+    FROM det GROUP BY dow ORDER BY dow
+    """,
+    category="signals",
+    doc="additive decomposition: centered-7 moving-average trend, day-of-week seasonal in exact-numerator micros",
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    series = (
+        t(spark, sf, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("x"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.orderBy("x").rowsBetween(-3, 3)
+    win = series.select(
+        "x", "y", F.sum("y").over(w).alias("sum7"), F.count("*").over(w).alias("w7")
+    )
+    det = win.filter(F.col("w7") == 7).select(
+        (F.col("x") % 7).alias("dow"),
+        (F.lit(7) * F.col("y") - F.col("sum7")).alias("num7"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.sum("num7").cast("double")
+                    / (F.lit(7.0) * F.count("*").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("seasonal_micros"),
+        )
+        .orderBy("dow")
+    )

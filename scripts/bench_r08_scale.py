@@ -21,6 +21,7 @@ SECTIONS = {
     "doc100c": ("/tmp/sfsynthdoc100", ["q263_substring_dedup"], 2),
     "str8": ("/tmp/sfsynthdoc100", ["q266_stream_countmin"], 1),
     "mix8": ("/tmp/sfsynthdoc100", ["q265_rake_keywords"], 2),
+    "rel8b": ("/tmp/sfsynth10", ["q267_seasonal_decompose"], 2),
     "rel8": ("/tmp/sfsynth10", ["q264_autocorrelation"], 2),
     "ev100b": ("/tmp/evsynth100", ["q260_association_rules", "q261_mcnemar_paired"], 2),
     "doc100": (

@@ -1597,3 +1597,35 @@ def test_q265_rake_brute_force(spark, tmp_path):
     assert out["deep neural nets"]["score_micros"] == s(6, 2) + s(8, 3) + s(8, 3)
     assert out["neural nets"]["score_micros"] == s(8, 3) + s(8, 3)
     assert out["fast code"]["score_micros"] == s(2, 1) + s(2, 1)
+
+
+def test_q267_seasonal_brute_force(spark, tmp_path):
+    """21-day synthetic series with a planted weekly pattern; the
+    decomposition recomputed from the textbook moving-average method."""
+    import datetime as dt
+
+    season = [50.0, -20.0, 0.0, 10.0, -30.0, 40.0, -50.0]
+    rows = []
+    for i in range(21):
+        v = 1000.0 + 5.0 * i + season[i % 7]
+        rows.append((i, 1, "O", v, dt.date(2024, 1, 1) + dt.timedelta(days=i)))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["dow"]: r for r in
+           QUERIES["q267_seasonal_decompose"].spark_fn(spark, str(tmp_path)).collect()}
+    y = [math.floor((1000.0 + 5.0 * i + season[i % 7]) * 100) for i in range(21)]
+    x0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    exp = {}
+    for t_ in range(3, 18):  # full 7-day windows only
+        dow = (x0 + t_) % 7
+        num7 = 7 * y[t_] - sum(y[t_ - 3 : t_ + 4])
+        exp.setdefault(dow, []).append(num7)
+    assert set(out) == set(exp)
+    for dow, nums in exp.items():
+        assert out[dow]["n_days"] == len(nums)
+        assert out[dow]["seasonal_micros"] == math.floor(
+            1_000_000 * sum(nums) / (7 * len(nums))
+        )
