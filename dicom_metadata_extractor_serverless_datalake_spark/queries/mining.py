@@ -2053,3 +2053,127 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("score_micros").desc(), "phrase")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q268 — Kruskal-Wallis H (Kruskal & Wallis, JASA 1952): the k-sample
+# generalization of q258 — do the FIVE event types' value
+# distributions differ anywhere? Rank machinery is q258's 2x-integer
+# space (2R_j = sum over values of m_jv * (2 cum_v + m_v + 1), exact
+# BIGINTs); H = 12/(n(n+1)) * sum_j R_j^2/n_j - 3(n+1), tie-corrected
+# by 1 - sum(t^3 - t)/(n^3 - n). The five R_j^2/n_j terms are summed
+# in ONE FIXED WRITTEN ORDER (per-type conditional aggregates pivoted
+# into named columns, never a float SUM over group rows — a 5-row
+# float aggregate would be reduction-order-unstable), so the double
+# tree is bit-portable. chi-square(4) critical value 9.487729036781154
+# precomputed as a Python literal (no engine-side quantile function).
+#
+# 100 TB shape: one (value)-keyed aggregate with 5 conditional counts,
+# one running-sum window over the distinct-value frame, one scalar row.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_KW_TYPES = ("click", "error", "purchase", "signup", "view")
+_KW_CRIT_MICROS = 9_487_729  # floor(1e6 * chi2(4).ppf(0.95)), Python literal
+
+
+def _kw_h_sql(prefix: str = "") -> str:
+    """The H and tie-corrected H' tree over columns n, tie_term,
+    n_<t>, r2_<t> — identical text in Spark SQL and DuckDB."""
+    terms = " + ".join(
+        f"(CAST(r2_{t} AS DOUBLE) / 2.0) * (CAST(r2_{t} AS DOUBLE) / 2.0)"
+        f" / CAST(n_{t} AS DOUBLE)" for t in _KW_TYPES
+    )
+    h = (
+        f"(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))) * ({terms})"
+        f" - 3.0 * CAST(n + 1 AS DOUBLE)"
+    )
+    corr = (
+        f"(1.0 - CAST(tie_term AS DOUBLE)"
+        f" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" - CAST(n AS DOUBLE)))"
+    )
+    return f"floor(1000000.0 * (({h}) / {corr}))"
+
+
+def _q268_oracle() -> str:
+    conds = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS m_{t}" for t in _KW_TYPES
+    )
+    aggs = ",\n             ".join(
+        f"CAST(SUM(m_{t}) AS BIGINT) AS n_{t},\n             "
+        f"CAST(SUM(m_{t} * (2 * cum + m + 1)) AS BIGINT) AS r2_{t}"
+        for t in _KW_TYPES
+    )
+    return f"""
+    WITH g AS (
+      SELECT value AS v, CAST(count(*) AS BIGINT) AS m,
+             {conds}
+      FROM events GROUP BY value
+    ),
+    c AS (
+      SELECT g.*,
+             CAST(COALESCE(SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(m * m * m - m) AS BIGINT) AS tie_term,
+             {aggs}
+      FROM c
+    )
+    SELECT n, tie_term, {", ".join(f"n_{t}" for t in _KW_TYPES)},
+           CAST({_kw_h_sql()} AS BIGINT) AS h_micros,
+           CAST({_kw_h_sql()} AS BIGINT) >= {_KW_CRIT_MICROS} AS reject_at_05
+    FROM tot
+    """
+
+
+@query(
+    "q268_kruskal_wallis",
+    oracle=_q268_oracle(),
+    category="mining",
+    doc="tie-corrected Kruskal-Wallis H across the five event types; fixed-order 5-term double tree",
+)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        t(spark, sf, "events")
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.count("*").alias("m"),
+            *[
+                F.sum((F.col("event_type") == ty).cast("bigint")).alias(f"m_{ty}")
+                for ty in _KW_TYPES
+            ],
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "*", F.coalesce(F.sum("m").over(w), F.lit(0)).alias("cum")
+    )
+    tot = c.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m")).alias("tie_term"),
+        *[
+            a
+            for ty in _KW_TYPES
+            for a in (
+                F.sum(F.col(f"m_{ty}")).alias(f"n_{ty}"),
+                F.sum(
+                    F.col(f"m_{ty}")
+                    * (F.lit(2) * F.col("cum") + F.col("m") + 1)
+                ).alias(f"r2_{ty}"),
+            )
+        ],
+    )
+    h = F.expr(_kw_h_sql()).cast("long")
+    return tot.select(
+        "n",
+        "tie_term",
+        *[F.col(f"n_{ty}") for ty in _KW_TYPES],
+        h.alias("h_micros"),
+        (h >= F.lit(_KW_CRIT_MICROS)).alias("reject_at_05"),
+    )

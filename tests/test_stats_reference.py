@@ -1629,3 +1629,45 @@ def test_q267_seasonal_brute_force(spark, tmp_path):
         assert out[dow]["seasonal_micros"] == math.floor(
             1_000_000 * sum(nums) / (7 * len(nums))
         )
+
+
+def test_q268_kruskal_wallis_brute_force(spark, tmp_path):
+    """All five types with heavy cross-group ties; H recomputed via
+    scipy-free textbook ranks in Python floats."""
+    import datetime as dt
+
+    groups = {
+        "click": [1.0, 2.0, 2.0],
+        "error": [2.0, 3.0],
+        "purchase": [3.0, 3.0, 5.0],
+        "signup": [1.0, 4.0],
+        "view": [5.0, 6.0],
+    }
+    rows, eid = [], 0
+    for ty, vals in groups.items():
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 1, 1), eid, ty, v, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q268_kruskal_wallis"].spark_fn(spark, str(tmp_path)).collect()
+
+    pooled = sorted((v, ty) for ty, vals in groups.items() for v in vals)
+    ranks, i = {}, 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        for k in range(i, j):
+            ranks.setdefault(pooled[i][0], (i + 1 + j) / 2)
+        i = j
+    n = len(pooled)
+    from collections import Counter
+
+    tie = sum(m**3 - m for m in Counter(v for v, _ in pooled).values())
+    assert out["n"] == n and out["tie_term"] == tie
+    h = (12.0 / (n * (n + 1))) * sum(
+        sum(ranks[v] for v in vals) ** 2 / len(vals) for vals in groups.values()
+    ) - 3.0 * (n + 1)
+    hc = h / (1.0 - tie / (n**3 - n))
+    assert abs(out["h_micros"] - math.floor(1_000_000 * hc)) <= 1
+    for ty, vals in groups.items():
+        assert out[f"n_{ty}"] == len(vals)
