@@ -608,3 +608,93 @@ def test_stateful_crash_recovery_from_checkpoint(spark, sf_dir, tmp_path_factory
     assert latest.count() == expected.count()
     assert latest.exceptAll(expected).count() == 0
     assert expected.exceptAll(latest).count() == 0
+
+
+def test_streaming_agg_recovery_from_checkpoint(spark, sf_dir, tmp_path_factory):
+    """q266's Count-Min cells are a built-in streaming aggregate whose
+    state lives in the checkpoint's state store. Kill the drain after
+    the first micro-batch, restart a NEW query from the checkpoint:
+    counters must CONTINUE from restored state (monotone max-per-cell
+    over both runs == the batch sketch), not restart from zero."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import spark_h31
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.mining import _CM_D, _CM_W
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.streams import _docs_stream_src
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream
+
+    base = tmp_path_factory.mktemp("agg_recovery")
+    src, ckpt, out = base / "src", base / "ckpt", base / "out"
+    os.makedirs(src)
+    staged = _docs_stream_src(sf_dir, splits=3)
+    files = sorted(os.listdir(staged))
+
+    def bucket_exprs():
+        return [
+            F.expr(f"{spark_h31('concat(' + repr('cm' + str(i) + '-') + ', w)')} % {_CM_W}")
+            for i in range(_CM_D)
+        ]
+
+    def run_from_checkpoint():
+        docs = load_stream(spark, str(src), "documents", max_files_per_trigger=1)
+        tok = docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+        )
+        counters = (
+            tok.select(F.posexplode(F.array(*bucket_exprs())).alias("i", "bucket"))
+            .groupBy("i", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+        q = (
+            counters.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _b: df.write.mode("append").parquet(str(out)))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    shutil.move(os.path.join(staged, files[0]), src / files[0])
+    run_from_checkpoint()
+    # MATERIALIZE run 1's cells before run 2 appends to the same dir —
+    # a lazy frame would silently re-read the post-restart files
+    run1 = {
+        (r["i"], r["bucket"]): r["c1"]
+        for r in spark.read.parquet(str(out))
+        .groupBy("i", "bucket")
+        .agg(F.max("c").alias("c1"))
+        .collect()
+    }
+    assert run1
+    for f in files[1:]:
+        shutil.move(os.path.join(staged, f), src / f)
+    shutil.rmtree(staged, ignore_errors=True)
+    run_from_checkpoint()
+
+    drained = (
+        spark.read.parquet(str(out)).groupBy("i", "bucket").agg(F.max("c").alias("c"))
+    )
+    # batch truth over the full table
+    docs_b = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok_b = docs_b.select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+    )
+    batch = (
+        tok_b.select(F.posexplode(F.array(*bucket_exprs())).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    diff = (
+        drained.join(batch.withColumnRenamed("c", "cb"), ["i", "bucket"], "full_outer")
+        .filter(
+            F.col("c").isNull() | F.col("cb").isNull() | (F.col("c") != F.col("cb"))
+        )
+        .count()
+    )
+    assert diff == 0, "drained counters diverge from batch after restart"
+    # state genuinely carried: some cell's post-restart count exceeds run 1's
+    final = {(r["i"], r["bucket"]): r["c"] for r in drained.collect()}
+    grew = sum(1 for k, c in final.items() if k in run1 and c > run1[k])
+    assert grew > 0, "no counter grew across the restart (state reset?)"
