@@ -1864,6 +1864,15 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
 # count, and the duplicated fraction in floored micros — the per-doc
 # readout a pipeline thresholds on before span-level excision.
 #
+# Position vs q194 / TextCorpus.dup_span_coverage: q194 measures TOKEN
+# coverage (exact interval union of positions inside 5-grams shared by
+# >= 2 DISTINCT docs — "how much of this doc is duplicated text");
+# q263 measures SPAN-INSTANCE multiplicity at the Lee-et-al k=20
+# excision operating point, counting within-doc repeats too ("how many
+# excisable spans does this doc carry"). A doc full of internal
+# boilerplate repeats scores high here and zero on q194's distinct-doc
+# criterion; the two thresholds gate different pipeline stages.
+#
 # 100 TB shape: one token scan -> span explode (linear, ~n_tokens rows
 # per doc), one fingerprint-keyed count aggregate and one fingerprint
 # equi-join back — every shuffle carries (digest, id) pairs only,
