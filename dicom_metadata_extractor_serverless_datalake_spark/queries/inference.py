@@ -797,10 +797,16 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q259 — deterministic k-means over embeddings (Lloyd's algorithm,
-# k=4, 2 unrolled iterations): the semantic-clustering primitive
-# behind semantic dedup, topic bucketing, and DSIR-style domain
-# assignment. Float k-means is NOT cross-engine reproducible (row
+# q259 — deterministic k-means over EMBEDDING VECTORS (Lloyd, k=4,
+# 2 unrolled iterations): the semantic-clustering primitive behind
+# semantic dedup, topic bucketing, and DSIR-style domain assignment.
+# Positioned against q160/operators.kmeans: q160 runs the full
+# to-fixpoint loop over two scalar integer features and certifies it
+# with PROPERTY booleans (fixpoint/mass/non-empty — the strongest
+# check for an unbounded-round loop); this query fixes the round count
+# so the whole algorithm is SQL-expressible and the oracle REPLAYS
+# both Lloyd rounds cell-for-cell over the 64-dim array column — the
+# value-level verification the fixpoint form cannot have. Float k-means is NOT cross-engine reproducible (row
 # order changes every float centroid sum), so the whole algorithm
 # runs on an integer grid: coordinates quantize to micros ONCE, every
 # distance is an exact BIGINT sum of squares, centroid updates are

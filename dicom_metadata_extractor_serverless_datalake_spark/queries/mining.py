@@ -1646,8 +1646,14 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
 # table against the corpus bigram stream (a=O11, b=R1-O11, c=C1-O11,
 # d=N-R1-C1+O11) and the chi-square statistic
 # N * (ad - bc)^2 / (R1 * C1 * (N-R1) * (N-C1)). PMI needs a log;
-# chi-square ranks the same collocations with PURE RATIONAL arithmetic
-# — the cross-engine-determinism rule (no engine-side transcendentals).
+# chi-square ranks collocations with PURE RATIONAL arithmetic — the
+# cross-engine-determinism rule (no engine-side transcendentals).
+# Distinct from q125 (lift): lift measures association STRENGTH and
+# over-ranks rare pairs (two hapaxes that co-occur once lift to the
+# top); chi-square weighs the association by the EVIDENCE behind it
+# (the d cell and N enter), the standard significance-vs-strength
+# split in collocation mining — the two rankings disagree exactly on
+# the rare tail.
 # Numerator reaches ~1e31 at sf0.01 scales, so the integer products run
 # in DECIMAL(38,0) / HUGEINT (the q239 overflow pattern), cast once to
 # DOUBLE for the single division, floored to micros. Top-100 by
@@ -1841,11 +1847,16 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q262 — Count-Min sketch audit (Cormode & Muthukrishnan, J.Alg 2005):
-# the mergeable point-query sketch next to the corpus's KLL (q107),
-# theta (q108) and Misra-Gries (q122) family — CM answers "how often
-# did THIS item occur" with a one-sided (overestimate-only) error,
-# and unlike MG it never drops an item. d=4 rows x w=256 counters,
+# q262 — Count-Min sketch audit (Cormode & Muthukrishnan, J.Alg 2005),
+# the ORACLE-REPLAYED form. q132 already certifies operators/countmin
+# (xxhash64 rows) with PROPERTY booleans (est >= exact, Markov bound) —
+# the strongest check available there because DuckDB has no xxhash64.
+# This variant builds the sketch from the portable md5 h31, so the
+# oracle recomputes EVERY CELL and the driver hash-compares the
+# estimates value-for-value, not just their properties — and it is the
+# batch twin q266 replays as a live streaming aggregate. CM answers
+# "how often did THIS item occur" with a one-sided (overestimate-only)
+# error, and unlike MG (q122) it never drops an item. d=4 rows x w=256 counters,
 # row hashes h31('cm{i}-' || word); the query materializes the sketch
 # AS the 1024-cell aggregate it is at any corpus size, then audits it:
 # for the exact top-20 words, the CM estimate (min over the 4 row
