@@ -2448,3 +2448,82 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_j2").alias("sum_j2"),
         F.when(den > 0, num / den).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# q269 — HITS hubs & authorities (Kleinberg, JACM 1999) over the
+# customer->supplier purchase graph: the second classic link-analysis
+# algorithm beside PageRank (q121 certifies that one with invariant
+# booleans). Two unrolled mutual-reinforcement rounds from h0 = 1:
+# a1(s) = indegree, h1(c) = sum of a1 over c's suppliers, a2(s) = sum
+# of h1 over s's customers — every score an exact BIGINT (no
+# normalization inside the loop; HITS rankings are scale-invariant, so
+# the integer trajectory ranks identically to the normalized one and
+# is bit-portable with zero float). The fixed round count makes the
+# whole computation SQL-expressible, so the oracle replays both rounds
+# value-for-value — the q259/q262 oracle-replay pattern. Top-10 hubs
+# and top-10 authorities under total orders.
+#
+# 100 TB shape: one orders |x| lineitem equi-join -> distinct edge set,
+# then each round is one edge-keyed join + one count/sum aggregate —
+# the same two-shuffle round PageRank pays; scores ride the edge key.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q269_hits_bipartite",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (SELECT s, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY s),
+    h1 AS (
+      SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+      FROM edges e JOIN a1 ON a1.s = e.s GROUP BY e.c
+    ),
+    a2 AS (
+      SELECT e.s, CAST(SUM(h1.h) AS BIGINT) AS a
+      FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.s
+    ),
+    hubs AS (
+      SELECT 'hub' AS side, c AS node_id, h AS score
+      FROM h1 ORDER BY h DESC, c LIMIT 10
+    ),
+    auths AS (
+      SELECT 'authority' AS side, s AS node_id, a AS score
+      FROM a2 ORDER BY a DESC, s LIMIT 10
+    )
+    SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+    ORDER BY side, score DESC, node_id
+    """,
+    category="events",
+    doc="Kleinberg HITS, 2 exact-integer rounds over the customer-supplier graph; oracle replays both rounds",
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    l = t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    edges = o.join(l, "ok").select("c", "s").distinct().persist()
+    a1 = edges.groupBy("s").agg(F.count("*").alias("a"))
+    h1 = edges.join(a1, "s").groupBy("c").agg(F.sum("a").alias("h"))
+    a2 = edges.join(h1, "c").groupBy("s").agg(F.sum("h").alias("a"))
+    hubs = (
+        h1.orderBy(F.col("h").desc(), "c")
+        .limit(10)
+        .select(F.lit("hub").alias("side"), F.col("c").alias("node_id"), F.col("h").alias("score"))
+    )
+    auths = (
+        a2.orderBy(F.col("a").desc(), "s")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("s").alias("node_id"),
+            F.col("a").alias("score"),
+        )
+    )
+    return hubs.unionByName(auths).orderBy("side", F.col("score").desc(), "node_id")

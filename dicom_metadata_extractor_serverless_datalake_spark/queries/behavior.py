@@ -1075,3 +1075,123 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long"),
         ).alias("chi2_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# q270 — Cochran-Armitage trend test (Cochran 1954, Armitage 1955):
+# does purchase propensity rise MONOTONICALLY with engagement? The
+# 2xK test the pairwise machinery (q158 two-sample, q268 k-sample
+# omnibus) cannot express: it weighs the K ordered exposure levels
+# (click-count buckets 0 / 1 / 2 / 3+) with scores s_i = 0..3 and
+# tests the linear component. Exposure buckets are click-count div 5
+# capped at 3 (0-4 / 5-9 / 10-14 / 15+ clicks — matched to the event
+# log's per-user density); the response is a high-value purchase
+# (value > 150). A degenerate table (R = 0, R = N, or zero score
+# variance) yields NULL, mirrored in both engines, instead of a
+# divide-by-zero. z^2 = N (N T1 - R T2)^2 /
+# (R (N-R) (N T3 - T2^2)) with T1 = sum s_i r_i, T2 = sum s_i n_i,
+# T3 = sum s_i^2 n_i — every term an exact BIGINT from one per-user
+# aggregate + a 4-row rollup (the squared numerator rides
+# DECIMAL(38,0)/HUGEINT: (N T1 - R T2)^2 passes 2^63 at ~10M users);
+# one double division floors to micros. The trend direction is the
+# SIGN of N T1 - R T2 — exact, no float.
+#
+# 100 TB shape: one per-user 2-column aggregate, a 4-row grid, a
+# 1-row readout. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q270_cochran_armitage",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             LEAST(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) // 5, 3) AS s,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    lv AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n_i, CAST(SUM(conv) AS BIGINT) AS r_i
+      FROM per_user GROUP BY s
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(SUM(s * r_i) AS BIGINT) AS t1,
+             CAST(SUM(s * n_i) AS BIGINT) AS t2,
+             CAST(SUM(s * s * n_i) AS BIGINT) AS t3
+      FROM lv
+    )
+    SELECT n, r, t1, t2, t3,
+           CASE WHEN CAST(n AS HUGEINT) * t1 - CAST(r AS HUGEINT) * t2 > 0 THEN 1
+                WHEN CAST(n AS HUGEINT) * t1 - CAST(r AS HUGEINT) * t2 < 0 THEN -1
+                ELSE 0 END AS trend_sign,
+           CASE WHEN CAST(r AS HUGEINT) * (n - r)
+                     * (CAST(n AS HUGEINT) * t3 - CAST(t2 AS HUGEINT) * t2) > 0
+           THEN CAST(floor(1000000.0 * (
+             CAST(CAST(n AS HUGEINT)
+                  * (CAST(n AS HUGEINT) * t1 - CAST(r AS HUGEINT) * t2)
+                  * (CAST(n AS HUGEINT) * t1 - CAST(r AS HUGEINT) * t2) AS DOUBLE)
+             / CAST(CAST(r AS HUGEINT) * (n - r)
+                    * (CAST(n AS HUGEINT) * t3 - CAST(t2 AS HUGEINT) * t2)
+                    AS DOUBLE)
+           )) AS BIGINT) END AS z2_micros
+    FROM tot
+    """,
+    category="behavior",
+    doc="Cochran-Armitage linear trend of purchase rate over click-count buckets; exact integers, one division",
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    pu = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                F.expr(
+                    "SUM(CAST(event_type = 'click' AS BIGINT)) div 5"
+                ),
+                F.lit(3),
+            ).alias("s"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150)
+                ).cast("bigint")
+            ).alias("conv"),
+        )
+    )
+    lv = pu.groupBy("s").agg(
+        F.count("*").alias("n_i"), F.sum("conv").alias("r_i")
+    )
+    tot = lv.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).alias("t1"),
+        F.sum(F.col("s") * F.col("n_i")).alias("t2"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).alias("t3"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = dec(F.col("n")) * F.col("t1") - dec(F.col("r")) * F.col("t2")
+    num = dec(F.col("n")) * diff * diff
+    den = (
+        dec(F.col("r"))
+        * (F.col("n") - F.col("r"))
+        * (dec(F.col("n")) * F.col("t3") - dec(F.col("t2")) * F.col("t2"))
+    )
+    return tot.select(
+        "n",
+        "r",
+        "t1",
+        "t2",
+        "t3",
+        F.when(diff > 0, F.lit(1)).when(diff < 0, F.lit(-1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("trend_sign"),
+        F.when(
+            den > 0,
+            F.floor(
+                F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
+            ).cast("long"),
+        ).alias("z2_micros"),
+    )

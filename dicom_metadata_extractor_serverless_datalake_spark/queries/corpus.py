@@ -39,9 +39,9 @@ from . import selection  # noqa: F401,E402
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
 # registered query has a green driver row (cumulative 252/252 as of
-# CORRECTNESS_r07), so the window is a staleness rotation: the 16
+# CORRECTNESS_r07), so the window is a staleness rotation: the 18
 # queries registered this round (never driver-verified) first, then
-# the 34 stalest greens (last driver rows rounds 2-3) — exactly 50.
+# the 32 stalest greens (last driver rows rounds 2-3) — exactly 50.
 # After each new CORRECTNESS artifact lands, rotate its greens to the
 # back and front-load whatever is newest/stalest.
 _PRIORITY = [
@@ -62,6 +62,8 @@ _PRIORITY = [
     "q266_stream_countmin",
     "q267_seasonal_decompose",
     "q268_kruskal_wallis",
+    "q269_hits_bipartite",
+    "q270_cochran_armitage",
     # stalest greens: last driver row rounds 2-3 (the q78-q102 band
     # VERDICT r07 task 6 named)
     "q78_embedding_quantization",
@@ -96,10 +98,10 @@ _PRIORITY = [
     "q88_sessionize_lag",
     "q89_gapfill_daily",
     "q90_hll_partitioned_union",
+    # ^ exactly 50 = the driver window (18 new this round + the 32
+    # stalest round-2/3 greens).
     "q91_weighted_sample",
     "q92_robust_zscore",
-    # ^ exactly 50 = the driver window (16 new this round + the 34
-    # stalest round-2/3 greens).
     "q93_price_histogram",
     "q94_regression_exact",
     "q95_tfidf_topterms",

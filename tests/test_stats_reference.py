@@ -1671,3 +1671,76 @@ def test_q268_kruskal_wallis_brute_force(spark, tmp_path):
     assert abs(out["h_micros"] - math.floor(1_000_000 * hc)) <= 1
     for ty, vals in groups.items():
         assert out[f"n_{ty}"] == len(vals)
+
+
+def test_q270_cochran_armitage_brute_force(spark, tmp_path):
+    """Planted monotone trend over 4 exposure levels; z^2 recomputed
+    from the textbook 2xK formula in Python floats."""
+    import datetime as dt
+
+    # (clicks, purchases>150): level s = clicks // 5 capped at 3
+    plan = [
+        (0, 0), (1, 0), (2, 0), (3, 0),          # s=0, 0/4 convert
+        (5, 0), (6, 1), (7, 0),                  # s=1, 1/3
+        (10, 1), (11, 1), (12, 0),               # s=2, 2/3
+        (15, 1), (16, 1), (17, 1), (20, 0),      # s=3, 3/4
+    ]
+    rows, eid = [], 0
+    for uid, (clicks, conv) in enumerate(plan):
+        for _ in range(clicks):
+            rows.append((eid, dt.datetime(2024, 1, 1), uid, "click", 1.0, "{}")); eid += 1
+        if conv:
+            rows.append((eid, dt.datetime(2024, 1, 1), uid, "purchase", 200.0, "{}")); eid += 1
+        else:
+            rows.append((eid, dt.datetime(2024, 1, 1), uid, "purchase", 50.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q270_cochran_armitage"].spark_fn(spark, str(tmp_path)).collect()
+    levels = {}
+    for clicks, conv in plan:
+        s = min(clicks // 5, 3)
+        n_i, r_i = levels.get(s, (0, 0))
+        levels[s] = (n_i + 1, r_i + conv)
+    n = sum(v[0] for v in levels.values())
+    r = sum(v[1] for v in levels.values())
+    t1 = sum(s * v[1] for s, v in levels.items())
+    t2 = sum(s * v[0] for s, v in levels.items())
+    t3 = sum(s * s * v[0] for s, v in levels.items())
+    assert (out["n"], out["r"], out["t1"], out["t2"], out["t3"]) == (n, r, t1, t2, t3)
+    assert out["trend_sign"] == 1  # planted increasing trend
+    z2 = n * (n * t1 - r * t2) ** 2 / (r * (n - r) * (n * t3 - t2 * t2))
+    assert out["z2_micros"] == math.floor(1_000_000 * z2)
+
+
+def test_q269_hits_brute_force(spark, tmp_path):
+    """Tiny bipartite graph; both HITS rounds replayed in Python ints."""
+    import datetime as dt
+
+    # orders: (orderkey, custkey); lineitem: (orderkey, suppkey)
+    orders = [(ok, c, "O", 1.0, dt.date(2024, 1, 1)) for ok, c in
+              [(100, 1), (200, 1), (300, 2), (400, 3)]]
+    li = [(100, 10), (100, 11), (200, 10), (300, 12), (400, 10), (400, 13)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_suppkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["q269_hits_bipartite"].spark_fn(spark, str(tmp_path)).collect()
+    # distinct (cust, supp) edges from the tables above:
+    # c1 -> {10, 11} (orders 100+200), c2 -> {12}, c3 -> {10, 13}
+    e = {(1, 10), (1, 11), (2, 12), (3, 10), (3, 13)}
+    a1 = {}
+    for c, s_ in e:
+        a1[s_] = a1.get(s_, 0) + 1
+    h1 = {}
+    for c, s_ in e:
+        h1[c] = h1.get(c, 0) + a1[s_]
+    a2 = {}
+    for c, s_ in e:
+        a2[s_] = a2.get(s_, 0) + h1[c]
+    got_h = {r["node_id"]: r["score"] for r in out if r["side"] == "hub"}
+    got_a = {r["node_id"]: r["score"] for r in out if r["side"] == "authority"}
+    assert got_h == h1
+    assert got_a == a2
