@@ -23,6 +23,8 @@ SECTIONS = {
     "mix8": ("/tmp/sfsynthdoc100", ["q265_rake_keywords"], 2),
     "rel8b": ("/tmp/sfsynth10", ["q267_seasonal_decompose"], 2),
     "rel8": ("/tmp/sfsynth10", ["q264_autocorrelation"], 2),
+    "ev100d": ("/tmp/evsynth100", ["q270_cochran_armitage"], 2),
+    "rel8c": ("/tmp/sfsynth10", ["q269_hits_bipartite"], 2),
     "ev100c": ("/tmp/evsynth100", ["q268_kruskal_wallis"], 2),
     "ev100b": ("/tmp/evsynth100", ["q260_association_rules", "q261_mcnemar_paired"], 2),
     "doc100": (
