@@ -17,6 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECTIONS = {
+    "recheck244": ("/tmp/sfsynthdoc100", ["q244_incremental_neardup"], 2),
+    "recheck247": ("/tmp/sfsynth10", ["q247_rfm_segments"], 2),
     "doc100q243": ("/tmp/sfsynthdoc100", ["q243_neardup_star", "q248_cluster_balanced_sample"], 2),
     "doc100b": ("/tmp/sfsynthdoc100", ["q262_countmin_audit"], 2),
     "doc100c": ("/tmp/sfsynthdoc100", ["q263_substring_dedup"], 2),
