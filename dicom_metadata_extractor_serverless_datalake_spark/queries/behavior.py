@@ -900,9 +900,12 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
 # N * |both| / (|a| * |b|). With a 5-type domain the pair space is
 # dimension-sized however large the corpus: everything after the
 # per-user distinct is a self-join of a 5-row frame. All three
-# readouts are exact integer ratios floored to micros (lift's
-# numerator N * both reaches ~2^53 only past 10^9 users * pairs —
-# fine in BIGINT).
+# readouts are exact integer ratios floored to micros. Lift's
+# numerator carries a 1e6 micros factor on top of N * both, so plain
+# BIGINT would overflow once N * both passes ~9.2e12 (~3M users with
+# overlapping baskets) — it rides on DECIMAL(38,0)/HUGEINT instead
+# (the q239/q257 pattern), as does the na * nb denominator; the
+# floored quotient itself is <= 1e6 * N / max(na, nb), BIGINT-safe.
 #
 # 100 TB shape: one (user, type) distinct -> one type-count aggregate
 # (5 rows) + one pair-count aggregate (25 rows); the rules table never
@@ -927,7 +930,8 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
     SELECT p.antecedent, p.consequent, p.n_both,
            CAST(1000000 * p.n_both // n.n_users AS BIGINT) AS support_micros,
            CAST(1000000 * p.n_both // ta.n_t AS BIGINT) AS confidence_micros,
-           CAST(1000000 * n.n_users * p.n_both // (ta.n_t * tb.n_t) AS BIGINT)
+           CAST(CAST(1000000 AS HUGEINT) * n.n_users * p.n_both
+                // (CAST(ta.n_t AS HUGEINT) * tb.n_t) AS BIGINT)
              AS lift_micros
     FROM pc p
     JOIN tc ta ON ta.event_type = p.antecedent
@@ -967,7 +971,10 @@ def q260(spark: SparkSession, sf: str) -> DataFrame:
             "n_both",
             F.expr("1000000 * n_both div n_users").alias("support_micros"),
             F.expr("1000000 * n_both div na").alias("confidence_micros"),
-            F.expr("1000000 * n_users * n_both div (na * nb)").alias("lift_micros"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_users * n_both"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("lift_micros"),
         )
         .orderBy("antecedent", "consequent")
     )

@@ -1654,10 +1654,15 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
 # (the d cell and N enter), the standard significance-vs-strength
 # split in collocation mining — the two rankings disagree exactly on
 # the rare tail.
-# Numerator reaches ~1e31 at sf0.01 scales, so the integer products run
-# in DECIMAL(38,0) / HUGEINT (the q239 overflow pattern), cast once to
-# DOUBLE for the single division, floored to micros. Top-100 by
-# (chi2, w1, w2) — a total order.
+# Overflow posture (ADVICE r08): the one-shot numerator n*(ad-bc)^2
+# would pass 1e38 around ~1e9 total bigrams, so the 128-bit exact
+# stage stops at the three FACTORS — ad_bc = ad - bc (|ad_bc| <= n^2),
+# den_a = r1*(n-r1) and den_b = c1*(n-c1) (each <= n^2/4) — which all
+# fit DECIMAL(38,0)/HUGEINT to n ~ 1e18 bigrams, genuinely past the
+# 100 TB shape. Each factor is cast to DOUBLE once and the statistic
+# assembled in ONE FIXED-ORDER double tree shared textually by both
+# engines ((n * ad) * ad) / (den_a * den_b), floored to micros.
+# Top-100 by (chi2, w1, w2) — a total order.
 #
 # 100 TB shape: one map-side bigram explode, one (w1,w2) count
 # aggregate, two vocabulary-sized marginal aggregates joined back on
@@ -1666,9 +1671,29 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _q257_chi2_sql(dec: str) -> str:
+    """chi2_micros tree over columns o11, r1, c1, n — identical text in
+    both engines except ``dec``, the 128-bit integer type
+    (DECIMAL(38,0) in Spark, HUGEINT in DuckDB). The three exact
+    factors each stay within 128 bits to n ~ 1e18 bigrams; the double
+    assembly is one fixed-order tree so the floor-to-micros readout is
+    bit-identical cross-engine."""
+    ad = (
+        f"CAST(CAST(o11 AS {dec}) * (n - r1 - c1 + o11)"
+        f" - CAST(r1 - o11 AS {dec}) * (c1 - o11) AS DOUBLE)"
+    )
+    return (
+        "CAST(floor(1000000.0 * ("
+        f"(CAST(n AS DOUBLE) * {ad} * {ad})"
+        f" / (CAST(CAST(r1 AS {dec}) * (n - r1) AS DOUBLE)"
+        f" * CAST(CAST(c1 AS {dec}) * (n - c1) AS DOUBLE))"
+        ")) AS BIGINT)"
+    )
+
+
 @query(
     "q257_chi2_collocations",
-    oracle="""
+    oracle=f"""
     WITH w3 AS (SELECT string_split(text, ' ') AS w FROM documents),
     bgl AS (SELECT list_transform(generate_series(1, len(w) - 1),
                     i -> struct_pack(w1 := w[i], w2 := w[i + 1])) AS bl
@@ -1686,14 +1711,7 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
     ),
     scored AS (
       SELECT w1, w2, o11,
-             CAST(floor(1000000.0 * (
-               CAST(CAST(n AS HUGEINT)
-                    * (CAST(o11 AS HUGEINT) * (n - r1 - c1 + o11)
-                       - CAST(r1 - o11 AS HUGEINT) * (c1 - o11))
-                    * (CAST(o11 AS HUGEINT) * (n - r1 - c1 + o11)
-                       - CAST(r1 - o11 AS HUGEINT) * (c1 - o11)) AS DOUBLE)
-               / CAST(CAST(r1 AS HUGEINT) * c1 * (n - r1) * (n - c1) AS DOUBLE)
-             )) AS BIGINT) AS chi2_micros
+             {_q257_chi2_sql("HUGEINT")} AS chi2_micros
       FROM j
     )
     SELECT w1, w2, o11, chi2_micros
@@ -1721,17 +1739,6 @@ def q257(spark: SparkSession, sf: str) -> DataFrame:
     r1 = cnt.groupBy("w1").agg(F.sum("o11").alias("r1"))
     c1 = cnt.groupBy("w2").agg(F.sum("o11").alias("c1"))
     tot = cnt.agg(F.sum("o11").alias("n"))
-    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    ad_bc = dec(F.col("o11")) * (
-        F.col("n") - F.col("r1") - F.col("c1") + F.col("o11")
-    ) - dec(F.col("r1") - F.col("o11")) * (F.col("c1") - F.col("o11"))
-    num = dec(F.col("n")) * ad_bc * ad_bc
-    den = (
-        dec(F.col("r1"))
-        * F.col("c1")
-        * (F.col("n") - F.col("r1"))
-        * (F.col("n") - F.col("c1"))
-    )
     return (
         cnt.filter(F.col("o11") >= 5)
         .join(r1, "w1")
@@ -1742,11 +1749,7 @@ def q257(spark: SparkSession, sf: str) -> DataFrame:
             "w1",
             "w2",
             "o11",
-            F.floor(
-                F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
-            )
-            .cast("long")
-            .alias("chi2_micros"),
+            F.expr(_q257_chi2_sql("DECIMAL(38,0)")).alias("chi2_micros"),
         )
         .orderBy(F.col("chi2_micros").desc(), "w1", "w2")
         .limit(100)
@@ -1771,10 +1774,16 @@ def q257(spark: SparkSession, sf: str) -> DataFrame:
 # not row count), one scalar row out. The tie term t^3 - t assumes
 # tie groups << 2^21 rows; a corpus where one exact double value
 # carries millions of rows needs the term summed in DECIMAL(38,0).
+# Degenerate inputs (either sample empty, or every row carrying the
+# one value so sigma^2 = 0) mirror NULL in both engines — the
+# q261/q270 convention; the all-tie test is n_groups = 1 (the
+# distinct-value count), an exact BIGINT predicate where the literal
+# tie_term = n^3 - n comparison would itself overflow past n ~ 2^21.
 # Reference delegates analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
-_Q258_Z_SQL = """floor(1000000.0 * (
+_Q258_Z_SQL = """CASE WHEN n1 = 0 OR n2 = 0 OR n_groups <= 1 THEN NULL
+    ELSE floor(1000000.0 * (
       (CAST(r2a - n1 * (n1 + 1) AS DOUBLE)
        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
       / (2.0 * sqrt(
@@ -1782,7 +1791,7 @@ _Q258_Z_SQL = """floor(1000000.0 * (
           * (CAST(n1 + n2 + 1 AS DOUBLE)
              - CAST(tie_term AS DOUBLE)
                / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
-    ))"""
+    )) END"""
 
 
 @query(
@@ -1807,7 +1816,8 @@ _Q258_Z_SQL = """floor(1000000.0 * (
       SELECT CAST(SUM(p) AS BIGINT) AS n1,
              CAST(SUM(m - p) AS BIGINT) AS n2,
              CAST(SUM(p * (2 * cum + m + 1)) AS BIGINT) AS r2a,
-             CAST(SUM(m * m * m - m) AS BIGINT) AS tie_term
+             CAST(SUM(m * m * m - m) AS BIGINT) AS tie_term,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
       FROM c
     )
     SELECT n1, n2,
@@ -1836,6 +1846,7 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("m") - F.col("p")).alias("n2"),
         F.sum(F.col("p") * (F.lit(2) * F.col("cum") + F.col("m") + 1)).alias("r2a"),
         F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m")).alias("tie_term"),
+        F.count("*").alias("n_groups"),
     )
     return tot.select(
         "n1",
@@ -2081,6 +2092,10 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
 #
 # 100 TB shape: one (value)-keyed aggregate with 5 conditional counts,
 # one running-sum window over the distinct-value frame, one scalar row.
+# Degenerate inputs (any empty group, or all rows tied on one value so
+# the tie correction is 0/0) mirror NULL in both engines — the
+# q261/q270 convention; the all-tie predicate is n_groups = 1, exact
+# in BIGINT where tie_term = n^3 - n would overflow (q258's guard).
 # Reference delegates analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
@@ -2090,7 +2105,7 @@ _KW_CRIT_MICROS = 9_487_729  # floor(1e6 * chi2(4).ppf(0.95)), Python literal
 
 def _kw_h_sql(prefix: str = "") -> str:
     """The H and tie-corrected H' tree over columns n, tie_term,
-    n_<t>, r2_<t> — identical text in Spark SQL and DuckDB."""
+    n_groups, n_<t>, r2_<t> — identical text in Spark SQL and DuckDB."""
     terms = " + ".join(
         f"(CAST(r2_{t} AS DOUBLE) / 2.0) * (CAST(r2_{t} AS DOUBLE) / 2.0)"
         f" / CAST(n_{t} AS DOUBLE)" for t in _KW_TYPES
@@ -2104,7 +2119,11 @@ def _kw_h_sql(prefix: str = "") -> str:
         f" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
         f" - CAST(n AS DOUBLE)))"
     )
-    return f"floor(1000000.0 * (({h}) / {corr}))"
+    guard = " OR ".join(f"n_{t} = 0" for t in _KW_TYPES)
+    return (
+        f"CASE WHEN n_groups <= 1 OR {guard} THEN NULL"
+        f" ELSE floor(1000000.0 * (({h}) / {corr})) END"
+    )
 
 
 def _q268_oracle() -> str:
@@ -2133,6 +2152,7 @@ def _q268_oracle() -> str:
     tot AS (
       SELECT CAST(SUM(m) AS BIGINT) AS n,
              CAST(SUM(m * m * m - m) AS BIGINT) AS tie_term,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
              {aggs}
       FROM c
     )
@@ -2168,6 +2188,7 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
     tot = c.agg(
         F.sum("m").alias("n"),
         F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m")).alias("tie_term"),
+        F.count("*").alias("n_groups"),
         *[
             a
             for ty in _KW_TYPES

@@ -1395,6 +1395,39 @@ def test_q258_mann_whitney_brute_force(spark, tmp_path):
     assert out["z_micros"] == math.floor(1_000_000 * z)
 
 
+def test_q258_q268_degenerate_inputs_null(spark, tmp_path):
+    """ADVICE r08: sigma^2 = 0 (every pooled row ties on one value) and
+    missing groups must yield NULL, not an Inf/NaN floor-cast error —
+    mirrored in the oracle via the n_groups/empty-group CASE guard."""
+    import datetime as dt
+
+    # all 6 rows carry the SAME value -> one tie group, zero variance;
+    # only 3 of q268's five event types present -> empty groups there
+    rows = [
+        (i, dt.datetime(2024, 1, 1), i % 2,
+         ["purchase", "click", "view"][i % 3], 4.0, "{}")
+        for i in range(6)
+    ]
+    _write_events(spark, tmp_path, rows)
+    (mw,) = QUERIES["q258_mann_whitney"].spark_fn(spark, str(tmp_path)).collect()
+    assert mw["n1"] == 2 and mw["n2"] == 2  # view rows excluded
+    assert mw["z_micros"] is None
+    (kw,) = QUERIES["q268_kruskal_wallis"].spark_fn(spark, str(tmp_path)).collect()
+    assert kw["n_error"] == 0 and kw["n_signup"] == 0
+    assert kw["h_micros"] is None and kw["reject_at_05"] is None
+
+    # one-sided degenerate: clicks only -> n1 = 0 guard (values differ,
+    # so this exercises the empty-group arm, not the all-tie arm)
+    rows2 = [
+        (i, dt.datetime(2024, 1, 1), i, "click", float(i), "{}") for i in range(4)
+    ]
+    d2 = tmp_path / "one_sided"  # fresh dir: overwriting the first
+    d2.mkdir()                   # path would hit Spark's listing cache
+    _write_events(spark, d2, rows2)
+    (mw2,) = QUERIES["q258_mann_whitney"].spark_fn(spark, str(d2)).collect()
+    assert mw2["n1"] == 0 and mw2["z_micros"] is None
+
+
 def test_q259_kmeans_brute_force(spark, tmp_path):
     """Tiny planted clusters; Lloyd (k=4, 2 rounds) replayed in Python
     on the same integer micro-grid with truncating division."""
