@@ -51,6 +51,39 @@ def _nodes(plan: str, name: str) -> int:
     return len(re.findall(rf"^\(\d+\) {name}", plan, re.M))
 
 
+def all_zero(m: dict) -> bool:
+    """True when an audit row recognized NO plan nodes at all — the
+    trigger for the standalone re-audit in main()."""
+    return m["exchanges"] == 0 and not any(
+        (
+            m["single_part"],
+            m["bhj"],
+            m["shj"],
+            m["smj"],
+            m["bnlj"],
+            m["cartesian"],
+            m["codegen"],
+            m["pushed"],
+        )
+    )
+
+
+def is_degenerate(m: dict, plan: str) -> bool:
+    """The allowlist: an all-zero re-audit is still LEGITIMATE when the
+    plan roots on checkpointed RDD scans (iterative queries whose work
+    happened during construction) or is a map-side top-k
+    (TakeOrderedAndProject) with nothing pushable; anything else that
+    reproduces zero recognized nodes twice is a parsing failure and
+    must be flagged, not silently written as a zero row (the round-7
+    truncation bug's failure mode)."""
+    return (
+        m["exchanges"] == 0
+        and not (m["pushed"] or m["single_part"] or m["codegen"])
+        and "Scan ExistingRDD" not in plan
+        and "TakeOrderedAndProject" not in plan
+    )
+
+
 def audit_one(plan: str) -> dict:
     total_exch = _nodes(plan, "Exchange")
     single = plan.count("Arguments: SinglePartition")
@@ -93,18 +126,7 @@ def main() -> int:
         spark.catalog.clearCache()
         plan = physical_plan(q.spark_fn(spark, args.sf_dir))
         m = audit_one(plan)
-        if m["exchanges"] == 0 and not any(
-            (
-                m["single_part"],
-                m["bhj"],
-                m["shj"],
-                m["smj"],
-                m["bnlj"],
-                m["cartesian"],
-                m["codegen"],
-                m["pushed"],
-            )
-        ):
+        if all_zero(m):
             # an all-zero row is either legitimate (map-side top-k with
             # no pushable filter, or an iterative query whose final
             # visible plan roots on checkpointed RDD scans — the work
@@ -114,12 +136,7 @@ def main() -> int:
             # shows no RDD-scan root gets flagged.
             plan = physical_plan(q.spark_fn(spark, args.sf_dir))
             m = audit_one(plan)
-            if (
-                m["exchanges"] == 0
-                and not (m["pushed"] or m["single_part"] or m["codegen"])
-                and "Scan ExistingRDD" not in plan
-                and "TakeOrderedAndProject" not in plan
-            ):
+            if is_degenerate(m, plan):
                 flags.append(f"{name}: degenerate audit (no plan nodes recognized)")
                 # the allowlist heuristic can false-positive on a
                 # legitimately minimal plan shape — dump the raw text so

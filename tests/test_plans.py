@@ -794,3 +794,134 @@ def test_normalize_formatted_embedded_subtree():
     assert "(4) Exchange" not in out
     assert "hashpartitioning" not in out
     assert "(5) HashAggregate" not in out
+
+
+# ---- cache hygiene across back-to-back queries (VERDICT r08 #1) ----
+
+
+def test_back_to_back_queries_no_cache_residue_substitution(spark, sf_dir):
+    """The r07 bench corruption class: a query that persist()s an
+    intermediate it cannot unpersist before the caller's action leaves
+    cached partitions in the CacheManager; in a long-lived session the
+    residue (a) subsidizes re-timings of the same query and (b) lets
+    plan substitution rewrite LATER queries that contain a matching
+    subtree. The ``get_queries()`` wrap drops accumulated cache at
+    each query's CONSTRUCTION — so back-to-back wrapped queries run
+    cache-clean however many persists the previous one leaked."""
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import get_queries
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    qs = get_queries()
+
+    # q257 persists its bigram-count frame and returns without
+    # unpersisting (the collect materializes it) -> residue exists,
+    # i.e. the hazard this test guards against is real, not synthetic
+    qs["q257_chi2_collocations"](spark, sf_dir).collect()
+    assert not cache_mgr.isEmpty()
+
+    # the next wrapped query constructs cache-clean: q258 itself never
+    # persists, so ANY InMemoryTableScan in its plan would be residue
+    # substitution from q257's leaked cache
+    df = qs["q258_mann_whitney"](spark, sf_dir)
+    assert cache_mgr.isEmpty()
+    assert "InMemoryTableScan" not in physical_plan(df)
+    df.collect()
+    spark.catalog.clearCache()
+
+
+# ---- plan_audit allowlist heuristics on canned plans (VERDICT r08 #5) ----
+
+_AUDIT_RICH = """== Physical Plan ==
+* HashAggregate (4)
++- Exchange (3)
+   +- * HashAggregate (2)
+      +- Scan parquet  (1)
+
+(1) Scan parquet
+Output [2]: [a#1, b#2]
+PushedFilters: [IsNotNull(a)]
+
+(2) HashAggregate [codegen id : 1]
+Input [2]: [a#1, b#2]
+
+(3) Exchange
+Arguments: hashpartitioning(a#1, 32)
+
+(4) HashAggregate [codegen id : 2]
+Input [2]: [a#1, b#2]
+"""
+
+_AUDIT_TOPK = """== Physical Plan ==
+TakeOrderedAndProject (2)
++- Scan parquet  (1)
+
+(1) Scan parquet
+Output [2]: [a#1, b#2]
+
+(2) TakeOrderedAndProject
+Arguments: 100, [a#1 ASC NULLS FIRST]
+"""
+
+_AUDIT_RDD_ROOT = """== Physical Plan ==
+Scan ExistingRDD (1)
+
+(1) Scan ExistingRDD
+Arguments: [node#1L, label#2L]
+"""
+
+_AUDIT_EMPTY = """== Physical Plan ==
+LocalTableScan (1)
+
+(1) LocalTableScan
+Arguments: <empty>
+"""
+
+_AUDIT_SINGLEPART = """== Physical Plan ==
+Sort (3)
++- Exchange (2)
+   +- Scan parquet  (1)
+
+(1) Scan parquet
+Output [1]: [a#1]
+
+(2) Exchange
+Arguments: SinglePartition
+
+(3) Sort
+Input [1]: [a#1]
+"""
+
+
+def test_audit_one_counts_canned_plan():
+    from scripts.plan_audit import all_zero, audit_one
+
+    m = audit_one(_AUDIT_RICH)
+    assert m["exchanges"] == 1 and m["single_part"] == 0
+    assert m["codegen"] == 2 and m["pushed"]
+    assert not all_zero(m)
+    # SinglePartition exchanges count separately from hash exchanges
+    ms = audit_one(_AUDIT_SINGLEPART)
+    assert ms["exchanges"] == 0 and ms["single_part"] == 1
+    assert not all_zero(ms)
+
+
+def test_degenerate_allowlist_accepts_minimal_legitimate_plans():
+    from scripts.plan_audit import all_zero, audit_one, is_degenerate
+
+    # map-side top-k: zero exchanges, zero codegen in this layout — the
+    # TakeOrderedAndProject root keeps it off the degenerate flag
+    m = audit_one(_AUDIT_TOPK)
+    assert all_zero(m) and not is_degenerate(m, _AUDIT_TOPK)
+    # iterative query whose visible plan roots on a checkpointed RDD
+    m = audit_one(_AUDIT_RDD_ROOT)
+    assert all_zero(m) and not is_degenerate(m, _AUDIT_RDD_ROOT)
+
+
+def test_degenerate_allowlist_flags_unrecognized_plan():
+    from scripts.plan_audit import all_zero, audit_one, is_degenerate
+
+    # nothing recognized and no allowlisted root: must flag — this is
+    # what a future explain-layout change should trip, loudly
+    m = audit_one(_AUDIT_EMPTY)
+    assert all_zero(m) and is_degenerate(m, _AUDIT_EMPTY)
