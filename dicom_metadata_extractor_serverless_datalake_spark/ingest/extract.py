@@ -73,10 +73,15 @@ def flatten(elements: codec.Dataset, lineage: dict[str, str | None]) -> dict:
         # missing partition tag backfill (src/dicomwrapper.py:58-62)
         row["study_date"] = vr.MISSING_PARTITION_DEFAULT
     row["error"] = None
+    row["error_log"] = None
     return row
 
 
-def _error_row(lineage: dict[str, str | None], err: Exception) -> dict:
+def _error_row(lineage: dict[str, str | None], err: Exception, stage: str) -> dict:
+    """Quarantine row: lineage + the human-readable ``error`` string +
+    the structured breadcrumb struct (schema.QUARANTINE_LOG_SCHEMA) —
+    the reference's structlog event (src/logger.py:1-47) re-expressed
+    as queryable columns on the DLQ sink."""
     row: dict[str, object] = dict.fromkeys(_CANON_COLS)
     row["source_s3_bucket"] = lineage.get("bucket")
     row["source_s3_region"] = lineage.get("region")
@@ -84,6 +89,13 @@ def _error_row(lineage: dict[str, str | None], err: Exception) -> dict:
     row["source_s3_archive_path"] = lineage.get("archive_path")
     row["study_date"] = vr.MISSING_PARTITION_DEFAULT
     row["error"] = f"{type(err).__name__}: {err}"
+    row["error_log"] = {
+        "stage": stage,
+        "error_class": type(err).__name__,
+        "source_key": lineage.get("key"),
+        "member_path": lineage.get("archive_path"),
+        "ts": datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+    }
     return row
 
 
@@ -112,7 +124,7 @@ def extract_records(path: str, content: bytes) -> Iterator[dict]:
     try:
         members = list(archives.explode(key, content))
     except Exception as err:  # corrupt archive -> one quarantine row
-        yield _error_row(base_lineage, err)
+        yield _error_row(base_lineage, err, stage="archive_explode")
         return
     for name, data in members:
         lineage = dict(base_lineage, archive_path=name)
@@ -120,4 +132,4 @@ def extract_records(path: str, content: bytes) -> Iterator[dict]:
             elements = codec.parse_dicom(data, stop_before_pixels=True)
             yield flatten(elements, lineage)
         except Exception as err:
-            yield _error_row(lineage, err)
+            yield _error_row(lineage, err, stage="dicom_parse")

@@ -108,7 +108,7 @@ def ingest_batch(
         extracted = extract_from_listing(list_binary_objects(spark, input_path))
     extracted.persist()
     try:
-        good = extracted.filter(F.col("error").isNull()).drop("error")
+        good = extracted.filter(F.col("error").isNull()).drop("error", "error_log")
         bad = extracted.filter(F.col("error").isNotNull())
 
         # one job for both counts, off the persisted extraction

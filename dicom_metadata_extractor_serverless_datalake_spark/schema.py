@@ -61,12 +61,32 @@ DICOM_METADATA_SCHEMA = T.StructType(
     ]
 )
 
+# structured quarantine breadcrumb — the engine-side counterpart of the
+# reference's structlog JSON event (src/logger.py:1-47: timestamped,
+# named, exc-info-carrying records on every ingest failure). A log LINE
+# is unqueryable from a lakehouse; the same facts as a typed struct on
+# the quarantine sink make the DLQ itself the debugging surface:
+# ``WHERE error_log.stage = 'archive_explode'`` instead of grepping
+# driver stderr across a 1000-executor run.
+QUARANTINE_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType()),        # pipeline step that failed
+        T.StructField("error_class", T.StringType()),  # exception class name
+        T.StructField("source_key", T.StringType()),   # object key
+        T.StructField("member_path", T.StringType()),  # archive member, if any
+        T.StructField("ts", T.TimestampType()),        # worker-side wall clock
+    ]
+)
+
 # ingest output = lake schema + error channel; rows with a non-null
 # ``error`` column route to the quarantine sink (the DLQ analogue,
-# deploy/serverless.yml:123-147).
+# deploy/serverless.yml:123-147), carrying the structured breadcrumb.
 INGEST_SCHEMA = T.StructType(
     list(DICOM_METADATA_SCHEMA.fields)
-    + [T.StructField("error", T.StringType())]
+    + [
+        T.StructField("error", T.StringType()),
+        T.StructField("error_log", QUARANTINE_LOG_SCHEMA),
+    ]
 )
 
 PARTITION_COL = "study_date"

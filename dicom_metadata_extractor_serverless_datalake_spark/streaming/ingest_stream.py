@@ -59,7 +59,7 @@ def start_ingest_stream(
         )
         extracted.persist()
         try:
-            good = extracted.filter(F.col("error").isNull()).drop("error")
+            good = extracted.filter(F.col("error").isNull()).drop("error", "error_log")
             bad = extracted.filter(F.col("error").isNotNull())
             (
                 good.repartition(PARTITION_COL)

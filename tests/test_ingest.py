@@ -296,3 +296,55 @@ def test_lake_series_completeness_audit(spark, tmp_path_factory):
     assert got[("S2", "1")].verdict == "offset_start"
     assert got[("S2", "2")].verdict == "untracked"
     assert all(r.dup_rows == 0 for r in got.values())
+
+
+def test_quarantine_structured_breadcrumb(spark, tmp_path_factory):
+    """VERDICT r08 #7: every quarantined record carries the structured
+    per-record breadcrumb (stage, error class, source key, member path,
+    ts) — the reference's structlog event (src/logger.py:1-47) as
+    queryable DLQ columns. A zip with one good member and one
+    truncated-DICOM member yields exactly one breadcrumb row at the
+    parse stage naming that member; a corrupt archive yields one at the
+    explode stage with no member path."""
+    import io
+    import zipfile
+
+    from fixtures import make_dcm
+
+    root = tmp_path_factory.mktemp("bc_in")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("inner/good.dcm", make_dcm(3))
+        z.writestr("inner/trunc.dcm", make_dcm(4)[:180])  # parse fails
+    (root / "mix.zip").write_bytes(buf.getvalue())
+    (root / "broken.zip").write_bytes(b"PK\x03\x04garbage-not-a-zip")
+    out = tmp_path_factory.mktemp("bc_out")
+    n_good, n_bad = ingest_batch(
+        spark, str(root), str(out / "lake"), str(out / "quarantine")
+    )
+    assert (n_good, n_bad) == (1, 2)
+
+    quar = spark.read.parquet(str(out / "quarantine"))
+    rows = {r["error_log"]["stage"]: r for r in quar.collect()}
+    assert set(rows) == {"dicom_parse", "archive_explode"}
+
+    parse = rows["dicom_parse"]
+    assert parse["error_log"]["member_path"] == "inner/trunc.dcm"
+    assert parse["error_log"]["source_key"].endswith("mix.zip")
+    assert parse["error_log"]["error_class"]  # e.g. DicomParseError
+    assert parse["error_log"]["ts"] is not None
+    # breadcrumb agrees with the human-readable error column
+    assert parse["error"].startswith(parse["error_log"]["error_class"])
+
+    expl = rows["archive_explode"]
+    assert expl["error_log"]["member_path"] is None
+    assert expl["error_log"]["source_key"].endswith("broken.zip")
+    assert expl["error_log"]["error_class"] == "BadZipFile"
+
+    # the lake side never carries the error channel
+    lake = spark.read.parquet(str(out / "lake"))
+    assert "error" not in lake.columns and "error_log" not in lake.columns
+
+    # the DLQ is queryable by breadcrumb fields — the point of the struct
+    n_parse = quar.filter("error_log.stage = 'dicom_parse'").count()
+    assert n_parse == 1
