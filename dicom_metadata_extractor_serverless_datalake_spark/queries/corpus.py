@@ -38,68 +38,24 @@ from . import selection  # noqa: F401,E402
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
-# registered query has a green driver row (cumulative 252/252 as of
-# CORRECTNESS_r07), so the window is a staleness rotation: the 18
+# registered query has a green driver row (cumulative 270/270 as of
+# CORRECTNESS_r08), so the window is a staleness rotation: the 7
 # queries registered this round (never driver-verified) first, then
-# the 32 stalest greens (last driver rows rounds 2-3) — exactly 50.
-# After each new CORRECTNESS artifact lands, rotate its greens to the
-# back and front-load whatever is newest/stalest.
+# the 43 stalest greens — all 21 round-3-vintage rows plus the 22
+# lowest-numbered round-4 rows (VERDICT r08 task #2's front-load; the
+# remaining 27 round-4 rows go first in r10) — exactly 50. After each
+# new CORRECTNESS artifact lands, rotate its greens to the back and
+# front-load whatever is newest/stalest.
 _PRIORITY = [
     # new this round — never driver-verified
-    "q253_lsh_s_curve_sampled",
-    "q254_diversity_sample_star",
-    "q255_linkage_capped_blocks",
-    "q256_good_turing",
-    "q257_chi2_collocations",
-    "q258_mann_whitney",
-    "q259_kmeans_embeddings",
-    "q260_association_rules",
-    "q261_mcnemar_paired",
-    "q262_countmin_audit",
-    "q263_substring_dedup",
-    "q264_autocorrelation",
-    "q265_rake_keywords",
-    "q266_stream_countmin",
-    "q267_seasonal_decompose",
-    "q268_kruskal_wallis",
-    "q269_hits_bipartite",
-    "q270_cochran_armitage",
-    # stalest greens: last driver row rounds 2-3 (the q78-q102 band
-    # VERDICT r07 task 6 named)
-    "q78_embedding_quantization",
-    "q79_filter_funnel",
-    "q80_boilerplate_ngrams",
-    "q81_skew_report",
-    "q82_decontamination",
-    "q85_stream_upsert_snapshot",
-    "q13_count_distinct",
-    "q15_rollup",
-    "q16_cube",
-    "q17_grouping_sets",
-    "q18_collect_sorted",
-    "q19_union_all",
-    "q20_intersect",
-    "q21_except",
-    "q22_top_k",
-    "q23_scalar_subquery",
-    "q24_groupwise_compare",
-    "q25_exists_subquery",
-    "q26_not_exists",
-    "q27_pivot",
-    "q28_unpivot",
-    "q29_latest_per_key",
-    "q30_ranking",
-    "q31_top_n_per_group",
-    "q32_percentiles",
-    "q33_lag_lead",
-    "q83_stream_tumbling",
-    "q86_cohort_retention",
-    "q87_funnel_steps",
-    "q88_sessionize_lag",
-    "q89_gapfill_daily",
-    "q90_hll_partitioned_union",
-    # ^ exactly 50 = the driver window (18 new this round + the 32
-    # stalest round-2/3 greens).
+    "q271_average_precision",
+    "q272_ams_f2",
+    "q273_levene_spread",
+    "q274_friedman_test",
+    "q275_scene_cuts",
+    "q276_fk_integrity",
+    "q277_simpson_diversity",
+    # stalest greens: the full round-3 band (21 queries)
     "q91_weighted_sample",
     "q92_robust_zscore",
     "q93_price_histogram",
@@ -121,10 +77,61 @@ _PRIORITY = [
     "q111_audio_features",
     "q112_multimodal_neardup",
     "q113_udtf_lateral",
-    "q01_pricing_summary",
-    # the r07 window (q242-q252 + the q02-q77 band) holds the freshest
-    # driver rows and rotates behind; everything unlisted follows in
-    # registration order via _apply_priority
+    # then the 22 lowest-numbered round-4 rows
+    "q34_running_sum",
+    "q35_range_frame",
+    "q36_tumbling_window",
+    "q37_sliding_window",
+    "q38_session_window",
+    "q39_asof_join",
+    "q40_string_funcs",
+    "q41_regexp",
+    "q42_date_funcs",
+    "q43_conditional",
+    "q44_null_funcs",
+    "q46_array_funcs",
+    "q47_struct_map",
+    "q48_binary_funcs",
+    "q52_minhash_lsh",
+    "q64_quantiles",
+    "q67_ann_ivf",
+    "q84_stream_dedup",
+    "q99_stream_stateful_totals",
+    "q104_prefix_filter_join",
+    "q114_robust_zscore_sketch",
+    "q115_stats_broadcast_join",
+    # ^ exactly 50 = the driver window (7 new this round + 43 stalest).
+    # The 27 remaining round-4-vintage greens, front of the r10 window:
+    "q116_bigram_lm_score",
+    "q117_domain_mixture",
+    "q118_sequence_packing",
+    "q119_incremental_rollup",
+    "q120_triangle_count",
+    "q121_pagerank_invariants",
+    "q122_heavy_hitters",
+    "q123_scd2_merge",
+    "q124_data_skipping",
+    "q125_collocation_lift",
+    "q126_attribution",
+    "q127_survivorship",
+    "q128_containment_join",
+    "q129_stream_heavy_hitters",
+    "q130_zorder_skipping",
+    "q131_ann_pq",
+    "q132_countmin_freq",
+    "q133_dimension_colsim",
+    "q134_sorted_neighborhood",
+    "q136_tv_drift",
+    "q137_rrf_hybrid",
+    "q138_winsorized_stats",
+    "q139_bloom_decontaminate",
+    "q140_seasonal_anomaly",
+    "q141_join_size_sketch",
+    "q142_frequent_pairs",
+    "q143_stream_tv_drift",
+    # the r05-r08 windows hold the freshest driver rows and rotate
+    # behind; everything unlisted follows in registration order via
+    # _apply_priority
 ]
 
 

@@ -2209,3 +2209,514 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
         h.alias("h_micros"),
         (h >= F.lit(_KW_CRIT_MICROS)).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# q271 — tie-aware average precision (the TREC metric; Buckley &
+# Voorhees SIGIR 2000 on tie handling): the precision-weighted reading
+# of the SAME grouped score frame q165 reads rank-sum-wise. AUC asks
+# "how often does a positive outrank a negative"; AP asks "how much
+# precision do the positives carry where they sit" — the two standard
+# scalar summaries of a ranking, and they disagree exactly when the
+# positives cluster at the extremes. Convention: ties are evaluated at
+# their GROUP BOUNDARY — every distinct score level is a retrieval
+# cutoff, and each level's p_g positives contribute precision
+# P_g / C_g (positives / rows retrieved through that level). This
+# keeps the whole metric on the score-DOMAIN frame (map-side
+# combinable, never a corpus sort — q165's architecture) and every
+# term is an exact integer division floored to micros, integer-summed
+# (order-free), so the readout is bit-portable.
+#
+# 100 TB shape: one corpus-scale groupBy on the score (map-side
+# combine, output = score domain), one cumulative window over that
+# bounded frame, a 1-row reduce. Reference delegates analytics to
+# Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q271_average_precision",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS score, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT score, m, p,
+             CAST(SUM(m) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cret,
+             CAST(SUM(p) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pret
+      FROM g
+    ),
+    terms AS (
+      SELECT p, pret, cret,
+             CAST(CAST(1000000 AS HUGEINT) * p * pret // cret AS BIGINT)
+               AS term_micros
+      FROM c
+    )
+    SELECT CAST(SUM(p) AS BIGINT) AS n_rel,
+           CAST(MAX(cret) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN SUM(p) = 0 THEN NULL
+                ELSE SUM(term_micros) // SUM(p) END AS BIGINT) AS ap_micros
+    FROM terms
+    """,
+    category="mining",
+    doc="tie-aware average precision of n_chars vs lang='en' at group-boundary cutoffs, exact integer micros",
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        t(spark, sf, "documents")
+        .groupBy(F.col("n_chars").alias("score"))
+        .agg(
+            F.count("*").alias("m"),
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("p"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "p",
+        F.sum("m").over(w).alias("cret"),
+        F.sum("p").over(w).alias("pret"),
+    )
+    terms = c.select(
+        "p",
+        "cret",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * p * pret div cret AS BIGINT)"
+        ).alias("term_micros"),
+    )
+    return terms.agg(
+        F.sum("p").cast("long").alias("n_rel"),
+        F.max("cret").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(CASE WHEN SUM(p) = 0 THEN NULL"
+            " ELSE SUM(term_micros) div SUM(p) END AS BIGINT)"
+        ).alias("ap_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q272 — AMS second-moment sketch (Alon, Matias & Szegedy, STOC 1996):
+# estimate F2 = sum_w f_w^2 of the token stream — the self-join size /
+# skew readout an optimizer consults before a groupBy on the key — from
+# EIGHT integer counters. Counter j is X_j = sum over tokens of a
+# {-1,+1} sign drawn from the portable h31('ams{j}-' || w), so building
+# the sketch is ONE map-side conditional-sum aggregate over the token
+# scan — no per-word shuffle at all (contrast: the exact F2 audit side
+# pays the word-keyed aggregate). E[X_j^2] = F2; the estimate is the
+# median of the 8 squares, held in 2x integer space (sum of the 4th and
+# 5th order statistics) so no division or float touches it. Completes
+# the sketch family: CM answers point queries (q132/q262/q266) and
+# inner products (q141), theta answers set algebra (q108), AMS answers
+# the frequency MOMENT.
+#
+# 100 TB shape: sketch side is one 8-column conditional sum with
+# map-side partial combine (8 BIGINTs per partition cross the wire);
+# audit side is the exact word count. X_j is bounded by token count N,
+# X_j^2 by N^2 — DECIMAL(38,0)/HUGEINT to N ~ 1e18. Reference
+# delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_AMS_D = 8
+
+
+def _q272_oracle() -> str:
+    from .llm import duck_h31
+
+    signs = ",\n             ".join(
+        f"CAST(SUM(1 - 2 * ({duck_h31(chr(39) + f'ams{j}-' + chr(39) + ' || w')} % 2))"
+        f" AS BIGINT) AS x{j}"
+        for j in range(_AMS_D)
+    )
+    sq = ", ".join(
+        f"CAST(x{j} AS HUGEINT) * CAST(x{j} AS HUGEINT)" for j in range(_AMS_D)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    sk AS (
+      SELECT {signs}
+      FROM tok
+    ),
+    exact AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT) AS f2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w)
+    ),
+    med AS (
+      SELECT CAST(sq[4] + sq[5] AS HUGEINT) AS est2
+      FROM (SELECT list_sort([{sq}]) AS sq FROM sk)
+    )
+    SELECT {", ".join(f"sk.x{j}" for j in range(_AMS_D))},
+           CAST(exact.f2 AS DOUBLE) AS f2_exact,
+           CAST(med.est2 AS DOUBLE) / 2.0 AS f2_est
+    FROM sk CROSS JOIN exact CROSS JOIN med
+    """
+
+
+@query(
+    "q272_ams_f2",
+    oracle=_q272_oracle(),
+    category="mining",
+    doc="AMS F2 sketch: 8 sign-sum counters vs the exact second moment of the token stream",
+)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import spark_h31
+
+    tok = (
+        t(spark, sf, "documents")
+        .select(
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x <> '')")
+            ).alias("w")
+        )
+    )
+    sk = tok.agg(
+        *[
+            F.sum(
+                F.lit(1)
+                - F.lit(2) * F.expr(f"{spark_h31(chr(39) + f'ams{j}-' + chr(39) + ' || w')} % 2")
+            )
+            .cast("long")
+            .alias(f"x{j}")
+            for j in range(_AMS_D)
+        ]
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("f2")
+        )
+    )
+    sq = ", ".join(
+        f"CAST(x{j} AS DECIMAL(38,0)) * CAST(x{j} AS DECIMAL(38,0))"
+        for j in range(_AMS_D)
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .withColumn("sq", F.expr(f"array_sort(array({sq}))"))
+        .select(
+            *[F.col(f"x{j}") for j in range(_AMS_D)],
+            F.col("f2").cast("double").alias("f2_exact"),
+            (
+                F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)")
+                / F.lit(2.0)
+            ).alias("f2_est"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q273 — Brown-Forsythe / Levene test (Brown & Forsythe, JASA 1974):
+# variance homogeneity across the five event types — the SPREAD
+# companion to the location family (q198 tests means, q268 ranks,
+# q258/q206 two-sample) and the assumption check classical ANOVA
+# leans on. Statistic: one-way ANOVA F on the absolute deviations
+# z = |x - median(group)|, with the median (robust center — the
+# Brown-Forsythe choice over Levene's mean) computed EXACTLY on the
+# micros integer grid: per group, the doubled median med2 = x_(lo) +
+# x_(hi) from the cumulative value-domain frame, so z2 = |2x - med2|
+# is an exact BIGINT per row. Moments (n_t, sum z2, sum z2^2) are
+# exact DECIMAL(38,0)/HUGEINT conditional sums PIVOTED into named
+# per-type columns — q198's floor-to-micros-then-integer-sum trick
+# does NOT survive the 1e6x-finer micros grid (s1g^2/ng reaches ~1e35
+# here, past BIGINT), and a float SUM over group rows would be
+# reduction-order-unstable; the five named columns give the fixed
+# written order instead (the q268 convention), so SSB/SSW/F assemble
+# in one shared double tree, floored once to micros. Degenerate
+# inputs (an absent type, n <= k, or zero within-group deviation)
+# mirror NULL (q258/q268 convention).
+#
+# 100 TB shape: one (type, value)-keyed count aggregate (map-side
+# combine, output = per-type value domain), one cumulative window per
+# type over that bounded frame, one row-level join back to the 5-row
+# broadcast median table, one pivoted moment aggregate, a scalar out.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_BF_TYPES = ("click", "error", "purchase", "signup", "view")
+_BF_K = len(_BF_TYPES)
+
+
+def _q273_f_sql() -> str:
+    """F tree over columns n, n_<t>, s1_<t>, s2_<t> — identical text in
+    Spark SQL and DuckDB (moment columns are 128-bit integers cast to
+    DOUBLE exactly once each, fixed term order)."""
+    ssw = " + ".join(
+        f"(CAST(s2_{t} AS DOUBLE) - (CAST(s1_{t} AS DOUBLE) * CAST(s1_{t} AS DOUBLE))"
+        f" / CAST(n_{t} AS DOUBLE))"
+        for t in _BF_TYPES
+    )
+    s1tot = " + ".join(f"CAST(s1_{t} AS DOUBLE)" for t in _BF_TYPES)
+    ssb = (
+        " + ".join(
+            f"(CAST(s1_{t} AS DOUBLE) * CAST(s1_{t} AS DOUBLE)) / CAST(n_{t} AS DOUBLE)"
+            for t in _BF_TYPES
+        )
+        + f" - (({s1tot}) * ({s1tot})) / CAST(n AS DOUBLE)"
+    )
+    guard = " OR ".join(f"n_{t} = 0" for t in _BF_TYPES)
+    return (
+        f"CASE WHEN {guard} OR n <= {_BF_K} OR ({ssw}) <= 0.0 THEN NULL"
+        f" ELSE floor(1000000.0 * ((({ssb}) / {_BF_K - 1}.0)"
+        f" / (({ssw}) / CAST(n - {_BF_K} AS DOUBLE)))) END"
+    )
+
+
+def _q273_oracle() -> str:
+    moments = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN g = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t},\n             "
+        f"CAST(SUM(CASE WHEN g = '{t}' THEN CAST(z2 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s1_{t},\n             "
+        f"CAST(SUM(CASE WHEN g = '{t}' THEN CAST(z2 AS HUGEINT) * z2 ELSE 0 END) AS HUGEINT) AS s2_{t}"
+        for t in _BF_TYPES
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value * 1000000.0) AS BIGINT) AS x
+      FROM events
+    ),
+    dom AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY g, x
+    ),
+    cum AS (
+      SELECT g, x, m,
+             CAST(COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS c,
+             CAST(SUM(m) OVER (PARTITION BY g) AS BIGINT) AS ng
+      FROM dom
+    ),
+    med AS (
+      SELECT g,
+             CAST(SUM(x * (CASE WHEN c < (ng + 1) // 2 AND (ng + 1) // 2 <= c + m
+                                THEN 1 ELSE 0 END
+                         + CASE WHEN c < (ng + 2) // 2 AND (ng + 2) // 2 <= c + m
+                                THEN 1 ELSE 0 END)) AS BIGINT) AS med2
+      FROM cum GROUP BY g
+    ),
+    z AS (
+      SELECT v.g, abs(2 * v.x - med.med2) AS z2
+      FROM v JOIN med ON v.g = med.g
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {moments}
+      FROM z
+    )
+    SELECT n, {", ".join(f"n_{t}" for t in _BF_TYPES)},
+           CAST({_q273_f_sql()} AS BIGINT) AS f_micros
+    FROM tot
+    """
+
+
+@query(
+    "q273_levene_spread",
+    oracle=_q273_oracle(),
+    category="mining",
+    doc="Brown-Forsythe variance-homogeneity F across event types, exact integer-grid medians and pivoted 128-bit moments",
+)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    v = t(spark, sf, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("x"),
+    )
+    dom = v.groupBy("g", "x").agg(F.count("*").alias("m"))
+    wcum = (
+        Window.partitionBy("g").orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dom.select(
+        "g",
+        "x",
+        "m",
+        F.coalesce(F.sum("m").over(wcum), F.lit(0)).alias("c"),
+        F.sum("m").over(Window.partitionBy("g")).alias("ng"),
+    )
+    med = cum.groupBy("g").agg(
+        F.sum(
+            F.col("x")
+            * (
+                F.expr(
+                    "CASE WHEN c < (ng + 1) div 2 AND (ng + 1) div 2 <= c + m"
+                    " THEN 1 ELSE 0 END"
+                    " + CASE WHEN c < (ng + 2) div 2 AND (ng + 2) div 2 <= c + m"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    z = v.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.lit(2) * F.col("x") - F.col("med2")).alias("z2")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    tot = z.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            a
+            for ty in _BF_TYPES
+            for a in (
+                F.sum(F.when(F.col("g") == ty, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{ty}"),
+                F.sum(
+                    F.when(F.col("g") == ty, dec(F.col("z2"))).otherwise(F.lit(0))
+                ).alias(f"s1_{ty}"),
+                F.sum(
+                    F.when(F.col("g") == ty, dec(F.col("z2")) * F.col("z2")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"s2_{ty}"),
+            )
+        ],
+    )
+    return tot.select(
+        "n",
+        *[F.col(f"n_{ty}") for ty in _BF_TYPES],
+        F.expr(_q273_f_sql()).cast("long").alias("f_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q274 — Friedman test (Friedman, JASA 1937): the PAIRED k-sample rank
+# test, completing the grid — q261 is paired with k=2 (McNemar),
+# q268 unpaired k-sample (Kruskal-Wallis), this is paired k-sample:
+# does per-user spend RANK differently across the five event types
+# when each user is their own block? Blocks are users observed in ALL
+# five types (complete blocks, the classical design); the observation
+# is the user's per-type value total on the micros grid. Within-block
+# midranks use the 2x integer space (midrank2 = 2c + m + 1 over the
+# FIVE in-block observations), so the per-type rank sums R2_j are
+# exact BIGINTs; chi2_F = [12/(b k (k+1))] sum_j R_j^2 - 3 b (k+1)
+# assembles in one fixed-order 5-term double tree (q268's convention)
+# with the within-block tie correction C = 1 - sum(t^3 - t)/(b k (k^2-1)).
+# All-tie degeneracy (C = 0) is the exact integer predicate
+# tie_sum = 120 b (k = 5), mirrored NULL both engines; the chi2(4)
+# critical value is the same Python literal as q268.
+#
+# 100 TB shape: one (user, type) aggregate, a per-user 5-row rank
+# window (blocks are bounded width k = 5), one pivoted rank-sum
+# aggregate, a scalar out. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_FR_TYPES = ("click", "error", "purchase", "signup", "view")
+_FR_K = len(_FR_TYPES)
+_FR_CRIT_MICROS = 9_487_729  # floor(1e6 * chi2(4).ppf(0.95)) — q268's literal
+
+
+def _fr_chi2_sql() -> str:
+    terms = " + ".join(
+        f"(CAST(r2_{ty} AS DOUBLE) / 2.0) * (CAST(r2_{ty} AS DOUBLE) / 2.0)"
+        for ty in _FR_TYPES
+    )
+    chi = (
+        f"(12.0 / (CAST(b AS DOUBLE) * {_FR_K}.0 * {_FR_K + 1}.0)) * ({terms})"
+        f" - 3.0 * CAST(b AS DOUBLE) * {_FR_K + 1}.0"
+    )
+    corr = (
+        f"(1.0 - CAST(tie_sum AS DOUBLE)"
+        f" / (CAST(b AS DOUBLE) * {_FR_K * (_FR_K * _FR_K - 1)}.0))"
+    )
+    return (
+        f"CASE WHEN b = 0 OR tie_sum = {_FR_K * (_FR_K * _FR_K - 1)} * b THEN NULL"
+        f" ELSE floor(1000000.0 * (({chi}) / {corr})) END"
+    )
+
+
+def _q274_oracle() -> str:
+    sums = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN g = '{ty}' THEN mr2 ELSE 0 END) AS BIGINT) AS r2_{ty}"
+        for ty in _FR_TYPES
+    )
+    return f"""
+    WITH obs AS (
+      SELECT user_id, event_type AS g,
+             CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY user_id, event_type
+    ),
+    blocks AS (
+      SELECT user_id FROM obs GROUP BY user_id HAVING COUNT(*) = {_FR_K}
+    ),
+    ranked AS (
+      SELECT o.user_id, o.g,
+             CAST(2 * (RANK() OVER (PARTITION BY o.user_id ORDER BY o.x))
+                  + (COUNT(*) OVER (PARTITION BY o.user_id, o.x)) - 1
+                  AS BIGINT) AS mr2,
+             CAST(COUNT(*) OVER (PARTITION BY o.user_id, o.x) AS BIGINT) AS tg
+      FROM obs o JOIN blocks USING (user_id)
+    ),
+    ties AS (
+      SELECT CAST(SUM(tg * tg - 1) AS BIGINT) AS tie_sum
+      FROM ranked
+    ),
+    rs AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS b,
+             {sums}
+      FROM ranked
+    )
+    SELECT rs.b, ties.tie_sum,
+           CAST({_fr_chi2_sql()} AS BIGINT) AS chi2_micros,
+           CAST({_fr_chi2_sql()} AS BIGINT) >= {_FR_CRIT_MICROS} AS reject_at_05
+    FROM rs CROSS JOIN ties
+    """
+
+
+@query(
+    "q274_friedman_test",
+    oracle=_q274_oracle(),
+    category="mining",
+    doc="Friedman paired k-sample rank test over complete user blocks, 2x integer midranks",
+)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    obs = (
+        t(spark, sf, "events")
+        .groupBy("user_id", F.col("event_type").alias("g"))
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    blocks = obs.groupBy("user_id").agg(F.count("*").alias("nt")).filter(
+        F.col("nt") == _FR_K
+    ).select("user_id")
+    wr = Window.partitionBy("user_id").orderBy("x")
+    wt = Window.partitionBy("user_id", "x")
+    ranked = obs.join(blocks, "user_id", "left_semi").select(
+        "user_id",
+        "g",
+        (
+            F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1
+        ).cast("long").alias("mr2"),
+        F.count("*").over(wt).cast("long").alias("tg"),
+    )
+    ties = ranked.agg(
+        F.sum(F.col("tg") * F.col("tg") - 1).cast("long").alias("tie_sum")
+    )
+    rs = ranked.agg(
+        F.countDistinct("user_id").cast("long").alias("b"),
+        *[
+            F.sum(F.when(F.col("g") == ty, F.col("mr2")).otherwise(0))
+            .cast("long")
+            .alias(f"r2_{ty}")
+            for ty in _FR_TYPES
+        ],
+    )
+    chi = F.expr(_fr_chi2_sql()).cast("long")
+    return rs.crossJoin(F.broadcast(ties)).select(
+        "b",
+        "tie_sum",
+        chi.alias("chi2_micros"),
+        (chi >= F.lit(_FR_CRIT_MICROS)).alias("reject_at_05"),
+    )

@@ -675,3 +675,73 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_MW_VAR_M).alias("var_micros"),
         F.expr(_MW_Z).alias("z_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# q277 — Simpson diversity index (Simpson, Nature 1949) of the language
+# mix within each source: the probability two documents drawn without
+# replacement from a source differ in language — the DIVERSITY readout
+# completing the concentration/mixture family (q210 Gini measures
+# inequality of mass, q117 rebalances the mix, q136/q193 measure drift
+# BETWEEN mixes; Simpson scores one mix's evenness on an exact 0..1
+# scale with no logarithm, where an entropy readout would need one).
+# D = 1 - sum_i n_i (n_i - 1) / (N (N - 1)) is an exact integer
+# rational: numerator and denominator ride DECIMAL(38,0)/HUGEINT (the
+# q239 pattern, safe past 1e18 docs/source) and the single readout is
+# one integer division to micros. Single-doc sources (N <= 1) mirror
+# NULL both engines (q258/q268 degenerate convention).
+#
+# 100 TB shape: one (source, lang) count aggregate (map-side combine,
+# catalog-sized output), one source-level rollup. Reference delegates
+# analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q277_simpson_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS same
+      FROM c GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           CAST(CASE WHEN n_docs <= 1 THEN NULL
+                ELSE CAST(1000000 AS HUGEINT)
+                     * (CAST(n_docs AS HUGEINT) * (n_docs - 1) - same)
+                     // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) END
+                AS BIGINT) AS simpson_micros
+    FROM s ORDER BY source
+    """,
+    category="mixture",
+    doc="Simpson language-diversity per source: exact integer rational, no transcendentals",
+)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)).alias("same"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.expr(
+            "CAST(CASE WHEN n_docs <= 1 THEN NULL"
+            " ELSE CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) - same)"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) END"
+            " AS BIGINT)"
+        ).alias("simpson_micros"),
+    ).orderBy("source")

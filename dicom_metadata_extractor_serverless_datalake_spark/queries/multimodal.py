@@ -204,3 +204,89 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# q275 — shot-boundary (scene-cut) detection over sampled video frames:
+# the standard frame-differencing operator of a video curation
+# pipeline, run through the SAME Arrow-batched mapInPandas decode path
+# as q62 — per-doc frame sampling stays in the Python worker, the
+# luminance proxy and the lag-difference cut test stay JVM-side (a
+# per-doc window over the bounded frame list, never a Python loop).
+# The decoder is the deterministic md5 stub (real codecs aren't in
+# this container), so the luminance is the digest's leading 16 bits
+# mod 256 and the oracle replays the whole chain in SQL — a hash
+# match certifies the decode -> feature -> window plumbing bit-exact.
+# Cut rule: |lum - lag(lum)| >= 96 (hard-cut threshold on a 0..255
+# scale).
+#
+# 100 TB shape: decode and frame expansion are map-side (mapInPandas,
+# each task its own batch); the lag window partitions by doc over
+# <= 8 frames per doc — bounded-width windows, corpus-scale parallel.
+# Reference has no video path; this extends the multimodal family
+# (q61/q62/q111/q112) the way a training-data pipeline needs.
+# --------------------------------------------------------------------------
+
+_CUT_THRESHOLD = 96
+
+
+@query(
+    "q275_scene_cuts",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 8 + 1 AS INTEGER) AS n_frames
+      FROM documents WHERE doc_id < {_N_DOCS}
+    ),
+    frames AS (
+      SELECT doc_id,
+             CAST(f - 1 AS INTEGER) AS frame_idx,
+             CAST(CAST('0x' || substr(md5(hx || '_' || CAST(f - 1 AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 256 AS BIGINT) AS lum
+      FROM v CROSS JOIN generate_series(1, 8) AS gs(f)
+      WHERE f <= n_frames
+    ),
+    lagged AS (
+      SELECT doc_id, frame_idx, lum,
+             lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_lum
+      FROM frames
+    )
+    SELECT doc_id, frame_idx, CAST(prev_lum AS BIGINT) AS prev_lum, lum,
+           CAST(abs(lum - prev_lum) AS BIGINT) AS lum_delta
+    FROM lagged
+    WHERE prev_lum IS NOT NULL AND abs(lum - prev_lum) >= {_CUT_THRESHOLD}
+    ORDER BY doc_id, frame_idx
+    """,
+    category="multimodal",
+    doc="hard-cut detection: per-doc frame luminance lag-diff over the mapInPandas decode path",
+)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < _N_DOCS)
+    frames = frame_sample(with_payload(docs.select("doc_id", "text")))
+    lum = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(
+            "CAST(conv(substr(frame_digest, 1, 4), 16, 10) AS BIGINT) % 256"
+        ).alias("lum"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = lum.select(
+        "doc_id", "frame_idx", "lum", F.lag("lum").over(w).alias("prev_lum")
+    )
+    return (
+        lagged.filter(
+            F.col("prev_lum").isNotNull()
+            & (F.abs(F.col("lum") - F.col("prev_lum")) >= _CUT_THRESHOLD)
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.col("prev_lum").cast("long").alias("prev_lum"),
+            "lum",
+            F.abs(F.col("lum") - F.col("prev_lum")).cast("long").alias("lum_delta"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -1222,3 +1222,84 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# --------------------------------------------------------------------------
+# q276 — referential-integrity audit over the star schema: orphan-row
+# counts and rates for every foreign-key edge (lineitem -> orders,
+# orders -> customer, customer -> nation, supplier -> nation) in one
+# result table — the nightly constraint check a lakehouse runs because
+# parquet enforces no FKs (the reference's catalog DDL declares none
+# either, src/app.py catalog setup). Complements q106 (column-level
+# quality gates) with the CROSS-TABLE contract. Each edge is one
+# left-anti join on its key: dimension-sized parents broadcast,
+# the lineitem -> orders edge shuffles both sides on o_orderkey —
+# exactly the join the queries themselves would run, so the audit
+# costs what one join pass costs. Rates are exact integer micros.
+#
+# 100 TB shape: four independent anti-join counts (catalyst
+# broadcast where the parent is dimension-sized), one 4-row union.
+# --------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _q276_oracle() -> str:
+    edges = "\n    UNION ALL\n".join(
+        f"""    SELECT '{child}.{ckey}' AS fk_edge,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pkey} = c.{ckey})) AS n_orphans"""
+        for child, ckey, parent, pkey in _FK_EDGES
+    )
+    return f"""
+    WITH e AS (
+{edges}
+    )
+    SELECT fk_edge, n_rows, n_orphans,
+           CAST(CASE WHEN n_rows = 0 THEN NULL
+                ELSE 1000000 * n_orphans // n_rows END AS BIGINT)
+             AS orphan_micros
+    FROM e ORDER BY fk_edge
+    """
+
+
+@query(
+    "q276_fk_integrity",
+    oracle=_q276_oracle(),
+    category="quality",
+    doc="orphan-row audit for every star-schema FK edge: anti-join counts + exact rates",
+)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    frames = []
+    for child, ckey, parent, pkey in _FK_EDGES:
+        c = t(spark, sf, child)
+        p = t(spark, sf, parent).select(F.col(pkey).alias(ckey))
+        orphans = c.select(ckey).join(p, ckey, "left_anti")
+        frames.append(
+            c.agg(F.count("*").alias("n_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(f"{child}.{ckey}").alias("fk_edge"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "fk_edge",
+        "n_rows",
+        "n_orphans",
+        F.expr(
+            "CAST(CASE WHEN n_rows = 0 THEN NULL"
+            " ELSE 1000000 * n_orphans div n_rows END AS BIGINT)"
+        ).alias("orphan_micros"),
+    ).orderBy("fk_edge")

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Round-9 scale rows (BASELINE.md): one SECTION per fresh JVM (heap
+aging inflates repeated-section numbers), cache-clean between passes,
+timing INCLUDING query construction, through the noop sink.
+
+The *fast sections run the SAME operator compositions as the registered
+q243/q254 but with ``hash_fn="fast"`` (xxhash64) — the production hash
+path; the registered queries pin ``portable`` (md5 h31) because that is
+what DuckDB can replay value-for-value. Recording both walls puts the
+honest production number beside the driver-verifiable one (VERDICT r08
+task #6); q263 at 5M docs is task #8 (first per-token-shuffle query at
+that scale).
+
+Usage: python scripts/bench_r09_scale.py {q243|q243fast|q254fast|q263|all}
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOC5M = "/tmp/sfsynthdoc1000"
+
+
+def _q243_fast(spark, sf_dir: str):
+    """q243_neardup_star (queries/llm.py:297) with the production hash."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import (
+        estimate_verify,
+        lsh_star_edges,
+        minhash_signatures,
+        shingle_tokens,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.base import t
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="fast").persist()
+    edges = lsh_star_edges(sigs)
+    return estimate_verify(edges, sigs, threshold=0.5).orderBy("d1", "d2")
+
+
+def _q254_fast(spark, sf_dir: str):
+    """q254_diversity_sample_star (queries/llm.py:1225) with the
+    production hash."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signatures,
+        shingle_tokens,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.base import t
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.llm import _cluster_balanced_keep
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="fast")
+    edges = lsh_star_edges(sigs)
+    return _cluster_balanced_keep(docs, edges)
+
+
+SECTIONS = {
+    # (builder, data_dir, passes); builder is a registered query name or
+    # one of the fast-path compositions above
+    "q243": ("q243_neardup_star", DOC5M, 1),
+    "q243fast": (_q243_fast, DOC5M, 1),
+    "q254fast": (_q254_fast, DOC5M, 1),
+    "q263": ("q263_substring_dedup", DOC5M, 1),
+    # round-9 new-query 100x scale rows (q275 is a bounded 100-doc
+    # slice by design — scale-independent, no row needed)
+    "newdoc": (
+        ["q271_average_precision", "q272_ams_f2", "q277_simpson_diversity"],
+        "/tmp/sfsynthdoc100",
+        2,
+    ),
+    "newev": (["q273_levene_spread", "q274_friedman_test"], "/tmp/evsynth100", 2),
+    "newrel": (["q276_fk_integrity"], "/tmp/sfsynth10", 2),
+}
+
+
+def run_section(section: str) -> None:
+    builders, sf_dir, passes = SECTIONS[section]
+    if not isinstance(builders, list):
+        builders = [builders]
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_r09_{section}")
+    for builder in builders:
+        fn = QUERIES[builder].spark_fn if isinstance(builder, str) else builder
+        label = builder if isinstance(builder, str) else builder.__name__
+        walls, rows = [], None
+        for _ in range(passes):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+            if rows is None and passes >= 2:
+                rows = df.count()  # cheap relative to the warm pass
+        print(
+            f"RESULT {section} {label}: wall={min(walls):.1f}s "
+            f"(passes={[f'{w:.1f}' for w in walls]}) rows={rows}",
+            flush=True,
+        )
+    spark.stop()
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which != "all":
+        run_section(which)
+        return
+    # fresh JVM per section: re-exec ourselves
+    import subprocess
+
+    for section in SECTIONS:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), section], check=False
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,3 +76,36 @@ def test_resize_images_shape_and_nulls(spark, sf_dir):
     # deterministic across runs
     again = {r.doc_id: bytes(r.resized) for r in out.collect()}
     assert {r.doc_id: bytes(r.resized) for r in rows} == again
+
+
+def test_scene_cuts_match_python_replay(spark, sf_dir):
+    """q275: cut rows recomputed in Python from the same md5 stub chain
+    — first frame is never a cut, deltas are |lum - prev| >= 96."""
+    import hashlib
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    rows = QUERIES["q275_scene_cuts"].spark_fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .collect()
+    }
+    expected = []
+    for doc_id in sorted(docs):
+        hx = hashlib.md5(docs[doc_id].encode()).hexdigest()
+        n_frames = int(hx[:4], 16) % 8 + 1
+        lums = [
+            int(hashlib.md5(f"{hx}_{i}".encode()).hexdigest()[:4], 16) % 256
+            for i in range(n_frames)
+        ]
+        for i in range(1, n_frames):
+            if abs(lums[i] - lums[i - 1]) >= 96:
+                expected.append((doc_id, i, lums[i - 1], lums[i]))
+    got = [(r["doc_id"], r["frame_idx"], r["prev_lum"], r["lum"]) for r in rows]
+    assert got == expected
+    assert len(expected) > 0  # the corpus actually exercises the cut path
+    assert all(r["lum_delta"] >= 96 for r in rows)

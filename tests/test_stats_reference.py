@@ -1777,3 +1777,212 @@ def test_q269_hits_brute_force(spark, tmp_path):
     got_a = {r["node_id"]: r["score"] for r in out if r["side"] == "authority"}
     assert got_h == h1
     assert got_a == a2
+
+
+# ---- round-9 additions: q271-q274, q277 ----
+
+
+def test_q271_average_precision_brute_force(spark, tmp_path):
+    """Tiny corpus with score ties straddling relevance; AP recomputed
+    from the group-boundary-cutoff definition in exact fractions."""
+    from fractions import Fraction
+
+    # (score, is_en): two tie groups and two singletons
+    data = [(30, 1), (30, 0), (20, 1), (10, 1), (10, 0), (10, 0), (5, 0)]
+    rows = [
+        (i, f"doc {i}", "en" if rel else "de", "s", score)
+        for i, (score, rel) in enumerate(data)
+    ]
+    _write_documents(spark, tmp_path, rows)
+    (out,) = QUERIES["q271_average_precision"].spark_fn(spark, str(tmp_path)).collect()
+
+    # brute force: group by score desc, accumulate retrieved/relevant
+    from collections import Counter, defaultdict
+
+    grp = defaultdict(lambda: [0, 0])
+    for score, rel in data:
+        grp[score][0] += 1
+        grp[score][1] += rel
+    cret = pret = 0
+    total = 0
+    for score in sorted(grp, reverse=True):
+        m, p = grp[score]
+        cret += m
+        pret += p
+        total += (1_000_000 * p * pret) // cret  # floored term, like the query
+    n_rel = sum(rel for _, rel in data)
+    assert out["n_rel"] == n_rel == 3
+    assert out["n_docs"] == len(data)
+    assert out["ap_micros"] == total // n_rel
+
+
+def test_q272_ams_f2_brute_force(spark, tmp_path):
+    """Counters and exact F2 replayed in Python from the portable h31."""
+    import hashlib
+
+    texts = ["a b a c", "b b a", "c c c c d"]
+    rows = [(i, t_, "en", "s", len(t_)) for i, t_ in enumerate(texts)]
+    _write_documents(spark, tmp_path, rows)
+    (out,) = QUERIES["q272_ams_f2"].spark_fn(spark, str(tmp_path)).collect()
+
+    def h31(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+    toks = [w for t_ in texts for w in t_.split(" ") if w]
+    from collections import Counter
+
+    cnt = Counter(toks)
+    f2 = sum(c * c for c in cnt.values())
+    assert out["f2_exact"] == float(f2)
+    xs = []
+    for j in range(8):
+        x = sum(1 - 2 * (h31(f"ams{j}-{w}") % 2) for w in toks)
+        assert out[f"x{j}"] == x
+        xs.append(x * x)
+    xs.sort()
+    assert out["f2_est"] == (xs[3] + xs[4]) / 2.0
+
+
+def test_q273_levene_brute_force(spark, tmp_path):
+    """Brown-Forsythe F recomputed from per-group medians in Python,
+    with an even-count group (midpoint median) and exact ties."""
+    import datetime as dt
+
+    groups = {
+        "click": [1.0, 3.0, 3.0, 9.0],      # even: med = 3.0
+        "error": [2.0, 2.0, 8.0],           # odd: med = 2.0
+        "purchase": [1.0, 5.0, 6.0],
+        "signup": [4.0, 4.0, 4.5, 7.0],
+        "view": [0.5, 2.5, 9.5],
+    }
+    rows, eid = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 1, 1), eid, g, v, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q273_levene_spread"].spark_fn(spark, str(tmp_path)).collect()
+
+    import statistics
+
+    zs = {
+        g: [abs(v - statistics.median(vals)) for v in vals]
+        for g, vals in groups.items()
+    }
+    k = len(groups)
+    n = sum(len(v) for v in zs.values())
+    zbar = {g: sum(v) / len(v) for g, v in zs.items()}
+    zall = sum(sum(v) for v in zs.values()) / n
+    ssb = sum(len(v) * (zbar[g] - zall) ** 2 for g, v in zs.items())
+    ssw = sum((x - zbar[g]) ** 2 for g, v in zs.items() for x in v)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["n"] == n
+    # micros floor of a float recomputation: allow 1 ulp of micros slack
+    assert abs(out["f_micros"] - math.floor(1_000_000 * f)) <= 1
+
+
+def test_q274_friedman_brute_force(spark, tmp_path):
+    """Friedman chi2 with within-block ties recomputed from scipy-free
+    textbook formula; incomplete blocks must be excluded."""
+    import datetime as dt
+
+    # user 1..3: complete blocks (all five types); user 9: incomplete
+    types = ["click", "error", "purchase", "signup", "view"]
+    blocks = {
+        1: [5.0, 1.0, 3.0, 2.0, 4.0],
+        2: [2.0, 2.0, 4.0, 1.0, 5.0],   # tie within block
+        3: [1.0, 2.0, 3.0, 4.0, 5.0],
+    }
+    rows, eid = [], 0
+    for u, vals in blocks.items():
+        for ty, v in zip(types, vals):
+            rows.append((eid, dt.datetime(2024, 1, 1), u, ty, v, "{}")); eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 1), 9, "click", 7.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q274_friedman_test"].spark_fn(spark, str(tmp_path)).collect()
+
+    k, b = 5, len(blocks)
+    # average ranks within each block
+    rsum = dict.fromkeys(types, 0.0)
+    tie_sum = 0
+    for vals in blocks.values():
+        sorted_v = sorted(vals)
+        from collections import Counter
+
+        cnt = Counter(vals)
+        tie_sum += sum(m**3 - m for m in cnt.values())
+        for ty, v in zip(types, vals):
+            lo = sorted_v.index(v) + 1
+            hi = lo + cnt[v] - 1
+            rsum[ty] += (lo + hi) / 2
+    chi = (12.0 / (b * k * (k + 1))) * sum(r * r for r in rsum.values()) - 3.0 * b * (
+        k + 1
+    )
+    corr = 1.0 - tie_sum / (b * k * (k * k - 1))
+    assert out["b"] == b and out["tie_sum"] == tie_sum
+    assert abs(out["chi2_micros"] - math.floor(1_000_000 * (chi / corr))) <= 1
+
+
+def test_q277_simpson_brute_force(spark, tmp_path):
+    """Exact Simpson diversity on a planted mix + the N=1 NULL guard."""
+    rows = [
+        (0, "a", "en", "s1", 1), (1, "b", "en", "s1", 1),
+        (2, "c", "de", "s1", 1), (3, "d", "fr", "s1", 1),
+        (4, "e", "en", "s2", 1),  # single-doc source -> NULL
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = {
+        r["source"]: r
+        for r in QUERIES["q277_simpson_diversity"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    # s1: N=4, same-lang ordered pairs = 2*1 (en) = 2; D = 1 - 2/12
+    assert out["s1"]["n_docs"] == 4 and out["s1"]["n_langs"] == 3
+    assert out["s1"]["simpson_micros"] == 1_000_000 * (12 - 2) // 12
+    assert out["s2"]["simpson_micros"] is None
+
+
+def test_q276_fk_integrity_detects_planted_orphans(spark, tmp_path):
+    """Planted orphan keys on two edges; clean edges report zero."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import os
+
+    src = "/root/testdata/sf0.001"
+    for t_ in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        p = f"{src}/{t_}.parquet"
+        dst = str(tmp_path / f"{t_}.parquet")
+        if os.path.isdir(p):
+            shutil.copytree(p, dst)
+        else:  # single-file parquet: re-home it as a directory so the
+            os.makedirs(dst)  # planted rows can append beside it
+            shutil.copy(p, os.path.join(dst, "part-0.parquet"))
+    # plant: one lineitem row pointing at a nonexistent order, and one
+    # customer in a nonexistent nation
+    li = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+    bogus_li = li.limit(1).withColumn(
+        "l_orderkey", F.lit(999_999_999).cast(li.schema["l_orderkey"].dataType)
+    )
+    bogus_li.write.mode("append").parquet(str(tmp_path / "lineitem.parquet"))
+    cu = spark.read.parquet(str(tmp_path / "customer.parquet"))
+    bogus_cu = cu.limit(1).withColumn(
+        "c_nationkey", F.lit(99).cast(cu.schema["c_nationkey"].dataType)
+    ).withColumn("c_custkey", F.lit(888_888_888).cast(cu.schema["c_custkey"].dataType))
+    bogus_cu.write.mode("append").parquet(str(tmp_path / "customer.parquet"))
+
+    out = {
+        r["fk_edge"]: r
+        for r in QUERIES["q276_fk_integrity"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {
+        "lineitem.l_orderkey", "orders.o_custkey",
+        "customer.c_nationkey", "supplier.s_nationkey",
+    }
+    assert out["lineitem.l_orderkey"]["n_orphans"] == 1
+    assert out["customer.c_nationkey"]["n_orphans"] == 1
+    assert out["supplier.s_nationkey"]["n_orphans"] == 0
+    # the planted orders.o_custkey edge: the bogus customer ADDS a valid
+    # parent key, so orphans stay 0 there
+    assert out["orders.o_custkey"]["n_orphans"] == 0
+    r = out["lineitem.l_orderkey"]
+    assert r["orphan_micros"] == 1_000_000 * 1 // r["n_rows"]
