@@ -39,11 +39,11 @@ from . import selection  # noqa: F401,E402
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
 # registered query has a green driver row (cumulative 270/270 as of
-# CORRECTNESS_r08), so the window is a staleness rotation: the 7
+# CORRECTNESS_r08), so the window is a staleness rotation: the 9
 # queries registered this round (never driver-verified) first, then
-# the 43 stalest greens — all 21 round-3-vintage rows plus the 22
+# the 41 stalest greens — all 21 round-3-vintage rows plus the 20
 # lowest-numbered round-4 rows (VERDICT r08 task #2's front-load; the
-# remaining 27 round-4 rows go first in r10) — exactly 50. After each
+# remaining 29 round-4 rows go first in r10) — exactly 50. After each
 # new CORRECTNESS artifact lands, rotate its greens to the back and
 # front-load whatever is newest/stalest.
 _PRIORITY = [
@@ -55,6 +55,8 @@ _PRIORITY = [
     "q275_scene_cuts",
     "q276_fk_integrity",
     "q277_simpson_diversity",
+    "q278_vocab_growth",
+    "q279_fisher_scores",
     # stalest greens: the full round-3 band (21 queries)
     "q91_weighted_sample",
     "q92_robust_zscore",
@@ -98,10 +100,10 @@ _PRIORITY = [
     "q84_stream_dedup",
     "q99_stream_stateful_totals",
     "q104_prefix_filter_join",
+    # ^ exactly 50 = the driver window (9 new this round + 41 stalest).
+    # The 29 remaining round-4-vintage greens, front of the r10 window:
     "q114_robust_zscore_sketch",
     "q115_stats_broadcast_join",
-    # ^ exactly 50 = the driver window (7 new this round + 43 stalest).
-    # The 27 remaining round-4-vintage greens, front of the r10 window:
     "q116_bigram_lm_score",
     "q117_domain_mixture",
     "q118_sequence_packing",

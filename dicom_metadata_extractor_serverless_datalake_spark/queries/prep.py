@@ -925,3 +925,112 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
             "acc + (CAST(x.n AS DOUBLE) / n_total) * abs(CAST(x.p AS DOUBLE) / x.n - x.s))"
         ).alias("ece"),
     )
+
+
+# --------------------------------------------------------------------------
+# q279 — Fisher discriminant score per embedding dimension (Fisher
+# 1936; the filter-method feature-selection readout): which of the 64
+# embedding dimensions separate the two label-parity classes, scored
+# (m0 - m1)^2 / (v0 + v1). Completes the embedding-audit family —
+# q133 scores dimension-dimension SIMILARITY, q162 extracts the global
+# top eigendirection, q172/q173 work at the class-centroid level; this
+# ranks individual dimensions by class DISCRIMINABILITY, the readout a
+# probing/feature-pruning pass consumes. All moments (n_c, sum x,
+# sum x^2 per dimension per class) are exact integers on the micros
+# grid — values ride DECIMAL(38,0)/HUGEINT — and each dimension's F
+# assembles in one shared fixed-order double tree (per-dim rows carry
+# their own named columns, so no float reduction crosses rows).
+# Degenerate dims (a class absent or zero pooled variance) mirror
+# NULL (q258/q268 convention).
+#
+# 100 TB shape: posexplode is map-side; the aggregate's key domain is
+# 64 dims x per-class conditional columns regardless of corpus size;
+# one 64-row readout. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_Q279_F_SQL = (
+    "CASE WHEN n0 = 0 OR n1 = 0 OR"
+    " ((CAST(s2_0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    "   - (CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    "     * (CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+    "  + (CAST(s2_1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "   - (CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    "     * (CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE)))) <= 0.0 THEN NULL"
+    " ELSE floor(1000000.0 * ("
+    " (CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    "  - CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " * (CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    "    - CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / ((CAST(s2_0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    "     - (CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    "       * (CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+    "    + (CAST(s2_1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "       - (CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    "         * (CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE)))))) END"
+)
+
+
+@query(
+    "q279_fisher_scores",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label % 2 AS cls,
+             unnest(list_transform(generate_series(1, len(embedding)),
+                    i -> struct_pack(d := i - 1, e := embedding[i]))) AS u
+      FROM embeddings
+    ),
+    x AS (
+      SELECT cls, u.d AS dim,
+             CAST(floor(CAST(u.e AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+      FROM ex
+    ),
+    m AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN cls = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s1_0,
+             CAST(SUM(CASE WHEN cls = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s1_1,
+             CAST(SUM(CASE WHEN cls = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS HUGEINT) AS s2_0,
+             CAST(SUM(CASE WHEN cls = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS HUGEINT) AS s2_1
+      FROM x GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n0, n1,
+           CAST({_Q279_F_SQL} AS BIGINT) AS fisher_micros
+    FROM m ORDER BY dim
+    """,
+    category="prep",
+    doc="per-dimension Fisher discriminant of embedding dims vs label parity, exact pivoted moments",
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    x = (
+        t(spark, sf, "embeddings")
+        .select(
+            (F.col("label") % 2).alias("cls"),
+            F.posexplode("embedding").alias("dim", "e"),
+        )
+        .select(
+            "cls",
+            "dim",
+            F.expr("CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)").alias("v"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = x.groupBy("dim").agg(
+        F.sum(F.when(F.col("cls") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("cls") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("cls") == 0, dec(F.col("v"))).otherwise(F.lit(0))).alias("s1_0"),
+        F.sum(F.when(F.col("cls") == 1, dec(F.col("v"))).otherwise(F.lit(0))).alias("s1_1"),
+        F.sum(
+            F.when(F.col("cls") == 0, dec(F.col("v")) * F.col("v")).otherwise(F.lit(0))
+        ).alias("s2_0"),
+        F.sum(
+            F.when(F.col("cls") == 1, dec(F.col("v")) * F.col("v")).otherwise(F.lit(0))
+        ).alias("s2_1"),
+    )
+    return m.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n0",
+        "n1",
+        F.expr(_Q279_F_SQL).cast("long").alias("fisher_micros"),
+    ).orderBy("dim")

@@ -1303,3 +1303,105 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
             " ELSE 1000000 * n_orphans div n_rows END AS BIGINT)"
         ).alias("orphan_micros"),
     ).orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# q278 — vocabulary growth curve (Heaps' law checkpoints): |vocabulary|
+# and token count at the 10 doc-id-decile prefixes of the corpus — the
+# empirical V(N) curve a tokenizer-budget / dedup-effectiveness review
+# reads (a corpus whose vocabulary keeps growing linearly is one full
+# of unique noise; one that flattens is repetitive). Complements q256,
+# which reads the frequency SPECTRUM at full corpus: this reads
+# ACCUMULATION order. No fitted exponent is reported — Heaps' beta
+# needs a log, and the no-engine-transcendentals rule stands; the
+# curve itself is the deliverable and is exact: a word's first_doc is
+# MIN(doc_id), tokens bucket by doc decile, both cumulate over a
+# 10-row frame.
+#
+# 100 TB shape: one token explode feeding (a) a word-keyed MIN
+# aggregate (the vocabulary shuffle, map-side combinable) and (b) a
+# doc-keyed count (map-side); both collapse to 10-row decile frames
+# cumulated by bounded windows. Reference delegates analytics to
+# Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q278_vocab_growth",
+    oracle="""
+    WITH n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY w
+    ),
+    vb AS (
+      SELECT CAST(LEAST(9, first_doc * 10 // n.n_docs) AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM first_seen CROSS JOIN n GROUP BY 1
+    ),
+    tb AS (
+      SELECT CAST(LEAST(9, doc_id * 10 // n.n_docs) AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS toks
+      FROM tok CROSS JOIN n GROUP BY 1
+    ),
+    grid AS (SELECT CAST(gs.d AS BIGINT) AS decile FROM generate_series(0, 9) AS gs(d))
+    SELECT g.decile,
+           CAST(SUM(COALESCE(tb.toks, 0)) OVER (ORDER BY g.decile) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(vb.new_words, 0)) OVER (ORDER BY g.decile) AS BIGINT)
+             AS cum_vocab
+    FROM grid g
+    LEFT JOIN vb ON vb.decile = g.decile
+    LEFT JOIN tb ON tb.decile = g.decile
+    ORDER BY g.decile
+    """,
+    category="quality",
+    doc="Heaps-law vocabulary growth: cumulative (tokens, vocab) at the 10 doc-id-decile prefixes",
+)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    n = docs.agg((F.max("doc_id") + 1).cast("long").alias("n_docs"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    vb = (
+        first_seen.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("CAST(LEAST(9, first_doc * 10 div n_docs) AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .agg(F.count("*").alias("new_words"))
+    )
+    tb = (
+        tok.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("CAST(LEAST(9, doc_id * 10 div n_docs) AS BIGINT)").alias("decile")
+        )
+        .agg(F.count("*").alias("toks"))
+    )
+    grid = spark.range(10).select(F.col("id").cast("long").alias("decile"))
+    w = Window.orderBy("decile")
+    return (
+        grid.join(vb, "decile", "left")
+        .join(tb, "decile", "left")
+        .select(
+            "decile",
+            F.sum(F.coalesce(F.col("toks"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )

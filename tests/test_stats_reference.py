@@ -1986,3 +1986,72 @@ def test_q276_fk_integrity_detects_planted_orphans(spark, tmp_path):
     assert out["orders.o_custkey"]["n_orphans"] == 0
     r = out["lineitem.l_orderkey"]
     assert r["orphan_micros"] == 1_000_000 * 1 // r["n_rows"]
+
+
+def test_q278_vocab_growth_brute_force(spark, tmp_path):
+    """Cumulative (tokens, vocab) at decile prefixes replayed in Python,
+    with empty deciles (doc_ids sparse) exercising the grid join."""
+    rows = [
+        (0, "a b a", "en", "s", 5),
+        (3, "b c", "en", "s", 3),
+        (5, "c c d", "en", "s", 5),
+        (9, "e", "en", "s", 1),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = QUERIES["q278_vocab_growth"].spark_fn(spark, str(tmp_path)).collect()
+    assert [r["decile"] for r in out] == list(range(10))
+    n_docs = 10  # max doc_id + 1
+    toks, firsts = {}, {}
+    for doc_id, text, *_ in rows:
+        ws = text.split(" ")
+        d = min(9, doc_id * 10 // n_docs)
+        toks[d] = toks.get(d, 0) + len(ws)
+        for w in ws:
+            firsts.setdefault(w, doc_id)
+    vb = {}
+    for w, fd in firsts.items():
+        d = min(9, fd * 10 // n_docs)
+        vb[d] = vb.get(d, 0) + 1
+    ct = cv = 0
+    for d, r in enumerate(out):
+        ct += toks.get(d, 0)
+        cv += vb.get(d, 0)
+        assert (r["cum_tokens"], r["cum_vocab"]) == (ct, cv)
+    assert out[-1]["cum_vocab"] == 5  # a b c d e
+
+
+def test_q279_fisher_brute_force(spark, tmp_path):
+    """Fisher score per dim replayed in Python on the micros grid; one
+    dim with zero pooled variance must yield NULL."""
+    import math as m
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    # dim0 separates parity classes, dim1 is constant (NULL guard)
+    vecs = [
+        (0, [1.0, 2.0], 0),   # cls 0
+        (1, [1.2, 2.0], 1),   # cls 1
+        (2, [0.8, 2.0], 2),   # cls 0
+        (3, [1.4, 2.0], 3),   # cls 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["dim"]: r for r in QUERIES["q279_fisher_scores"].spark_fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    assert out[1]["fisher_micros"] is None  # zero variance both classes
+
+    # python replay on the same float->micros grid
+    g = {0: [], 1: []}
+    for _, emb, label in vecs:
+        g[label % 2].append(math.floor(float(np_float32(emb[0])) * 1_000_000))
+    m0 = sum(g[0]) / len(g[0]); m1 = sum(g[1]) / len(g[1])
+    v0 = sum(x * x for x in g[0]) / len(g[0]) - m0 * m0
+    v1 = sum(x * x for x in g[1]) / len(g[1]) - m1 * m1
+    f = (m0 - m1) ** 2 / (v0 + v1)
+    assert abs(out[0]["fisher_micros"] - m.floor(1_000_000 * f)) <= 1
+
+
+def np_float32(x):
+    import numpy as np
+
+    return np.float32(x)
