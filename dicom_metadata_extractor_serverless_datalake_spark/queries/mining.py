@@ -2688,18 +2688,24 @@ def q274(spark: SparkSession, sf: str) -> DataFrame:
             .alias("x")
         )
     )
-    blocks = obs.groupBy("user_id").agg(F.count("*").alias("nt")).filter(
-        F.col("nt") == _FR_K
-    ).select("user_id")
+    # complete-block filter as a window count under the SAME user_id
+    # partitioning the rank windows need — hash(user_id) satisfies the
+    # (user_id, x) clustering too, so all three window ops share ONE
+    # exchange (a separate groupBy+semi-join here cost 3 more)
+    wb = Window.partitionBy("user_id")
     wr = Window.partitionBy("user_id").orderBy("x")
     wt = Window.partitionBy("user_id", "x")
-    ranked = obs.join(blocks, "user_id", "left_semi").select(
-        "user_id",
-        "g",
-        (
-            F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1
-        ).cast("long").alias("mr2"),
-        F.count("*").over(wt).cast("long").alias("tg"),
+    ranked = (
+        obs.withColumn("nt", F.count("*").over(wb))
+        .filter(F.col("nt") == _FR_K)
+        .select(
+            "user_id",
+            "g",
+            (
+                F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1
+            ).cast("long").alias("mr2"),
+            F.count("*").over(wt).cast("long").alias("tg"),
+        )
     )
     ties = ranked.agg(
         F.sum(F.col("tg") * F.col("tg") - 1).cast("long").alias("tie_sum")
