@@ -39,11 +39,11 @@ from . import selection  # noqa: F401,E402
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
 # registered query has a green driver row (cumulative 270/270 as of
-# CORRECTNESS_r08), so the window is a staleness rotation: the 9
+# CORRECTNESS_r08), so the window is a staleness rotation: the 10
 # queries registered this round (never driver-verified) first, then
-# the 41 stalest greens — all 21 round-3-vintage rows plus the 20
+# the 40 stalest greens — all 21 round-3-vintage rows plus the 19
 # lowest-numbered round-4 rows (VERDICT r08 task #2's front-load; the
-# remaining 29 round-4 rows go first in r10) — exactly 50. After each
+# remaining 30 round-4 rows go first in r10) — exactly 50. After each
 # new CORRECTNESS artifact lands, rotate its greens to the back and
 # front-load whatever is newest/stalest.
 _PRIORITY = [
@@ -57,6 +57,7 @@ _PRIORITY = [
     "q277_simpson_diversity",
     "q278_vocab_growth",
     "q279_fisher_scores",
+    "q280_stream_ams",
     # stalest greens: the full round-3 band (21 queries)
     "q91_weighted_sample",
     "q92_robust_zscore",
@@ -79,7 +80,7 @@ _PRIORITY = [
     "q111_audio_features",
     "q112_multimodal_neardup",
     "q113_udtf_lateral",
-    # then the 22 lowest-numbered round-4 rows
+    # then the 19 lowest-numbered round-4 rows
     "q34_running_sum",
     "q35_range_frame",
     "q36_tumbling_window",
@@ -99,9 +100,9 @@ _PRIORITY = [
     "q67_ann_ivf",
     "q84_stream_dedup",
     "q99_stream_stateful_totals",
+    # ^ exactly 50 = the driver window (10 new this round + 40 stalest).
+    # The 30 remaining round-4-vintage greens, front of the r10 window:
     "q104_prefix_filter_join",
-    # ^ exactly 50 = the driver window (9 new this round + 41 stalest).
-    # The 29 remaining round-4-vintage greens, front of the r10 window:
     "q114_robust_zscore_sketch",
     "q115_stats_broadcast_join",
     "q116_bigram_lm_score",

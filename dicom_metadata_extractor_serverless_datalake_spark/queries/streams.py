@@ -2243,3 +2243,104 @@ def _set_q266_oracle() -> None:
 
 
 _set_q266_oracle()
+
+
+# --------------------------------------------------------------------------
+# q280 — STREAMING AMS F2 sketch: q272's second-moment sketch
+# maintained as a live streaming aggregate while documents arrive —
+# AMS was introduced AS a one-pass stream algorithm (Alon-Matias-
+# Szegedy 1996); this runs it in that native habitat the way q266
+# does for Count-Min. The sign counters X_j are NOT monotone (signs
+# are ±1), so the drained-sink max trick q266 leans on would be wrong
+# here; instead each X_j splits into its two MONOTONE halves — a
+# (+1)-count and a (−1)-count per row j — giving a 16-cell streaming
+# groupBy whose per-cell maxima ARE the final state, and
+# X_j = pos_j − neg_j reassembles exactly. The audit tail is q272's
+# verbatim arithmetic (median of squares in 2x integer space against
+# the exact batch F2), so q272's oracle is the oracle VERBATIM: the
+# drained stream sketch must equal the batch sketch value-for-value.
+#
+# 100 TB shape: the stateful exchange carries (j, sign) pairs only;
+# state is 16 longs forever. The exact-F2 audit side is the batch
+# word count (the cost an audit pays; the SKETCH never leaves 16
+# cells).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q280_stream_ams",
+    oracle=None,  # set below to q272's oracle verbatim
+    category="streaming",
+    doc="q272's AMS F2 sketch as a live streaming aggregate via monotone (+/-) cell halves; q272 oracle verbatim",
+)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from .llm import spark_h31
+    from .mining import _AMS_D
+
+    src = _docs_stream_src(sf, splits=3)
+    try:
+        docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        tok = docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+        )
+        sign_exprs = [
+            F.expr(f"{spark_h31(chr(39) + f'ams{j}-' + chr(39) + ' || w')} % 2")
+            for j in range(_AMS_D)
+        ]
+        cells = tok.select(F.posexplode(F.array(*sign_exprs)).alias("j", "neg"))
+        counters = cells.groupBy("j", "neg").agg(F.count("*").alias("c"))
+        name, n_batches = _run_to_memory(counters, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # each (j, neg) cell is a monotone count: latest emission == max
+    drained = spark.table(name).groupBy("j", "neg").agg(F.max("c").alias("c"))
+    xs = drained.groupBy("j").agg(
+        F.sum(F.when(F.col("neg") == 0, F.col("c")).otherwise(-F.col("c")))
+        .cast("long")
+        .alias("x")
+    )
+    sk = xs.groupBy().pivot("j", list(range(_AMS_D))).sum("x")
+    sk = sk.select(*[F.col(str(j)).alias(f"x{j}") for j in range(_AMS_D)])
+    # exact-F2 audit tail: q272's batch arithmetic verbatim
+    from .base import t
+
+    tok_b = t(spark, sf, "documents").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+    )
+    exact = (
+        tok_b.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("f2")
+        )
+    )
+    sq = ", ".join(
+        f"CAST(x{j} AS DECIMAL(38,0)) * CAST(x{j} AS DECIMAL(38,0))"
+        for j in range(_AMS_D)
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .withColumn("sq", F.expr(f"array_sort(array({sq}))"))
+        .select(
+            *[F.col(f"x{j}") for j in range(_AMS_D)],
+            F.col("f2").cast("double").alias("f2_exact"),
+            (
+                F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)")
+                / F.lit(2.0)
+            ).alias("f2_est"),
+        )
+    )
+
+
+def _set_q280_oracle() -> None:
+    from .base import QUERIES
+    from .mining import _q272_oracle
+
+    QUERIES["q280_stream_ams"].oracle = _q272_oracle()
+
+
+_set_q280_oracle()

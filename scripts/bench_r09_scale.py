@@ -77,6 +77,7 @@ SECTIONS = {
     "newev": (["q273_levene_spread", "q274_friedman_test"], "/tmp/evsynth100", 2),
     "newrel": (["q276_fk_integrity"], "/tmp/sfsynth10", 2),
     "newdoc2": (["q278_vocab_growth", "q279_fisher_scores"], "/tmp/sfsynthdoc100", 2),
+    "str9": (["q280_stream_ams"], "/tmp/sfsynthdoc100", 1),
 }
 
 

@@ -43,6 +43,7 @@ STREAMING_EXECUTED = {
     "q231_stream_ab_monitor",
     "q241_stream_burstiness",
     "q266_stream_countmin",
+    "q280_stream_ams",
 }
 
 

@@ -698,3 +698,20 @@ def test_streaming_agg_recovery_from_checkpoint(spark, sf_dir, tmp_path_factory)
     final = {(r["i"], r["bucket"]): r["c"] for r in drained.collect()}
     grew = sum(1 for k, c in final.items() if k in run1 and c > run1[k])
     assert grew > 0, "no counter grew across the restart (state reset?)"
+
+
+def test_stream_ams_equals_batch_sketch(spark, sf_dir):
+    """q280: AMS sign counters are NOT monotone, so the drain
+    reassembles each X_j from its two monotone (+/-) cell halves —
+    the drained stream sketch must equal q272's batch sketch
+    value-for-value (every counter, the exact F2 and the median-of-
+    squares estimate)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    (stream_row,) = QUERIES["q280_stream_ams"].spark_fn(spark, sf_dir).collect()
+    (batch_row,) = QUERIES["q272_ams_f2"].spark_fn(spark, sf_dir).collect()
+    assert stream_row.asDict() == batch_row.asDict()
+    # sanity: the sketch actually mixes signs (both halves exercised)
+    assert any(stream_row[f"x{j}"] < 0 for j in range(8)) or any(
+        stream_row[f"x{j}"] > 0 for j in range(8)
+    )
