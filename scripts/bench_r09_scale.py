@@ -60,6 +60,53 @@ def _q254_fast(spark, sf_dir: str):
     return _cluster_balanced_keep(docs, edges)
 
 
+def _q272_fast(spark, sf_dir: str):
+    """q272_ams_f2's sketch side with production xxhash64 signs (the
+    oracle-portable md5 h31 is the measured 119 s cost at 500k docs;
+    this is what a deployment would run). Audit tail identical."""
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.base import t
+
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+    )
+    sk = tok.agg(
+        *[
+            F.sum(
+                F.lit(1) - F.lit(2) * F.expr(f"xxhash64(concat('ams{j}-', w)) & 1")
+            )
+            .cast("long")
+            .alias(f"x{j}")
+            for j in range(8)
+        ]
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("f2")
+        )
+    )
+    sq = ", ".join(
+        f"CAST(x{j} AS DECIMAL(38,0)) * CAST(x{j} AS DECIMAL(38,0))" for j in range(8)
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .withColumn("sq", F.expr(f"array_sort(array({sq}))"))
+        .select(
+            *[F.col(f"x{j}") for j in range(8)],
+            F.col("f2").cast("double").alias("f2_exact"),
+            (
+                F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)")
+                / F.lit(2.0)
+            ).alias("f2_est"),
+        )
+    )
+
+
 SECTIONS = {
     # (builder, data_dir, passes); builder is a registered query name or
     # one of the fast-path compositions above
@@ -78,6 +125,7 @@ SECTIONS = {
     "newrel": (["q276_fk_integrity"], "/tmp/sfsynth10", 2),
     "newdoc2": (["q278_vocab_growth", "q279_fisher_scores"], "/tmp/sfsynthdoc100", 2),
     "str9": (["q280_stream_ams"], "/tmp/sfsynthdoc100", 1),
+    "amsfast": ([_q272_fast], "/tmp/sfsynthdoc100", 2),
 }
 
 
