@@ -94,7 +94,10 @@ def _error_row(lineage: dict[str, str | None], err: Exception, stage: str) -> di
         "error_class": type(err).__name__,
         "source_key": lineage.get("key"),
         "member_path": lineage.get("archive_path"),
-        "ts": datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+        # tz-AWARE so Arrow carries the real instant whatever
+        # spark.sql.session.timeZone is; a naive datetime would be
+        # re-localized in the session zone and shift the breadcrumb
+        "ts": datetime.datetime.now(datetime.timezone.utc),
     }
     return row
 

@@ -2361,34 +2361,12 @@ def _q272_oracle() -> str:
     """
 
 
-@query(
-    "q272_ams_f2",
-    oracle=_q272_oracle(),
-    category="mining",
-    doc="AMS F2 sketch: 8 sign-sum counters vs the exact second moment of the token stream",
-)
-def q272(spark: SparkSession, sf: str) -> DataFrame:
-    from .llm import spark_h31
-
-    tok = (
-        t(spark, sf, "documents")
-        .select(
-            F.explode(
-                F.expr("filter(split(text, ' '), x -> x <> '')")
-            ).alias("w")
-        )
-    )
-    sk = tok.agg(
-        *[
-            F.sum(
-                F.lit(1)
-                - F.lit(2) * F.expr(f"{spark_h31(chr(39) + f'ams{j}-' + chr(39) + ' || w')} % 2")
-            )
-            .cast("long")
-            .alias(f"x{j}")
-            for j in range(_AMS_D)
-        ]
-    )
+def ams_audit_tail(sk: DataFrame, tok: DataFrame) -> DataFrame:
+    """Shared AMS assembly (q272 batch, q280 streaming, and the bench
+    fast-hash variant all use THIS function so the "q272 oracle
+    verbatim" contract cannot desynchronize): exact F2 from the token
+    frame ``tok`` (one column ``w``) + the median-of-squares estimate
+    from the 8-counter frame ``sk`` (columns x0..x7)."""
     exact = (
         tok.groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -2414,6 +2392,38 @@ def q272(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("f2_est"),
         )
     )
+
+
+def ams_token_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """The batch token stream both AMS forms audit against."""
+    return t(spark, sf, "documents").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+    )
+
+
+
+@query(
+    "q272_ams_f2",
+    oracle=_q272_oracle(),
+    category="mining",
+    doc="AMS F2 sketch: 8 sign-sum counters vs the exact second moment of the token stream",
+)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    from .llm import spark_h31
+
+    tok = ams_token_frame(spark, sf)
+    sk = tok.agg(
+        *[
+            F.sum(
+                F.lit(1)
+                - F.lit(2) * F.expr(f"{spark_h31(chr(39) + f'ams{j}-' + chr(39) + ' || w')} % 2")
+            )
+            .cast("long")
+            .alias(f"x{j}")
+            for j in range(_AMS_D)
+        ]
+    )
+    return ams_audit_tail(sk, tok)
 
 
 # --------------------------------------------------------------------------

@@ -687,8 +687,12 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
 # scale with no logarithm, where an entropy readout would need one).
 # D = 1 - sum_i n_i (n_i - 1) / (N (N - 1)) is an exact integer
 # rational: numerator and denominator ride DECIMAL(38,0)/HUGEINT (the
-# q239 pattern, safe past 1e18 docs/source) and the single readout is
-# one integer division to micros. Single-doc sources (N <= 1) mirror
+# q239 pattern) and the single readout is one integer division to
+# micros. Headroom: the scaled numerator 1e6 * N * (N - 1) is the
+# binding term — it passes 38 digits at N ~ 3.2e15 docs per source
+# (HUGEINT at ~1.3e16), four orders past a 100 TB corpus (~1e11 docs)
+# but NOT unbounded; a larger deployment moves the 1e6 factor after
+# the division. Single-doc sources (N <= 1) mirror
 # NULL both engines (q258/q268 degenerate convention).
 #
 # 100 TB shape: one (source, lang) count aggregate (map-side combine,

@@ -2303,37 +2303,11 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
     )
     sk = xs.groupBy().pivot("j", list(range(_AMS_D))).sum("x")
     sk = sk.select(*[F.col(str(j)).alias(f"x{j}") for j in range(_AMS_D)])
-    # exact-F2 audit tail: q272's batch arithmetic verbatim
-    from .base import t
+    # exact-F2 audit tail: the SAME function q272 runs, so the
+    # "q272 oracle verbatim" contract cannot desynchronize
+    from .mining import ams_audit_tail, ams_token_frame
 
-    tok_b = t(spark, sf, "documents").select(
-        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
-    )
-    exact = (
-        tok_b.groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
-            .cast("decimal(38,0)")
-            .alias("f2")
-        )
-    )
-    sq = ", ".join(
-        f"CAST(x{j} AS DECIMAL(38,0)) * CAST(x{j} AS DECIMAL(38,0))"
-        for j in range(_AMS_D)
-    )
-    return (
-        sk.crossJoin(F.broadcast(exact))
-        .withColumn("sq", F.expr(f"array_sort(array({sq}))"))
-        .select(
-            *[F.col(f"x{j}") for j in range(_AMS_D)],
-            F.col("f2").cast("double").alias("f2_exact"),
-            (
-                F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)")
-                / F.lit(2.0)
-            ).alias("f2_est"),
-        )
-    )
+    return ams_audit_tail(sk, ams_token_frame(spark, sf))
 
 
 def _set_q280_oracle() -> None:

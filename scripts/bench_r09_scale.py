@@ -63,14 +63,16 @@ def _q254_fast(spark, sf_dir: str):
 def _q272_fast(spark, sf_dir: str):
     """q272_ams_f2's sketch side with production xxhash64 signs (the
     oracle-portable md5 h31 is the measured 119 s cost at 500k docs;
-    this is what a deployment would run). Audit tail identical."""
+    this is what a deployment would run). Audit tail = the shared
+    queries.mining.ams_audit_tail, same as q272/q280."""
     from pyspark.sql import functions as F
 
-    from dicom_metadata_extractor_serverless_datalake_spark.queries.base import t
-
-    tok = t(spark, sf_dir, "documents").select(
-        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.mining import (
+        ams_audit_tail,
+        ams_token_frame,
     )
+
+    tok = ams_token_frame(spark, sf_dir)
     sk = tok.agg(
         *[
             F.sum(
@@ -81,30 +83,7 @@ def _q272_fast(spark, sf_dir: str):
             for j in range(8)
         ]
     )
-    exact = (
-        tok.groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
-            .cast("decimal(38,0)")
-            .alias("f2")
-        )
-    )
-    sq = ", ".join(
-        f"CAST(x{j} AS DECIMAL(38,0)) * CAST(x{j} AS DECIMAL(38,0))" for j in range(8)
-    )
-    return (
-        sk.crossJoin(F.broadcast(exact))
-        .withColumn("sq", F.expr(f"array_sort(array({sq}))"))
-        .select(
-            *[F.col(f"x{j}") for j in range(8)],
-            F.col("f2").cast("double").alias("f2_exact"),
-            (
-                F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)")
-                / F.lit(2.0)
-            ).alias("f2_est"),
-        )
-    )
+    return ams_audit_tail(sk, tok)
 
 
 SECTIONS = {

@@ -711,7 +711,10 @@ def test_stream_ams_equals_batch_sketch(spark, sf_dir):
     (stream_row,) = QUERIES["q280_stream_ams"].spark_fn(spark, sf_dir).collect()
     (batch_row,) = QUERIES["q272_ams_f2"].spark_fn(spark, sf_dir).collect()
     assert stream_row.asDict() == batch_row.asDict()
-    # sanity: the sketch actually mixes signs (both halves exercised)
-    assert any(stream_row[f"x{j}"] < 0 for j in range(8)) or any(
+    # sanity: the sketch actually mixes signs — BOTH the positive and
+    # negative cell halves must have been exercised by the drain (an
+    # `or` here would be vacuous: it passes even if the negative half
+    # collapses into a plain token count)
+    assert any(stream_row[f"x{j}"] < 0 for j in range(8)) and any(
         stream_row[f"x{j}"] > 0 for j in range(8)
     )
