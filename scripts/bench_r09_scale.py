@@ -105,6 +105,12 @@ SECTIONS = {
     "newdoc2": (["q278_vocab_growth", "q279_fisher_scores"], "/tmp/sfsynthdoc100", 2),
     "str9": (["q280_stream_ams"], "/tmp/sfsynthdoc100", 1),
     "amsfast": ([_q272_fast], "/tmp/sfsynthdoc100", 2),
+    # 5M-doc stress for this round's restructured/added arithmetic:
+    # q257's factor-split chi2 with 10x bigger marginals, RAKE's
+    # island windows, and the AMS sketch on the production hash
+    "doc5m9": (["q257_chi2_collocations", "q265_rake_keywords", _q272_fast], DOC5M, 1),
+    # 100M-event stress for the round's k-sample tests (10x their rows)
+    "ev1000b": (["q273_levene_spread", "q274_friedman_test"], "/tmp/evsynth1000", 1),
 }
 
 
