@@ -2103,7 +2103,7 @@ _KW_TYPES = ("click", "error", "purchase", "signup", "view")
 _KW_CRIT_MICROS = 9_487_729  # floor(1e6 * chi2(4).ppf(0.95)), Python literal
 
 
-def _kw_h_sql(prefix: str = "") -> str:
+def _kw_h_sql() -> str:
     """The H and tie-corrected H' tree over columns n, tie_term,
     n_groups, n_<t>, r2_<t> — identical text in Spark SQL and DuckDB."""
     terms = " + ".join(

@@ -11,7 +11,7 @@ honest production number beside the driver-verifiable one (VERDICT r08
 task #6); q263 at 5M docs is task #8 (first per-token-shuffle query at
 that scale).
 
-Usage: python scripts/bench_r09_scale.py {q243|q243fast|q254fast|q263|all}
+Usage: python scripts/bench_r09_scale.py {<section>|all} — see SECTIONS
 """
 
 from __future__ import annotations
