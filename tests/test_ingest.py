@@ -348,3 +348,81 @@ def test_quarantine_structured_breadcrumb(spark, tmp_path_factory):
     # the DLQ is queryable by breadcrumb fields — the point of the struct
     n_parse = quar.filter("error_log.stage = 'dicom_parse'").count()
     assert n_parse == 1
+
+
+def test_breadcrumb_schema_stable_across_ingest_modes(spark, tmp_path_factory):
+    """VERDICT r09 #6: the quarantine breadcrumb struct (stage,
+    error_class, source_key, member_path, ts) is the SAME schema no
+    matter which ingest mode wrote it — batch ``ingest_batch``,
+    streaming ``start_ingest_stream`` (a different foreachBatch sink),
+    and the native ``format("dicom")`` source (batch and stream) — so a
+    DLQ consumer can union quarantine output from every mode."""
+    from dicom_metadata_extractor_serverless_datalake_spark.schema import QUARANTINE_LOG_SCHEMA
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.dicom_source import register_dicom_source
+    from dicom_metadata_extractor_serverless_datalake_spark.streaming.ingest_stream import start_ingest_stream
+
+    from fixtures import make_dcm
+
+    root = tmp_path_factory.mktemp("bcmode_in")
+    (root / "good.dcm").write_bytes(make_dcm(1))
+    (root / "trunc.dcm").write_bytes(make_dcm(2)[:180])  # parse fails, non-empty
+    out = tmp_path_factory.mktemp("bcmode_out")
+
+    # mode 1: batch pipeline
+    ingest_batch(spark, str(root), str(out / "lake_b"), str(out / "quar_b"))
+
+    # mode 2: streaming pipeline (foreachBatch sink)
+    q = start_ingest_stream(
+        spark,
+        str(root),
+        str(out / "lake_s"),
+        quarantine_path=str(out / "quar_s"),
+        checkpoint_path=str(out / "ckpt_s"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    # mode 3: native batch source (error channel inline, not a sink split)
+    register_dicom_source(spark)
+    native_b = spark.read.format("dicom").load(str(root)).filter("error IS NOT NULL")
+
+    # mode 4: native streaming source drained to parquet
+    qs = (
+        spark.readStream.format("dicom")
+        .load(str(root))
+        .writeStream.format("parquet")
+        .option("path", str(out / "lake_ns"))
+        .option("checkpointLocation", str(out / "ckpt_ns"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination(300)
+    native_s = spark.read.parquet(str(out / "lake_ns")).filter("error IS NOT NULL")
+
+    frames = {
+        "batch": spark.read.parquet(str(out / "quar_b")),
+        "stream": spark.read.parquet(str(out / "quar_s")),
+        "native_batch": native_b,
+        "native_stream": native_s,
+    }
+    want = QUARANTINE_LOG_SCHEMA.simpleString()
+    for mode, df in frames.items():
+        got = df.schema["error_log"].dataType.simpleString()
+        assert got == want, f"{mode}: breadcrumb schema drifted: {got}"
+        row = df.filter(F.col("source_s3_key").endswith("trunc.dcm")).collect()
+        assert len(row) == 1, f"{mode}: expected exactly one quarantined row"
+        bc = row[0]["error_log"]
+        assert bc["stage"] == "dicom_parse", f"{mode}: stage {bc['stage']}"
+        assert bc["error_class"], f"{mode}: missing error_class"
+        assert bc["source_key"].endswith("trunc.dcm"), f"{mode}: bad source_key"
+        assert bc["ts"] is not None, f"{mode}: missing ts"
+
+    # the four modes' breadcrumbs union cleanly — the consumer contract
+    u = (
+        frames["batch"]
+        .select("error_log")
+        .unionByName(frames["stream"].select("error_log"))
+        .unionByName(frames["native_batch"].select("error_log"))
+        .unionByName(frames["native_stream"].select("error_log"))
+    )
+    assert u.filter("error_log.stage = 'dicom_parse'").count() == 4
