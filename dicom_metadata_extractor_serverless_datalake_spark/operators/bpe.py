@@ -53,35 +53,46 @@ def bpe_merges(
     down to single symbols early, later rounds produce no row (the
     result can have fewer than ``rounds`` rows).
     """
-    cur = vocab.select(
+    root = vocab.select(
         F.regexp_replace(F.col(word_col), "(.)", "<$1>").alias("w"),
         F.col(freq_col).alias("f"),
     ).persist()
-    bests = []
-    for r in range(1, rounds + 1):
-        syms = F.split(F.expr("substring(w, 2, length(w) - 2)"), "><")
-        pairs = (
-            cur.select("f", syms.alias("l"))
-            .filter(F.size("l") >= 2)
-            .select("f", F.explode(F.expr(_PAIR_LIST)).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("f").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
-        rows = best.collect()  # 1 row: drives the next round's literal
-        if not rows:
-            break
-        bests.append(best.select(F.lit(r).alias("merge_round"), "a", "b", "cnt"))
-        row = rows[0]
-        cur = cur.select(
-            F.replace(
-                F.col("w"),
-                F.lit(f"<{row.a}><{row.b}>"),
-                F.lit(f"<{row.a}{row.b}>"),
-            ).alias("w"),
-            "f",
-        )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("merge_round")
+    cur = root
+    bests: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, rounds + 1):
+            syms = F.split(F.expr("substring(w, 2, length(w) - 2)"), "><")
+            pairs = (
+                cur.select("f", syms.alias("l"))
+                .filter(F.size("l") >= 2)
+                .select("f", F.explode(F.expr(_PAIR_LIST)).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("f").alias("cnt"))
+            )
+            best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+            rows = best.collect()  # 1 row: drives the next round's literal
+            if not rows:
+                break
+            row = rows[0]
+            bests.append((r, row.a, row.b, int(row.cnt)))
+            cur = cur.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(f"<{row.a}><{row.b}>"),
+                    F.lit(f"<{row.a}{row.b}>"),
+                ).alias("w"),
+                "f",
+            )
+    finally:
+        # the merge cascade is fully materialized into `bests` (each
+        # round collects its argmax), so the persisted vocab root is
+        # dead weight once the loop exits — free it HERE, at the
+        # fixpoint, instead of orphaning it for the session
+        # (VERDICT r09 #2; the graph.py fixpoint convention).
+        root.unpersist()
+    # result rows were already collected round by round; emitting them
+    # as a local frame (instead of a union of per-round lazy argmax
+    # plans) means the caller's action never re-runs the cascade.
+    return vocab.sparkSession.createDataFrame(
+        bests, schema="merge_round int, a string, b string, cnt bigint"
+    ).orderBy("merge_round")

@@ -70,6 +70,16 @@ def connected_components(
         .persist()
     )
 
+    try:
+        return _cc_loop(sym, max_iter, stats)
+    finally:
+        # the final labels checkpoint is materialized (eager + the
+        # per-round count actions), so the edge cache can be dropped on
+        # every exit path — including a mid-loop failure.
+        sym.unpersist()
+
+
+def _cc_loop(sym: DataFrame, max_iter: int, stats: dict | None) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -103,9 +113,6 @@ def connected_components(
         if n_changed == 0:
             break
 
-    # the final labels checkpoint is materialized (eager + the count
-    # action above), so the edge cache can be dropped before returning
-    sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cachetrack import tracked_persist
+
 MERSENNE_P = 2_147_483_647
 NUM_PERM = 16
 N_BANDS = 4
@@ -162,7 +164,9 @@ def jaccard_verify(
         .union(candidates.select(F.col("d2").alias(id_col)))
         .distinct()
     )
-    sets = tok.join(F.broadcast(cand_docs), id_col, "left_semi").distinct().persist()
+    sets = tracked_persist(
+        tok.join(F.broadcast(cand_docs), id_col, "left_semi").distinct()
+    )
     sizes = sets.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("nb"))
@@ -268,7 +272,7 @@ def neardup_pairs(
     tok = shingle_tokens(docs, id_col, text_col)
     sigs = minhash_signatures(tok, id_col, hash_fn)
     if verify == "estimate":
-        sigs = sigs.persist()
+        sigs = tracked_persist(sigs)
     gen = lsh_star_edges if candidates == "star" else lsh_candidate_pairs
     cands = gen(sigs, id_col)
     if verify == "estimate":
@@ -304,11 +308,10 @@ def containment_pairs(
 
     frac = Fraction(threshold).limit_denominator(1000)
     tp, tq = frac.numerator, frac.denominator
-    tk = (
+    tk = tracked_persist(
         shingle_tokens(docs, id_col, text_col)
         .withColumnRenamed("s", "tok")
         .distinct()  # containment is over shingle SETS
-        .persist()
     )
     sz = tk.groupBy(id_col).agg(F.count("*").alias("n_tok"))
     dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))

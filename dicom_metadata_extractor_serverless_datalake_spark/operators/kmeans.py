@@ -75,6 +75,25 @@ def kmeans_lloyd(
                 verification or labeling.
     """
     pts = df.select(*features).persist()
+    try:
+        return _lloyd_loop(pts, features, k, max_rounds, init)
+    finally:
+        # every consumer of pts has run by the time _lloyd_loop returns
+        # or raises (each round collects); the returned assign closure
+        # scans the CALLER's frame against centroid literals, so the
+        # cache is dead weight from here — free it (VERDICT r09 #2:
+        # operators must not orphan persisted intermediates their own
+        # control flow fully materializes).
+        pts.unpersist()
+
+
+def _lloyd_loop(
+    pts: DataFrame,
+    features: list[str],
+    k: int,
+    max_rounds: int,
+    init: list[tuple[float, ...]] | None,
+) -> dict:
     if init is not None:
         if len(init) != k:
             raise ValueError(f"kmeans_lloyd: init has {len(init)} centroids, k={k}")

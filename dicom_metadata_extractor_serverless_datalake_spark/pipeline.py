@@ -58,13 +58,30 @@ class TextCorpus:
     ``df`` needs an id column and a text column (defaults ``doc_id`` /
     ``text``); all other columns ride along untouched."""
 
-    def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        caches: "CacheScope | None" = None,
+    ):
+        from .operators.cachetrack import CacheScope
+
         self.df = df
         self.id_col = id_col
         self.text_col = text_col
+        # ONE scope shared along the whole _with chain: operators that
+        # persist intermediates (jaccard_verify's shingle sets, the
+        # estimate path's signature frame, containment's distinct
+        # shingles) register them here, and free_intermediates() /
+        # materialize() on ANY stage releases everything the chain
+        # accumulated (VERDICT r09 #2 — without this, a long-lived
+        # session driving dedup_near directly orphans cached
+        # partitions until a manual clearCache).
+        self._caches = caches if caches is not None else CacheScope()
 
     def _with(self, df: DataFrame) -> "TextCorpus":
-        return TextCorpus(df, self.id_col, self.text_col)
+        return TextCorpus(df, self.id_col, self.text_col, caches=self._caches)
 
     # ---- dedup ----
 
@@ -108,15 +125,16 @@ class TextCorpus:
         from .operators.cluster import dedup_clusters
         from .operators.dedup import neardup_pairs
 
-        pairs = neardup_pairs(
-            self.df,
-            threshold=threshold,
-            id_col=self.id_col,
-            text_col=self.text_col,
-            hash_fn=hash_fn,
-            verify=verify,
-            candidates=candidates,
-        )
+        with self._caches:
+            pairs = neardup_pairs(
+                self.df,
+                threshold=threshold,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                hash_fn=hash_fn,
+                verify=verify,
+                candidates=candidates,
+            )
         losers = (
             dedup_clusters(pairs)
             .filter(~F.col("is_canonical"))
@@ -152,9 +170,10 @@ class TextCorpus:
             key_chars=key_chars,
         ).select(F.col("a").alias("d1"), F.col("b").alias("d2"))
         tok = shingle_tokens(self.df, id_col=self.id_col, text_col=self.text_col)
-        pairs = jaccard_verify(
-            cand, tok, threshold=threshold, id_col=self.id_col
-        )
+        with self._caches:
+            pairs = jaccard_verify(
+                cand, tok, threshold=threshold, id_col=self.id_col
+            )
         losers = (
             dedup_clusters(pairs)
             .filter(~F.col("is_canonical"))
@@ -176,13 +195,14 @@ class TextCorpus:
         pairs keep exactly one and chains keep their maximal element."""
         from .operators.dedup import containment_pairs
 
-        pairs = containment_pairs(
-            self.df,
-            threshold=threshold,
-            id_col=self.id_col,
-            text_col=self.text_col,
-            min_shingles=min_shingles,
-        )
+        with self._caches:
+            pairs = containment_pairs(
+                self.df,
+                threshold=threshold,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                min_shingles=min_shingles,
+            )
         losers = (
             pairs.filter(
                 F.struct(F.col("n_a"), F.col("a"))
@@ -605,15 +625,16 @@ class TextCorpus:
             )
         did = self.id_col
         if threshold > 0.0:
-            pairs = neardup_pairs(
-                self.df,
-                threshold=threshold,
-                id_col=did,
-                text_col=self.text_col,
-                hash_fn=hash_fn,
-                verify="estimate",
-                candidates=candidates,
-            )
+            with self._caches:
+                pairs = neardup_pairs(
+                    self.df,
+                    threshold=threshold,
+                    id_col=did,
+                    text_col=self.text_col,
+                    hash_fn=hash_fn,
+                    verify="estimate",
+                    candidates=candidates,
+                )
         else:  # raw candidates: skip the (vacuous at t=0) verify stage
             from .operators.dedup import (
                 lsh_candidate_pairs,
@@ -660,6 +681,25 @@ class TextCorpus:
         self.df = self.df.unpersist()
         return self
 
+    def free_intermediates(self) -> "TextCorpus":
+        """Unpersist every operator-internal cache this chain's stages
+        accumulated (shingle sets, signature frames, ...). Call after
+        the chain's results are materialized (written / collected /
+        pinned via :meth:`materialize`); the frames rebuild lazily if
+        re-materialized, so this is always safe — just a cache drop."""
+        self._caches.free()
+        return self
+
+    def materialize(self) -> "TextCorpus":
+        """Pin the current frame (eager localCheckpoint — pays one pass
+        NOW) and then free every operator-internal cache the chain
+        accumulated. The production end-of-chain call: downstream
+        consumers scan the checkpointed result, and nothing upstream
+        stays cached. Returns a corpus over the pinned frame."""
+        out = self._with(self.df.localCheckpoint(eager=True))
+        self._caches.free()
+        return out
+
     # ---- reporting ----
 
     def stats(self) -> DataFrame:
@@ -693,14 +733,15 @@ class TextCorpus:
         from .operators.cluster import dedup_clusters
         from .operators.dedup import neardup_pairs
 
-        pairs = neardup_pairs(
-            self.df,
-            threshold=threshold,
-            id_col=self.id_col,
-            text_col=self.text_col,
-            hash_fn=hash_fn,
-            verify=verify,
-        )
+        with self._caches:
+            pairs = neardup_pairs(
+                self.df,
+                threshold=threshold,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                hash_fn=hash_fn,
+                verify=verify,
+            )
         sizes = dedup_clusters(pairs).select(
             F.col("doc_id").alias(self.id_col), "cluster_size"
         )
@@ -1066,8 +1107,11 @@ class TextCorpus:
             shingle_tokens,
         )
 
+        from .operators.cachetrack import tracked_persist
+
         tok = shingle_tokens(self.df, self.id_col, self.text_col)
-        sigs = minhash_signatures(tok, self.id_col, hash_fn).persist()
+        with self._caches:
+            sigs = tracked_persist(minhash_signatures(tok, self.id_col, hash_fn))
         cands = lsh_candidate_pairs(sigs, self.id_col)
         est = estimate_verify(cands, sigs, 0.0, self.id_col).select(
             "d1",
@@ -1076,7 +1120,9 @@ class TextCorpus:
                 "est_micros"
             ),
         )
-        ex = jaccard_verify(cands, tok, 0.0, self.id_col).select(
+        with self._caches:
+            ex = jaccard_verify(cands, tok, 0.0, self.id_col)
+        ex = ex.select(
             "d1",
             "d2",
             F.expr("CAST(floor(1000000.0 * jaccard) AS BIGINT)").alias(
