@@ -702,6 +702,28 @@ class TextCorpus:
 
     # ---- reporting ----
 
+    def f2_moment(self, hash_fn: str = "fast", audit: bool = False) -> DataFrame:
+        """AMS F2 (second frequency moment, sum of squared token
+        frequencies) of this corpus's whitespace token stream — the
+        self-join-size / skew readout consulted before any token-keyed
+        groupBy. Default is the SKETCH-ONLY deployment path
+        (queries/mining.ams_f2_sketch, VERDICT r09 #3): one map-side
+        8-counter aggregate, no word-keyed shuffle, returns one row
+        (x0..x7, f2_est). ``audit=True`` adds the exact F2 next to the
+        estimate (q272's full shape) — that side pays the per-token
+        word-keyed aggregate, the cost that spills at 5M docs
+        (BASELINE.md), so run it on samples, not deployments."""
+        from .queries.mining import ams_audit_tail, ams_f2_sketch, ams_sign_counters
+
+        tok = self.df.select(
+            F.explode(
+                F.expr(f"filter(split({self.text_col}, ' '), x -> x <> '')")
+            ).alias("w")
+        )
+        if audit:
+            return ams_audit_tail(ams_sign_counters(tok, hash_fn), tok)
+        return ams_f2_sketch(tok, hash_fn)
+
     def stats(self) -> DataFrame:
         """One-row corpus summary (docs, chars, length quartiles)."""
         text = F.col(self.text_col)

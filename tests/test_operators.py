@@ -1185,3 +1185,42 @@ def test_neardup_degenerate_docs_all_modes(spark):
         varied = TextCorpus(docs).diversity_sample(candidates=cand).df
         # cluster {4,5} has size 2 -> ceil(sqrt(2)) = 2: both kept
         assert varied.count() == 6
+
+
+def test_ams_sketch_only_entry_point(spark):
+    """VERDICT r09 #3: the sketch-only AMS path exists, matches q272's
+    sketch columns value-for-value on the portable hash, and its plan
+    carries NO word-keyed exchange (the audit side's cost)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.pipeline import TextCorpus
+    from dicom_metadata_extractor_serverless_datalake_spark.plans import physical_plan
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus = TextCorpus(docs)
+
+    sk = corpus.f2_moment(hash_fn="portable")
+    row = sk.collect()[0]
+    full = QUERIES["q272_ams_f2"].spark_fn(spark, "/root/testdata/sf0.01").collect()[0]
+    for j in range(8):
+        assert row[f"x{j}"] == full[f"x{j}"], f"x{j} drifted from q272"
+    assert row["f2_est"] == full["f2_est"]
+
+    # audited facade path == q272 end to end (est AND exact)
+    audited = corpus.f2_moment(hash_fn="portable", audit=True).collect()[0]
+    assert audited["f2_exact"] == full["f2_exact"]
+    assert audited["f2_est"] == full["f2_est"]
+
+    # plan contract: sketch-only never shuffles on the token — the only
+    # exchange is the final single-partition gather of 8 counters
+    plan = physical_plan(sk)
+    assert "hashpartitioning(w" not in plan, "sketch-only path shuffles per-word"
+
+    # production hash variant: deterministic and positive. (No accuracy
+    # band here — at sf0.01 the stream is ~53k tokens over ~40 distinct
+    # words, and a d=8 median-of-squares on so few heavy keys has huge
+    # estimator variance; accuracy at realistic vocabulary sizes is
+    # covered by the 500k-doc BASELINE rows.)
+    fast = corpus.f2_moment(hash_fn="fast").collect()[0]
+    assert fast["f2_est"] > 0.0
+    again = corpus.f2_moment(hash_fn="fast").collect()[0]
+    assert fast == again
