@@ -246,3 +246,55 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(expand, schema=schema)
+
+
+def waveform_windows(
+    df: DataFrame,
+    payload_col: str = "content",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    max_windows: int = 16,
+) -> DataFrame:
+    """Audio analysis-window expansion as a row-expanding mapInPandas:
+    each payload yields ``1 + digest % max_windows`` window rows with a
+    per-window digest (stub for fixed-hop RMS framing via soundfile —
+    real codecs aren't in this container). Same contract as
+    :func:`frame_sample`: one pass, no join-back, expansion bounded by
+    ``max_windows``; the digest chain is string-domain so a SQL oracle
+    replays the whole decode -> window chain bit-exact."""
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name in id_cols]
+        + [
+            T.StructField("win_idx", T.IntegerType()),
+            T.StructField("n_windows", T.IntegerType()),
+            T.StructField("win_digest", T.StringType()),
+        ]
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = rec[payload_col]
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                hx = hashlib.md5(payload).hexdigest()
+                n_windows = int(hx[0:4], 16) % max_windows + 1
+                for i in range(n_windows):
+                    rows.append(
+                        {
+                            **{c: rec[c] for c in id_cols},
+                            "win_idx": i,
+                            "n_windows": n_windows,
+                            "win_digest": hashlib.md5(
+                                f"{hx}_a{i}".encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+
+    return df.mapInPandas(expand, schema=schema)

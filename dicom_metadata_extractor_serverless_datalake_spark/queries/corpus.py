@@ -38,70 +38,28 @@ from . import selection  # noqa: F401,E402
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
-# registered query has a green driver row (cumulative 270/270 as of
-# CORRECTNESS_r08), so the window is a staleness rotation: the 10
+# registered query has a green driver row (cumulative 280/280 as of
+# CORRECTNESS_r09), so the window is a staleness rotation: the 10
 # queries registered this round (never driver-verified) first, then
-# the 40 stalest greens — all 21 round-3-vintage rows plus the 19
-# lowest-numbered round-4 rows (VERDICT r08 task #2's front-load; the
-# remaining 30 round-4 rows go first in r10) — exactly 50. After each
-# new CORRECTNESS artifact lands, rotate its greens to the back and
-# front-load whatever is newest/stalest.
+# the 40 stalest greens — the full round-4-vintage band (30 queries,
+# VERDICT r09 task #1's front-load) plus the 10 lowest-numbered
+# round-5 rows — exactly 50. After each new CORRECTNESS artifact
+# lands, rotate its greens to the back and front-load whatever is
+# newest/stalest (next up: the remaining 40 round-5-vintage rows,
+# q153-q192 minus the 10 taken here).
 _PRIORITY = [
     # new this round — never driver-verified
-    "q271_average_precision",
-    "q272_ams_f2",
-    "q273_levene_spread",
-    "q274_friedman_test",
-    "q275_scene_cuts",
-    "q276_fk_integrity",
-    "q277_simpson_diversity",
-    "q278_vocab_growth",
-    "q279_fisher_scores",
-    "q280_stream_ams",
-    # stalest greens: the full round-3 band (21 queries)
-    "q91_weighted_sample",
-    "q92_robust_zscore",
-    "q93_price_histogram",
-    "q94_regression_exact",
-    "q95_tfidf_topterms",
-    "q96_mode_median",
-    "q97_decile_stats",
-    "q98_pareto_frontier",
-    "q100_stream_session_window",
-    "q101_time_proximity_join",
-    "q102_rolling_distinct_sketch",
-    "q103_variant_json",
-    "q105_event_transitions",
-    "q106_data_quality_audit",
-    "q107_kll_quantile_rollup",
-    "q108_theta_set_algebra",
-    "q109_stream_interval_join",
-    "q110_stream_static_enrich",
-    "q111_audio_features",
-    "q112_multimodal_neardup",
-    "q113_udtf_lateral",
-    # then the 19 lowest-numbered round-4 rows
-    "q34_running_sum",
-    "q35_range_frame",
-    "q36_tumbling_window",
-    "q37_sliding_window",
-    "q38_session_window",
-    "q39_asof_join",
-    "q40_string_funcs",
-    "q41_regexp",
-    "q42_date_funcs",
-    "q43_conditional",
-    "q44_null_funcs",
-    "q46_array_funcs",
-    "q47_struct_map",
-    "q48_binary_funcs",
-    "q52_minhash_lsh",
-    "q64_quantiles",
-    "q67_ann_ivf",
-    "q84_stream_dedup",
-    "q99_stream_stateful_totals",
-    # ^ exactly 50 = the driver window (10 new this round + 40 stalest).
-    # The 30 remaining round-4-vintage greens, front of the r10 window:
+    "q281_bootstrap_ci",
+    "q282_jonckheere_trend",
+    "q283_mann_kendall",
+    "q284_runs_test",
+    "q285_cramer_von_mises",
+    "q286_chao1_richness",
+    "q287_corr_matrix",
+    "q288_jl_distortion",
+    "q289_silence_runs",
+    "q290_stream_bootstrap",
+    # stalest greens: the full round-4-vintage band (30 queries)
     "q104_prefix_filter_join",
     "q114_robust_zscore_sketch",
     "q115_stats_broadcast_join",
@@ -132,7 +90,31 @@ _PRIORITY = [
     "q141_join_size_sketch",
     "q142_frequent_pairs",
     "q143_stream_tv_drift",
-    # the r05-r08 windows hold the freshest driver rows and rotate
+    # then the 10 lowest-numbered round-5-vintage rows
+    "q135_inverted_index",
+    "q144_ngram_decontaminate",
+    "q145_intradoc_repetition",
+    "q146_semantic_dedup",
+    "q147_recursive_cte",
+    "q148_bm25_topk",
+    "q149_kcore",
+    "q150_gopher_rules",
+    "q151_ewma_anomaly",
+    "q152_interval_overlap",
+    # ^ exactly 50 = the driver window (10 new + 40 stalest).
+    # The remaining 40 round-5-vintage greens, front of the r11 window:
+    "q153_twap",
+    "q154_table_diff",
+    "q155_consistent_sample",
+    "q156_bpe_merges",
+    "q157_best_split",
+    "q158_ab_test",
+    "q159_pit_join",
+    "q160_kmeans_fixpoint",
+    "q161_dynamic_partition_pruning",
+    "q162_pca_top_eigen",
+    # (q163-q192 follow in registration order via _apply_priority)
+    # the r06-r09 windows hold the freshest driver rows and rotate
     # behind; everything unlisted follows in registration order via
     # _apply_priority
 ]

@@ -2778,3 +2778,346 @@ def q274(spark: SparkSession, sf: str) -> DataFrame:
         chi.alias("chi2_micros"),
         (chi >= F.lit(_FR_CRIT_MICROS)).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# q282 — Jonckheere-Terpstra ordered-alternative trend test (Jonckheere
+# 1954; Terpstra 1952): do event values shift monotonically across the
+# ORDERED six-hour day parts (night -> morning -> afternoon ->
+# evening)? The missing cell of the k-sample grid: q198 tests ANY mean
+# difference, q268 ANY rank difference, q273 spread, q274 paired
+# blocks — none can say "increasing WITH the group order", which is
+# the alternative dayparts/doses/cohorts actually pose. J = sum over
+# group pairs i<j of the Mann-Whitney count #(x in G_i < y in G_j)
+# (+ half-ties), computed EXACTLY on the integer-cents value grid
+# (events carry 2-decimal values, so cents are lossless): 2J folds
+# over the value-domain frame with the four groups' counts PIVOTED to
+# named columns (q273's convention) and their exclusive cumulatives
+# from one shared ordered window — 2J contribution at value v is
+# sum_j m_j (2 * sum_{i<j} C_i + sum_{i<j} m_i), all DECIMAL(38,0).
+# The null variance carries the FULL tie correction (the three-term
+# form, Hollander & Wolfe 6.19): each term's integer numerators are
+# exact; the three quotients assemble in one fixed-order double tree.
+# z_micros = floor(1e6 * (J - E[J]) / sqrt(Var)); NULL on an absent
+# group or non-positive variance.
+#
+# 100 TB shape: one map-side conditional-count aggregate keyed by
+# cents value (domain bounded by the VALUE RANGE — ~49k cents here —
+# never by row count), one ordered window over that bounded frame,
+# one scalar fold. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_JT_K = 4  # six-hour dayparts 0..3
+_JT_CENTS = "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)"
+
+
+def _jt_group_sql(hour_expr: str, idiv: str) -> str:
+    # INTEGER division is spelled per engine (Spark: div, DuckDB: //) —
+    # '/' on integers is FLOAT division in both, which would silently
+    # assign only hours 0/6/12/18 to any group.
+    return f"CAST({hour_expr} AS INT) {idiv} 6"
+
+
+def _jt_tail_sql() -> str:
+    """Engine-shared assembly over columns n, n0..n3, j2, ej2, t1, t2n,
+    t2t, t3n, t3t (integer/decimal moments): z in one fixed-order
+    double tree."""
+    var = (
+        "(CAST(t1 AS DOUBLE) / 72.0"
+        " + (CAST(t2n AS DOUBLE) * CAST(t2t AS DOUBLE))"
+        "   / (36.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(n - 2 AS DOUBLE))"
+        " + (CAST(t3n AS DOUBLE) * CAST(t3t AS DOUBLE))"
+        "   / (8.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    )
+    guard = " OR ".join(f"n{g} = 0" for g in range(_JT_K))
+    return (
+        f"CASE WHEN {guard} OR n <= 2 OR {var} <= 0.0 THEN NULL"
+        f" ELSE CAST(floor(1000000.0 * ((CAST(j2 AS DOUBLE) - CAST(ej2 AS DOUBLE)) / 2.0)"
+        f" / sqrt({var})) AS BIGINT) END"
+    )
+
+
+def _q282_oracle() -> str:
+    ms = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN g = {j} THEN 1 ELSE 0 END) AS BIGINT) AS m{j}"
+        for j in range(_JT_K)
+    )
+    cums = ",\n             ".join(
+        f"CAST(COALESCE(SUM(m{j}) OVER (ORDER BY x"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c{j}"
+        for j in range(_JT_K)
+    )
+    contrib = " + ".join(
+        "CAST(m{j} AS HUGEINT) * (2 * ({cs}) + ({msum}))".format(
+            j=j,
+            cs=" + ".join(f"CAST(c{i} AS HUGEINT)" for i in range(j)),
+            msum=" + ".join(f"CAST(m{i} AS HUGEINT)" for i in range(j)),
+        )
+        for j in range(1, _JT_K)
+    )
+    ns = ",\n             ".join(
+        f"CAST(SUM(m{j}) AS BIGINT) AS n{j}" for j in range(_JT_K)
+    )
+    ej2 = " + ".join(
+        f"CAST(n{i} AS HUGEINT) * n{j}"
+        for i in range(_JT_K)
+        for j in range(i + 1, _JT_K)
+    )
+    gterm = lambda e, f: " + ".join(  # noqa: E731
+        f"CAST(n{g} AS HUGEINT) * (n{g} - 1) * ({f.format(g=f'n{g}')})"
+        if e
+        else f"CAST(n{g} AS HUGEINT) * (n{g} - 1)"
+        for g in range(_JT_K)
+    )
+    return f"""
+    WITH v AS (
+      SELECT {_jt_group_sql("extract(hour FROM ts)", "//")} AS g, {_JT_CENTS} AS x
+      FROM events
+    ),
+    dom AS (
+      SELECT x, {ms}
+      FROM v GROUP BY x
+    ),
+    cum AS (
+      SELECT x, {", ".join(f"m{j}" for j in range(_JT_K))},
+             {cums}
+      FROM dom
+    ),
+    fold AS (
+      SELECT CAST(SUM({contrib}) AS HUGEINT) AS j2,
+             CAST(SUM(CAST({" + ".join(f"m{j}" for j in range(_JT_K))} AS HUGEINT)
+                      * ({" + ".join(f"m{j}" for j in range(_JT_K))} - 1)
+                      * (2 * ({" + ".join(f"m{j}" for j in range(_JT_K))}) + 5)) AS HUGEINT) AS tie_t1,
+             CAST(SUM(CAST({" + ".join(f"m{j}" for j in range(_JT_K))} AS HUGEINT)
+                      * ({" + ".join(f"m{j}" for j in range(_JT_K))} - 1)
+                      * ({" + ".join(f"m{j}" for j in range(_JT_K))} - 2)) AS HUGEINT) AS t2t,
+             CAST(SUM(CAST({" + ".join(f"m{j}" for j in range(_JT_K))} AS HUGEINT)
+                      * ({" + ".join(f"m{j}" for j in range(_JT_K))} - 1)) AS HUGEINT) AS t3t,
+             {ns}
+      FROM cum
+    ),
+    m AS (
+      SELECT CAST({" + ".join(f"n{j}" for j in range(_JT_K))} AS BIGINT) AS n,
+             {", ".join(f"n{j}" for j in range(_JT_K))},
+             j2,
+             CAST({ej2} AS HUGEINT) AS ej2,
+             CAST(CAST({" + ".join(f"n{j}" for j in range(_JT_K))} AS HUGEINT)
+                  * ({" + ".join(f"n{j}" for j in range(_JT_K))} - 1)
+                  * (2 * ({" + ".join(f"n{j}" for j in range(_JT_K))}) + 5)
+                - ({gterm(True, "2 * {g} + 5")})
+                - tie_t1 AS HUGEINT) AS t1,
+             CAST({gterm(True, "{g} - 2")} AS HUGEINT) AS t2n,
+             t2t,
+             CAST({gterm(False, "")} AS HUGEINT) AS t3n,
+             t3t
+      FROM fold
+    )
+    SELECT n, CAST(j2 AS DOUBLE) AS j2, CAST(ej2 AS DOUBLE) AS ej2,
+           {_jt_tail_sql()} AS z_micros
+    FROM m
+    """
+
+
+@query(
+    "q282_jonckheere_trend",
+    oracle=_q282_oracle(),
+    category="mining",
+    doc="Jonckheere-Terpstra ordered trend across six-hour dayparts: 2J folded over the pivoted cents-domain frame, full tie-corrected variance",
+)
+def q282(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = t(spark, sf, "events").select(
+        F.expr(_jt_group_sql("hour(ts)", "div")).alias("g"),
+        F.expr(_JT_CENTS).alias("x"),
+    )
+    dom = v.groupBy("x").agg(
+        *[
+            F.sum(F.when(F.col("g") == j, 1).otherwise(0))
+            .cast("long")
+            .alias(f"m{j}")
+            for j in range(_JT_K)
+        ]
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "x",
+        *[F.col(f"m{j}") for j in range(_JT_K)],
+        *[
+            F.coalesce(F.sum(f"m{j}").over(w), F.lit(0)).cast("long").alias(f"c{j}")
+            for j in range(_JT_K)
+        ],
+    )
+    contrib = " + ".join(
+        "CAST(m{j} AS DECIMAL(38,0)) * (2 * ({cs}) + ({msum}))".format(
+            j=j,
+            cs=" + ".join(f"CAST(c{i} AS DECIMAL(38,0))" for i in range(j)),
+            msum=" + ".join(f"CAST(m{i} AS DECIMAL(38,0))" for i in range(j)),
+        )
+        for j in range(1, _JT_K)
+    )
+    mt = " + ".join(f"m{j}" for j in range(_JT_K))
+    fold = cum.agg(
+        F.expr(f"CAST(SUM({contrib}) AS DECIMAL(38,0))").alias("j2"),
+        F.expr(
+            f"CAST(SUM(CAST({mt} AS DECIMAL(38,0)) * ({mt} - 1) * (2 * ({mt}) + 5))"
+            " AS DECIMAL(38,0))"
+        ).alias("tie_t1"),
+        F.expr(
+            f"CAST(SUM(CAST({mt} AS DECIMAL(38,0)) * ({mt} - 1) * ({mt} - 2))"
+            " AS DECIMAL(38,0))"
+        ).alias("t2t"),
+        F.expr(
+            f"CAST(SUM(CAST({mt} AS DECIMAL(38,0)) * ({mt} - 1)) AS DECIMAL(38,0))"
+        ).alias("t3t"),
+        *[
+            F.sum(f"m{j}").cast("long").alias(f"n{j}")
+            for j in range(_JT_K)
+        ],
+    )
+    nt = " + ".join(f"n{j}" for j in range(_JT_K))
+    ej2 = " + ".join(
+        f"CAST(n{i} AS DECIMAL(38,0)) * n{j}"
+        for i in range(_JT_K)
+        for j in range(i + 1, _JT_K)
+    )
+    g25 = " + ".join(
+        f"CAST(n{g} AS DECIMAL(38,0)) * (n{g} - 1) * (2 * n{g} + 5)"
+        for g in range(_JT_K)
+    )
+    g2 = " + ".join(
+        f"CAST(n{g} AS DECIMAL(38,0)) * (n{g} - 1) * (n{g} - 2)" for g in range(_JT_K)
+    )
+    g1 = " + ".join(f"CAST(n{g} AS DECIMAL(38,0)) * (n{g} - 1)" for g in range(_JT_K))
+    m = fold.select(
+        F.expr(f"CAST({nt} AS BIGINT)").alias("n"),
+        *[F.col(f"n{j}") for j in range(_JT_K)],
+        "j2",
+        F.expr(f"CAST({ej2} AS DECIMAL(38,0))").alias("ej2"),
+        F.expr(
+            f"CAST(CAST({nt} AS DECIMAL(38,0)) * ({nt} - 1) * (2 * ({nt}) + 5)"
+            f" - ({g25}) - tie_t1 AS DECIMAL(38,0))"
+        ).alias("t1"),
+        F.expr(f"CAST({g2} AS DECIMAL(38,0))").alias("t2n"),
+        "t2t",
+        F.expr(f"CAST({g1} AS DECIMAL(38,0))").alias("t3n"),
+        "t3t",
+    )
+    return m.select(
+        "n",
+        F.expr("CAST(j2 AS DOUBLE)").alias("j2"),
+        F.expr("CAST(ej2 AS DOUBLE)").alias("ej2"),
+        F.expr(_jt_tail_sql()).alias("z_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q285 — two-sample Cramér-von Mises statistic (Anderson 1962) between
+# the English and German document-length distributions: T =
+# (nm / N^2) * sum over all N data points of (F_n(z) - G_m(z))^2. The
+# INTEGRATED companion to q199's Kolmogorov-Smirnov max — KS sees only
+# the single worst CDF gap, CvM accumulates every gap, so it catches
+# broad mild shifts KS under-weights (the standard pairing in drift
+# suites). Exact on the value domain: per distinct length v with
+# sample counts (a, b) and inclusive cumulatives (A, B), the (a+b)-
+# weighted squared gap is (A*m - B*n)^2 (a+b) in DECIMAL(38,0)/HUGEINT
+# — integer-exact to ~1e9 docs per side (beyond, shard by stratum and
+# combine; documented envelope, the q273 discipline) — and T floors to
+# micros after ONE fixed-order double division by n*m*N^2.
+#
+# 100 TB shape: one conditional-count aggregate keyed by the length
+# value (domain bounded by the LENGTH RANGE, not rows), one ordered
+# window over that bounded frame, a scalar fold. Reference delegates
+# analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_CVM_A, _CVM_B = "en", "de"
+
+
+def _q285_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT n_chars AS x, CAST(lang = '{_CVM_A}' AS INT) AS ia,
+             CAST(lang = '{_CVM_B}' AS INT) AS ib
+      FROM documents WHERE lang IN ('{_CVM_A}', '{_CVM_B}')
+    ),
+    dom AS (
+      SELECT x, CAST(SUM(ia) AS BIGINT) AS a, CAST(SUM(ib) AS BIGINT) AS b
+      FROM v GROUP BY x
+    ),
+    cum AS (
+      SELECT x, a, b,
+             CAST(SUM(a) OVER (ORDER BY x) AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY x) AS BIGINT) AS cb
+      FROM dom
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n, CAST(SUM(b) AS BIGINT) AS m FROM dom
+    )
+    SELECT tot.n, tot.m,
+           CAST(CASE WHEN tot.n = 0 OR tot.m = 0 THEN NULL
+             ELSE floor(1000000.0 *
+               (CAST(SUM((CAST(ca AS HUGEINT) * tot.m - CAST(cb AS HUGEINT) * tot.n)
+                         * (CAST(ca AS HUGEINT) * tot.m - CAST(cb AS HUGEINT) * tot.n)
+                         * (a + b)) AS DOUBLE))
+               / (CAST(tot.n AS DOUBLE) * CAST(tot.m AS DOUBLE)
+                  * CAST(tot.n + tot.m AS DOUBLE) * CAST(tot.n + tot.m AS DOUBLE)))
+             END AS BIGINT) AS t_micros
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.n, tot.m
+    """
+
+
+@query(
+    "q285_cramer_von_mises",
+    oracle=_q285_oracle(),
+    category="mining",
+    doc="two-sample Cramér-von Mises over the length value domain: integrated squared CDF gap, exact integer numerators, one double division",
+)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = t(spark, sf, "documents").filter(
+        F.col("lang").isin(_CVM_A, _CVM_B)
+    ).select(
+        F.col("n_chars").alias("x"),
+        (F.col("lang") == _CVM_A).cast("int").alias("ia"),
+        (F.col("lang") == _CVM_B).cast("int").alias("ib"),
+    )
+    dom = v.groupBy("x").agg(
+        F.sum("ia").cast("long").alias("a"), F.sum("ib").cast("long").alias("b")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dom.select(
+        "x",
+        "a",
+        "b",
+        F.sum("a").over(w).cast("long").alias("ca"),
+        F.sum("b").over(w).cast("long").alias("cb"),
+    )
+    tot = dom.agg(
+        F.sum("a").cast("long").alias("n"), F.sum("b").cast("long").alias("m")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            F.expr(
+                "SUM((CAST(ca AS DECIMAL(38,0)) * m - CAST(cb AS DECIMAL(38,0)) * n)"
+                " * (CAST(ca AS DECIMAL(38,0)) * m - CAST(cb AS DECIMAL(38,0)) * n)"
+                " * (a + b))"
+            ).alias("num")
+        )
+        .select(
+            "n",
+            "m",
+            F.expr(
+                "CAST(CASE WHEN n = 0 OR m = 0 THEN NULL"
+                " ELSE floor(1000000.0 * CAST(num AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)"
+                "    * CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE)))"
+                " END AS BIGINT)"
+            ).alias("t_micros"),
+        )
+    )

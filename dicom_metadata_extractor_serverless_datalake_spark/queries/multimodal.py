@@ -290,3 +290,108 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# q289 — silence-run segmentation over audio analysis windows: the
+# voice-activity-style gate an audio curation pipeline runs before
+# transcription (a clip that is mostly silence, or whose silence comes
+# in one long run, is cut before the expensive ASR stage). Decode +
+# window expansion ride the SAME Arrow-batched mapInPandas path as
+# q62/q275 (deterministic md5 stub — the amplitude is the window
+# digest's leading 16 bits mod 1024, silence is amp < 128 ≈ -18 dBFS
+# of the stub's full scale); run detection is pure JVM gaps-and-
+# islands: a run starts where a silent window follows a non-silent
+# one, and run LENGTHS group by the classic win_idx - row_number() key
+# over silent rows only. Docs with zero silent windows still emit
+# (n_runs = longest_run = 0) via the left join back to the per-doc
+# rollup.
+#
+# 100 TB shape: expansion is map-side and bounded (<= 16 windows/doc);
+# every window function partitions by doc over those bounded frames;
+# the only shuffles carry (doc_id, small ints). Reference has no audio
+# path; this extends the multimodal family (q61/q62/q111/q112/q275).
+# --------------------------------------------------------------------------
+
+_SILENCE_AMP = 128  # amp < 128 of 0..1023 full scale
+
+
+@query(
+    "q289_silence_runs",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 16 + 1 AS INTEGER) AS n_windows
+      FROM documents WHERE doc_id < {_N_DOCS}
+    ),
+    wins AS (
+      SELECT doc_id, n_windows,
+             CAST(w - 1 AS INTEGER) AS win_idx,
+             CAST(CAST('0x' || substr(md5(hx || '_a' || CAST(w - 1 AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 1024 AS BIGINT) AS amp
+      FROM v CROSS JOIN generate_series(1, 16) AS gs(w)
+      WHERE w <= n_windows
+    ),
+    sil AS (
+      SELECT doc_id, win_idx,
+             win_idx - row_number() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+      FROM wins WHERE amp < {_SILENCE_AMP}
+    ),
+    runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM sil GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(MAX(n_windows) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN amp < {_SILENCE_AMP} THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+      FROM wins GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_windows, p.n_silent,
+           CAST(COALESCE(COUNT(r.run_len), 0) AS BIGINT) AS n_runs,
+           CAST(COALESCE(MAX(r.run_len), 0) AS BIGINT) AS longest_run
+    FROM per_doc p LEFT JOIN runs r ON p.doc_id = r.doc_id
+    GROUP BY p.doc_id, p.n_windows, p.n_silent
+    ORDER BY p.doc_id
+    """,
+    category="multimodal",
+    doc="audio silence-run segmentation: stub-decoded window amplitudes, JVM gaps-and-islands run lengths per doc",
+)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.multimodal import waveform_windows
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < _N_DOCS)
+    wins = waveform_windows(with_payload(docs.select("doc_id", "text"))).select(
+        "doc_id",
+        "win_idx",
+        "n_windows",
+        F.expr(
+            "CAST(conv(substr(win_digest, 1, 4), 16, 10) AS BIGINT) % 1024"
+        ).alias("amp"),
+    )
+    sil = wins.filter(F.col("amp") < _SILENCE_AMP).select(
+        "doc_id",
+        "win_idx",
+        (
+            F.col("win_idx")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("win_idx"))
+        ).alias("grp"),
+    )
+    runs = sil.groupBy("doc_id", "grp").agg(F.count("*").cast("long").alias("run_len"))
+    per_doc = wins.groupBy("doc_id").agg(
+        F.max("n_windows").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("amp") < _SILENCE_AMP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_silent"),
+    )
+    return (
+        per_doc.join(runs, "doc_id", "left")
+        .groupBy("doc_id", "n_windows", "n_silent")
+        .agg(
+            F.coalesce(F.count("run_len"), F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce(F.max("run_len"), F.lit(0)).cast("long").alias("longest_run"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1034,3 +1034,252 @@ def q279(spark: SparkSession, sf: str) -> DataFrame:
         "n1",
         F.expr(_Q279_F_SQL).cast("long").alias("fisher_micros"),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# q287 — exact Pearson correlation matrix over per-document text
+# features (chars, tokens, distinct tokens, longest token) in ONE
+# corpus pass: the collinearity audit run before any feature set feeds
+# a quality classifier (q224) or mixture weighting (q117) — two
+# features correlated at 0.99 are one feature, and this is the readout
+# that says so. Completes the correlation row: q94 fits ONE pair's
+# regression line, q186 ranks one pair, q279 scores dimensions against
+# a LABEL; this is every feature against every other. All 15 moments
+# (n, 4 sums, 4 squares, 6 cross-products) accumulate as exact
+# DECIMAL(38,0)/HUGEINT in a single aggregate; each pair's
+# corr = (n*S_ab - S_a*S_b) / (sqrt(n*S_aa - S_a^2) * sqrt(n*S_bb -
+# S_b^2)) assembles in one fixed-order double tree per pair (numerator
+# exact before the cast; NULL on zero variance), floored to micros.
+#
+# 100 TB shape: one map-side aggregate (feature extraction is
+# arithmetic on the token array, no explode), a 1-row moment frame,
+# a 6-row unpivot — the corpus is touched exactly once regardless of
+# how many feature pairs are read. Reference delegates analytics to
+# Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_CM_FEATS = ["chars", "tokens", "distinct_tokens", "longest_token"]
+
+
+def _cm_corr_sql(a: str, b: str) -> str:
+    num = f"CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+    da = f"CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+    db = f"CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)"
+    return (
+        f"CASE WHEN n * s_{a}_{a} - s_{a} * s_{a} <= 0"
+        f" OR n * s_{b}_{b} - s_{b} * s_{b} <= 0 THEN NULL"
+        f" ELSE CAST(floor(1000000.0 * {num} / (sqrt({da}) * sqrt({db}))) AS BIGINT) END"
+    )
+
+
+def _cm_pairs() -> list[tuple[str, str]]:
+    return [
+        (a, b)
+        for i, a in enumerate(_CM_FEATS)
+        for b in _CM_FEATS[i + 1 :]
+    ]
+
+
+def _q287_oracle() -> str:
+    big = "HUGEINT"
+    moments = [f"CAST(COUNT(*) AS {big}) AS n"]
+    for a in _CM_FEATS:
+        moments.append(f"CAST(SUM(CAST({a} AS {big})) AS {big}) AS s_{a}")
+    for i, a in enumerate(_CM_FEATS):
+        for b in _CM_FEATS[i:]:
+            moments.append(
+                f"CAST(SUM(CAST({a} AS {big}) * {b}) AS {big}) AS s_{a}_{b}"
+            )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT '{a}~{b}' AS pair, {_cm_corr_sql(a, b)} AS corr_micros FROM m"
+        for a, b in _cm_pairs()
+    )
+    return f"""
+    WITH f AS (
+      SELECT CAST(n_chars AS BIGINT) AS chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS distinct_tokens,
+             CAST(list_max(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), x -> len(x))) AS BIGINT) AS longest_token
+      FROM documents
+    ),
+    m AS (
+      SELECT {", ".join(moments)} FROM f
+    )
+    {selects}
+    ORDER BY pair
+    """
+
+
+@query(
+    "q287_corr_matrix",
+    oracle=_q287_oracle(),
+    category="prep",
+    doc="exact Pearson correlation matrix over 4 doc features in one corpus pass: 15 DECIMAL moments, 6-row unpivot",
+)
+def q287(spark: SparkSession, sf: str) -> DataFrame:
+    big = "DECIMAL(38,0)"
+    ws = "filter(split(text, ' '), x -> x <> '')"
+    f = t(spark, sf, "documents").select(
+        F.expr("CAST(n_chars AS BIGINT)").alias("chars"),
+        F.expr(f"CAST(size({ws}) AS BIGINT)").alias("tokens"),
+        F.expr(f"CAST(size(array_distinct({ws})) AS BIGINT)").alias("distinct_tokens"),
+        F.expr(
+            f"CAST(array_max(transform({ws}, x -> length(x))) AS BIGINT)"
+        ).alias("longest_token"),
+    )
+    aggs = [F.expr(f"CAST(COUNT(*) AS {big})").alias("n")]
+    for a in _CM_FEATS:
+        aggs.append(F.expr(f"CAST(SUM(CAST({a} AS {big})) AS {big})").alias(f"s_{a}"))
+    for i, a in enumerate(_CM_FEATS):
+        for b in _CM_FEATS[i:]:
+            aggs.append(
+                F.expr(f"CAST(SUM(CAST({a} AS {big}) * {b}) AS {big})").alias(
+                    f"s_{a}_{b}"
+                )
+            )
+    m = f.agg(*aggs)
+    out = None
+    for a, b in _cm_pairs():
+        row = m.select(
+            F.lit(f"{a}~{b}").alias("pair"),
+            F.expr(_cm_corr_sql(a, b)).alias("corr_micros"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")
+
+
+# --------------------------------------------------------------------------
+# q288 — Johnson-Lindenstrauss random-projection distortion audit: how
+# much do pairwise distances move when the 64-dim embeddings project
+# to 16 dims through a signed ±1 projection (Achlioptas 2003, the
+# database-friendly JL construction)? This is the measurement a team
+# runs BEFORE committing to a projected index layout (LSH q55 and PQ
+# q131 both presume distances survive projection; this query is the
+# evidence). The ±1 sign matrix is data-INDEPENDENT, so it is drawn
+# from md5 in PYTHON at query construction and injected as ±q[j]
+# literal terms — zero engine-side hashing (the determinism policy's
+# literal tier). Components quantize to the integer-micros grid ONCE,
+# making every projection sum and squared distance an exact BIGINT;
+# the per-pair distortion ratio (||ya-yb||^2 / 16) / ||xa-xb||^2 is
+# one double division floored to micros. E[||y||^2] = 16 ||x||^2 for
+# ±1 entries, hence the /16 normalizer.
+#
+# 100 TB shape: the audit runs on a hash-selected vector sample (the
+# q242 rate-tunable-audit discipline): sample ~ n/31 vectors, pairs
+# are sample-bounded, joined on a constant key (hash equi-join, never
+# a corpus BNLJ). The projection itself is map-side arithmetic.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+_JL_DIN, _JL_DOUT, _JL_MOD = 64, 16, 31
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """±1 from md5('jl-i-j') — evaluated in Python once; the engines
+    only ever see the resulting sign literals."""
+    h = int(_hashlib.md5(f"jl-{i}-{j}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _jl_y_sql(i: int, arr: str, bracket: bool) -> str:
+    # index syntax is per-engine: DuckDB brackets are 1-based, Spark
+    # brackets are 0-based, so the Spark side spells element_at (1-based)
+    acc = (lambda j: f"{arr}[{j + 1}]") if bracket else (
+        lambda j: f"element_at({arr}, {j + 1})"
+    )
+    terms = "".join(
+        f" {'+' if _jl_sign(i, j) > 0 else '-'} {acc(j)}" for j in range(_JL_DIN)
+    )
+    return f"CAST(0{terms} AS BIGINT)"
+
+
+def _q288_oracle() -> str:
+    h = duck_h31("'jls-' || CAST(vec_id AS VARCHAR)")
+    ys = ",\n             ".join(
+        f"{_jl_y_sql(i, 'q', True)} AS y{i}" for i in range(_JL_DOUT)
+    )
+    d2p = " + ".join(
+        f"(a.y{i} - b.y{i}) * (a.y{i} - b.y{i})" for i in range(_JL_DOUT)
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings WHERE ({h}) % {_JL_MOD} = 0
+    ),
+    p AS (
+      SELECT vec_id, q, {ys}
+      FROM s
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(generate_series(1, {_JL_DIN}),
+                 j -> (a.q[j] - b.q[j]) * (a.q[j] - b.q[j]))) AS BIGINT) AS d2_orig,
+           CAST({d2p} AS BIGINT) AS d2_proj,
+           CAST(CASE WHEN list_sum(list_transform(generate_series(1, {_JL_DIN}),
+                 j -> (a.q[j] - b.q[j]) * (a.q[j] - b.q[j]))) = 0 THEN NULL
+             ELSE floor(1000000.0 * (CAST({d2p} AS DOUBLE) / {_JL_DOUT}.0)
+               / CAST(list_sum(list_transform(generate_series(1, {_JL_DIN}),
+                   j -> (a.q[j] - b.q[j]) * (a.q[j] - b.q[j]))) AS DOUBLE))
+             END AS BIGINT) AS ratio_micros
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "q288_jl_distortion",
+    oracle=_q288_oracle(),
+    category="prep",
+    doc="JL ±1-projection distortion audit on a hash-selected vector sample: integer-grid exact distances, per-pair ratio in micros",
+)
+def q288(spark: SparkSession, sf: str) -> DataFrame:
+    h = spark_h31("concat('jls-', CAST(vec_id AS STRING))")
+    s = t(spark, sf, "embeddings").filter(F.expr(f"({h}) % {_JL_MOD} = 0")).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("q"),
+    )
+    p = s.select(
+        "vec_id",
+        "q",
+        *[F.expr(_jl_y_sql(i, "q", False)).alias(f"y{i}") for i in range(_JL_DOUT)],
+        F.lit(1).alias("k"),
+    )
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        *[F.col(f"y{i}").alias(f"ya{i}") for i in range(_JL_DOUT)],
+        "k",
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+        *[F.col(f"y{i}").alias(f"yb{i}") for i in range(_JL_DOUT)],
+        "k",
+    )
+    d2o = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    d2p = " + ".join(f"(ya{i} - yb{i}) * (ya{i} - yb{i})" for i in range(_JL_DOUT))
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"CAST({d2o} AS BIGINT)").alias("d2_orig"),
+            F.expr(f"CAST({d2p} AS BIGINT)").alias("d2_proj"),
+            F.expr(
+                f"CAST(CASE WHEN {d2o} = 0 THEN NULL"
+                f" ELSE floor(1000000.0 * (CAST({d2p} AS DOUBLE) / {_JL_DOUT}.0)"
+                f" / CAST({d2o} AS DOUBLE)) END AS BIGINT)"
+            ).alias("ratio_micros"),
+        )
+        .orderBy("id_a", "id_b")
+    )

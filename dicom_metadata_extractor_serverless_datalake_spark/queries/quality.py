@@ -1405,3 +1405,496 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q281 — hash-Poisson bootstrap confidence intervals (Poisson bootstrap:
+# Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google 2012; the resampling scheme behind every distributed
+# bootstrap): a 95% CI on mean document length per source WITHOUT ever
+# reshuffling the data per replicate. Each (doc, replicate r) draws a
+# Poisson(1) weight k deterministically from the portable h31 of
+# 'boot{r}-{doc_id}' — the inverse CDF evaluated by comparing the
+# 31-bit hash against Poisson(1) CDF thresholds PRE-MULTIPLIED onto the
+# integer hash grid in Python (exact integer comparisons; zero
+# engine-side transcendentals), capped at k=8 (mass beyond: 1.1e-6 —
+# the cap is part of the declared resampling scheme). Replicate r=-1
+# is the sentinel raw pass (k=1) that carries the point estimate, so
+# batch (here) and streaming (q290) share one construction. Replicate
+# means floor to micros BEFORE the percentile sort, so the order
+# statistics are integer-exact cross-engine. CI = 2nd / 63rd order
+# statistic of the 64 replicate means (the closest integer ranks to
+# 2.5%/97.5% at R=64).
+#
+# 100 TB shape: the replicate explode is a map-side 65x row multiply
+# feeding ONE partial-aggregated groupBy(source, r) — the shuffle
+# carries |sources| * 65 rows, never the corpus; the percentile sort
+# is over a 64-element array per source. This is exactly why Poisson
+# bootstrap exists: R full resamples would be R corpus shuffles.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_BOOT_R = 64
+# floor(CDF_Poisson(1)(k) * (2^31 - 1)) for k = 0..7; h < _BOOT_T[k]
+# counts thresholds, h >= all eight -> k = 8 (the cap)
+_BOOT_T = [
+    790015083,
+    1580030167,
+    1975037709,
+    2106706890,
+    2139624185,
+    2146207644,
+    2147304887,
+    2147461637,
+]
+
+
+def _boot_k_sql(h_expr: str) -> str:
+    """Poisson(1) weight from a 31-bit hash: engine-shared CASE text."""
+    arms = " ".join(
+        f"WHEN {h_expr} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+def bootstrap_rep_frame(docs: DataFrame) -> DataFrame:
+    """(source, r, sk, s1) per source and replicate: sk = sum of
+    Poisson weights, s1 = weighted char sum. r = -1 is the raw pass
+    (k = 1). Shared by q281 (batch) and q290 (streaming groupBy state —
+    both sums are monotone under row arrival, so drained maxima ARE the
+    final cells)."""
+    from .llm import spark_h31
+
+    h = spark_h31(
+        "concat('boot', CAST(r AS STRING), '-', CAST(doc_id AS STRING))"
+    )
+    k = f"CASE WHEN r = -1 THEN 1 ELSE {_boot_k_sql(f'({h})')} END"
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("r", F.explode(F.expr(f"sequence(-1, {_BOOT_R - 1})")))
+        .select("source", "r", F.expr(f"CAST({k} AS BIGINT)").alias("k"), "n_chars")
+        .groupBy("source", "r")
+        .agg(
+            F.sum("k").alias("sk"),
+            F.sum(F.col("k") * F.col("n_chars")).alias("s1"),
+        )
+    )
+
+
+def bootstrap_ci_tail(per_rep: DataFrame) -> DataFrame:
+    """Assemble (source, n_docs, point_micros, n_reps, ci_lo_micros,
+    ci_hi_micros) from the per-replicate sums — q281's tail, reused
+    verbatim by q290 so the streaming twin rides q281's oracle."""
+    means = per_rep.filter("r >= 0 AND sk > 0").select(
+        "source",
+        F.expr("CAST(floor(1000000.0 * CAST(s1 AS DOUBLE) / CAST(sk AS DOUBLE)) AS BIGINT)").alias(
+            "mean_micros"
+        ),
+    )
+    ci = means.groupBy("source").agg(
+        F.expr("array_sort(collect_list(mean_micros))").alias("ms")
+    )
+    raw = per_rep.filter("r = -1").select(
+        "source",
+        F.col("sk").alias("n_docs"),
+        F.expr("CAST(floor(1000000.0 * CAST(s1 AS DOUBLE) / CAST(sk AS DOUBLE)) AS BIGINT)").alias(
+            "point_micros"
+        ),
+    )
+    return (
+        raw.join(ci, "source")
+        .select(
+            "source",
+            "n_docs",
+            "point_micros",
+            F.expr("CAST(size(ms) AS BIGINT)").alias("n_reps"),
+            F.expr(
+                "element_at(ms, greatest(1, CAST(floor(0.025 * size(ms)) AS INT) + 1))"
+            ).alias("ci_lo_micros"),
+            F.expr(
+                "element_at(ms, least(size(ms), CAST(ceil(0.975 * size(ms)) AS INT)))"
+            ).alias("ci_hi_micros"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q281_oracle() -> str:
+    h = duck_h31("'boot' || CAST(r AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR)")
+    k = f"CASE WHEN r = -1 THEN 1 ELSE {_boot_k_sql(f'({h})')} END"
+    return f"""
+    WITH reps AS (
+      SELECT d.source, gs.r, CAST({k} AS BIGINT) AS k, d.n_chars
+      FROM documents d CROSS JOIN generate_series(-1, {_BOOT_R - 1}) AS gs(r)
+    ),
+    per_rep AS (
+      SELECT source, r, CAST(SUM(k) AS BIGINT) AS sk,
+             CAST(SUM(k * n_chars) AS BIGINT) AS s1
+      FROM reps GROUP BY source, r
+    ),
+    means AS (
+      SELECT source,
+             CAST(floor(1000000.0 * CAST(s1 AS DOUBLE) / CAST(sk AS DOUBLE)) AS BIGINT)
+               AS mean_micros
+      FROM per_rep WHERE r >= 0 AND sk > 0
+    ),
+    ci AS (
+      SELECT source, list_sort(list(mean_micros)) AS ms FROM means GROUP BY source
+    ),
+    raw AS (
+      SELECT source, sk AS n_docs,
+             CAST(floor(1000000.0 * CAST(s1 AS DOUBLE) / CAST(sk AS DOUBLE)) AS BIGINT)
+               AS point_micros
+      FROM per_rep WHERE r = -1
+    )
+    SELECT raw.source, raw.n_docs, raw.point_micros,
+           CAST(len(ms) AS BIGINT) AS n_reps,
+           ms[greatest(1, CAST(floor(0.025 * len(ms)) AS INT) + 1)] AS ci_lo_micros,
+           ms[least(len(ms), CAST(ceil(0.975 * len(ms)) AS INT))] AS ci_hi_micros
+    FROM raw JOIN ci ON raw.source = ci.source
+    ORDER BY raw.source
+    """
+
+
+@query(
+    "q281_bootstrap_ci",
+    oracle=_q281_oracle(),
+    category="quality",
+    doc="hash-Poisson bootstrap 95% CI on mean doc length per source: one shuffle of |sources|*65 rows, never a resample of the corpus",
+)
+def q281(spark: SparkSession, sf: str) -> DataFrame:
+    return bootstrap_ci_tail(bootstrap_rep_frame(t(spark, sf, "documents")))
+
+
+# --------------------------------------------------------------------------
+# q283 — Mann-Kendall trend test (Mann 1945, Kendall 1975): is each
+# event type's daily-total series monotonically trending? The
+# HYPOTHESIS-TEST companion to q197's Theil-Sen (which estimates the
+# slope MAGNITUDE — the two are always quoted together in monitoring
+# practice: MK says "is there a trend", Theil-Sen says "how steep").
+# S = sum over day pairs i<j of sign(x_j - x_i) — exact integers over
+# the calendar-sized pair grid; the null variance carries the full tie
+# correction 18*Var = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) over tie-group
+# sizes t (exact BIGINT), and z applies the standard continuity
+# correction (S -/+ 1) with ONE sqrt of the exact rational Var.
+#
+# 100 TB shape: the corpus collapses to the per-(type, day) aggregate
+# first (map-side combinable), so the O(days^2) pair join and the tie
+# scan are calendar-sized per type — the q197 posture exactly.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_MK_DAILY = (
+    "CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT)"
+)
+
+
+def _q283_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_MK_DAILY} // 100 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ord AS (
+      SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM ord a JOIN ord b ON a.event_type = b.event_type AND b.i > a.i
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY event_type, x)
+      GROUP BY event_type
+    ),
+    nn AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n FROM ord GROUP BY event_type)
+    SELECT nn.event_type, nn.n AS n_days, s.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS BIGINT) AS var18,
+           CAST(CASE
+             WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term <= 0 THEN NULL
+             WHEN s.s_stat > 0 THEN floor(1000000.0 * (CAST(s.s_stat AS DOUBLE) - 1.0)
+               / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS DOUBLE) / 18.0))
+             WHEN s.s_stat < 0 THEN floor(1000000.0 * (CAST(s.s_stat AS DOUBLE) + 1.0)
+               / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS DOUBLE) / 18.0))
+             ELSE 0 END AS BIGINT) AS z_micros
+    FROM nn JOIN s ON nn.event_type = s.event_type
+    JOIN ties ON nn.event_type = ties.event_type
+    ORDER BY nn.event_type
+    """
+
+
+@query(
+    "q283_mann_kendall",
+    oracle=_q283_oracle(),
+    category="quality",
+    doc="Mann-Kendall trend test per event type: exact S over calendar-sized day pairs, tie-corrected variance, continuity-corrected z",
+)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr(f"{_MK_DAILY} div 100").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ord_df = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    a = ord_df.select("event_type", F.col("x").alias("xa"), F.col("i").alias("i"))
+    b = ord_df.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("x").alias("xb"),
+        F.col("i").alias("j"),
+    )
+    s = (
+        a.join(b, (F.col("event_type") == F.col("event_type_b")) & (F.col("j") > F.col("i")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias("tie_term")
+        )
+    )
+    nn = ord_df.groupBy("event_type").agg(F.max("n").cast("long").alias("n"))
+    z = """CAST(CASE
+             WHEN n * (n - 1) * (2 * n + 5) - tie_term <= 0 THEN NULL
+             WHEN s_stat > 0 THEN floor(1000000.0 * (CAST(s_stat AS DOUBLE) - 1.0)
+               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0))
+             WHEN s_stat < 0 THEN floor(1000000.0 * (CAST(s_stat AS DOUBLE) + 1.0)
+               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0))
+             ELSE 0 END AS BIGINT)"""
+    return (
+        nn.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.expr("CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)").alias("var18"),
+            F.expr(z).alias("z_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q284 — Wald-Wolfowitz runs test on the SIGNS of daily deltas per
+# event type: are up-days and down-days randomly interleaved, or do
+# they cluster (momentum) / alternate (mean reversion)? The
+# randomness-of-sequence companion to q189's autocorrelation (which
+# measures LINEAR serial dependence; runs are nonparametric and catch
+# sign-clustering autocorrelation misses). Zero deltas drop (the
+# standard convention); R = 1 + #sign changes; E[R] and Var[R] are the
+# exact rationals 1 + 2ab/N and 2ab(2ab - N) / (N^2 (N-1)); z floors
+# to micros after one sqrt. NULL when either sign is absent or the
+# variance is not positive.
+#
+# 100 TB shape: corpus -> per-(type, day) aggregate (map-side), then
+# every window and count is calendar-sized per type. Reference
+# delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+def _q284_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_MK_DAILY} // 100 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT event_type, day,
+             x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS d
+      FROM daily
+    ),
+    sgn AS (
+      SELECT event_type, day, (d > 0) AS up
+      FROM delta WHERE d IS NOT NULL AND d <> 0
+    ),
+    runs AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN prev_up IS NULL OR up <> prev_up THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+             CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n_minus
+      FROM (
+        SELECT event_type, up,
+               lag(up) OVER (PARTITION BY event_type ORDER BY day) AS prev_up
+        FROM sgn
+      ) GROUP BY event_type
+    )
+    SELECT event_type, n_plus, n_minus, r AS runs,
+           CAST(CASE
+             WHEN n_plus = 0 OR n_minus = 0 OR n_plus + n_minus < 2
+                  OR 2 * n_plus * n_minus * (2 * n_plus * n_minus - n_plus - n_minus) <= 0
+               THEN NULL
+             ELSE floor(1000000.0 *
+               (CAST(r AS DOUBLE) - (1.0 + 2.0 * CAST(n_plus * n_minus AS DOUBLE)
+                  / CAST(n_plus + n_minus AS DOUBLE)))
+               / sqrt(CAST(2 * n_plus * n_minus * (2 * n_plus * n_minus - n_plus - n_minus) AS DOUBLE)
+                  / (CAST(n_plus + n_minus AS DOUBLE) * CAST(n_plus + n_minus AS DOUBLE)
+                     * CAST(n_plus + n_minus - 1 AS DOUBLE))))
+             END AS BIGINT) AS z_micros
+    FROM runs ORDER BY event_type
+    """
+
+
+@query(
+    "q284_runs_test",
+    oracle=_q284_oracle(),
+    category="quality",
+    doc="Wald-Wolfowitz runs test on daily delta signs per event type: exact run/sign counts, one sqrt for z",
+)
+def q284(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr(f"{_MK_DAILY} div 100").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    sgn = (
+        daily.select(
+            "event_type", "day", (F.col("x") - F.lag("x").over(w)).alias("d")
+        )
+        .filter("d IS NOT NULL AND d <> 0")
+        .select("event_type", "day", (F.col("d") > 0).alias("up"))
+    )
+    runs = (
+        sgn.select(
+            "event_type", "up", F.lag("up").over(w).alias("prev_up")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_up").isNull() | (F.col("up") != F.col("prev_up")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+            F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("long").alias("n_plus"),
+            F.sum(F.when(F.col("up"), 0).otherwise(1)).cast("long").alias("n_minus"),
+        )
+    )
+    z = """CAST(CASE
+             WHEN n_plus = 0 OR n_minus = 0 OR n_plus + n_minus < 2
+                  OR 2 * n_plus * n_minus * (2 * n_plus * n_minus - n_plus - n_minus) <= 0
+               THEN NULL
+             ELSE floor(1000000.0 *
+               (CAST(r AS DOUBLE) - (1.0 + 2.0 * CAST(n_plus * n_minus AS DOUBLE)
+                  / CAST(n_plus + n_minus AS DOUBLE)))
+               / sqrt(CAST(2 * n_plus * n_minus * (2 * n_plus * n_minus - n_plus - n_minus) AS DOUBLE)
+                  / (CAST(n_plus + n_minus AS DOUBLE) * CAST(n_plus + n_minus AS DOUBLE)
+                     * CAST(n_plus + n_minus - 1 AS DOUBLE))))
+             END AS BIGINT)"""
+    return runs.select(
+        "event_type",
+        "n_plus",
+        "n_minus",
+        F.col("r").alias("runs"),
+        F.expr(z).alias("z_micros"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q286 — Chao1 vocabulary-richness estimate + Good-Turing coverage per
+# language (Chao 1984; the species-richness estimator ecology and
+# corpus linguistics share): how many word types does each language's
+# corpus REALLY have, including the ones not yet observed? Completes
+# the vocabulary triptych — q256 reads the frequency SPECTRUM, q278
+# the ACCUMULATION curve, this the ASYMPTOTE. Bias-corrected form
+# Chao1 = V + f1(f1-1) / (2(f2+1)) (defined even at f2 = 0) and
+# coverage C = 1 - f1/N are exact integer rationals: the division
+# rides DECIMAL(38,0)/HUGEINT (f1^2 * 1e6 passes BIGINT at ~3e6
+# singletons) and floors to micros — zero engine-side transcendentals.
+#
+# 100 TB shape: one token explode -> word-keyed count (map-side
+# combinable, THE vocabulary shuffle — q278's accepted cost), then
+# frequency-of-frequency collapses to a spectrum-sized frame and the
+# estimator is a per-lang scalar. Reference delegates analytics to
+# Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q286_chao1_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(1000000 * COUNT(*)
+                + CAST(1000000 AS HUGEINT)
+                  * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                  // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+                AS BIGINT) AS chao1_micros,
+           CAST(1000000 - CAST(1000000 AS HUGEINT)
+                  * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) // SUM(c)
+                AS BIGINT) AS coverage_micros
+    FROM wc GROUP BY lang ORDER BY lang
+    """,
+    category="quality",
+    doc="Chao1 bias-corrected vocabulary-richness asymptote + Good-Turing coverage per language, exact integer rationals",
+)
+def q286(spark: SparkSession, sf: str) -> DataFrame:
+    tok = t(spark, sf, "documents").select(
+        "lang",
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
+    )
+    wc = tok.groupBy("lang", "w").agg(F.count("*").cast("long").alias("c"))
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab",
+            "f1",
+            "f2",
+            F.expr(
+                "CAST(1000000 * vocab"
+                " + CAST(1000000 AS DECIMAL(38,0)) * f1 * (f1 - 1)"
+                "   div (2 * (f2 + 1)) AS BIGINT)"
+            ).alias("chao1_micros"),
+            F.expr(
+                "CAST(1000000 - CAST(1000000 AS DECIMAL(38,0)) * f1 div n_tokens"
+                " AS BIGINT)"
+            ).alias("coverage_micros"),
+        )
+        .orderBy("lang")
+    )

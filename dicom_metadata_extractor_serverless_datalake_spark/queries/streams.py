@@ -2318,3 +2318,83 @@ def _set_q280_oracle() -> None:
 
 
 _set_q280_oracle()
+
+
+# --------------------------------------------------------------------------
+# q290 — STREAMING hash-Poisson bootstrap: q281's per-source confidence
+# intervals maintained as a live streaming aggregate while documents
+# arrive — the uncertainty readout a streaming corpus monitor shows
+# NEXT TO its running means (Poisson bootstrap was designed for
+# exactly this: Chamandy et al. 2012 run it over streams, since the
+# per-record weights need no global resample). The stateful exchange
+# carries (source, r) cells only — |sources| x 65 cells of state
+# forever; both per-cell sums (weight sum, weighted char sum) are
+# MONOTONE under row arrival (weights and lengths are nonnegative), so
+# the drained sink's per-cell maxima ARE the final sums (q266/q280's
+# drain convention — no non-monotone trick needed here). The CI tail
+# is q281's bootstrap_ci_tail VERBATIM on the drained cells, so q281's
+# oracle is the oracle verbatim: drained stream == batch,
+# value-for-value, replicate-for-replicate.
+#
+# 100 TB shape: state is bounded by |sources| * 66 longs regardless of
+# corpus size; the replicate explode is map-side per micro-batch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q290_stream_bootstrap",
+    oracle=None,  # set below to q281's oracle verbatim
+    category="streaming",
+    doc="q281's hash-Poisson bootstrap CIs as a live streaming aggregate; bounded (source, replicate) state, q281 oracle verbatim",
+)
+def q290(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.tables import load_stream
+    from .quality import _BOOT_R, _boot_k_sql, bootstrap_ci_tail
+    from .llm import spark_h31
+
+    src = _docs_stream_src(sf, splits=3)
+    try:
+        docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        h = spark_h31(
+            "concat('boot', CAST(r AS STRING), '-', CAST(doc_id AS STRING))"
+        )
+        k = f"CASE WHEN r = -1 THEN 1 ELSE {_boot_k_sql(f'({h})')} END"
+        reps = (
+            docs.select("doc_id", "source", "n_chars")
+            .withColumn("r", F.explode(F.expr(f"sequence(-1, {_BOOT_R - 1})")))
+            .select(
+                "source",
+                "r",
+                F.expr(f"CAST({k} AS BIGINT)").alias("k"),
+                "n_chars",
+            )
+        )
+        cells = reps.groupBy("source", "r").agg(
+            F.sum("k").alias("sk"),
+            F.sum(F.col("k") * F.col("n_chars")).alias("s1"),
+        )
+        name, n_batches = _run_to_memory(cells, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # each (source, r) cell's sums are monotone: latest emission == max.
+    # localCheckpoint pins the |sources| x 65 cell frame: the CI tail
+    # reads it on BOTH sides of a join, and two branches of one
+    # memory-sink view trip Catalyst's conflicting-reference check.
+    drained = (
+        spark.table(name)
+        .groupBy("source", "r")
+        .agg(F.max("sk").alias("sk"), F.max("s1").alias("s1"))
+        .localCheckpoint(eager=True)
+    )
+    return bootstrap_ci_tail(drained)
+
+
+def _set_q290_oracle() -> None:
+    from .base import QUERIES
+    from .quality import _q281_oracle
+
+    QUERIES["q290_stream_bootstrap"].oracle = _q281_oracle()
+
+
+_set_q290_oracle()

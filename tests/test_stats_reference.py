@@ -2055,3 +2055,309 @@ def np_float32(x):
     import numpy as np
 
     return np.float32(x)
+
+
+# ---- round 10 additions: q281-q288 ----
+
+
+def test_q281_bootstrap_ci_brute_force(spark, tmp_path):
+    """Full Python replay of the hash-Poisson bootstrap: same md5-based
+    weights, same replicate means, same order-statistic CI."""
+    import hashlib
+
+    rows = [
+        (i, f"doc {i}", "en", "sA" if i < 8 else "sB", 100 + 13 * i)
+        for i in range(14)
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["source"]: r
+        for r in QUERIES["q281_bootstrap_ci"].spark_fn(spark, str(tmp_path)).collect()
+    }
+
+    M = 2_147_483_647
+    T = [790015083, 1580030167, 1975037709, 2106706890,
+         2139624185, 2146207644, 2147304887, 2147461637]
+
+    def k_of(r, doc_id):
+        h = int(hashlib.md5(f"boot{r}-{doc_id}".encode()).hexdigest()[:8], 16) % M
+        for k, t in enumerate(T):
+            if h < t:
+                return k
+        return 8
+
+    for src in ("sA", "sB"):
+        docs = [(d, c) for d, _, _, s, c in rows if s == src]
+        means = []
+        for r in range(64):
+            sk = sum(k_of(r, d) for d, _ in docs)
+            s1 = sum(k_of(r, d) * c for d, c in docs)
+            if sk > 0:
+                means.append(math.floor(1_000_000 * s1 / sk))
+        means.sort()
+        m = len(means)
+        lo = means[max(1, math.floor(0.025 * m) + 1) - 1]
+        hi = means[min(m, math.ceil(0.975 * m)) - 1]
+        point = math.floor(1_000_000 * sum(c for _, c in docs) / len(docs))
+        g = got[src]
+        assert (g["n_docs"], g["point_micros"], g["n_reps"]) == (len(docs), point, m)
+        assert (g["ci_lo_micros"], g["ci_hi_micros"]) == (lo, hi)
+        assert g["ci_lo_micros"] <= g["point_micros"] <= g["ci_hi_micros"]
+
+
+def test_q282_jonckheere_brute_force(spark, tmp_path):
+    """J, E[J] and the three-term tie-corrected variance recomputed from
+    the Hollander-Wolfe definitions on a planted 4-daypart layout with
+    cross-group ties."""
+    import datetime as dt
+
+    # groups by hour: 3 (night), 9 (morning), 15 (afternoon), 21 (evening)
+    layout = {3: [1.0, 2.0, 2.0], 9: [2.0, 3.0], 15: [3.0, 4.0, 4.0], 21: [5.0]}
+    rows, eid = [], 0
+    for hour, vals in layout.items():
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 1, 1, hour), eid, "click", v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q282_jonckheere_trend"].spark_fn(spark, str(tmp_path)).collect()
+
+    groups = [sorted(vals) for _, vals in sorted(layout.items())]
+    j = 0.0
+    for i in range(len(groups)):
+        for jdx in range(i + 1, len(groups)):
+            for x in groups[i]:
+                for y in groups[jdx]:
+                    j += 1.0 if x < y else (0.5 if x == y else 0.0)
+    ns = [len(g) for g in groups]
+    n = sum(ns)
+    ej = sum(ns[i] * ns[jdx] for i in range(4) for jdx in range(i + 1, 4)) / 2.0
+    from collections import Counter
+
+    ties = Counter(v for g in groups for v in g)
+    t1 = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(m * (m - 1) * (2 * m + 5) for m in ns)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    )
+    t2 = (
+        sum(m * (m - 1) * (m - 2) for m in ns)
+        * sum(t * (t - 1) * (t - 2) for t in ties.values())
+        / (36.0 * n * (n - 1) * (n - 2))
+    )
+    t3 = (
+        sum(m * (m - 1) for m in ns)
+        * sum(t * (t - 1) for t in ties.values())
+        / (8.0 * n * (n - 1))
+    )
+    var = t1 / 72.0 + t2 + t3
+    z = (j - ej) / math.sqrt(var)
+    assert out["n"] == n
+    assert out["j2"] == 2 * j and out["ej2"] == 2 * ej
+    assert abs(out["z_micros"] - math.floor(1_000_000 * z)) <= 1
+
+
+def test_q283_mann_kendall_brute_force(spark, tmp_path):
+    """S and the tie-corrected variance recomputed pairwise over a
+    planted daily series with ties."""
+    import datetime as dt
+
+    series = [10.0, 12.0, 12.0, 15.0, 11.0, 18.0]  # one tie pair
+    rows = [
+        (d, dt.datetime(2024, 1, 1 + d, 12), d, "click", v, "{}")
+        for d, v in enumerate(series)
+    ]
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q283_mann_kendall"].spark_fn(spark, str(tmp_path)).collect()
+
+    xs = [int(v) for v in series]  # daily totals in whole dollars
+    s = sum(
+        (1 if xs[jdx] > xs[i] else -1 if xs[jdx] < xs[i] else 0)
+        for i in range(len(xs))
+        for jdx in range(i + 1, len(xs))
+    )
+    from collections import Counter
+
+    n = len(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    z = (s - 1) / math.sqrt(var18 / 18.0) if s > 0 else (
+        (s + 1) / math.sqrt(var18 / 18.0) if s < 0 else 0.0
+    )
+    assert (out["n_days"], out["s_stat"], out["var18"]) == (n, s, var18)
+    assert abs(out["z_micros"] - math.floor(1_000_000 * z)) <= 1
+
+
+def test_q284_runs_test_brute_force(spark, tmp_path):
+    """Runs/sign counts and z recomputed from the delta signs of a
+    planted series containing a zero delta (which must drop)."""
+    import datetime as dt
+
+    series = [10.0, 12.0, 12.0, 9.0, 14.0, 13.0, 16.0, 20.0]
+    rows = [
+        (d, dt.datetime(2024, 1, 1 + d, 12), d, "click", v, "{}")
+        for d, v in enumerate(series)
+    ]
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q284_runs_test"].spark_fn(spark, str(tmp_path)).collect()
+
+    xs = [int(v) for v in series]
+    signs = [b > a for a, b in zip(xs, xs[1:]) if b != a]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    nn = n1 + n2
+    e = 1 + 2 * n1 * n2 / nn
+    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
+    z = (runs - e) / math.sqrt(var)
+    assert (out["n_plus"], out["n_minus"], out["runs"]) == (n1, n2, runs)
+    assert abs(out["z_micros"] - math.floor(1_000_000 * z)) <= 1
+
+
+def test_q285_cramer_von_mises_brute_force(spark, tmp_path):
+    """T recomputed from the definition sum over all N points of
+    (F_n - G_m)^2 scaled by nm/N^2, on disjoint + overlapping samples."""
+    xa = [100, 120, 120, 150]
+    xb = [110, 120, 200]
+    rows = [(i, "x", "en", "s", v) for i, v in enumerate(xa)]
+    rows += [(100 + i, "x", "de", "s", v) for i, v in enumerate(xb)]
+    rows.append((999, "x", "fr", "s", 5))  # other langs excluded
+    _write_documents(spark, tmp_path, rows)
+    (out,) = QUERIES["q285_cramer_von_mises"].spark_fn(spark, str(tmp_path)).collect()
+
+    n, m = len(xa), len(xb)
+    N = n + m
+    t_stat = (
+        n * m / N**2
+        * sum(
+            (sum(1 for x in xa if x <= z) / n - sum(1 for x in xb if x <= z) / m) ** 2
+            for z in xa + xb
+        )
+    )
+    assert (out["n"], out["m"]) == (n, m)
+    assert abs(out["t_micros"] - math.floor(1_000_000 * t_stat)) <= 1
+
+
+def test_q286_chao1_brute_force(spark, tmp_path):
+    """Chao1 and coverage recomputed from a hand-counted vocabulary,
+    including the f2 = 0 language (bias-corrected form stays finite)."""
+    rows = [
+        (0, "a a b c", "en", "s", 7),     # en: a:3, b:1, c:2 after doc 1
+        (1, "a c d", "en", "s", 5),       # en vocab=4, f1=2 (b,d), f2=1 (c)
+        (2, "x y z", "de", "s", 5),       # de: all singletons, f2=0
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["lang"]: r
+        for r in QUERIES["q286_chao1_richness"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    en = got["en"]
+    assert (en["n_tokens"], en["vocab"], en["f1"], en["f2"]) == (7, 4, 2, 1)
+    assert en["chao1_micros"] == 4_000_000 + (1_000_000 * 2 * 1) // (2 * 2)
+    assert en["coverage_micros"] == 1_000_000 - (1_000_000 * 2) // 7
+    de = got["de"]
+    assert (de["vocab"], de["f1"], de["f2"]) == (3, 3, 0)
+    assert de["chao1_micros"] == 3_000_000 + (1_000_000 * 3 * 2) // 2
+    assert de["coverage_micros"] == 0
+
+
+def test_q287_corr_matrix_brute_force(spark, tmp_path):
+    """All six Pearson coefficients recomputed with a float reference,
+    plus the zero-variance NULL guard (constant feature)."""
+    texts = ["a bb ccc", "a a bb bb", "dddd e", "a bb ccc dddd eeeee"]
+    rows = [(i, tx, "en", "s", len(tx)) for i, tx in enumerate(texts)]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["pair"]: r["corr_micros"]
+        for r in QUERIES["q287_corr_matrix"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    feats = []
+    for tx in texts:
+        ws = [w for w in tx.split(" ") if w]
+        feats.append(
+            {
+                "chars": len(tx),
+                "tokens": len(ws),
+                "distinct_tokens": len(set(ws)),
+                "longest_token": max(len(w) for w in ws),
+            }
+        )
+    names = ["chars", "tokens", "distinct_tokens", "longest_token"]
+    n = len(feats)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sa = sum(f[a] for f in feats)
+            sb = sum(f[b] for f in feats)
+            saa = sum(f[a] ** 2 for f in feats)
+            sbb = sum(f[b] ** 2 for f in feats)
+            sab = sum(f[a] * f[b] for f in feats)
+            corr = (n * sab - sa * sb) / (
+                math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+            )
+            assert abs(got[f"{a}~{b}"] - math.floor(1_000_000 * corr)) <= 1, (a, b)
+
+    # constant feature -> NULL for its pairs (fresh dir: Spark's file
+    # listing cache would otherwise serve the overwritten parquet)
+    v2 = tmp_path / "v2"
+    v2.mkdir()
+    _write_documents(spark, v2, [(i, "w w w", "en", "s", 5 + i) for i in range(3)])
+    got2 = {
+        r["pair"]: r["corr_micros"]
+        for r in QUERIES["q287_corr_matrix"].spark_fn(spark, str(v2)).collect()
+    }
+    assert got2["tokens~distinct_tokens"] is None  # both constant
+    assert got2["chars~tokens"] is None  # tokens constant
+
+
+def test_q288_jl_distortion_brute_force(spark, tmp_path):
+    """Projection + distances replayed in pure Python with the same
+    sign matrix; also pins the identical-vector NULL guard."""
+    import hashlib
+
+    M = 2_147_483_647
+
+    def selected(vec_id):
+        return int(hashlib.md5(f"jls-{vec_id}".encode()).hexdigest()[:8], 16) % M % 31 == 0
+
+    # find four selected ids, plant two IDENTICAL vectors among them
+    ids = [i for i in range(200) if selected(i)][:4]
+    assert len(ids) == 4
+    base = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
+    other = [((i * 11) % 17 - 8) / 9.0 for i in range(64)]
+    vecs = {ids[0]: base, ids[1]: base, ids[2]: other, ids[3]: [0.0] * 64}
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v], 0) for k, v in vecs.items()],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in QUERIES["q288_jl_distortion"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 6
+
+    import struct
+
+    def q(v):
+        # float32 storage round-trip, then the micros floor
+        return [
+            math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1_000_000)
+            for x in v
+        ]
+
+    def sgn(i, j):
+        h = int(hashlib.md5(f"jl-{i}-{j}".encode()).hexdigest()[:8], 16)
+        return 1 if h % 2 == 0 else -1
+
+    def proj(qv):
+        return [sum(sgn(i, j) * qv[j] for j in range(64)) for i in range(16)]
+
+    for (a, b), r in got.items():
+        qa, qb = q(vecs[a]), q(vecs[b])
+        d2o = sum((x - y) ** 2 for x, y in zip(qa, qb))
+        ya, yb = proj(qa), proj(qb)
+        d2p = sum((x - y) ** 2 for x, y in zip(ya, yb))
+        assert r["d2_orig"] == d2o and r["d2_proj"] == d2p
+        if d2o == 0:
+            assert r["ratio_micros"] is None
+        else:
+            assert r["ratio_micros"] == math.floor(1_000_000 * (d2p / 16.0) / d2o)
+    assert got[(min(ids[0], ids[1]), max(ids[0], ids[1]))]["ratio_micros"] is None
