@@ -79,6 +79,8 @@ def main() -> None:
         result = (
             _scale_section(spark, QUERIES)
             if section == "scale"
+            else _llm_scale_section(spark, QUERIES)
+            if section == "llm"
             else _crossover_section(spark, QUERIES)
         )
         print(json.dumps(result or {}))
@@ -92,6 +94,11 @@ def main() -> None:
     xover = (
         _run_section_subprocess("xover")
         if os.environ.get("SPARK_GRAFT_XOVER", "1") == "1"
+        else None
+    )
+    llm = (
+        _run_section_subprocess("llm")
+        if os.environ.get("SPARK_GRAFT_LLM", "1") == "1"
         else None
     )
 
@@ -144,6 +151,8 @@ def main() -> None:
         out["scale"] = scale
     if xover:
         out["crossover_600m"] = xover
+    if llm:
+        out["llm_scale_500k"] = llm
     if ingest:
         out["ingest"] = ingest
     line = json.dumps(out)
@@ -219,7 +228,7 @@ def _ingest_section(spark) -> dict | None:
             if best is None or dt < best:
                 # keep rows from the SAME pass as the reported time
                 best, rows = dt, pass_rows
-        return {
+        out = {
             "files": n_files,
             "mb": round(total_mb, 1),
             "sec": round(best, 3),
@@ -228,9 +237,73 @@ def _ingest_section(spark) -> dict | None:
             "lake_rows": rows[0],
             "quarantined": rows[1],
         }
+        # sustained-rate row (VERDICT r09 #8): the 2000-file row is
+        # fixed-overhead dominated (~1 s of scheduling+commit), so the
+        # artifact also carries a >=20k-file point where the fused pass
+        # amortizes to its real rate (r09 curve: 11.6k files/s at 20k,
+        # 28k at 60k). Same corpus builder, cached under /tmp.
+        n_scale = int(os.environ.get("SPARK_GRAFT_INGEST_SCALE_FILES", "20000"))
+        if n_scale > n_files:
+            corpus_s, mb_s = _ingest_corpus(n_scale)
+            best_s = None
+            for _ in range(2):
+                lake = tempfile.mkdtemp(prefix="ingest_bench_lake_")
+                t0 = time.perf_counter()
+                ingest_batch(spark, corpus_s, lake, lake + "_q")
+                dt = time.perf_counter() - t0
+                shutil.rmtree(lake, ignore_errors=True)
+                shutil.rmtree(lake + "_q", ignore_errors=True)
+                if best_s is None or dt < best_s:
+                    best_s = dt
+            out["sustained"] = {
+                "files": n_scale,
+                "mb": round(mb_s, 1),
+                "sec": round(best_s, 3),
+                "files_per_sec": round(n_scale / best_s, 1),
+                "mb_per_sec": round(mb_s / best_s, 1),
+            }
+        return out
     except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
         print(f"ingest section skipped: {type(e).__name__}: {e}", file=sys.stderr)
         return None
+
+
+def _ingest_corpus(n_files: int) -> tuple[str, float]:
+    """Build (once, cached) the synthetic .dcm corpus at ``n_files``;
+    returns (path, total MB)."""
+    import random
+    import shutil
+
+    from dicom_metadata_extractor_serverless_datalake_spark.dicom.codec import write_dicom
+
+    corpus = f"/tmp/ingest_bench_corpus_{n_files}"
+    marker = corpus + ".complete"
+    if not os.path.exists(marker):
+        shutil.rmtree(corpus, ignore_errors=True)
+        os.makedirs(corpus)
+        dates = ("20220814", "19990101", "19870403")
+        for i in range(n_files):
+            rng = random.Random(i)
+            tags = {
+                "SOPInstanceUID": f"1.2.826.0.1.3680043.8.498.{i}",
+                "StudyDate": dates[i % 3],
+                "Modality": ("CT", "MR", "US", "XA")[i % 4],
+                "PatientID": f"PID{i:06d}",
+                "PatientName": f"Family{i}^Given{i}",
+                "StudyID": f"SID{i:04d}",
+                "InstanceNumber": str(i % 500 + 1),
+                "Rows": 600,
+                "Columns": 600,
+            }
+            with open(os.path.join(corpus, f"img-{i:05d}.dcm"), "wb") as fh:
+                fh.write(write_dicom(tags, pixel_data=rng.randbytes(50_000)))
+        open(marker, "w").close()
+    total_mb = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus)
+        if f.endswith(".dcm")
+    ) / 1e6
+    return corpus, total_mb
 
 
 SCALE_QUERIES = (
@@ -515,6 +588,85 @@ def _band(samples: list[float]) -> dict:
         "median": round(statistics.median(samples), 3),
         "max": round(max(samples), 3),
     }
+
+
+def _llm_scale_section(spark, queries) -> dict | None:
+    """The LLM-family scale row (VERDICT r09 #5): q52's MinHash-LSH
+    near-dup pipeline at 500k synthetic docs (/tmp/sfsynthdoc100), both
+    engines on the identical portable-hash SQL, interleaved per pass
+    with a min/median/max band — so dedup/text regressions surface in
+    the per-round artifact instead of only in BASELINE prose. Fresh JVM
+    via the section subprocess (same discipline as scale/xover).
+    SPARK_GRAFT_LLM=0 skips; first run generates ~600 MB of docs."""
+    ddir = os.environ.get("SPARK_GRAFT_LLM_DIR", "/tmp/sfsynthdoc100")
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        from make_scale_data import ensure
+
+        ddir = ensure(ddir, "doc", SCALE_FACTOR)
+    except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
+        print(f"llm scale section skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+
+    name = "q52_minhash_lsh"
+    q = queries[name]
+    con = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(ddir, 'documents.parquet')}/*.parquet'"
+        )
+    except Exception as e:  # noqa: BLE001
+        try:
+            import duckdb
+
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(ddir, 'documents.parquet')}'"
+            )
+        except Exception as e2:  # noqa: BLE001
+            print(f"duckdb side skipped: {type(e2).__name__}: {e}", file=sys.stderr)
+            con = None
+    # q52 at 500k docs emits ~28M candidate-pair rows: drain through
+    # the noop sink / a COUNT wrapper so the measurement is the QUERY,
+    # not a 28M-row client transfer (the same reason the scale harness
+    # writes noop).
+    spark_walls: list[float] = []
+    duck_walls: list[float] = []
+    cold = None
+    n_rows = None
+    for _pass in range(4):  # pass 0 cold, 3 warm
+        t0 = time.perf_counter()
+        q.spark_fn(spark, ddir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        if _pass == 0:
+            cold = dt
+            n_rows = q.spark_fn(spark, ddir).count()
+        else:
+            spark_walls.append(dt)
+        if con is not None:
+            t0 = time.perf_counter()
+            con.execute(f"SELECT COUNT(*) FROM ({q.oracle})").fetchall()
+            ddt = round(time.perf_counter() - t0, 3)
+            if _pass:
+                duck_walls.append(ddt)
+    section = {
+        "query": name,
+        "docs": 500_000,
+        "result_rows": n_rows,
+        "cold_sec": cold,
+        "spark_sec_band": _band(spark_walls),
+    }
+    if duck_walls:
+        section["duckdb_sec_band"] = _band(duck_walls)
+        section["ratio_band"] = _band(
+            [round(a / max(b, 1e-9), 3) for a, b in zip(spark_walls, duck_walls)]
+        )
+    return section
 
 
 def _crossover_section(spark, queries) -> dict | None:
