@@ -82,7 +82,9 @@ SECTIONS = {
     ),
     "doc5m": (["q281_bootstrap_ci", "q286_chao1_richness"], DOC5M, 1),
     # sketch-only AMS entry point (VERDICT r09 #3): the 5M-doc walls
-    "amssketch": ([_ams_sketch_fast, _ams_sketch_portable], DOC5M, 2),
+    "amssketch": ([_ams_sketch_fast], DOC5M, 2),
+    # portable is ~6x the hash cost (BASELINE md5 premium) — one pass
+    "amssketchport": ([_ams_sketch_portable], DOC5M, 1),
     "amsfacade": ([_f2_facade_fast], DOC500K, 2),
 }
 
