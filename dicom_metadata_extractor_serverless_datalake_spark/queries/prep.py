@@ -1164,16 +1164,20 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
 # one double division floored to micros. E[||y||^2] = 16 ||x||^2 for
 # ±1 entries, hence the /16 normalizer.
 #
-# 100 TB shape: the audit runs on a hash-selected vector sample (the
-# q242 rate-tunable-audit discipline): sample ~ n/31 vectors, pairs
-# are sample-bounded, joined on a constant key (hash equi-join, never
-# a corpus BNLJ). The projection itself is map-side arithmetic.
-# Reference delegates analytics to Athena (src/app.py:97-189).
+# 100 TB shape: the audit runs on a FIXED-SIZE hash sample — the 128
+# vectors with the smallest (h31, vec_id) keys, a TakeOrdered top-k
+# that never materializes a global sort — so the pair set is 8128
+# rows REGARDLESS of corpus size (a fractional 1-in-k sample would
+# grow the quadratic pair join with n: measured 21.1M pairs / 354 s
+# at 200k vectors before this cap; 8128 pairs / seconds after). Pairs
+# join on a constant key (hash equi-join, never a corpus BNLJ); the
+# projection itself is map-side arithmetic. Reference delegates
+# analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
 import hashlib as _hashlib
 
-_JL_DIN, _JL_DOUT, _JL_MOD = 64, 16, 31
+_JL_DIN, _JL_DOUT, _JL_SAMPLE = 64, 16, 128
 
 
 def _jl_sign(i: int, j: int) -> int:
@@ -1208,7 +1212,8 @@ def _q288_oracle() -> str:
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-      FROM embeddings WHERE ({h}) % {_JL_MOD} = 0
+      FROM embeddings
+      ORDER BY ({h}), vec_id LIMIT {_JL_SAMPLE}
     ),
     p AS (
       SELECT vec_id, q, {ys}
@@ -1237,12 +1242,18 @@ def _q288_oracle() -> str:
 )
 def q288(spark: SparkSession, sf: str) -> DataFrame:
     h = spark_h31("concat('jls-', CAST(vec_id AS STRING))")
-    s = t(spark, sf, "embeddings").filter(F.expr(f"({h}) % {_JL_MOD} = 0")).select(
-        "vec_id",
-        F.expr(
-            "transform(embedding,"
-            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
-        ).alias("q"),
+    s = (
+        t(spark, sf, "embeddings")
+        .select("vec_id", "embedding", F.expr(f"({h})").alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(_JL_SAMPLE)  # TakeOrdered: fixed-size sample, no global sort
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+            ).alias("q"),
+        )
     )
     p = s.select(
         "vec_id",

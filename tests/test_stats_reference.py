@@ -2312,14 +2312,9 @@ def test_q288_jl_distortion_brute_force(spark, tmp_path):
     sign matrix; also pins the identical-vector NULL guard."""
     import hashlib
 
-    M = 2_147_483_647
-
-    def selected(vec_id):
-        return int(hashlib.md5(f"jls-{vec_id}".encode()).hexdigest()[:8], 16) % M % 31 == 0
-
-    # find four selected ids, plant two IDENTICAL vectors among them
-    ids = [i for i in range(200) if selected(i)][:4]
-    assert len(ids) == 4
+    # four vectors: fewer than the 128-vector top-k cap, so ALL are
+    # sampled; two are IDENTICAL (pins the zero-distance NULL guard)
+    ids = [3, 17, 42, 99]
     base = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
     other = [((i * 11) % 17 - 8) / 9.0 for i in range(64)]
     vecs = {ids[0]: base, ids[1]: base, ids[2]: other, ids[3]: [0.0] * 64}
