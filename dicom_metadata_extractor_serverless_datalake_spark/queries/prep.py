@@ -1169,10 +1169,12 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
 # that never materializes a global sort — so the pair set is 8128
 # rows REGARDLESS of corpus size (a fractional 1-in-k sample would
 # grow the quadratic pair join with n: measured 21.1M pairs / 354 s
-# at 200k vectors before this cap; 8128 pairs / seconds after). Pairs
-# join on a constant key (hash equi-join, never a corpus BNLJ); the
-# projection itself is map-side arithmetic. Reference delegates
-# analytics to Athena (src/app.py:97-189).
+# at 200k vectors before this cap; 8128 pairs / seconds after). The
+# pair join runs AFTER the TakeOrdered cap, so both sides are <= 128
+# rows — the planner's nested-loop there is a 128x128 bounded audit
+# grid (PLANS.md's scalar-attach class), never a corpus-scale pair
+# scan; the projection itself is map-side arithmetic. Reference
+# delegates analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
 import hashlib as _hashlib
