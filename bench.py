@@ -620,7 +620,9 @@ def _llm_scale_section(spark, queries) -> dict | None:
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(ddir, 'documents.parquet')}/*.parquet'"
         )
-    except Exception as e:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — single-file parquet layout fallback
+        if con is not None:
+            con.close()
         try:
             import duckdb
 
@@ -629,7 +631,9 @@ def _llm_scale_section(spark, queries) -> dict | None:
                 f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(ddir, 'documents.parquet')}'"
             )
         except Exception as e2:  # noqa: BLE001
-            print(f"duckdb side skipped: {type(e2).__name__}: {e}", file=sys.stderr)
+            print(f"duckdb side skipped: {type(e2).__name__}: {e2}", file=sys.stderr)
+            if con is not None:
+                con.close()
             con = None
     # q52 at 500k docs emits ~28M candidate-pair rows: drain through
     # the noop sink / a COUNT wrapper so the measurement is the QUERY,
@@ -656,7 +660,7 @@ def _llm_scale_section(spark, queries) -> dict | None:
                 duck_walls.append(ddt)
     section = {
         "query": name,
-        "docs": 500_000,
+        "docs": 5_000 * SCALE_FACTOR,
         "result_rows": n_rows,
         "cold_sec": cold,
         "spark_sec_band": _band(spark_walls),

@@ -291,10 +291,6 @@ def waveform_windows(
                             ).hexdigest(),
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in schema.fields]
-            ) if rows else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in schema.fields}
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(expand, schema=schema)

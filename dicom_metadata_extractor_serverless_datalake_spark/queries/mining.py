@@ -2403,16 +2403,23 @@ def ams_f2_sketch(tok: DataFrame, hash_fn: str = "fast") -> DataFrame:
     input + ``hash_fn="portable"`` the columns equal q272's sketch
     columns value-for-value (pinned in tests/test_operators.py)."""
     sk = ams_sign_counters(tok, hash_fn)
+    return _ams_with_estimate(sk).select(
+        *[F.col(f"x{j}") for j in range(_AMS_D)], "f2_est"
+    )
+
+
+def _ams_with_estimate(sk: DataFrame) -> DataFrame:
+    """THE median-of-squares estimator (sum of the 4th and 5th order
+    statistics in 2x integer space, one division) — the single assembly
+    ams_f2_sketch AND ams_audit_tail ride, so the sketch-only facade
+    and the audited q272/q280 cannot desynchronize."""
     sq = ", ".join(
         f"CAST(x{j} AS DECIMAL(38,0)) * CAST(x{j} AS DECIMAL(38,0))"
         for j in range(_AMS_D)
     )
-    return sk.withColumn("sq", F.expr(f"array_sort(array({sq}))")).select(
-        *[F.col(f"x{j}") for j in range(_AMS_D)],
-        (
-            F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)")
-            / F.lit(2.0)
-        ).alias("f2_est"),
+    return sk.withColumn("sq", F.expr(f"array_sort(array({sq}))")).withColumn(
+        "f2_est",
+        F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)") / F.lit(2.0),
     )
 
 
@@ -2431,21 +2438,10 @@ def ams_audit_tail(sk: DataFrame, tok: DataFrame) -> DataFrame:
             .alias("f2")
         )
     )
-    sq = ", ".join(
-        f"CAST(x{j} AS DECIMAL(38,0)) * CAST(x{j} AS DECIMAL(38,0))"
-        for j in range(_AMS_D)
-    )
-    return (
-        sk.crossJoin(F.broadcast(exact))
-        .withColumn("sq", F.expr(f"array_sort(array({sq}))"))
-        .select(
-            *[F.col(f"x{j}") for j in range(_AMS_D)],
-            F.col("f2").cast("double").alias("f2_exact"),
-            (
-                F.expr("CAST(element_at(sq, 4) + element_at(sq, 5) AS DOUBLE)")
-                / F.lit(2.0)
-            ).alias("f2_est"),
-        )
+    return _ams_with_estimate(sk.crossJoin(F.broadcast(exact))).select(
+        *[F.col(f"x{j}") for j in range(_AMS_D)],
+        F.col("f2").cast("double").alias("f2_exact"),
+        "f2_est",
     )
 
 

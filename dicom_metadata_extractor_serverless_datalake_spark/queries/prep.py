@@ -1099,7 +1099,7 @@ def _q287_oracle() -> str:
       SELECT CAST(n_chars AS BIGINT) AS chars,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tokens,
              CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS distinct_tokens,
-             CAST(list_max(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), x -> len(x))) AS BIGINT) AS longest_token
+             CAST(COALESCE(list_max(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), x -> len(x))), 0) AS BIGINT) AS longest_token
       FROM documents
     ),
     m AS (
@@ -1123,8 +1123,11 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST(n_chars AS BIGINT)").alias("chars"),
         F.expr(f"CAST(size({ws}) AS BIGINT)").alias("tokens"),
         F.expr(f"CAST(size(array_distinct({ws})) AS BIGINT)").alias("distinct_tokens"),
+        # COALESCE 0: a token-less doc would otherwise be counted in n
+        # but silently dropped from every longest_token moment, making
+        # the pair's "correlation" a mix of two different samples
         F.expr(
-            f"CAST(array_max(transform({ws}, x -> length(x))) AS BIGINT)"
+            f"CAST(COALESCE(array_max(transform({ws}, x -> length(x))), 0) AS BIGINT)"
         ).alias("longest_token"),
     )
     aggs = [F.expr(f"CAST(COUNT(*) AS {big})").alias("n")]

@@ -2349,30 +2349,17 @@ _set_q280_oracle()
 )
 def q290(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.tables import load_stream
-    from .quality import _BOOT_R, _boot_k_sql, bootstrap_ci_tail
-    from .llm import spark_h31
+    from .quality import bootstrap_ci_tail, bootstrap_rep_frame
 
     src = _docs_stream_src(sf, splits=3)
     try:
         docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
-        h = spark_h31(
-            "concat('boot', CAST(r AS STRING), '-', CAST(doc_id AS STRING))"
-        )
-        k = f"CASE WHEN r = -1 THEN 1 ELSE {_boot_k_sql(f'({h})')} END"
-        reps = (
-            docs.select("doc_id", "source", "n_chars")
-            .withColumn("r", F.explode(F.expr(f"sequence(-1, {_BOOT_R - 1})")))
-            .select(
-                "source",
-                "r",
-                F.expr(f"CAST({k} AS BIGINT)").alias("k"),
-                "n_chars",
-            )
-        )
-        cells = reps.groupBy("source", "r").agg(
-            F.sum("k").alias("sk"),
-            F.sum(F.col("k") * F.col("n_chars")).alias("s1"),
-        )
+        # THE shared construction (weights, sentinel, per-cell sums) —
+        # every stage is a deferred transformation, so the identical
+        # code path q281 runs in batch becomes the streaming aggregate
+        # here, and the "q281 oracle verbatim" contract cannot
+        # desynchronize from a drifted inline copy.
+        cells = bootstrap_rep_frame(docs)
         name, n_batches = _run_to_memory(cells, "update")
         assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
     finally:
