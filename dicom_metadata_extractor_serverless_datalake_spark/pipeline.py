@@ -724,6 +724,41 @@ class TextCorpus:
             return ams_audit_tail(ams_sign_counters(tok, hash_fn), tok)
         return ams_f2_sketch(tok, hash_fn)
 
+    def bootstrap_ci(
+        self,
+        value_expr: str = "length(text)",
+        by: str | None = None,
+        hash_fn: str = "fast",
+    ) -> DataFrame:
+        """Hash-Poisson bootstrap 95% CI on the mean of ``value_expr``
+        per ``by`` group (default: the corpus text length per source-
+        less single group is rarely useful — pass the grouping column;
+        ``by=None`` uses a constant group, giving one corpus-wide CI).
+        q281's construction (queries/quality.bootstrap_rep_frame): 64
+        deterministic Poisson(1) replicates + a sentinel raw pass in
+        ONE partial-aggregated shuffle of |groups| x 65 cells — never a
+        corpus resample. ``hash_fn="fast"`` (xxhash64) is the
+        production default; "portable" replays against DuckDB (and is
+        the 5M-doc measured premium, BASELINE.md). Returns (source,
+        n_docs, point_micros, n_reps, ci_lo_micros, ci_hi_micros);
+        the value mean is in micros of ``value_expr``'s unit."""
+        from .queries.quality import bootstrap_ci_tail, bootstrap_rep_frame
+
+        df = self.df
+        group = by
+        if group is None:
+            df = df.withColumn("_grp", F.lit("all"))
+            group = "_grp"
+        return bootstrap_ci_tail(
+            bootstrap_rep_frame(
+                df,
+                id_col=self.id_col,
+                group_col=group,
+                value_expr=value_expr,
+                hash_fn=hash_fn,
+            )
+        )
+
     def stats(self) -> DataFrame:
         """One-row corpus summary (docs, chars, length quartiles)."""
         text = F.col(self.text_col)

@@ -1457,26 +1457,44 @@ def _boot_k_sql(h_expr: str) -> str:
     return f"CASE {arms} ELSE 8 END"
 
 
-def bootstrap_rep_frame(docs: DataFrame) -> DataFrame:
-    """(source, r, sk, s1) per source and replicate: sk = sum of
-    Poisson weights, s1 = weighted char sum. r = -1 is the raw pass
-    (k = 1). Shared by q281 (batch) and q290 (streaming groupBy state —
-    both sums are monotone under row arrival, so drained maxima ARE the
-    final cells)."""
+def bootstrap_rep_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    value_expr: str = "n_chars",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """(group, r, sk, s1) per group and replicate: sk = sum of Poisson
+    weights, s1 = weighted value sum. r = -1 is the raw pass (k = 1).
+    Shared by q281 (batch), q290 (streaming groupBy state — both sums
+    are monotone under row arrival, so drained maxima ARE the final
+    cells) and the ``TextCorpus.bootstrap_ci`` facade. ``hash_fn``:
+    "portable" draws weights from the md5-derived h31 (the oracle
+    contract); "fast" from xxhash64 — the production hash (the
+    portable md5 is the measured wall at 5M docs, BASELINE.md)."""
     from .llm import spark_h31
 
-    h = spark_h31(
-        "concat('boot', CAST(r AS STRING), '-', CAST(doc_id AS STRING))"
-    )
+    if hash_fn == "fast":
+        h = f"xxhash64(concat('boot', CAST(r AS STRING), '-', CAST({id_col} AS STRING))) & 2147483647"
+    elif hash_fn == "portable":
+        h = spark_h31(
+            f"concat('boot', CAST(r AS STRING), '-', CAST({id_col} AS STRING))"
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'portable' or 'fast', got {hash_fn!r}")
     k = f"CASE WHEN r = -1 THEN 1 ELSE {_boot_k_sql(f'({h})')} END"
     return (
-        docs.select("doc_id", "source", "n_chars")
+        docs.select(
+            F.col(id_col),
+            F.col(group_col).alias("source"),
+            F.expr(f"CAST({value_expr} AS BIGINT)").alias("_v"),
+        )
         .withColumn("r", F.explode(F.expr(f"sequence(-1, {_BOOT_R - 1})")))
-        .select("source", "r", F.expr(f"CAST({k} AS BIGINT)").alias("k"), "n_chars")
+        .select("source", "r", F.expr(f"CAST({k} AS BIGINT)").alias("k"), "_v")
         .groupBy("source", "r")
         .agg(
             F.sum("k").alias("sk"),
-            F.sum(F.col("k") * F.col("n_chars")).alias("s1"),
+            F.sum(F.col("k") * F.col("_v")).alias("s1"),
         )
     )
 

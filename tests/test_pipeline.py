@@ -725,3 +725,33 @@ def test_kmeans_and_bpe_free_their_caches(spark):
     out = bpe_merges(vocab, rounds=4)
     assert out.count() == 4
     assert cache_mgr.isEmpty()
+
+
+def test_bootstrap_ci_facade_matches_q281(spark, docs):
+    """TextCorpus.bootstrap_ci on the portable hash == q281 verbatim;
+    the fast production hash returns sane CIs (lo <= point <= hi) and
+    the by=None corpus-wide mode yields one row."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    c = TextCorpus(docs)
+    facade = {
+        r["source"]: r
+        for r in c.bootstrap_ci(
+            value_expr="n_chars", by="source", hash_fn="portable"
+        ).collect()
+    }
+    q = {
+        r["source"]: r
+        for r in QUERIES["q281_bootstrap_ci"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert facade == q
+
+    fast = c.bootstrap_ci(value_expr="n_chars", by="source").collect()
+    assert len(fast) == len(q)
+    for r in fast:
+        assert r["ci_lo_micros"] <= r["point_micros"] <= r["ci_hi_micros"]
+
+    whole = c.bootstrap_ci(value_expr="n_chars").collect()
+    assert len(whole) == 1 and whole[0]["n_docs"] == docs.count()
