@@ -1192,14 +1192,14 @@ def _jl_sign(i: int, j: int) -> int:
     return 1 if h % 2 == 0 else -1
 
 
-def _jl_y_sql(i: int, arr: str, bracket: bool) -> str:
+def _jl_y_sql(i: int, arr: str, bracket: bool, d_in: int = _JL_DIN) -> str:
     # index syntax is per-engine: DuckDB brackets are 1-based, Spark
     # brackets are 0-based, so the Spark side spells element_at (1-based)
     acc = (lambda j: f"{arr}[{j + 1}]") if bracket else (
         lambda j: f"element_at({arr}, {j + 1})"
     )
     terms = "".join(
-        f" {'+' if _jl_sign(i, j) > 0 else '-'} {acc(j)}" for j in range(_JL_DIN)
+        f" {'+' if _jl_sign(i, j) > 0 else '-'} {acc(j)}" for j in range(d_in)
     )
     return f"CAST(0{terms} AS BIGINT)"
 

@@ -405,3 +405,89 @@ class EmbeddingSet:
                 "max_share_micros",
             )
         )
+
+    def projection_audit(
+        self, d_in: int = 64, d_out: int = 16, sample: int = 128
+    ) -> DataFrame:
+        """JL ±1-projection distortion audit over this set (q288's
+        shape, generic over column names/dimensions; the pair set is a
+        fixed top-``sample``-by-hash grid). See :func:`jl_distortion`."""
+        return jl_distortion(
+            self.df, self.id_col, self.vec_col, d_in=d_in, d_out=d_out, sample=sample
+        )
+
+
+def jl_distortion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    d_out: int = 16,
+    sample: int = 128,
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1-projection distortion audit, generic
+    over column names and dimensions — q288 generalized the way
+    retrieval_quality generalizes q184. Components quantize to the
+    integer-micros grid once, the sign matrix is drawn from md5 in
+    Python and injected as ±element_at literal terms, and the pair set
+    is a FIXED top-``sample``-by-hash TakeOrdered — sample*(sample-1)/2
+    pairs regardless of corpus size (the q288 scale contract). Returns
+    (id_a, id_b, d2_orig, d2_proj, ratio_micros)."""
+    from .queries.llm import spark_h31
+    from .queries.prep import _jl_y_sql
+
+    h = spark_h31(f"concat('jls-', CAST({id_col} AS STRING))")
+    s = (
+        df.select(id_col, vec_col, F.expr(f"({h})").alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(sample)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform({vec_col},"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+            ).alias("q"),
+        )
+    )
+    p = s.select(
+        id_col,
+        "q",
+        *[
+            F.expr(_jl_y_sql(i, "q", False, d_in=d_in)).alias(f"y{i}")
+            for i in range(d_out)
+        ],
+        F.lit(1).alias("k"),
+    )
+    a = p.select(
+        F.col(id_col).alias("id_a"),
+        F.col("q").alias("qa"),
+        *[F.col(f"y{i}").alias(f"ya{i}") for i in range(d_out)],
+        "k",
+    )
+    b = p.select(
+        F.col(id_col).alias("id_b"),
+        F.col("q").alias("qb"),
+        *[F.col(f"y{i}").alias(f"yb{i}") for i in range(d_out)],
+        "k",
+    )
+    d2o = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    d2p = " + ".join(f"(ya{i} - yb{i}) * (ya{i} - yb{i})" for i in range(d_out))
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"CAST({d2o} AS BIGINT)").alias("d2_orig"),
+            F.expr(f"CAST({d2p} AS BIGINT)").alias("d2_proj"),
+            F.expr(
+                f"CAST(CASE WHEN {d2o} = 0 THEN NULL"
+                f" ELSE floor(1000000.0 * (CAST({d2p} AS DOUBLE) / {d_out}.0)"
+                f" / CAST({d2o} AS DOUBLE)) END AS BIGINT)"
+            ).alias("ratio_micros"),
+        )
+        .orderBy("id_a", "id_b")
+    )

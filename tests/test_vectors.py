@@ -120,3 +120,22 @@ def test_hard_negatives_margin_sign(spark, emb):
     for r in _vs(emb).hard_negatives(anchors=5).collect():
         assert r.margin == r.pos_cosine - r.neg_cosine
         assert r.neg_label != r.own_label
+
+
+def test_projection_audit_matches_q288(spark):
+    """EmbeddingSet.projection_audit == q288 on the corpus testdata
+    (generic column names), and the pair count is the fixed
+    sample*(sample-1)/2 grid."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.vectors import EmbeddingSet
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    facade = EmbeddingSet(emb).projection_audit().collect()
+    q = QUERIES["q288_jl_distortion"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    assert facade == q
+    assert len(facade) == 128 * 127 // 2
+
+    # column-name generic: renamed frame gives identical values
+    ren = emb.selectExpr("vec_id AS item", "embedding AS vec")
+    facade2 = EmbeddingSet(ren, id_col="item", vec_col="vec").projection_audit().collect()
+    assert [tuple(r) for r in facade2] == [tuple(r) for r in q]
