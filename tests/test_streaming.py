@@ -718,3 +718,82 @@ def test_stream_ams_equals_batch_sketch(spark, sf_dir):
     assert any(stream_row[f"x{j}"] < 0 for j in range(8)) and any(
         stream_row[f"x{j}"] > 0 for j in range(8)
     )
+
+
+def test_bootstrap_stream_recovery_from_checkpoint(spark, sf_dir, tmp_path_factory):
+    """q290's (source, replicate) bootstrap cells survive a crash:
+    kill the drain after the first micro-batch, restart a NEW query
+    from the checkpoint, and the drained maxima + q281's CI tail must
+    equal the BATCH bootstrap verbatim — restored state, not a restart
+    from zero (which would undercount every cell's sums)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.quality import (
+        bootstrap_ci_tail,
+        bootstrap_rep_frame,
+    )
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.streams import _docs_stream_src
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_stream
+
+    base = tmp_path_factory.mktemp("boot_recovery")
+    src, ckpt, out = base / "src", base / "ckpt", base / "out"
+    os.makedirs(src)
+    staged = _docs_stream_src(sf_dir, splits=3)
+    files = sorted(os.listdir(staged))
+
+    def run_from_checkpoint():
+        docs = load_stream(spark, str(src), "documents", max_files_per_trigger=1)
+        cells = bootstrap_rep_frame(docs)
+        q = (
+            cells.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _b: df.write.mode("append").parquet(str(out)))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    shutil.move(os.path.join(staged, files[0]), src / files[0])
+    run_from_checkpoint()
+    run1 = {
+        (r["source"], r["r"]): (r["sk"], r["s1"])
+        for r in spark.read.parquet(str(out))
+        .groupBy("source", "r")
+        .agg(F.max("sk").alias("sk"), F.max("s1").alias("s1"))
+        .collect()
+    }
+    assert run1
+
+    for f in files[1:]:
+        shutil.move(os.path.join(staged, f), src / f)
+    shutil.rmtree(staged, ignore_errors=True)
+    run_from_checkpoint()
+
+    drained = (
+        spark.read.parquet(str(out))
+        .groupBy("source", "r")
+        .agg(F.max("sk").alias("sk"), F.max("s1").alias("s1"))
+        .localCheckpoint(eager=True)
+    )
+    # cell-level: restored state continued (monotone: run2 >= run1,
+    # strictly greater for at least one cell) and equals the batch frame
+    docs_b = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    batch = {
+        (r["source"], r["r"]): (r["sk"], r["s1"])
+        for r in bootstrap_rep_frame(docs_b).collect()
+    }
+    got = {(r["source"], r["r"]): (r["sk"], r["s1"]) for r in drained.collect()}
+    assert got == batch
+    grew = sum(1 for k, v in run1.items() if got[k] > v)
+    assert grew > 0, "no cell grew across the restart"
+
+    # end-to-end: CI tail over the recovered cells == q281's batch rows
+    ci = {r["source"]: tuple(r) for r in bootstrap_ci_tail(drained).collect()}
+    q281 = {
+        r["source"]: tuple(r)
+        for r in QUERIES["q281_bootstrap_ci"].spark_fn(spark, sf_dir).collect()
+    }
+    assert ci == q281
