@@ -643,21 +643,26 @@ def _llm_scale_section(spark, queries) -> dict | None:
     duck_walls: list[float] = []
     cold = None
     n_rows = None
-    for _pass in range(4):  # pass 0 cold, 3 warm
-        t0 = time.perf_counter()
-        q.spark_fn(spark, ddir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        if _pass == 0:
-            cold = dt
-            n_rows = q.spark_fn(spark, ddir).count()
-        else:
-            spark_walls.append(dt)
-        if con is not None:
+    try:
+        for _pass in range(4):  # pass 0 cold, 3 warm
             t0 = time.perf_counter()
-            con.execute(f"SELECT COUNT(*) FROM ({q.oracle})").fetchall()
-            ddt = round(time.perf_counter() - t0, 3)
-            if _pass:
-                duck_walls.append(ddt)
+            q.spark_fn(spark, ddir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if _pass == 0:
+                cold = dt
+                n_rows = q.spark_fn(spark, ddir).count()
+            else:
+                spark_walls.append(dt)
+            # pass 0's DuckDB wall was never recorded — don't pay the
+            # ~minute it costs at 500k docs (ADVICE r10). Page cache is
+            # already warm from the Spark cold pass over the same files.
+            if con is not None and _pass:
+                t0 = time.perf_counter()
+                con.execute(f"SELECT COUNT(*) FROM ({q.oracle})").fetchall()
+                duck_walls.append(round(time.perf_counter() - t0, 3))
+    finally:
+        if con is not None:
+            con.close()
     section = {
         "query": name,
         "docs": 5_000 * SCALE_FACTOR,

@@ -26,6 +26,19 @@ This module closes that gap without changing any operator's laziness:
 
 Unpersisting an already-unpersisted frame is a Spark no-op, so a scope
 freeing a frame an operator also freed itself is harmless.
+
+Threading contract (ADVICE r10): scope activation is THREAD-LOCAL —
+``tracked_persist`` registers with the innermost scope entered *on the
+calling thread*. A facade chain must therefore build its plans on the
+thread that entered the scope (the normal case: ``TextCorpus`` enters
+the scope inline around each operator call, so construction and
+registration share one thread). Driving operator *construction* from a
+worker thread while the scope was entered elsewhere degrades
+``tracked_persist`` to a plain persist — no corruption, but that
+frame escapes ``free_intermediates()``. Submitting Spark *actions*
+from a thread pool is unaffected (registration happened at plan
+construction). For multi-threaded construction, enter the corpus's
+own ``_caches`` scope on each building thread.
 """
 
 from __future__ import annotations

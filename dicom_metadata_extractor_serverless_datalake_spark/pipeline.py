@@ -726,7 +726,7 @@ class TextCorpus:
 
     def bootstrap_ci(
         self,
-        value_expr: str = "length(text)",
+        value_expr: str | None = None,
         by: str | None = None,
         hash_fn: str = "fast",
     ) -> DataFrame:
@@ -741,9 +741,14 @@ class TextCorpus:
         production default; "portable" replays against DuckDB (and is
         the 5M-doc measured premium, BASELINE.md). Returns (source,
         n_docs, point_micros, n_reps, ci_lo_micros, ci_hi_micros);
-        the value mean is in micros of ``value_expr``'s unit."""
+        the value mean is in micros of ``value_expr``'s unit.
+        ``value_expr`` defaults to the corpus's own text column's
+        length (the facade is column-generic — a corpus built with
+        ``text_col="body"`` gets ``length(body)``, ADVICE r10)."""
         from .queries.quality import bootstrap_ci_tail, bootstrap_rep_frame
 
+        if value_expr is None:
+            value_expr = f"length({self.text_col})"
         df = self.df
         group = by
         if group is None:

@@ -38,71 +38,30 @@ from . import selection  # noqa: F401,E402
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
-# registered query has a green driver row (cumulative 280/280 as of
-# CORRECTNESS_r09), so the window is a staleness rotation: the 10
+# registered query has a green driver row (cumulative 290/290 as of
+# CORRECTNESS_r10), so the window is a staleness rotation: the 10
 # queries registered this round (never driver-verified) first, then
-# the 40 stalest greens — the full round-4-vintage band (30 queries,
-# VERDICT r09 task #1's front-load) plus the 10 lowest-numbered
-# round-5 rows — exactly 50. After each new CORRECTNESS artifact
-# lands, rotate its greens to the back and front-load whatever is
-# newest/stalest (next up: the remaining 40 round-5-vintage rows,
-# q153-q192 minus the 10 taken here).
+# the 40 stalest greens — the full remaining round-5-vintage band
+# q153–q192 (VERDICT r10 task #1's front-load) — exactly 50. After
+# each new CORRECTNESS artifact lands, rotate its greens to the back
+# and front-load whatever is newest/stalest (next up: the round-6
+# window). tests/test_corpus.py's freshness guard derives the stalest
+# set from the CORRECTNESS_r*.json artifacts and fails if this list's
+# front window drifts from it (VERDICT r10 task #4).
 _PRIORITY = [
     # new this round — never driver-verified
-    "q281_bootstrap_ci",
-    "q282_jonckheere_trend",
-    "q283_mann_kendall",
-    "q284_runs_test",
-    "q285_cramer_von_mises",
-    "q286_chao1_richness",
-    "q287_corr_matrix",
-    "q288_jl_distortion",
-    "q289_silence_runs",
-    "q290_stream_bootstrap",
-    # stalest greens: the full round-4-vintage band (30 queries)
-    "q104_prefix_filter_join",
-    "q114_robust_zscore_sketch",
-    "q115_stats_broadcast_join",
-    "q116_bigram_lm_score",
-    "q117_domain_mixture",
-    "q118_sequence_packing",
-    "q119_incremental_rollup",
-    "q120_triangle_count",
-    "q121_pagerank_invariants",
-    "q122_heavy_hitters",
-    "q123_scd2_merge",
-    "q124_data_skipping",
-    "q125_collocation_lift",
-    "q126_attribution",
-    "q127_survivorship",
-    "q128_containment_join",
-    "q129_stream_heavy_hitters",
-    "q130_zorder_skipping",
-    "q131_ann_pq",
-    "q132_countmin_freq",
-    "q133_dimension_colsim",
-    "q134_sorted_neighborhood",
-    "q136_tv_drift",
-    "q137_rrf_hybrid",
-    "q138_winsorized_stats",
-    "q139_bloom_decontaminate",
-    "q140_seasonal_anomaly",
-    "q141_join_size_sketch",
-    "q142_frequent_pairs",
-    "q143_stream_tv_drift",
-    # then the 10 lowest-numbered round-5-vintage rows
-    "q135_inverted_index",
-    "q144_ngram_decontaminate",
-    "q145_intradoc_repetition",
-    "q146_semantic_dedup",
-    "q147_recursive_cte",
-    "q148_bm25_topk",
-    "q149_kcore",
-    "q150_gopher_rules",
-    "q151_ewma_anomaly",
-    "q152_interval_overlap",
-    # ^ exactly 50 = the driver window (10 new + 40 stalest).
-    # The remaining 40 round-5-vintage greens, front of the r11 window:
+    "q291_bpe_encode",
+    "q292_page_trend",
+    "q293_cliff_delta",
+    "q294_ansari_bradley",
+    "q295_pettitt_changepoint",
+    "q296_durbin_watson",
+    "q297_silhouette_audit",
+    "q298_readability",
+    "q299_mmd_drift",
+    "q300_stream_tokenize",
+    # stalest greens: the remaining round-5-vintage band (40 queries,
+    # last driver-verified in CORRECTNESS_r05)
     "q153_twap",
     "q154_table_diff",
     "q155_consistent_sample",
@@ -113,10 +72,41 @@ _PRIORITY = [
     "q160_kmeans_fixpoint",
     "q161_dynamic_partition_pruning",
     "q162_pca_top_eigen",
-    # (q163-q192 follow in registration order via _apply_priority)
+    "q163_stream_ewma",
+    "q164_stream_late_drop",
+    "q165_auc_exact",
+    "q166_knn_label_audit",
+    "q167_feature_hashing",
+    "q168_event_sequences",
+    "q169_group_reservoir",
+    "q170_negative_sampling",
+    "q171_stream_sequences",
+    "q172_class_prototypes",
+    "q173_class_outliers",
+    "q174_timeseries_cv",
+    "q175_centroid_confusion",
+    "q176_target_encoding",
+    "q177_stream_funnel",
+    "q178_stream_lsh_dedup",
+    "q179_source_overlap",
+    "q180_split_leakage",
+    "q181_dedup_yield",
+    "q182_calibration_ece",
+    "q183_stratified_split",
+    "q184_ndcg_exact",
+    "q185_stream_reservoir",
+    "q186_spearman_exact",
+    "q187_winnowing",
+    "q188_chisq_independence",
+    "q189_autocorrelation",
+    "q190_link_prediction",
+    "q191_benford_audit",
+    "q192_quantile_norm",
+    # ^ exactly 50 = the driver window (10 new + 40 stalest).
+    # The r10 window (q281-q290 + the r04 band + 10 low-r05 rows) and
     # the r06-r09 windows hold the freshest driver rows and rotate
     # behind; everything unlisted follows in registration order via
-    # _apply_priority
+    # _apply_priority.
 ]
 
 
