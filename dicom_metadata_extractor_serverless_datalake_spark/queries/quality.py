@@ -1590,15 +1590,28 @@ def q281(spark: SparkSession, sf: str) -> DataFrame:
 # HYPOTHESIS-TEST companion to q197's Theil-Sen (which estimates the
 # slope MAGNITUDE — the two are always quoted together in monitoring
 # practice: MK says "is there a trend", Theil-Sen says "how steep").
-# S = sum over day pairs i<j of sign(x_j - x_i) — exact integers over
-# the calendar-sized pair grid; the null variance carries the full tie
-# correction 18*Var = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) over tie-group
-# sizes t (exact BIGINT), and z applies the standard continuity
-# correction (S -/+ 1) with ONE sqrt of the exact rational Var.
+# S = sum over day pairs i<j of sign(x_j - x_i) — exact integers; the
+# null variance carries the full tie correction 18*Var = n(n-1)(2n+5)
+# - sum_t t(t-1)(2t+5) over tie-group sizes t (exact BIGINT), and z
+# applies the standard continuity correction (S -/+ 1) with ONE sqrt
+# of the exact rational Var.
+#
+# S is computed WITHOUT the O(days^2) pair join (VERDICT r10 #3): the
+# time axis is cut into B = ceil(sqrt(n)) blocks of m = ceil(sqrt(n))
+# consecutive days. Same-block pairs go through an exact pair join
+# whose fan-out is bounded by m (O(n*sqrt(n)) pairs total); cross-
+# block pairs come from q227's densified suffix-sum grid over
+# (block, value) cells — two window passes count, for every cell, the
+# rows in LATER blocks with LARGER (concordant) and SMALLER
+# (discordant) values, O(B * distinct_values) cells. Both halves are
+# exact integer counts, so S = S_intra + S_inter is bit-identical to
+# the quadratic form the oracle still uses. At the 30k-day stress row
+# this replaces 2.25B pairs with ~2.6M intra pairs + ~5M grid cells
+# per type.
 #
 # 100 TB shape: the corpus collapses to the per-(type, day) aggregate
-# first (map-side combinable), so the O(days^2) pair join and the tie
-# scan are calendar-sized per type — the q197 posture exactly.
+# first (map-side combinable), so everything downstream is calendar-
+# sized per type — the q197 posture, now with a subquadratic S.
 # Reference delegates analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
@@ -1655,15 +1668,17 @@ def _q283_oracle() -> str:
 def q283(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # three branches (S, ties, n) read the daily frame: persist it so
-    # the corpus is scanned ONCE, not three times (query-local cache —
-    # the harness clears it at query construction). The frame is
-    # calendar-sized (days x types), so the cache is tiny.
+    # five branches (intra, grid cells, grid keys, ties, n) read the
+    # daily frame: eager localCheckpoint materializes the ONE corpus
+    # scan and pins the calendar-sized result WITHOUT a cache-manager
+    # entry — nothing to orphan in a long-lived session driving
+    # spark_fn directly (ADVICE r10; the checkpointed RDD is freed by
+    # the ContextCleaner when the plan is garbage collected).
     daily = (
         t(spark, sf, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.expr(f"{_MK_DAILY} div 100").alias("x"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("event_type").orderBy("day")
     ord_df = daily.select(
@@ -1671,30 +1686,35 @@ def q283(spark: SparkSession, sf: str) -> DataFrame:
         "x",
         F.row_number().over(w).alias("i"),
         F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    ).withColumn(
+        # block size m = ceil(sqrt(n)) balances the two halves:
+        # intra pairs ~ n*m/2, grid cells ~ (n/m)*|values|. m only
+        # shapes the plan — S is exact for ANY block cut.
+        "b",
+        F.expr("CAST((i - 1) div CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS INT) AS INT)"),
     )
+    # ---- same-block pairs: exact pair join, fan-out bounded by m ----
     # probe side re-spread by day index: the window's event_type
     # exchange leaves a calendar-sized frame that AQE coalesces to ~1
-    # partition, and each probe row fans out to O(days) pairs — without
-    # this the 2.25B-pair expansion at 30k days runs on one core
-    # (measured 247 s -> 120 s at 100M events / 30k days; the
-    # residual wall is the O(days^2) pair iteration itself — the
-    # q197 complexity class, century-scale series worst case)
+    # partition, and each probe row fans out to O(m) pairs (r10
+    # lesson: re-spread calendar frames before any expansion); the
+    # build side is calendar-sized, so broadcast keeps the expansion
+    # at full parallelism instead of hashing into |types|*B buckets.
     a = ord_df.select(
-        "event_type", F.col("x").alias("xa"), F.col("i").alias("i")
+        "event_type", "b", F.col("x").alias("xa"), F.col("i").alias("i")
     ).repartition(F.col("i"))
-    b = ord_df.select(
+    bb = ord_df.select(
         F.col("event_type").alias("event_type_b"),
+        F.col("b").alias("b_b"),
         F.col("x").alias("xb"),
         F.col("i").alias("j"),
     )
-    # broadcast the (calendar-sized) right side: an equi-join on
-    # event_type alone hashes into k=5 partitions and strands the other
-    # 27 cores; the broadcast probe keeps the pair expansion at full
-    # parallelism (measured 258 s -> full-width at 30k days x 5 types)
-    s = (
+    intra = (
         a.join(
-            F.broadcast(b),
-            (F.col("event_type") == F.col("event_type_b")) & (F.col("j") > F.col("i")),
+            F.broadcast(bb),
+            (F.col("event_type") == F.col("event_type_b"))
+            & (F.col("b") == F.col("b_b"))
+            & (F.col("j") > F.col("i")),
         )
         .groupBy("event_type")
         .agg(
@@ -1704,8 +1724,74 @@ def q283(spark: SparkSession, sf: str) -> DataFrame:
                 .otherwise(0)
             )
             .cast("long")
-            .alias("s_stat")
+            .alias("s_intra")
         )
+    )
+    # ---- cross-block pairs: densified (block, value) suffix-sum grid
+    # (q227's two-pass trick, dims = time block x value). For a cell
+    # (b, v): conc = rows in later blocks with larger value, disc =
+    # rows in later blocks with smaller value; later-block rows are
+    # always later in time, so cnt * (conc - disc) is that cell's
+    # exact sign-sum contribution. The grid MUST be dense — the
+    # second window sums the first window's column at cells the
+    # block may not populate.
+    cells = ord_df.groupBy("event_type", "b", "x").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    blocks = ord_df.select("event_type", "b").distinct()
+    vals = daily.select("event_type", "x").distinct()
+    grid = (
+        # fan-out join (each value row explodes into B block rows):
+        # re-spread the value side first, broadcast the tiny block list
+        vals.repartition(F.col("x"))
+        .join(F.broadcast(blocks), "event_type")
+        .join(F.broadcast(cells), ["event_type", "b", "x"], "left")
+        .select("event_type", "b", "x", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w_above = (
+        Window.partitionBy("event_type", "b")
+        .orderBy("x")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_below = (
+        Window.partitionBy("event_type", "b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sy = grid.select(
+        "event_type",
+        "b",
+        "x",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_above), F.lit(0)).alias("above_v"),
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below_v"),
+    )
+    w_later = (
+        Window.partitionBy("event_type", "x")
+        .orderBy("b")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    inter = (
+        sy.select(
+            "event_type",
+            "cnt",
+            F.coalesce(F.sum("above_v").over(w_later), F.lit(0)).alias("conc"),
+            F.coalesce(F.sum("below_v").over(w_later), F.lit(0)).alias("disc"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("conc") - F.col("disc")))
+            .cast("long")
+            .alias("s_inter")
+        )
+    )
+    # a 1-day type gets s=0 here where the oracle's pair join drops
+    # it — the n >= 2 filter below restores the oracle's semantics
+    s = inter.join(intra, "event_type", "left").select(
+        "event_type",
+        (F.col("s_inter") + F.coalesce(F.col("s_intra"), F.lit(0)))
+        .cast("long")
+        .alias("s_stat"),
     )
     ties = (
         daily.groupBy("event_type", "x")
@@ -1726,6 +1812,7 @@ def q283(spark: SparkSession, sf: str) -> DataFrame:
     return (
         nn.join(s, "event_type")
         .join(ties, "event_type")
+        .filter(F.col("n") >= 2)
         .select(
             "event_type",
             F.col("n").alias("n_days"),

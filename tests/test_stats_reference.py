@@ -2187,6 +2187,36 @@ def test_q283_mann_kendall_brute_force(spark, tmp_path):
     assert abs(out["z_micros"] - math.floor(1_000_000 * z)) <= 1
 
 
+def test_q283_block_decomposition_long_series(spark, tmp_path):
+    """The r11 subquadratic S (sqrt-blocked intra pair join + densified
+    (block, value) suffix-sum grid) against the all-pairs definition on
+    a 29-day series drawn from a 5-value alphabet — every value ties
+    across MANY blocks, so the cross-block grid half carries most of S
+    and any orientation/densification slip flips the sum."""
+    import datetime as dt
+
+    series = [float(3 + ((7 * d * d + 3 * d) % 5)) for d in range(29)]
+    rows = [
+        (d, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=d), d, "click", v, "{}")
+        for d, v in enumerate(series)
+    ]
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q283_mann_kendall"].spark_fn(spark, str(tmp_path)).collect()
+
+    xs = [int(v) for v in series]
+    s = sum(
+        (1 if xs[jdx] > xs[i] else -1 if xs[jdx] < xs[i] else 0)
+        for i in range(len(xs))
+        for jdx in range(i + 1, len(xs))
+    )
+    from collections import Counter
+
+    n = len(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    assert (out["n_days"], out["s_stat"], out["var18"]) == (n, s, var18)
+
+
 def test_q284_runs_test_brute_force(spark, tmp_path):
     """Runs/sign counts and z recomputed from the delta signs of a
     planted series containing a zero delta (which must drop)."""
