@@ -764,6 +764,51 @@ class TextCorpus:
             )
         )
 
+    def vocab_richness(self, by: str | None = None) -> DataFrame:
+        """Chao1 bias-corrected vocabulary-richness asymptote +
+        Good-Turing coverage per ``by`` group (``None`` = one
+        corpus-wide row) — the library entry point for the vocabulary
+        triptych's asymptote reading (q256 reads the frequency
+        spectrum, q278 the accumulation curve, this the asymptote;
+        VERDICT r10 #8). q286's construction verbatim
+        (queries/quality.chao1_frame): one word-keyed vocabulary
+        shuffle, then the estimator runs on the spectrum-sized frame;
+        exact integer rationals floored to micros. Returns (group,
+        n_tokens, vocab, f1, f2, chao1_micros, coverage_micros)."""
+        from .queries.quality import chao1_frame
+
+        df, group = self.df, by
+        if group is None:
+            df = df.withColumn("_grp", F.lit("all"))
+            group = "_grp"
+        return chao1_frame(df, group, self.text_col)
+
+    def tokenize(self, merges=None, rounds: int = 8) -> DataFrame:
+        """Per-doc token counts under a trained BPE vocabulary — the
+        deployment half of the tokenizer (q156 trains the merges, this
+        applies them; VERDICT r10 #2). ``merges`` is the frame
+        ``operators.bpe.bpe_merges`` returned (or an ``(a, b)`` list
+        in merge order); ``None`` trains ``rounds`` merges on THIS
+        corpus first. Encoding is one map-side whole-stage-codegen
+        projection (the cascade is baked in as literals — no vocab
+        join, no shuffle; operators/bpe.py:bpe_encode). Returns
+        (id_col, n_tokens, token_checksum)."""
+        from .operators.bpe import bpe_encode, bpe_merges
+
+        if merges is None:
+            vocab = (
+                self.df.select(
+                    F.explode(F.split(self.text_col, " ")).alias("w0")
+                )
+                .filter(F.col("w0").rlike("^[A-Za-z]+$"))
+                .groupBy("w0")
+                .agg(F.count("*").alias("f"))
+            )
+            merges = bpe_merges(vocab, rounds=rounds)
+        return bpe_encode(
+            self.df, merges, id_col=self.id_col, text_col=self.text_col
+        )
+
     def stats(self) -> DataFrame:
         """One-row corpus summary (docs, chars, length quartiles)."""
         text = F.col(self.text_col)

@@ -1993,13 +1993,22 @@ def q284(spark: SparkSession, sf: str) -> DataFrame:
     doc="Chao1 bias-corrected vocabulary-richness asymptote + Good-Turing coverage per language, exact integer rationals",
 )
 def q286(spark: SparkSession, sf: str) -> DataFrame:
-    tok = t(spark, sf, "documents").select(
-        "lang",
-        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
+    return chao1_frame(t(spark, sf, "documents"), "lang", "text")
+
+
+def chao1_frame(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """q286's construction over any (group, text) columns — shared by
+    the registered query and ``TextCorpus.vocab_richness`` (VERDICT
+    r10 #8) so the facade cannot desynchronize from its oracle."""
+    tok = df.select(
+        group_col,
+        F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(
+            "w"
+        ),
     )
-    wc = tok.groupBy("lang", "w").agg(F.count("*").cast("long").alias("c"))
+    wc = tok.groupBy(group_col, "w").agg(F.count("*").cast("long").alias("c"))
     return (
-        wc.groupBy("lang")
+        wc.groupBy(group_col)
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             F.count("*").cast("long").alias("vocab"),
@@ -2007,7 +2016,7 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
         )
         .select(
-            "lang",
+            group_col,
             "n_tokens",
             "vocab",
             "f1",
@@ -2022,5 +2031,5 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("coverage_micros"),
         )
-        .orderBy("lang")
+        .orderBy(group_col)
     )

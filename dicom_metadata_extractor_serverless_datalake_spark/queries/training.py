@@ -827,7 +827,9 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
 _BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_train_ctes(rounds: int = _BPE_ROUNDS) -> list[str]:
+    """The merge-training CTE chain (words0 .. best{R}/words{R}) shared
+    by q156's oracle and q291's (which applies the learned cascade)."""
     ctes = [
         """words0 AS (
       SELECT regexp_replace(w0, '(.)', '<\\1>', 'g') AS w, f FROM (
@@ -856,12 +858,16 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
       FROM words{r - 1}, best{r}
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     sel = " UNION ALL ".join(
         f"SELECT merge_round, a, b, cnt FROM best{i}" for i in range(1, rounds + 1)
     )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_train_ctes(rounds))
         + f"\nSELECT merge_round, a, b, cnt FROM ({sel}) ORDER BY merge_round"
     )
 
@@ -878,6 +884,89 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("f"))
     )
     return bpe_merges(vocab, rounds=_BPE_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# q291 — BPE corpus ENCODE under the q156-trained merges: the missing
+# deployment half of the tokenizer (VERDICT r10 #2 — q156 learns the
+# merge table; this applies it). Per doc: alphabetic words ->
+# delimited-symbol split -> the merge cascade as nested L->R replaces
+# (merges baked in as literals) -> (n_tokens, sum of portable md5-h31
+# token ids). This is the REAL token counter every packing/budget
+# query (q118/q202/q205) approximates with whitespace tokens.
+#
+# 100 TB shape: training runs on the vocab (q156's trick); encoding is
+# ONE map-side whole-stage-codegen projection over the corpus — no
+# vocab join, no explode, no shuffle (operators/bpe.py:bpe_encode).
+# The oracle replays training (q156's shared CTE chain), applies the
+# same cascade to the DISTINCT vocab, and joins docs' words back —
+# same answer through a deliberately different plan shape.
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    ctes = _bpe_train_ctes(rounds)
+    enc = [
+        """enc0 AS (
+      SELECT DISTINCT w0, regexp_replace(w0, '(.)', '<\\1>', 'g') AS e FROM (
+        SELECT unnest(string_split(text, ' ')) AS w0 FROM documents
+      ) WHERE regexp_matches(w0, '^[A-Za-z]+$')
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        enc.append(
+            f"""enc{r} AS (
+      SELECT w0, replace(e, '<' || best{r}.a || '><' || best{r}.b || '>',
+                         '<' || best{r}.a || best{r}.b || '>') AS e
+      FROM enc{r - 1}, best{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes + enc)
+        + f""",
+    tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                            x -> regexp_matches(x, '^[A-Za-z]+$'))) AS w0
+      FROM documents
+    ),
+    sym AS (
+      SELECT t.doc_id,
+             unnest(string_split(substring(e.e, 2, length(e.e) - 2), '><')) AS s
+      FROM tok t JOIN enc{rounds} e ON t.w0 = e.w0
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS token_checksum
+      FROM sym GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.token_checksum, 0) AS token_checksum
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
+    )
+
+
+@query(
+    "q291_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    category="training",
+    doc="BPE corpus encode under q156's trained merges: map-side literal cascade, per-doc token count + portable token-id checksum",
+)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_merges
+
+    docs = t(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w0"))
+        .filter(F.col("w0").rlike("^[A-Za-z]+$"))
+        .groupBy("w0")
+        .agg(F.count("*").alias("f"))
+    )
+    merges = bpe_merges(vocab, rounds=_BPE_ROUNDS)
+    return bpe_encode(docs, merges).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -953,6 +953,78 @@ def test_bpe_merges_matches_python_reference(spark):
         assert got == py_bpe(vocab, rounds), f"rounds={rounds}"
 
 
+def test_bpe_encode_matches_python_reference(spark):
+    """bpe_encode equals a pure-Python greedy L->R encoder: token
+    counts AND md5-h31 checksums on docs mixing encodable words,
+    non-alphabetic tokens (skipped), and an all-skipped doc (0, 0).
+    Merges fed both as a list and as the bpe_merges frame."""
+    import hashlib
+
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges,
+    )
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+    def py_encode(word: str, merges) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    docs = [
+        (1, "low low lower"),
+        (2, "lowest 123 !! low"),
+        (3, "42 -- ??"),  # nothing alphabetic: (0, 0)
+        (4, "aaaa low"),  # untouched word rides through char-split
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_checksum"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    want = {}
+    for did, text in docs:
+        toks = [
+            s
+            for w in text.split(" ")
+            if w.isalpha() and w.isascii()
+            for s in py_encode(w, merges)
+        ]
+        want[did] = (len(toks), sum(h31(s) for s in toks))
+    assert got == want
+
+    # frame-input path: train on a vocab, feed the frame straight in
+    vocab = spark.createDataFrame([("low", 5), ("lower", 2)], "w0 string, f long")
+    frame = bpe_merges(vocab, rounds=2)
+    trained = [(r.a, r.b) for r in frame.collect()]
+    via_frame = {
+        r["doc_id"]: (r["n_tokens"], r["token_checksum"])
+        for r in bpe_encode(df, frame).collect()
+    }
+    via_list = {
+        r["doc_id"]: (r["n_tokens"], r["token_checksum"])
+        for r in bpe_encode(df, trained).collect()
+    }
+    assert via_frame == via_list
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_encode(df, [("a", "b'c")])
+
+
 def test_kmeans_lloyd_matches_python_reference(spark):
     """kmeans_lloyd reaches the same exact integer fixpoint as a pure-
     Python Lloyd with identical init, argmin tie-break (lowest cluster

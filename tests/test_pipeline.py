@@ -755,3 +755,40 @@ def test_bootstrap_ci_facade_matches_q281(spark, docs):
 
     whole = c.bootstrap_ci(value_expr="n_chars").collect()
     assert len(whole) == 1 and whole[0]["n_docs"] == docs.count()
+
+
+def test_vocab_richness_facade_matches_q286(spark, docs):
+    """TextCorpus.vocab_richness(by='lang') == q286 verbatim (shared
+    chao1_frame construction); by=None gives one corpus-wide row whose
+    token total is the sum of the per-lang totals."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    c = TextCorpus(docs)
+    facade = {r["lang"]: r for r in c.vocab_richness(by="lang").collect()}
+    q = {
+        r["lang"]: r
+        for r in QUERIES["q286_chao1_richness"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert facade == q
+
+    whole = c.vocab_richness().collect()
+    assert len(whole) == 1
+    assert whole[0]["n_tokens"] == sum(r["n_tokens"] for r in q.values())
+
+
+def test_tokenize_facade_matches_q291(spark, docs):
+    """TextCorpus.tokenize training 4 merges on its own corpus == q291
+    verbatim (same vocab filter, same cascade, same checksum)."""
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.corpus import QUERIES
+
+    c = TextCorpus(docs)
+    facade = sorted(tuple(r) for r in c.tokenize(rounds=4).collect())
+    q = sorted(
+        tuple(r)
+        for r in QUERIES["q291_bpe_encode"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert facade == q
