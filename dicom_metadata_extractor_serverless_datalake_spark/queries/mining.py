@@ -1858,6 +1858,118 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q293 — Cliff's delta (Cliff, Psych.Bull. 1993): the EFFECT-SIZE
+# companion to q258's Mann-Whitney on the same purchase-vs-click value
+# comparison — q258 answers "is the shift significant" (a p-value that
+# saturates at corpus scale: EVERYTHING is significant at n = 10^8),
+# this answers "how BIG is it": delta = (#{x>y} - #{x<y}) / (n1 n2),
+# the dominance probability difference, scale-free in [-1, 1] and the
+# number a mixture decision should actually read. Exact integers over
+# q258's value-domain frame: per distinct value, the strictly-below
+# click mass (prefix window) and strictly-above click mass (suffix
+# window) multiply the purchase count at that value; gt/lt are exact
+# BIGINTs and delta floors to micros after ONE division. |delta| is
+# classified by the Romano et al. (2006) thresholds as Python literals
+# (0.147 / 0.33 / 0.474 -> negligible/small/medium/large). Either
+# sample empty -> NULL delta and magnitude, both engines.
+#
+# 100 TB shape: identical to q258 — one value-keyed count aggregate,
+# two running-sum windows over the DISTINCT-VALUE frame (bounded by
+# value cardinality, never row count), one scalar row. gt/lt <= n1*n2
+# ~ 1.6e17 at 400M rows/side — inside BIGINT. Reference delegates
+# analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_Q293_DELTA_SQL = """CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+    ELSE floor(1000000.0 * CAST(gt - lt AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) END"""
+
+# floor(1e6 * x) of the Romano et al. (2006) |delta| cutpoints
+_Q293_MAG_SQL = """CASE WHEN d IS NULL THEN NULL
+    WHEN abs(d) < 147000 THEN 'negligible'
+    WHEN abs(d) < 330000 THEN 'small'
+    WHEN abs(d) < 474000 THEN 'medium'
+    ELSE 'large' END"""
+
+
+@query(
+    "q293_cliff_delta",
+    oracle=f"""
+    WITH g AS (
+      SELECT value AS v,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY value
+    ),
+    c AS (
+      SELECT v, m, p,
+             CAST(COALESCE(SUM(m - p) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below_q,
+             CAST(COALESCE(SUM(m - p) OVER (ORDER BY v
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+                  AS BIGINT) AS above_q
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS n1,
+             CAST(SUM(m - p) AS BIGINT) AS n2,
+             CAST(SUM(p * below_q) AS BIGINT) AS gt,
+             CAST(SUM(p * above_q) AS BIGINT) AS lt
+      FROM c
+    ),
+    d AS (
+      SELECT n1, n2, gt, lt, CAST({_Q293_DELTA_SQL} AS BIGINT) AS d FROM tot
+    )
+    SELECT n1, n2, gt, lt, d AS delta_micros,
+           {_Q293_MAG_SQL} AS magnitude
+    FROM d
+    """,
+    category="mining",
+    doc="Cliff's delta dominance effect size for purchase vs click values (q258's companion), exact value-domain integers + Romano magnitude labels",
+)
+def q293(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("p"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_above = Window.orderBy("v").rowsBetween(1, Window.unboundedFollowing)
+    c = g.select(
+        "p",
+        F.coalesce(F.sum(F.col("m") - F.col("p")).over(w_below), F.lit(0)).alias(
+            "below_q"
+        ),
+        F.coalesce(F.sum(F.col("m") - F.col("p")).over(w_above), F.lit(0)).alias(
+            "above_q"
+        ),
+        (F.col("m") - F.col("p")).alias("q_at"),
+    )
+    tot = c.agg(
+        F.sum("p").cast("long").alias("n1"),
+        F.sum("q_at").cast("long").alias("n2"),
+        F.sum(F.col("p") * F.col("below_q")).cast("long").alias("gt"),
+        F.sum(F.col("p") * F.col("above_q")).cast("long").alias("lt"),
+    )
+    d = tot.select(
+        "n1", "n2", "gt", "lt", F.expr(_Q293_DELTA_SQL).cast("long").alias("d")
+    )
+    return d.select(
+        "n1",
+        "n2",
+        "gt",
+        "lt",
+        F.col("d").alias("delta_micros"),
+        F.expr(_Q293_MAG_SQL).alias("magnitude"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q262 — Count-Min sketch audit (Cormode & Muthukrishnan, J.Alg 2005),
 # the ORACLE-REPLAYED form. q132 already certifies operators/countmin
 # (xxhash64 rows) with PROPERTY booleans (est >= exact, Markov bound) —
@@ -2727,34 +2839,7 @@ def _q274_oracle() -> str:
     doc="Friedman paired k-sample rank test over complete user blocks, 2x integer midranks",
 )
 def q274(spark: SparkSession, sf: str) -> DataFrame:
-    obs = (
-        t(spark, sf, "events")
-        .groupBy("user_id", F.col("event_type").alias("g"))
-        .agg(
-            F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
-            .cast("long")
-            .alias("x")
-        )
-    )
-    # complete-block filter as a window count under the SAME user_id
-    # partitioning the rank windows need — hash(user_id) satisfies the
-    # (user_id, x) clustering too, so all three window ops share ONE
-    # exchange (a separate groupBy+semi-join here cost 3 more)
-    wb = Window.partitionBy("user_id")
-    wr = Window.partitionBy("user_id").orderBy("x")
-    wt = Window.partitionBy("user_id", "x")
-    ranked = (
-        obs.withColumn("nt", F.count("*").over(wb))
-        .filter(F.col("nt") == _FR_K)
-        .select(
-            "user_id",
-            "g",
-            (
-                F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1
-            ).cast("long").alias("mr2"),
-            F.count("*").over(wt).cast("long").alias("tg"),
-        )
-    )
+    ranked = _blocked_midranks(spark, sf)
     ties = ranked.agg(
         F.sum(F.col("tg") * F.col("tg") - 1).cast("long").alias("tie_sum")
     )
@@ -2773,6 +2858,152 @@ def q274(spark: SparkSession, sf: str) -> DataFrame:
         "tie_sum",
         chi.alias("chi2_micros"),
         (chi >= F.lit(_FR_CRIT_MICROS)).alias("reject_at_05"),
+    )
+
+
+def _blocked_midranks(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete-block within-user midrank frame q274 and q292
+    share: (user_id, g, mr2 = 2x midrank over the block's 5 values,
+    tg = in-block tie-group size)."""
+    obs = (
+        t(spark, sf, "events")
+        .groupBy("user_id", F.col("event_type").alias("g"))
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    # complete-block filter as a window count under the SAME user_id
+    # partitioning the rank windows need — hash(user_id) satisfies the
+    # (user_id, x) clustering too, so all three window ops share ONE
+    # exchange (a separate groupBy+semi-join here cost 3 more)
+    wb = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy("x")
+    wt = Window.partitionBy("user_id", "x")
+    return (
+        obs.withColumn("nt", F.count("*").over(wb))
+        .filter(F.col("nt") == _FR_K)
+        .select(
+            "user_id",
+            "g",
+            (
+                F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1
+            ).cast("long").alias("mr2"),
+            F.count("*").over(wt).cast("long").alias("tg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q292 — Page's trend test (Page, JASA 1963): the ORDERED-alternative
+# companion of q274, completing the 2x2 k-sample grid — q268 tests ANY
+# rank difference unpaired, q282 ordered unpaired (Jonckheere), q274
+# ANY difference paired, THIS ordered paired: does per-user spend rank
+# increase monotonically along the hypothesized engagement funnel
+# view < click < error < signup < purchase when each user is their own
+# block? Same complete user blocks and 2x integer midranks as q274
+# (shared _blocked_midranks), so L2 = sum_j c_j * R2_j is an exact
+# BIGINT (L = L2/2). Under the null E[2L] = b k (k+1)^2 / 2 = 90 b and
+# Var[L] = b k^2 (k+1)^2 (k-1) / 144 = 25 b exactly at k = 5, so
+# z = (L2 - 90b) / (10 sqrt(b)) — one engine-shared sqrt, micros
+# floor. Midranks with the classical no-tie variance is the standard
+# practical form; the all-tie degeneracy (every block fully tied:
+# tie_sum = 120 b, where z would misleadingly read 0) mirrors NULL on
+# both engines, q274's convention. One-sided rejection at the
+# norm.ppf(0.95) Python literal.
+#
+# 100 TB shape: identical to q274 — one (user, type) aggregate,
+# bounded-width rank windows, one pivoted scalar. Reference delegates
+# analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_PAGE_ORDER = {"view": 1, "click": 2, "error": 3, "signup": 4, "purchase": 5}
+_PAGE_Z_CRIT_MICROS = 1_644_853  # floor(1e6 * norm.ppf(0.95)) — Python literal
+
+
+def _page_z_sql() -> str:
+    return (
+        "CASE WHEN b = 0 OR tie_sum = 120 * b THEN NULL"
+        " ELSE floor(1000000.0 * (CAST(l2 AS DOUBLE) - 90.0 * CAST(b AS DOUBLE))"
+        " / (10.0 * sqrt(CAST(b AS DOUBLE)))) END"
+    )
+
+
+def _q292_oracle() -> str:
+    sums = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN g = '{ty}' THEN {c} * mr2 ELSE 0 END) AS BIGINT)"
+        f" AS l2_{ty}"
+        for ty, c in _PAGE_ORDER.items()
+    )
+    l2 = " + ".join(f"l2_{ty}" for ty in _PAGE_ORDER)
+    return f"""
+    WITH obs AS (
+      SELECT user_id, event_type AS g,
+             CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY user_id, event_type
+    ),
+    blocks AS (
+      SELECT user_id FROM obs GROUP BY user_id HAVING COUNT(*) = {_FR_K}
+    ),
+    ranked AS (
+      SELECT o.user_id, o.g,
+             CAST(2 * (RANK() OVER (PARTITION BY o.user_id ORDER BY o.x))
+                  + (COUNT(*) OVER (PARTITION BY o.user_id, o.x)) - 1
+                  AS BIGINT) AS mr2,
+             CAST(COUNT(*) OVER (PARTITION BY o.user_id, o.x) AS BIGINT) AS tg
+      FROM obs o JOIN blocks USING (user_id)
+    ),
+    ties AS (
+      SELECT CAST(SUM(tg * tg - 1) AS BIGINT) AS tie_sum FROM ranked
+    ),
+    rs AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS b,
+             {sums}
+      FROM ranked
+    ),
+    l AS (SELECT b, CAST({l2} AS BIGINT) AS l2 FROM rs)
+    SELECT l.b, ties.tie_sum, l.l2,
+           CAST({_page_z_sql()} AS BIGINT) AS z_micros,
+           CAST({_page_z_sql()} AS BIGINT) >= {_PAGE_Z_CRIT_MICROS} AS reject_at_05
+    FROM l CROSS JOIN ties
+    """
+
+
+@query(
+    "q292_page_trend",
+    oracle=_q292_oracle(),
+    category="mining",
+    doc="Page's L ordered-alternative trend test over complete user blocks (paired companion of q282's Jonckheere), 2x integer midranks",
+)
+def q292(spark: SparkSession, sf: str) -> DataFrame:
+    ranked = _blocked_midranks(spark, sf)
+    ties = ranked.agg(
+        F.sum(F.col("tg") * F.col("tg") - 1).cast("long").alias("tie_sum")
+    )
+    rs = ranked.agg(
+        F.countDistinct("user_id").cast("long").alias("b"),
+        F.sum(
+            sum(
+                (
+                    F.when(F.col("g") == ty, F.lit(c) * F.col("mr2")).otherwise(
+                        F.lit(0)
+                    )
+                    for ty, c in _PAGE_ORDER.items()
+                ),
+                start=F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("l2"),
+    )
+    z = F.expr(_page_z_sql()).cast("long")
+    return rs.crossJoin(F.broadcast(ties)).select(
+        "b",
+        "tie_sum",
+        "l2",
+        z.alias("z_micros"),
+        (z >= F.lit(_PAGE_Z_CRIT_MICROS)).alias("reject_at_05"),
     )
 
 

@@ -2217,6 +2217,81 @@ def test_q283_block_decomposition_long_series(spark, tmp_path):
     assert (out["n_days"], out["s_stat"], out["var18"]) == (n, s, var18)
 
 
+def test_q292_page_trend_brute_force(spark, tmp_path):
+    """Page's L and z recomputed from scratch (midranks, the funnel
+    order literal, the exact k=5 moments 90b / 25b) on planted blocks
+    with within-block ties and one incomplete user (must drop)."""
+    import datetime as dt
+
+    order = {"view": 1, "click": 2, "error": 3, "signup": 4, "purchase": 5}
+    layout = {
+        1: {"view": 1.0, "click": 2.0, "error": 3.0, "signup": 4.0, "purchase": 5.0},
+        2: {"view": 2.0, "click": 2.0, "error": 2.0, "signup": 9.0, "purchase": 1.0},
+        3: {"view": 5.0, "click": 4.0, "error": 3.0, "signup": 2.0, "purchase": 1.0},
+        4: {"view": 7.0, "click": 7.0, "error": 7.0, "signup": 7.0, "purchase": 7.0},
+        5: {"view": 1.0, "click": 3.0},  # incomplete block: excluded
+    }
+    rows, eid = [], 0
+    for uid, vals in layout.items():
+        for ty, v in vals.items():
+            rows.append((eid, dt.datetime(2024, 1, 1 + eid % 20, 9), uid, ty, v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q292_page_trend"].spark_fn(spark, str(tmp_path)).collect()
+
+    l2 = tie_sum = 0
+    blocks = [v for v in layout.values() if len(v) == 5]
+    for vals in blocks:
+        xs = sorted(vals.values())
+        for ty, v in vals.items():
+            lo = sum(1 for u in xs if u < v)
+            t_ = sum(1 for u in xs if u == v)
+            mr2 = 2 * (lo + 1) + t_ - 1  # 2x midrank
+            l2 += order[ty] * mr2
+            tie_sum += t_ * t_ - 1
+    b = len(blocks)
+    z = (l2 - 90.0 * b) / (10.0 * math.sqrt(b))
+    assert (out["b"], out["tie_sum"], out["l2"]) == (b, tie_sum, l2)
+    assert out["z_micros"] == math.floor(1_000_000 * z)
+    assert out["reject_at_05"] == (out["z_micros"] >= 1_644_853)
+
+
+def test_q293_cliff_delta_brute_force(spark, tmp_path):
+    """Cliff's delta recomputed by the O(m*n) all-pairs definition on
+    planted purchase/click values with heavy ties; magnitude label
+    checked against the Romano cutpoints."""
+    import datetime as dt
+
+    purchases = [5.0, 5.0, 7.0, 9.0, 3.0, 7.0]
+    clicks = [1.0, 5.0, 5.0, 2.0, 7.0]
+    rows, eid = [], 0
+    for ty, vals in (("purchase", purchases), ("click", clicks)):
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 1, 1 + eid, 8), eid, ty, v, "{}"))
+            eid += 1
+    rows.append((eid, dt.datetime(2024, 2, 1, 8), eid, "view", 99.0, "{}"))  # ignored
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q293_cliff_delta"].spark_fn(spark, str(tmp_path)).collect()
+
+    gt = sum(1 for x in purchases for y in clicks if x > y)
+    lt = sum(1 for x in purchases for y in clicks if x < y)
+    delta = (gt - lt) / (len(purchases) * len(clicks))
+    assert (out["n1"], out["n2"], out["gt"], out["lt"]) == (
+        len(purchases),
+        len(clicks),
+        gt,
+        lt,
+    )
+    assert out["delta_micros"] == math.floor(1_000_000 * delta)
+    mag = abs(delta)
+    want = (
+        "negligible"
+        if mag < 0.147
+        else "small" if mag < 0.33 else "medium" if mag < 0.474 else "large"
+    )
+    assert out["magnitude"] == want
+
+
 def test_q284_runs_test_brute_force(spark, tmp_path):
     """Runs/sign counts and z recomputed from the delta signs of a
     planted series containing a zero delta (which must drop)."""
