@@ -192,6 +192,105 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q294 — TOST equivalence test (Schuirmann, J.Pharmacokinet. 1987):
+# the PARITY gate q226 cannot provide. Welch answers "are the two
+# sources' mean doc lengths DIFFERENT?" — failing to reject says
+# nothing ("absence of evidence"). TOST reverses the burden: H0 is
+# "they differ by at least the margin", and rejecting BOTH one-sided
+# tests (mean diff > -margin AND < +margin) POSITIVELY establishes
+# equivalence within ±40 chars — the question a pipeline change
+# actually poses ("did the new dedup/filter leave src1's length
+# profile equal to src0's?"). Same exact sufficient statistics as
+# q226 (n, sum, sum-of-squares — n_chars^2 is an exact BIGINT,
+# summed in DECIMAL(38,0)/HUGEINT), Welch standard error, then
+# z_lower = (d + margin)/se and z_upper = (margin - d)/se in one
+# shared double tree; equivalent iff min(z) >= norm.ppf(0.95) as a
+# Python literal (large-sample TOST — the z form, so no runtime
+# t-quantile; the margin 40.0 is a declared literal).
+#
+# 100 TB shape: one two-arm filtered aggregate (map-side partial),
+# scalar out — nothing downstream of the moments. Reference delegates
+# analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_TOST_MARGIN = "40.0"  # equivalence margin in chars, declared literal
+_TOST_Z_CRIT = "1.644853"  # norm.ppf(0.95) floored to 1e-6 — Python literal
+
+
+def _tost_tail() -> list[str]:
+    """Engine-shared final select expressions over n1,n2,s1,s2,q1,q2
+    (all DOUBLE) — one list, joined for the oracle and selectExpr'd on
+    the Spark side, so the double trees cannot diverge."""
+    mean1, mean2 = "(s1 / n1)", "(s2 / n2)"
+    v1 = "((q1 - s1 * s1 / n1) / (n1 - 1))"
+    v2 = "((q2 - s2 * s2 / n2) / (n2 - 1))"
+    se = f"sqrt({v1} / n1 + {v2} / n2)"
+    d = f"({mean1} - {mean2})"
+    z_lo = f"(({d} + {_TOST_MARGIN}) / {se})"
+    z_hi = f"(({_TOST_MARGIN} - {d}) / {se})"
+    guard = f"n1 >= 2 AND n2 >= 2 AND {v1} / n1 + {v2} / n2 > 0"
+    return [
+        "CAST(n1 AS BIGINT) AS n_a",
+        "CAST(n2 AS BIGINT) AS n_b",
+        f"{mean1} AS mean_a",
+        f"{mean2} AS mean_b",
+        f"CASE WHEN {guard} THEN {z_lo} END AS z_lower",
+        f"CASE WHEN {guard} THEN {z_hi} END AS z_upper",
+        f"CASE WHEN {guard} THEN {z_lo} >= {_TOST_Z_CRIT}"
+        f" AND {z_hi} >= {_TOST_Z_CRIT} END AS equivalent_at_05",
+    ]
+
+
+@query(
+    "q294_tost_equivalence",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+      WHERE source IN ('src0', 'src1')
+    ),
+    a AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS s,
+             SUM(CAST(x AS HUGEINT) * x) AS q
+      FROM c GROUP BY source
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN source = 'src0' THEN CAST(n AS DOUBLE) END) AS n1,
+             MAX(CASE WHEN source = 'src0' THEN CAST(s AS DOUBLE) END) AS s1,
+             MAX(CASE WHEN source = 'src0' THEN CAST(q AS DOUBLE) END) AS q1,
+             MAX(CASE WHEN source = 'src1' THEN CAST(n AS DOUBLE) END) AS n2,
+             MAX(CASE WHEN source = 'src1' THEN CAST(s AS DOUBLE) END) AS s2,
+             MAX(CASE WHEN source = 'src1' THEN CAST(q AS DOUBLE) END) AS q2
+      FROM a
+    )
+    SELECT {", ".join(_tost_tail())}
+    FROM w
+    """,
+    category="inference",
+    doc="TOST equivalence gate: src0 vs src1 mean doc length within a declared ±40-char margin, exact moments + large-sample one-sided z pair",
+)
+def q294(spark: SparkSession, sf: str) -> DataFrame:
+    x = F.col("n_chars").cast("long")
+    c = (
+        t(spark, sf, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", x.alias("x"), (x * x).cast("decimal(38,0)").alias("x2"))
+    )
+    a = c.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s"), F.sum("x2").alias("q")
+    )
+    pick = lambda src, col: F.max(F.when(F.col("source") == src, F.col(col)))  # noqa: E731
+    w = a.agg(
+        pick("src0", "n").cast("double").alias("n1"),
+        pick("src0", "s").cast("double").alias("s1"),
+        pick("src0", "q").cast("double").alias("q1"),
+        pick("src1", "n").cast("double").alias("n2"),
+        pick("src1", "s").cast("double").alias("s2"),
+        pick("src1", "q").cast("double").alias("q2"),
+    )
+    return w.selectExpr(*_tost_tail())
+
+
+# --------------------------------------------------------------------------
 # q227 — exact Kendall tau-b between order month (1..12) and priority
 # rank (1..5). The pair counts come from the joint distribution, not
 # from pairs:  C = sum_ij n_ij * S_ij  with  S_ij = sum_{k>i, l>j} n_kl

@@ -1944,6 +1944,142 @@ def q284(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q295 — Pettitt changepoint test (Pettitt, Appl.Stat. 1979): WHERE
+# did each event type's daily level shift? Completes the monitoring
+# family's missing readout — q196/q200 CUSUM flag that a parametric
+# mean shift happened, q283 says whether a monotone trend exists;
+# Pettitt is the rank-based (distribution-free) single-changepoint
+# LOCATOR: K = max_t |U_t| with U_t = sum_{i<=t} sum_{j>t}
+# sign(x_i - x_j). The naive form is O(n^2); this uses the exact
+# midrank identity U_t = sum_{i<=t} (2 R_i - n - 1) (the same-t
+# antisymmetric half cancels), which in the 2x midrank space
+# (R2 = 2*rank + ties - 1, q274's convention) makes U_t a CUMULATIVE
+# SUM of exact BIGINTs — O(n log n) ranking + one running window.
+# Significance via Pettitt's approximation p = 2 exp(-6K^2/(n^3+n^2)):
+# p < 0.05 iff 6 K^2 > 3.6888794541139363 * (n^3 + n^2) with the
+# -ln(0.025) constant a Python double literal (determinism-policy
+# tier 2 — no engine-side ln), both sides identical double trees.
+# cp_day is the LAST day of the pre-shift segment, argmax tie-break
+# earliest. Types with a single day have no interior split: dropped
+# (both engines, the q283 n>=2 convention).
+#
+# 100 TB shape: corpus -> per-(type, day) aggregate (map-side), then
+# ranking, the cumulative U, and the argmax are calendar-sized per
+# type. Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_PETTITT_REJ = (
+    "(6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE))"
+    " > (3.6888794541139363"
+    " * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
+    "    + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))"
+)
+
+
+def _q295_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_MK_DAILY} // 100 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day,
+             CAST(2 * (RANK() OVER (PARTITION BY event_type ORDER BY x))
+                  + (COUNT(*) OVER (PARTITION BY event_type, x)) - 1
+                  AS BIGINT) AS r2,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ),
+    u AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             CAST(SUM(r2 - n - 1) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ut
+      FROM r
+    ),
+    cand AS (SELECT * FROM u WHERE i <= n - 1),
+    k AS (
+      SELECT event_type, CAST(MAX(abs(ut)) AS BIGINT) AS k_stat,
+             CAST(MAX(n) AS BIGINT) AS n_days
+      FROM cand GROUP BY event_type
+    ),
+    cp AS (
+      SELECT c.event_type, MIN(c.day) AS cp_day
+      FROM cand c JOIN k ON c.event_type = k.event_type
+                        AND abs(c.ut) = k.k_stat
+      GROUP BY c.event_type
+    )
+    SELECT k.event_type, k.n_days, k.k_stat, cp.cp_day,
+           {_PETTITT_REJ} AS reject_at_05
+    FROM k JOIN cp ON k.event_type = cp.event_type
+    ORDER BY k.event_type
+    """
+
+
+@query(
+    "q295_pettitt_changepoint",
+    oracle=_q295_oracle(),
+    category="quality",
+    doc="Pettitt rank-based changepoint locator per event type: exact midrank cumulative U, argmax day + distribution-free 0.05 gate",
+)
+def q295(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr(f"{_MK_DAILY} div 100").alias("x"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("x")
+    wt = Window.partitionBy("event_type", "x")
+    wn = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type",
+        "day",
+        (F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("r2"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    wu = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = r.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias(
+            "i"
+        ),
+        F.sum(F.col("r2") - F.col("n") - 1).over(wu).cast("long").alias("ut"),
+    )
+    cand = u.filter(F.col("i") <= F.col("n") - 1)
+    k = cand.groupBy("event_type").agg(
+        F.max(F.abs("ut")).cast("long").alias("k_stat"),
+        F.max("n").cast("long").alias("n_days"),
+    )
+    cp = (
+        cand.join(k, "event_type")
+        .filter(F.abs(F.col("ut")) == F.col("k_stat"))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("cp_day"))
+    )
+    return (
+        k.join(cp, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "k_stat",
+            "cp_day",
+            F.expr(_PETTITT_REJ).alias("reject_at_05"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # q286 — Chao1 vocabulary-richness estimate + Good-Turing coverage per
 # language (Chao 1984; the species-richness estimator ecology and
 # corpus linguistics share): how many word types does each language's

@@ -2292,6 +2292,73 @@ def test_q293_cliff_delta_brute_force(spark, tmp_path):
     assert out["magnitude"] == want
 
 
+def test_q294_tost_brute_force(spark, tmp_path):
+    """TOST z pair and verdict recomputed from scratch on planted
+    sources: one pair equivalent inside the ±40 margin, checked by
+    re-deriving Welch se and both one-sided z statistics."""
+    rows = []
+    a_vals = [300, 310, 305, 295, 320, 290, 315, 300]
+    b_vals = [310, 320, 315, 305, 330, 300, 290, 325]
+    did = 0
+    for src, vals in (("src0", a_vals), ("src1", b_vals)):
+        for v in vals:
+            rows.append((did, "x " * 3, "en", src, v))
+            did += 1
+    rows.append((did, "y", "en", "src9", 999))  # other source: ignored
+    _write_documents(spark, tmp_path, rows)
+    (out,) = QUERIES["q294_tost_equivalence"].spark_fn(spark, str(tmp_path)).collect()
+
+    def moments(vals):
+        n = len(vals)
+        s = sum(vals)
+        q = sum(v * v for v in vals)
+        return n, s / n, (q - s * s / n) / (n - 1)
+
+    n1, m1, v1 = moments(a_vals)
+    n2, m2, v2 = moments(b_vals)
+    se = math.sqrt(v1 / n1 + v2 / n2)
+    d = m1 - m2
+    z_lo, z_hi = (d + 40.0) / se, (40.0 - d) / se
+    assert (out["n_a"], out["n_b"]) == (n1, n2)
+    assert abs(out["mean_a"] - m1) < 1e-9 and abs(out["mean_b"] - m2) < 1e-9
+    assert abs(out["z_lower"] - z_lo) < 1e-9
+    assert abs(out["z_upper"] - z_hi) < 1e-9
+    assert out["equivalent_at_05"] == (min(z_lo, z_hi) >= 1.644853)
+
+
+def test_q295_pettitt_brute_force(spark, tmp_path):
+    """Pettitt's K, changepoint day, and the significance gate
+    recomputed by the O(n^2) double-sum definition on a planted
+    level-shift series with ties (the midrank identity must agree
+    with the literal sign double-sum)."""
+    import datetime as dt
+
+    series = [5.0, 6.0, 5.0, 6.0, 5.0, 12.0, 13.0, 12.0, 13.0, 12.0, 12.0]
+    rows = [
+        (d, dt.datetime(2024, 3, 1, 12) + dt.timedelta(days=d), d, "click", v, "{}")
+        for d, v in enumerate(series)
+    ]
+    _write_events(spark, tmp_path, rows)
+    (out,) = QUERIES["q295_pettitt_changepoint"].spark_fn(spark, str(tmp_path)).collect()
+
+    xs = [int(v) for v in series]
+    n = len(xs)
+
+    def sgn(a, b):
+        return (a > b) - (a < b)
+
+    us = [
+        sum(sgn(xs[i], xs[j]) for i in range(tt + 1) for j in range(tt + 1, n))
+        for tt in range(n - 1)
+    ]
+    k = max(abs(u) for u in us)
+    t_star = min(tt for tt, u in enumerate(us) if abs(u) == k)
+    assert out["n_days"] == n
+    assert out["k_stat"] == k
+    assert out["cp_day"] == dt.date(2024, 3, 1) + dt.timedelta(days=t_star)
+    assert out["reject_at_05"] == (6.0 * k * k > 3.6888794541139363 * (n**3 + n**2))
+
+
 def test_q284_runs_test_brute_force(spark, tmp_path):
     """Runs/sign counts and z recomputed from the delta signs of a
     planted series containing a zero delta (which must drop)."""
