@@ -53,7 +53,7 @@ _PRIORITY = [
     "q291_bpe_encode",
     "q292_page_trend",
     "q293_cliff_delta",
-    "q294_ansari_bradley",
+    "q294_tost_equivalence",
     "q295_pettitt_changepoint",
     "q296_durbin_watson",
     "q297_silhouette_audit",

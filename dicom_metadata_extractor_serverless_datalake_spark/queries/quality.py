@@ -2080,6 +2080,117 @@ def q295(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q296 — Durbin-Watson statistic (Durbin & Watson, Biometrika 1950):
+# is there serial correlation LEFT in each event type's daily series
+# AFTER removing its linear trend? The regression-diagnostics
+# companion the family lacks: q189/q264 measure raw autocorrelation
+# (trend masquerades as correlation there), q197/q94 fit the trend —
+# DW asks whether the RESIDUALS of that fit still remember yesterday,
+# which decides if the fit's standard errors are trustworthy.
+# DW = sum (e_i - e_{i-1})^2 / sum e_i^2 over OLS residuals on the day
+# index. With consecutive indices, both quadratic forms expand into
+# SIX exact integer moments — n, S_y, S_y2, S_iy, S_dy2 = sum of
+# squared consecutive deltas, and dyb = y_n - y_1 — and S_xx has the
+# closed form n(n^2-1)/12, so: b = S_xy/S_xx, numerator =
+# S_dy2 - 2 b dyb + (n-1) b^2, denominator = S_yy - b S_xy. Moments
+# ride DECIMAL(38,0); the statistic assembles in ONE fixed-order
+# double tree (q268's convention) and floors to micros, with
+# rho_micros = floor(1e6 (1 - DW/2)) as the readable lag-1 estimate.
+# NULL when n < 3 or the residual SSE is not positive (perfect fit).
+#
+# 100 TB shape: corpus -> per-(type, day) aggregate (map-side), one
+# lag window + one moment aggregate over the calendar-sized frame, a
+# scalar per type. Reference delegates analytics to Athena
+# (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+def _q296_tail() -> list[str]:
+    """Shared final expressions over (event_type, n, sy, sy2, siy,
+    sdy2, dyb) — exact integer moments in, one double tree out."""
+    sxx = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0) / 12.0)"
+    sxy = "(CAST(siy AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) / 2.0 * CAST(sy AS DOUBLE))"
+    syy = "(CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    b = f"({sxy} / {sxx})"
+    num = (
+        f"(CAST(sdy2 AS DOUBLE) - 2.0 * {b} * CAST(dyb AS DOUBLE)"
+        f" + (CAST(n AS DOUBLE) - 1.0) * {b} * {b})"
+    )
+    den = f"({syy} - {b} * {sxy})"
+    dw = f"CASE WHEN n < 3 OR {den} <= 0 THEN NULL ELSE floor(1000000.0 * {num} / {den}) END"
+    rho = (
+        f"CASE WHEN n < 3 OR {den} <= 0 THEN NULL"
+        f" ELSE floor(1000000.0 * (1.0 - ({num} / {den}) / 2.0)) END"
+    )
+    return [
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        f"CAST({dw} AS BIGINT) AS dw_micros",
+        f"CAST({rho} AS BIGINT) AS rho_micros",
+    ]
+
+
+def _q296_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_MK_DAILY} // 100 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS dx
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sy2,
+             CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS siy,
+             CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sdy2,
+             CAST(SUM(dx) AS BIGINT) AS dyb
+      FROM o GROUP BY event_type
+    )
+    SELECT {", ".join(_q296_tail())}
+    FROM m ORDER BY event_type
+    """
+
+
+@query(
+    "q296_durbin_watson",
+    oracle=_q296_oracle(),
+    category="quality",
+    doc="Durbin-Watson residual serial-correlation diagnostic per event type: six exact integer moments, one fixed double tree",
+)
+def q296(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr(f"{_MK_DAILY} div 100").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    o = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("i"),
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+    )
+    dec = "decimal(38,0)"
+    m = o.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sy2"),
+        F.sum((F.col("i").cast(dec) * F.col("x"))).alias("siy"),
+        F.sum((F.col("dx").cast(dec) * F.col("dx"))).alias("sdy2"),
+        F.sum("dx").cast("long").alias("dyb"),
+    )
+    return m.selectExpr(*_q296_tail()).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
 # q286 — Chao1 vocabulary-richness estimate + Good-Turing coverage per
 # language (Chao 1984; the species-richness estimator ecology and
 # corpus linguistics share): how many word types does each language's

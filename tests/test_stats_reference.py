@@ -2528,3 +2528,46 @@ def test_q288_jl_distortion_brute_force(spark, tmp_path):
         else:
             assert r["ratio_micros"] == math.floor(1_000_000 * (d2p / 16.0) / d2o)
     assert got[(min(ids[0], ids[1]), max(ids[0], ids[1]))]["ratio_micros"] is None
+
+
+def test_q296_durbin_watson_brute_force(spark, tmp_path):
+    """DW recomputed from explicit OLS residuals (numpy lstsq) on a
+    planted daily series with visible trend + alternating noise, plus
+    the two NULL guards (n < 3, perfect linear fit)."""
+    import datetime as dt
+
+    import numpy as np
+
+    series = [10.0, 14.0, 11.0, 19.0, 13.0, 22.0, 16.0, 25.0]
+    rows = [
+        (d, dt.datetime(2024, 1, 1 + d, 12), d, "click", v, "{}")
+        for d, v in enumerate(series)
+    ]
+    # a second type: exact linear fit -> zero residual SSE -> NULL
+    rows += [
+        (100 + d, dt.datetime(2024, 1, 1 + d, 12), d, "view", float(5 + 3 * d), "{}")
+        for d in range(5)
+    ]
+    # a third type with n = 2 -> NULL
+    rows += [
+        (200 + d, dt.datetime(2024, 1, 1 + d, 12), d, "purchase", 7.0, "{}")
+        for d in range(2)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["q296_durbin_watson"].spark_fn(spark, str(tmp_path)).collect()
+    }
+
+    xs = np.array([int(v) for v in series], dtype=float)  # whole dollars
+    n = len(xs)
+    idx = np.arange(1, n + 1, dtype=float)
+    A = np.vstack([idx, np.ones(n)]).T
+    coef, *_ = np.linalg.lstsq(A, xs, rcond=None)
+    e = xs - A @ coef
+    dw = float(np.sum(np.diff(e) ** 2) / np.sum(e**2))
+    assert got["click"]["n_days"] == n
+    assert abs(got["click"]["dw_micros"] - math.floor(1_000_000 * dw)) <= 1
+    assert abs(got["click"]["rho_micros"] - math.floor(1_000_000 * (1 - dw / 2))) <= 1
+    assert got["view"]["dw_micros"] is None and got["view"]["rho_micros"] is None
+    assert got["purchase"]["dw_micros"] is None and got["purchase"]["n_days"] == 2
