@@ -978,15 +978,44 @@ def _km_update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
     return sorted(acc.items())
 
 
-def _q259_oracle() -> str:
-    def dist(va: str, vb: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {_KM_D}), "
-            f"i -> ({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i])))"
+def _km_fit(spark: SparkSession, sf: str):
+    """The shared Spark side of the 2-round integer-grid Lloyd fit:
+    quantize to the micros grid, seed with the k lowest vec_ids, one
+    assign + integer-mean update round. Returns ``(e, c1)`` — the
+    persisted quantized frame and the round-2 centroid literals —
+    exactly the model :func:`_km_duck_ctes` replays in SQL, shared by
+    q259 (cluster certificate) and q297 (silhouette audit)."""
+    e = (
+        t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))"
+            ).alias("v"),
         )
+        .persist()
+    )
+    seeds = e.orderBy("vec_id").limit(_KM_K).collect()  # k vectors: bounded
+    c0 = [(i, list(r.v)) for i, r in enumerate(seeds)]
+    c1 = _km_update(_km_assign(e, c0))
+    return e, c1
 
-    return f"""
-    WITH e AS (
+
+def _km_duck_dist(va: str, vb: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_KM_D}), "
+        f"i -> ({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i])))"
+    )
+
+
+def _km_duck_ctes() -> str:
+    """The shared DuckDB replay of the 2-round integer-grid Lloyd fit
+    (quantize -> seed -> assign -> integer-mean update): CTE chain
+    ending at ``c1`` (the round-2 centroids). q259 and q297 both build
+    on this text, so their oracles cannot train a different model."""
+    dist = _km_duck_dist
+    return f"""e AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)) AS v
@@ -1006,7 +1035,13 @@ def _q259_oracle() -> str:
       FROM a1 CROSS JOIN generate_series(1, {_KM_D}) AS gs(i)
       GROUP BY a1.cid, gs.i
     ),
-    c1 AS (SELECT cid, list(coord ORDER BY i) AS v FROM cm GROUP BY cid),
+    c1 AS (SELECT cid, list(coord ORDER BY i) AS v FROM cm GROUP BY cid)"""
+
+
+def _q259_oracle() -> str:
+    dist = _km_duck_dist
+    return f"""
+    WITH {_km_duck_ctes()},
     a2 AS (
       SELECT e.vec_id, c.cid, {dist('e.v', 'c.v')} AS dist
       FROM e CROSS JOIN c1 c
@@ -1032,21 +1067,7 @@ def _q259_oracle() -> str:
     doc="integer-grid Lloyd k-means (k=4, 2 rounds): map-side assignment, broadcast centroids, bit-identical clusters",
 )
 def q259(spark: SparkSession, sf: str) -> DataFrame:
-    e = (
-        t(spark, sf, "embeddings")
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, "
-                "x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))"
-            ).alias("v"),
-        )
-        .persist()
-    )
-    seeds = e.orderBy("vec_id").limit(_KM_K).collect()  # k vectors: bounded
-    c0 = [(i, list(r.v)) for i, r in enumerate(seeds)]
-    a1 = _km_assign(e, c0)
-    c1 = _km_update(a1)
+    e, c1 = _km_fit(spark, sf)
     a2 = _km_assign(e, c1)
     csums = spark.createDataFrame(
         [(cid, sum(vec)) for cid, vec in c1], "cid long, centroid_coord_sum long"
@@ -1062,5 +1083,109 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(F.broadcast(csums), "cid")
         .select("cid", "n_vecs", "id_checksum", "inertia", "centroid_coord_sum")
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------------
+# q297 — simplified-silhouette audit of the q259 clustering (the
+# centroid silhouette of Hruschka et al. 2004 / the "simplified
+# silhouette" in scikit-learn's ancestry): for each vector, a = the
+# Euclidean distance to its OWN centroid and b = the distance to the
+# NEAREST OTHER centroid; s = (b - a) / max(a, b). The full Rousseeuw
+# 1987 silhouette needs all pairwise distances — O(n^2) and a
+# scale-killer by construction — while the centroid form is the
+# standard large-n surrogate and is exactly what a 100 TB cluster-
+# quality gate can afford: assignment distances are already computed
+# map-side against k literal centroids, so the audit is FREE beyond
+# one extra array_sort over k structs per row. Because assignment is
+# argmin over the same centroids, a <= b always and s = 1 - sqrt(a/b)
+# in [0, 1] (the simplified form cannot go negative — documented
+# property, not a bug). Distances stay exact BIGINTs on the micros
+# grid; s is one identical sqrt/divide tree floored to micros per row
+# (deterministic double from two exact integers), and per-cluster
+# means are INTEGER sums of those per-row micros divided with `div` —
+# no order-dependent float accumulation anywhere.
+#
+# Ties (two centroids at identical distance) order by cid on both
+# engines: array_sort on (dist, cid) structs == ORDER BY dist, cid.
+# Both-zero distances (vector ON two coincident centroids) yield
+# s = 0 via the same CASE guard.
+#
+# 100 TB shape: the model fit is q259's (vocab-bounded collects,
+# broadcast-literal centroids); the audit itself is ONE map-side
+# projection + a k-row groupBy. Reference delegates analytics to
+# Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+
+def _q297_oracle() -> str:
+    dist = _km_duck_dist
+    return f"""
+    WITH {_km_duck_ctes()},
+    ad AS (
+      SELECT e.vec_id, c.cid, {dist('e.v', 'c.v')} AS dist
+      FROM e CROSS JOIN c1 c
+    ),
+    rk AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM ad
+    ),
+    sil AS (
+      SELECT b.cid,
+             CASE WHEN s.dist = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(1000000.0 * (1.0 - sqrt(
+                         CAST(b.dist AS DOUBLE) / CAST(s.dist AS DOUBLE))))
+                       AS BIGINT) END AS s_micros
+      FROM rk b JOIN rk s ON s.vec_id = b.vec_id AND s.rn = 2
+      WHERE b.rn = 1
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_micros) AS BIGINT) AS sil_sum_micros,
+           CAST(SUM(s_micros) // COUNT(*) AS BIGINT) AS mean_sil_micros
+    FROM sil GROUP BY cid ORDER BY cid
+    """
+
+
+@query(
+    "q297_silhouette_audit",
+    oracle=_q297_oracle(),
+    category="similarity",
+    doc="simplified (centroid) silhouette over the q259 k-means fit: map-side k-struct argsort, exact-integer distances, per-cluster micro-floored means",
+)
+def q297(spark: SparkSession, sf: str) -> DataFrame:
+    e, c1 = _km_fit(spark, sf)
+    ds = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.expr(_km_dist_expr(vec)).alias("dist"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, vec in c1
+            ]
+        )
+    )
+    sil = e.select(ds.alias("ds")).selectExpr(
+        "element_at(ds, 1).cid AS cid",
+        "CASE WHEN element_at(ds, 2).dist = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(floor(1000000.0 * (1.0 - sqrt("
+        "CAST(element_at(ds, 1).dist AS DOUBLE)"
+        " / CAST(element_at(ds, 2).dist AS DOUBLE)))) AS BIGINT) END AS s_micros",
+    )
+    return (
+        sil.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("s_micros").alias("sil_sum_micros"),
+        )
+        .select(
+            "cid",
+            "n_vecs",
+            "sil_sum_micros",
+            F.expr("sil_sum_micros div n_vecs").alias("mean_sil_micros"),
+        )
         .orderBy("cid")
     )

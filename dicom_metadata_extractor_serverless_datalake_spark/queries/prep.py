@@ -1299,3 +1299,119 @@ def q288(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q299 — linear-kernel MMD drift per label: for each label, the squared
+# maximum mean discrepancy between that label's embedding distribution
+# and the REST of the corpus, MMD^2 = ||mean(X) - mean(Y)||^2 (Gretton
+# et al. 2012 — with the linear kernel k(x,y) = x.y the MMD witness is
+# exactly the mean-embedding difference, the standard production drift
+# statistic because it needs only per-group FIRST moments). The RBF
+# kernel everyone writes first needs exp() — an engine-side
+# transcendental the determinism policy forbids (README) — and a
+# quadratic pair pass; the linear form is one map-side aggregate and
+# exact until a single final division.
+#
+# Exactness: coordinates quantize to a millis grid (floor(1000 x) —
+# coarser than q259's micros ON PURPOSE: the cross-multiplied
+# numerator (s*m - sy*n)^2 must stay inside DECIMAL(38,0)/HUGEINT at
+# 10M+ rows per side, audited below). Per-dim numerators are exact
+# integers via cross-multiplication over the common denominator
+# n*m*1000; mmd2 = sum_d num_d^2 / den^2 with ONE double division at
+# the end. max_shift_micros = the largest per-dim mean shift (micro-
+# floored from the same exact integers) names the dimension-level
+# magnitude — max over already-floored BIGINTs, so no float-order
+# dependence. Single-label corpora (m = 0) yield NULL via the shared
+# CASE guard.
+#
+# Overflow audit at 100x: |x| <= 1 => |val| <= 1000, |s| <= n*1000;
+# at n = m = 2e7: |num| <= s*m + sy*n ~ 8e17 (BIGINT-safe, kept in
+# DECIMAL(38,0)), num^2 ~ 6.4e35, summed over 64 dims ~ 4.1e37 <
+# 1e38. den = n*m*1000 ~ 4e17; den^2 as DOUBLE only.
+#
+# 100 TB shape: posexplode to (label, dim) -> map-side-combinable
+# groupBy (|labels| x 64 cells), a 64-row broadcast join for the
+# global moments, a |labels|-row final aggregate. Nothing pairwise.
+# Reference delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_Q299_NANOS = (
+    "CASE WHEN {den} = 0 THEN NULL ELSE "
+    "CAST(floor(1000000000.0 * (CAST({t1} AS DOUBLE)"
+    " / (CAST({den} AS DOUBLE) * CAST({den} AS DOUBLE)))) AS BIGINT) END"
+)
+_Q299_SHIFT = (
+    "CASE WHEN den = 0 THEN NULL ELSE "
+    "CAST(floor(1000000.0 * abs(CAST(num AS DOUBLE)) / CAST(den AS DOUBLE))"
+    " AS BIGINT) END"
+)
+
+
+def _q299_oracle() -> str:
+    nanos = _Q299_NANOS.format(t1="SUM(num * num)", den="MAX(den)")
+    return f"""
+    WITH ex AS (
+      SELECT label, gs.i AS pos,
+             CAST(floor(1000.0 * CAST(embedding[gs.i] AS DOUBLE)) AS BIGINT) AS val
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i)
+    ),
+    per AS (
+      SELECT label, pos, COUNT(*) AS n, SUM(val) AS s FROM ex GROUP BY 1, 2
+    ),
+    gm AS (SELECT pos, SUM(n) AS nn, SUM(s) AS ss FROM per GROUP BY pos),
+    j AS (
+      SELECT label, per.n, gm.nn,
+             CAST(per.s AS HUGEINT) * (gm.nn - per.n)
+               - CAST(gm.ss - per.s AS HUGEINT) * per.n AS num,
+             CAST(per.n AS HUGEINT) * (gm.nn - per.n) * 1000 AS den
+      FROM per JOIN gm USING (pos)
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(MAX(n) AS BIGINT) AS n_label,
+           CAST(MAX(nn - n) AS BIGINT) AS n_rest,
+           {nanos} AS mmd2_nanos,
+           MAX({_Q299_SHIFT}) AS max_shift_micros
+    FROM j GROUP BY label ORDER BY label
+    """
+
+
+@query(
+    "q299_mmd_drift",
+    oracle=_q299_oracle(),
+    category="similarity",
+    doc="linear-kernel MMD^2 per label vs rest of corpus: exact cross-multiplied per-dim numerators on a millis grid, one final double division",
+)
+def q299(spark: SparkSession, sf: str) -> DataFrame:
+    ex = t(spark, sf, "embeddings").select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))"
+            )
+        ).alias("pos", "val"),
+    )
+    per = ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"), F.sum("val").alias("s")
+    )
+    glob = per.groupBy("pos").agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+    j = per.join(F.broadcast(glob), "pos").selectExpr(
+        "label",
+        "n",
+        "nn",
+        "CAST(s AS DECIMAL(38,0)) * (nn - n)"
+        " - CAST(ss - s AS DECIMAL(38,0)) * n AS num",
+        "CAST(n AS DECIMAL(38,0)) * (nn - n) * 1000 AS den",
+    )
+    nanos = _Q299_NANOS.format(t1="SUM(num * num)", den="MAX(den)")
+    return (
+        j.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.max("n").cast("long").alias("n_label"),
+            F.expr("CAST(MAX(nn - n) AS BIGINT)").alias("n_rest"),
+            F.expr(nanos).alias("mmd2_nanos"),
+            F.expr(f"MAX({_Q299_SHIFT})").alias("max_shift_micros"),
+        )
+        .orderBy("label")
+    )

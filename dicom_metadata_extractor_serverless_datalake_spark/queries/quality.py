@@ -2280,3 +2280,106 @@ def chao1_frame(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+# --------------------------------------------------------------------------
+# q298 — Flesch reading-ease + Flesch-Kincaid grade per language
+# (Flesch 1948; Kincaid et al. 1975): the classic readability gate a
+# curation pipeline runs next to the Gopher rules (q145/q150) —
+# Gopher asks "is this document well-formed text", readability asks
+# "HOW HARD is it to read", which drives grade-level mixing targets
+# for instruction corpora. Syllables use the standard vowel-group
+# proxy (runs of [aeiouy], minimum 1 per word — the dictionary-free
+# form every large-scale implementation ships); sentences count
+# [.!?]+ runs with a floor of 1 so unpunctuated fragments score as
+# one sentence rather than dividing by zero.
+#
+# Determinism: W, S, SYL are exact integers per doc; each doc's
+# Flesch / FK value is ONE identical literal-constant double tree
+# over those integers, floored to micros (BIGINT). Per-language means
+# divide INTEGER micro-sums with truncating `div` — no float
+# accumulation, so any partitioning and both engines agree bitwise.
+# n_difficult counts docs under 30 reading-ease points (the "college"
+# band) from the same per-doc integers.
+#
+# 100 TB shape: one map-side projection (regexp counts + a bounded
+# fold over the word array), one |langs|-row groupBy. Reference
+# delegates analytics to Athena (src/app.py:97-189).
+# --------------------------------------------------------------------------
+
+_Q298_WS = "(CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+_Q298_SW = "(CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))"
+_Q298_FLESCH = f"(206.835 - 1.015 * {_Q298_WS} - 84.6 * {_Q298_SW})"
+_Q298_FK = f"(0.39 * {_Q298_WS} + 11.8 * {_Q298_SW} - 15.59)"
+
+
+def _q298_oracle() -> str:
+    return f"""
+    WITH perdoc AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS w,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS s,
+             CAST(coalesce(list_sum(list_transform(
+                    list_filter(string_split(text, ' '), x -> x <> ''),
+                    x -> greatest(1, len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))),
+                  0) AS BIGINT) AS syl
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             CAST(floor(1000000.0 * {_Q298_FLESCH}) AS BIGINT) AS flesch_micros,
+             CAST(floor(1000000.0 * {_Q298_FK}) AS BIGINT) AS fk_micros
+      FROM perdoc WHERE w > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(flesch_micros) // COUNT(*) AS BIGINT) AS mean_flesch_micros,
+           CAST(SUM(fk_micros) // COUNT(*) AS BIGINT) AS mean_fk_micros,
+           CAST(SUM(CASE WHEN flesch_micros < 30000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_difficult
+    FROM scored GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "q298_readability",
+    oracle=_q298_oracle(),
+    category="quality",
+    doc="Flesch reading-ease + FK grade per language: vowel-group syllable proxy, per-doc micro-floored doubles, integer mean",
+)
+def q298(spark: SparkSession, sf: str) -> DataFrame:
+    words = "filter(split(text, ' '), x -> x <> '')"
+    perdoc = t(spark, sf, "documents").selectExpr(
+        "lang",
+        f"CAST(size({words}) AS BIGINT) AS w",
+        "CAST(greatest(1, regexp_count(text, '[.!?]+')) AS BIGINT) AS s",
+        f"aggregate({words}, CAST(0 AS BIGINT), (acc, x) -> acc"
+        " + greatest(CAST(1 AS BIGINT),"
+        " CAST(regexp_count(x, '[aeiouyAEIOUY]+') AS BIGINT))) AS syl",
+    )
+    scored = perdoc.filter("w > 0").selectExpr(
+        "lang",
+        f"CAST(floor(1000000.0 * {_Q298_FLESCH}) AS BIGINT) AS flesch_micros",
+        f"CAST(floor(1000000.0 * {_Q298_FK}) AS BIGINT) AS fk_micros",
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("flesch_micros").alias("fsum"),
+            F.sum("fk_micros").alias("ksum"),
+            F.sum(F.when(F.col("flesch_micros") < 30_000_000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_difficult"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "CAST(fsum div n_docs AS BIGINT) AS mean_flesch_micros",
+            "CAST(ksum div n_docs AS BIGINT) AS mean_fk_micros",
+            "n_difficult",
+        )
+        .orderBy("lang")
+    )

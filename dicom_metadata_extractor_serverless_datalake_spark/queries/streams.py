@@ -2385,3 +2385,86 @@ def _set_q290_oracle() -> None:
 
 
 _set_q290_oracle()
+
+
+# --------------------------------------------------------------------------
+# q300 — STREAMING BPE tokenizer: q291's corpus encode running as a
+# live per-source token meter while documents arrive — the readout a
+# streaming ingestion monitor shows next to its byte counters ("how
+# many TOKENS under the production tokenizer did source X deliver so
+# far"), which is what token-budget admission (q205) keys on in
+# production. Merges are TRAINED IN BATCH on the corpus vocabulary
+# (q156's path — training is a fixpoint over all data and belongs in
+# batch; shipping a frozen merge table to the stream is exactly how
+# real tokenizers deploy) and baked into the plan as literals, so the
+# per-batch work is ONE stateless whole-stage-codegen projection
+# (operators/bpe.py:bpe_encode) feeding a per-source streaming
+# aggregate. All three cells (n_docs, n_tokens, token_checksum) are
+# monotone under row arrival (counts and sums of nonnegative 31-bit
+# ids), so the drained update-mode sink's per-source maxima ARE the
+# final cells — the q266/q280/q290 drain convention.
+#
+# State: |sources| x 3 longs forever, regardless of corpus size. The
+# oracle is q291's train-then-encode replay rolled up by source
+# (_bpe_encode_oracle(by_source=True)): drained stream == batch,
+# source for source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q300_stream_tokenize",
+    oracle=None,  # set below: q291's encode oracle rolled up by source
+    category="streaming",
+    doc="q291's BPE corpus encode as a live streaming per-source token meter: batch-trained literal merges, stateless map cascade, bounded (source x 3) monotone state",
+)
+def q300(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_merges
+    from ..sources.tables import load_stream
+    from .base import t
+    from .training import _BPE_ROUNDS
+
+    # batch half: train the merge table on the corpus vocab (bounded
+    # collects — one argmax row per round), exactly q156/q291's model
+    vocab = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w0"))
+        .filter(F.col("w0").rlike("^[A-Za-z]+$"))
+        .groupBy("w0")
+        .agg(F.count("*").alias("f"))
+    )
+    merges = bpe_merges(vocab, rounds=_BPE_ROUNDS)
+
+    src = _docs_stream_src(sf, splits=3)
+    try:
+        docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        enc = bpe_encode(docs, merges, id_col="source")
+        cells = enc.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("token_checksum").alias("token_checksum"),
+        )
+        name, n_batches = _run_to_memory(cells, "update")
+        assert n_batches >= 3, f"expected a multi-micro-batch drain, got {n_batches}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # every cell is monotone: the latest emission per source == max
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("token_checksum").alias("token_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _set_q300_oracle() -> None:
+    from .base import QUERIES
+    from .training import _bpe_encode_oracle
+
+    QUERIES["q300_stream_tokenize"].oracle = _bpe_encode_oracle(by_source=True)
+
+
+_set_q300_oracle()

@@ -904,7 +904,11 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS, by_source: bool = False) -> str:
+    """DuckDB replay of train-then-encode. ``by_source=True`` rolls the
+    per-doc counts up to (source, n_docs, n_tokens, token_checksum) —
+    the oracle for the STREAMING tokenizer q300, whose per-source cells
+    are the same monotone sums maintained incrementally."""
     ctes = _bpe_train_ctes(rounds)
     enc = [
         """enc0 AS (
@@ -921,6 +925,22 @@ def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
       FROM enc{r - 1}, best{r}
     )"""
         )
+    tail = (
+        """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(a.n_tokens, 0)) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(a.token_checksum, 0)) AS BIGINT) AS token_checksum
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    GROUP BY d.source ORDER BY d.source"""
+        if by_source
+        else """
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.token_checksum, 0) AS token_checksum
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes + enc)
@@ -940,12 +960,8 @@ def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
              CAST(SUM(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
                       % 2147483647) AS BIGINT) AS token_checksum
       FROM sym GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(a.n_tokens, 0) AS n_tokens,
-           COALESCE(a.token_checksum, 0) AS token_checksum
-    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-    ORDER BY d.doc_id"""
+    )"""
+        + tail
     )
 
 

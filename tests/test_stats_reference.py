@@ -2571,3 +2571,164 @@ def test_q296_durbin_watson_brute_force(spark, tmp_path):
     assert abs(got["click"]["rho_micros"] - math.floor(1_000_000 * (1 - dw / 2))) <= 1
     assert got["view"]["dw_micros"] is None and got["view"]["rho_micros"] is None
     assert got["purchase"]["dw_micros"] is None and got["purchase"]["n_days"] == 2
+
+
+def _quant_micros(v):
+    import struct
+
+    return [
+        math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1_000_000) for x in v
+    ]
+
+
+def test_q297_silhouette_brute_force(spark, tmp_path):
+    """The 2-round integer-grid Lloyd fit + simplified silhouette
+    replayed in pure Python: quantize (after float32 storage
+    round-trip), seed with the 4 lowest vec_ids, assign/update/assign,
+    then s = 1 - sqrt(a/b) per vector floored to micros and averaged
+    with truncating integer division."""
+    import random
+
+    rng = random.Random(297)
+    vecs = {}
+    # three tight planted blobs + one lone vector (its own seed)
+    for c, center in enumerate([-0.5, 0.0, 0.5]):
+        for k in range(5):
+            vid = c * 5 + k
+            vecs[vid] = [center + rng.uniform(-0.02, 0.02) for _ in range(64)]
+    vecs[90] = [0.9] * 64
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v], 0) for k, v in sorted(vecs.items())],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["cid"]: r
+        for r in QUERIES["q297_silhouette_audit"].spark_fn(spark, str(tmp_path)).collect()
+    }
+
+    q = {k: _quant_micros(v) for k, v in vecs.items()}
+
+    def dist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def tdiv(s, c):
+        r = abs(s) // c
+        return r if s >= 0 else -r
+
+    def assign(cents):
+        return {
+            vid: min((dist(v, cv), cid) for cid, cv in cents.items())
+            for vid, v in q.items()
+        }
+
+    c0 = {i: q[vid] for i, vid in enumerate(sorted(q)[:4])}
+    a1 = assign(c0)
+    c1 = {}
+    for cid in set(c for _, c in a1.values()):
+        members = [q[vid] for vid, (_, c) in a1.items() if c == cid]
+        c1[cid] = [tdiv(sum(col), len(members)) for col in zip(*members)]
+    sums, counts = {}, {}
+    for vid, v in q.items():
+        ds = sorted((dist(v, cv), cid) for cid, cv in c1.items())
+        (a_d, cid), (b_d, _) = ds[0], ds[1]
+        s = 0 if b_d == 0 else math.floor(1_000_000 * (1.0 - math.sqrt(a_d / b_d)))
+        sums[cid] = sums.get(cid, 0) + s
+        counts[cid] = counts.get(cid, 0) + 1
+    assert set(got) == set(counts)
+    for cid in counts:
+        assert got[cid]["n_vecs"] == counts[cid]
+        assert got[cid]["sil_sum_micros"] == sums[cid]
+        assert got[cid]["mean_sil_micros"] == sums[cid] // counts[cid]
+    # the planted blobs are tight: their mean silhouette must be high
+    assert max(r["mean_sil_micros"] for r in got.values()) > 800_000
+
+
+def test_q298_readability_brute_force(spark, tmp_path):
+    """Flesch / FK replayed per doc on punctuated text with known
+    word, sentence and vowel-run counts."""
+    docs = [
+        (1, "the cat sat. the dog ran! why?", "en", "a"),
+        (2, "incomprehensible bureaucratic obfuscation notwithstanding", "en", "a"),
+        (3, "no punctuation here at all", "fr", "b"),
+        (4, "xyz qqq zzz", "fr", "b"),  # zero vowel runs -> 1 syllable/word
+    ]
+    rows = [(i, txt, lang, src, len(txt)) for i, txt, lang, src in docs]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["lang"]: r
+        for r in QUERIES["q298_readability"].spark_fn(spark, str(tmp_path)).collect()
+    }
+
+    import re
+
+    agg = {}
+    for _, txt, lang, _, _ in rows:
+        words = [w for w in txt.split(" ") if w]
+        w = len(words)
+        s = max(1, len(re.findall(r"[.!?]+", txt)))
+        syl = sum(max(1, len(re.findall(r"[aeiouyAEIOUY]+", x))) for x in words)
+        fl = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        fk = 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+        e = agg.setdefault(lang, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += math.floor(1_000_000 * fl)
+        e[2] += math.floor(1_000_000 * fk)
+        e[3] += 1 if math.floor(1_000_000 * fl) < 30_000_000 else 0
+    def tdiv(s, c):  # Spark `div` truncates toward zero; Python // floors
+        r = abs(s) // c
+        return r if s >= 0 else -r
+
+    for lang, (n, fsum, ksum, ndiff) in agg.items():
+        assert got[lang]["n_docs"] == n
+        assert got[lang]["mean_flesch_micros"] == tdiv(fsum, n)
+        assert got[lang]["mean_fk_micros"] == tdiv(ksum, n)
+        assert got[lang]["n_difficult"] == ndiff
+
+
+def test_q299_mmd_brute_force(spark, tmp_path):
+    """Linear-kernel MMD^2 per label vs rest replayed in exact integer
+    arithmetic; also pins the single-label NULL guard."""
+    vecs = [
+        (1, [0.5] * 64, 0),
+        (2, [0.4] * 64, 0),
+        (3, [-0.5] * 64, 1),
+        (4, [-0.3] * 64, 1),
+        (5, [0.1] * 32 + [-0.1] * 32, 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in vecs],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["label"]: r
+        for r in QUERIES["q299_mmd_drift"].spark_fn(spark, str(tmp_path)).collect()
+    }
+
+    import struct
+
+    def millis(v):
+        return [
+            math.floor(struct.unpack("f", struct.pack("f", x))[0] * 1000) for x in v
+        ]
+
+    qv = {i: millis(v) for i, v, _ in vecs}
+    labels = {i: lab for i, _, lab in vecs}
+    for lab in {0, 1, 2}:
+        ids_x = [i for i in labels if labels[i] == lab]
+        ids_y = [i for i in labels if labels[i] != lab]
+        n, m = len(ids_x), len(ids_y)
+        t1, max_shift = 0, 0
+        den = n * m * 1000
+        for d in range(64):
+            sx = sum(qv[i][d] for i in ids_x)
+            sy = sum(qv[i][d] for i in ids_y)
+            num = sx * m - sy * n
+            t1 += num * num
+            max_shift = max(max_shift, math.floor(1_000_000 * abs(num) / den))
+        assert got[lab]["n_label"] == n and got[lab]["n_rest"] == m
+        assert got[lab]["mmd2_nanos"] == math.floor(1e9 * (t1 / (den * den)))
+        assert got[lab]["max_shift_micros"] == max_shift
+    # mean-shifted labels drift more than the near-centered one
+    assert got[0]["mmd2_nanos"] > got[2]["mmd2_nanos"]
