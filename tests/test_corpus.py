@@ -285,3 +285,53 @@ def test_duckdb_list_reduce_struct_acc_hazard_documented():
             "in this DuckDB version — q212's recursive-CTE oracle can be "
             "simplified; update queries/behavior.py and this probe."
         )
+
+
+def test_priority_front_window_holds_the_stalest():
+    """Freshness guard (VERDICT r10 #4): the rotation is mechanical,
+    not prose. Parse every CORRECTNESS_r*.json the driver has written,
+    derive each query's latest GREEN round, and require that the
+    50-query front window of _PRIORITY consists of (a) every query the
+    driver has never verified, then (b) only queries at least as stale
+    as everything left outside — i.e. no query outside the window may
+    be strictly staler than a verified query inside it. Ties across
+    the boundary are fine (bands share rounds)."""
+    import glob
+    import json
+    import os
+    import re
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries import corpus
+
+    latest: dict[str, int] = {}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    assert arts, "no CORRECTNESS artifacts found next to the repo root"
+    for path in arts:
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+
+    names = list(corpus.QUERIES)
+    window, outside = set(names[:50]), names[50:]
+    never = {n for n in names if n not in latest}
+    missing_new = never - window
+    assert not missing_new or len(never) > 50, (
+        f"never-driver-verified queries must lead the window: {sorted(missing_new)}"
+    )
+    verified_in = [latest[n] for n in window if n in latest]
+    if verified_in and outside:
+        stalest_out = min(latest.get(n, 10**9) for n in outside)
+        assert max(verified_in) <= stalest_out, (
+            "front window holds a fresher round "
+            f"({max(verified_in)}) than the stalest query left outside "
+            f"({stalest_out}) — rotate _PRIORITY"
+        )
