@@ -81,6 +81,8 @@ def main() -> None:
             if section == "scale"
             else _llm_scale_section(spark, QUERIES)
             if section == "llm"
+            else _bootstrap_scale_section(spark)
+            if section == "boot"
             else _crossover_section(spark, QUERIES)
         )
         print(json.dumps(result or {}))
@@ -99,6 +101,11 @@ def main() -> None:
     llm = (
         _run_section_subprocess("llm")
         if os.environ.get("SPARK_GRAFT_LLM", "1") == "1"
+        else None
+    )
+    boot = (
+        _run_section_subprocess("boot")
+        if os.environ.get("SPARK_GRAFT_BOOT", "1") == "1"
         else None
     )
 
@@ -153,6 +160,8 @@ def main() -> None:
         out["crossover_600m"] = xover
     if llm:
         out["llm_scale_500k"] = llm
+    if boot:
+        out["bootstrap_5m"] = boot
     if ingest:
         out["ingest"] = ingest
     line = json.dumps(out)
@@ -676,6 +685,54 @@ def _llm_scale_section(spark, queries) -> dict | None:
             [round(a / max(b, 1e-9), 3) for a, b in zip(spark_walls, duck_walls)]
         )
     return section
+
+
+def _bootstrap_scale_section(spark) -> dict | None:
+    """The bootstrap production-path row (VERDICT r10 #5): the 4x
+    md5-vs-xxhash64 premium for q281/`TextCorpus.bootstrap_ci` lived
+    only in BASELINE prose — this puts the PRODUCTION (hash_fn="fast")
+    5M-doc wall in the per-round artifact so a regression in the
+    deployed path shows up as an artifact diff, not a re-measurement.
+    No DuckDB comparator: xxhash64 is engine-native by design (the
+    portable twin is q281's oracle-checked path). Fresh JVM via the
+    section subprocess. SPARK_GRAFT_BOOT=0 skips; first run generates
+    ~6 GB of docs under /tmp/sfsynthdoc1000."""
+    ddir = os.environ.get("SPARK_GRAFT_BOOT_DIR", "/tmp/sfsynthdoc1000")
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        from make_scale_data import ensure
+
+        ddir = ensure(ddir, "doc", SCALE_FACTOR * 10)
+    except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
+        print(f"bootstrap scale section skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+
+    from dicom_metadata_extractor_serverless_datalake_spark import TextCorpus
+    from dicom_metadata_extractor_serverless_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, ddir, "documents")
+    walls: list[float] = []
+    cold = None
+    n_rows = None
+    for _pass in range(3):  # pass 0 cold, 2 warm
+        t0 = time.perf_counter()
+        ci = TextCorpus(docs).bootstrap_ci(by="source", hash_fn="fast")
+        ci.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        if _pass == 0:
+            cold = dt
+            n_rows = TextCorpus(docs).bootstrap_ci(by="source", hash_fn="fast").count()
+        else:
+            walls.append(dt)
+    return {
+        "op": "TextCorpus.bootstrap_ci(hash_fn='fast')",
+        "docs": 5_000 * SCALE_FACTOR * 10,
+        "result_rows": n_rows,
+        "cold_sec": cold,
+        "spark_sec_band": _band(walls),
+    }
 
 
 def _crossover_section(spark, queries) -> dict | None:
