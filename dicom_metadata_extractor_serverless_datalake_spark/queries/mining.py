@@ -2558,8 +2558,13 @@ def ams_audit_tail(sk: DataFrame, tok: DataFrame) -> DataFrame:
 
 
 def ams_token_frame(spark: SparkSession, sf: str) -> DataFrame:
-    """The batch token stream both AMS forms audit against."""
-    return t(spark, sf, "documents").select(
+    """The batch token stream both AMS forms audit against. The
+    per-token digest downstream is pure map CPU, so a scan-starved
+    input (one compressed parquet file) is re-spread first
+    (queries/base.spread_input)."""
+    from .base import spread_input
+
+    return spread_input(t(spark, sf, "documents")).select(
         F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
     )
 

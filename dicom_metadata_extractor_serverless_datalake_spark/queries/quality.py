@@ -1483,6 +1483,12 @@ def bootstrap_rep_frame(
     else:
         raise ValueError(f"hash_fn must be 'portable' or 'fast', got {hash_fn!r}")
     k = f"CASE WHEN r = -1 THEN 1 ELSE {_boot_k_sql(f'({h})')} END"
+    from .base import spread_input
+
+    # 65 digests per doc are pure map-side CPU; a scan-starved batch
+    # input would run them on 1-3 cores (no-op for q290's streaming
+    # frame and for any already-spread scan)
+    docs = spread_input(docs)
     return (
         docs.select(
             F.col(id_col),
@@ -2350,8 +2356,12 @@ def _q298_oracle() -> str:
     doc="Flesch reading-ease + FK grade per language: vowel-group syllable proxy, per-doc micro-floored doubles, integer mean",
 )
 def q298(spark: SparkSession, sf: str) -> DataFrame:
+    from .base import spread_input
+
     words = "filter(split(text, ' '), x -> x <> '')"
-    perdoc = t(spark, sf, "documents").selectExpr(
+    # two regexp_counts per word are pure map CPU: re-spread a
+    # scan-starved compressed input first (queries/base.spread_input)
+    perdoc = spread_input(t(spark, sf, "documents")).selectExpr(
         "lang",
         f"CAST(size({words}) AS BIGINT) AS w",
         "CAST(greatest(1, regexp_count(text, '[.!?]+')) AS BIGINT) AS s",

@@ -2354,6 +2354,9 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
     src = _docs_stream_src(sf, splits=3)
     try:
         docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        # re-spread the one-file micro-batch before the 65-digest map
+        # (the streaming analogue of queries/base.spread_input)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         # THE shared construction (weights, sentinel, per-cell sums) —
         # every stage is a deferred transformation, so the identical
         # code path q281 runs in batch becomes the streaming aggregate
@@ -2437,6 +2440,11 @@ def q300(spark: SparkSession, sf: str) -> DataFrame:
     src = _docs_stream_src(sf, splits=3)
     try:
         docs = load_stream(spark, src, "documents", max_files_per_trigger=1)
+        # one compressed file per trigger = one scan split: re-spread
+        # the micro-batch before the CPU-heavy cascade (the streaming
+        # analogue of queries/base.spread_input, which by design leaves
+        # streaming frames alone)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         enc = bpe_encode(docs, merges, id_col="source")
         cells = enc.groupBy("source").agg(
             F.count("*").alias("n_docs"),
