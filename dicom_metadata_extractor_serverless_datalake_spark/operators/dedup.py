@@ -52,8 +52,14 @@ _SHINGLES = (
 def shingle_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, s) word-3-gram shingles per document (with duplicates —
     callers that need sets apply distinct themselves; MIN-based
-    signatures don't need it)."""
-    return docs.select(
+    signatures don't need it). The downstream per-shingle digest + 16
+    permutations are pure map CPU executed in the SCAN stage (partial
+    aggregation), so a scan-starved compressed input is re-spread
+    first (queries/base.spread_input — no-op on multi-file layouts
+    and streaming frames)."""
+    from ..queries.base import spread_input
+
+    return spread_input(docs).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("w")
     ).select(id_col, F.explode(F.expr(_SHINGLES)).alias("s"))
 

@@ -2252,7 +2252,12 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
 def chao1_frame(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     """q286's construction over any (group, text) columns — shared by
     the registered query and ``TextCorpus.vocab_richness`` (VERDICT
-    r10 #8) so the facade cannot desynchronize from its oracle."""
+    r10 #8) so the facade cannot desynchronize from its oracle. The
+    word-keyed shuffle's MAP side (explode + partial counts) is the
+    expensive half, so a scan-starved input is re-spread first."""
+    from .base import spread_input
+
+    df = spread_input(df)
     tok = df.select(
         group_col,
         F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(
