@@ -913,8 +913,10 @@ class TextCorpus:
             f"j -> array_min(slice(ks, j - {w - 1}, {w})) div {pos_m})) "
             f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
         )
+        from .queries.base import spread_input
+
         return (
-            self.df.select(
+            spread_input(self.df).select(
                 self.id_col,
                 F.expr(f"filter(split({self.text_col}, ' '), x -> x <> '')").alias("ws"),
             )

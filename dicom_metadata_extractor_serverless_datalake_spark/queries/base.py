@@ -78,6 +78,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def sql_max_multiplicity(arr: str) -> str:
+    """Max element multiplicity of a STRING-array expression, computed
+    as the longest equal-run of its sorted copy in ONE map-side fold —
+    the shuffle-free form of explode -> groupBy(key, x).count() ->
+    max. ``x <=> acc.prev`` is the null-safe first-element guard (the
+    accumulator seeds prev with NULL); empty arrays yield 0."""
+    return (
+        f"aggregate(array_sort({arr}), "
+        "named_struct('prev', CAST(NULL AS STRING), "
+        "'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct('prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
+        "'mx', GREATEST(acc.mx, "
+        "IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)))), "
+        "acc -> acc.mx)"
+    )
+
+
 def spread_input(df: DataFrame) -> DataFrame:
     """Re-spread a batch frame whose SCAN yields fewer partitions than
     the cluster has slots, before CPU-heavy map-side work (hash-per-

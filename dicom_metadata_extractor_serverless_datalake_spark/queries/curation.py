@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import query, t
+from .base import query, spread_input, t
 
 # --------------------------------------------------------------------------
 # q144 — eval-overlap decontamination by word 5-gram.
@@ -96,7 +96,7 @@ def _duck_grams(n: int) -> str:
 )
 def q144(spark: SparkSession, sf: str) -> DataFrame:
     """Train/eval 5-gram overlap decontamination (exact)."""
-    docs = t(spark, sf, "documents")
+    docs = spread_input(t(spark, sf, "documents"))
     tok = docs.select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("w")
     )
@@ -182,38 +182,46 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     category="text",
 )
 def q145(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-source repetition-quality rollup (exact integer flags)."""
-    docs = t(spark, sf, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
-    ).filter(F.size("w") >= 3)
+    """Per-source repetition-quality rollup (exact integer flags).
 
-    def gram_expr(n: int) -> F.Column:
-        return F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(w, i, {n})))"
-            )
-        ).alias("gram")
+    The per-doc n-gram statistics are computed ENTIRELY MAP-SIDE with
+    array higher-order functions: the max 2-gram multiplicity is a run-
+    length fold over the doc's SORTED gram array, the duplicated-3-gram
+    count is size - size(array_distinct). The original form exploded
+    every gram and shuffled (doc_id, gram-TEXT) rows twice plus a
+    doc-keyed join — ~900M text-bearing shuffle rows at 5M docs (>550 s;
+    a scale-killer at 100 TB). This plan's only exchange is the final
+    |sources|-row rollup. Same values: the DuckDB oracle still runs the
+    explode/groupBy shape, so the driver row proves plan-independence."""
+    from .base import spread_input
 
-    top2 = (
-        tok.select("doc_id", "source", gram_expr(2))
-        .groupBy("doc_id", "source", "gram")
-        .count()
-        .groupBy("doc_id", "source")
-        .agg(F.max("count").alias("top2"), F.sum("count").alias("total2"))
+    docs = spread_input(t(spark, sf, "documents"))
+    g3 = (
+        "transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+        "element_at(w, i + 2)))"
     )
-    dup3 = (
-        tok.select("doc_id", gram_expr(3))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("total3"),
-            F.count_distinct("gram").alias("distinct3"),
+    # max multiplicity of any 2-gram = longest equal-run in the sorted
+    # gram array, one map-side fold (queries/base.sql_max_multiplicity)
+    from .base import sql_max_multiplicity
+
+    maxrun2 = sql_max_multiplicity(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+    )
+    per = (
+        docs.select("source", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .selectExpr(
+            "source",
+            f"{maxrun2} AS top2",
+            "CAST(size(w) - 1 AS BIGINT) AS total2",
+            "CAST(size(w) - 2 AS BIGINT) AS total3",
+            f"CAST(size(array_distinct({g3})) AS BIGINT) AS distinct3",
         )
     )
     return (
-        top2.join(dup3, "doc_id")
-        .groupBy("source")
+        per.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(

@@ -422,22 +422,33 @@ _HAMMING_MAX = 3
     category="dedup",
 )
 def q53(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = tok.select("doc_id", F.expr(spark_h31("w")).alias("hw"))
-    bits = (
-        h.select("doc_id", "hw", F.explode(F.sequence(F.lit(0), F.lit(30))).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(hw >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("score")
-        )
-    )
-    sig = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
-        ).alias("simhash")
+    from .base import spread_input
+
+    # The signature is computed ENTIRELY MAP-SIDE: per-word h31
+    # digests, then each of the 31 bit-majority votes is a fold over
+    # the doc's hash array (bit b is set iff set-count > half the
+    # words — identical to the old sum of ±1 votes being > 0). The
+    # original form exploded 31 bit-rows PER WORD into a doc-keyed
+    # shuffle (~18G rows at 5M docs); this plan's first exchange is
+    # the band join itself (signature stage: 7.8 s at 500k docs).
+    # Re-spread first: the digests are scan-stage CPU
+    # (queries/base.spread_input). NOTE on the band join's own scale:
+    # 8-bit bands give n/256-doc buckets, so the candidate-pair count
+    # (and the RESULT itself, which enumerates near-dup pairs) grows
+    # quadratically on near-duplicate-heavy corpora — at 100 TB a
+    # deployment widens the signature (64-bit, 16-bit bands) exactly
+    # as q112's multimodal variant does; the 31-bit form is pinned
+    # here because the oracle replays it bit-for-bit.
+    docs = spread_input(t(spark, sf, "documents"))
+    sig = docs.select(
+        "doc_id", F.expr(f"transform(split(text, ' '), w -> {spark_h31('w')})").alias("hws")
+    ).select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 30), CAST(0 AS BIGINT), (acc, b) -> acc"
+            " + IF(2 * size(filter(hws, h -> ((h >> b) & 1) = 1)) > size(hws),"
+            " shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+        ).alias("simhash"),
     )
     # band the signature: 4 bands of 8 bits; Hamming <= 3 differing bits
     # across 4 bands leaves >= 1 band untouched (pigeonhole), so an exact
@@ -931,7 +942,11 @@ _GREATEST = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(_LANG_STOPWOR
     category="text",
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
+    from .base import spread_input
+
+    # five stopword-list scans per doc are pure map CPU: re-spread a
+    # scan-starved compressed input first (queries/base.spread_input)
+    docs = spread_input(t(spark, sf, "documents"))
     scored = docs.select(
         "doc_id",
         "lang",
@@ -1909,7 +1924,9 @@ def _q263_oracle() -> str:
     doc="Lee-et-al exact 20-token-span duplication: per-doc duplicated-span fraction, digest-only shuffles",
 )
 def q263(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
+    from .base import spread_input
+
+    docs = spread_input(t(spark, sf, "documents"))
     spans = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= _SPAN_K)

@@ -690,7 +690,9 @@ _BLOOM_K = 4
     category="dedup",
 )
 def q139(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
+    from .base import spread_input
+
+    docs = spread_input(t(spark, sf, "documents"))
     dig = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("dg"))
     eval_set = dig.filter(F.col("doc_id") % 7 == 0).select("dg").distinct()
 
@@ -2151,6 +2153,10 @@ def _q265_oracle() -> str:
     doc="RAKE keyphrases: stopword-boundary phrases, deg/freq word scores in micros, top-20 total order",
 )
 def q265(spark: SparkSession, sf: str) -> DataFrame:
+    # NOTE: spread_input measured SLOWER here (163.6 -> 199.4 s at 5M):
+    # RAKE's heavy phase runs AFTER the doc-keyed window shuffle, which
+    # already spreads the work, so the extra repartition moves the text
+    # for nothing. Deliberately NOT re-spread.
     words = (
         t(spark, sf, "documents")
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))

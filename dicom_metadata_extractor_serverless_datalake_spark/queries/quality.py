@@ -115,6 +115,8 @@ def _winnow_oracle() -> str:
     doc="MOSS winnowing fingerprint selection, fully map-side",
 )
 def q187(spark: SparkSession, sf: str) -> DataFrame:
+    from .base import spread_input
+
     h = spark_h31(f"array_join(slice(ws, i, {_WIN_K}), ' ')")
     hs = (
         f"CASE WHEN size(ws) >= {_WIN_K} "
@@ -137,7 +139,7 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     return (
-        t(spark, sf, "documents")
+        spread_input(t(spark, sf, "documents"))
         .select("doc_id", F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
         .select("doc_id", F.expr(hs).alias("hs"))
         .select("doc_id", F.size("hs").alias("n_kgrams"), F.expr(ks).alias("ks"), "hs")
@@ -1195,8 +1197,10 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
     doc="frequency-of-frequencies + Turing-smoothed r* and unseen mass, exact integer ratios",
 )
 def q256(spark: SparkSession, sf: str) -> DataFrame:
+    from .base import spread_input
+
     tok = (
-        t(spark, sf, "documents")
+        spread_input(t(spark, sf, "documents"))
         .select(F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
         .select(F.explode("ws").alias("w"))
     )
@@ -1364,7 +1368,9 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
 def q278(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = t(spark, sf, "documents")
+    from .base import spread_input
+
+    docs = spread_input(t(spark, sf, "documents"))
     n = docs.agg((F.max("doc_id") + 1).cast("long").alias("n_docs"))
     tok = docs.select(
         "doc_id",

@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import query, t
+from .base import query, spread_input, t
 from .curation import _duck_grams
 from .llm import duck_h31, spark_h31
 
@@ -336,7 +336,9 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
 def q225(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.rank import global_positions
 
-    d = t(spark, sf, "documents").select(
+    from .base import spread_input
+
+    d = spread_input(t(spark, sf, "documents")).select(
         "doc_id", "source", "n_chars", F.split("text", " ").alias("w")
     )
     inst = (
@@ -352,6 +354,11 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    # NOTE: pre-folding duplicate bigrams per doc (groupBy(doc, w1, w2)
+    # before the model joins) was measured SLOWER at 5M docs (220 s vs
+    # 96 s): per-doc bigrams are mostly distinct, so the extra full
+    # shuffle buys no row reduction. The instance join below is the
+    # cheaper plan; the bigram-model aggregates stay map-side-combined.
     big = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
     head = inst.groupBy("w1").agg(F.count("*").alias("c_head"))
     ds = (
@@ -447,7 +454,7 @@ _NOV_N = 5  # gram width
 )
 def q228(spark: SparkSession, sf: str) -> DataFrame:
     is_eval = F.expr(spark_h31("'nv-' || CAST(doc_id AS STRING)")) % 10 == 7
-    d = t(spark, sf, "documents").select(
+    d = spread_input(t(spark, sf, "documents")).select(
         "doc_id", "source", is_eval.alias("is_eval"), F.split("text", " ").alias("w")
     )
     grams = (

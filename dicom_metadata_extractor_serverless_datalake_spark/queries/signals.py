@@ -331,30 +331,36 @@ _STOPWORDS_SQL = "('the', 'a')"
     category="signals",
 )
 def q150(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-    )
-    wtf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    per_doc = wtf.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_words"),
-        F.sum(F.col("tf") * F.length("w")).alias("sum_len"),
-        F.sum(F.when(F.length("w") == 1, F.col("tf")).otherwise(0)).alias("n_one"),
-        F.max("tf").alias("max_tf"),
-        F.max(F.when(F.col("w").isin("the", "a"), 1).otherwise(0)).alias("has_stop"),
-    )
-    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
-    flags = docs.join(per_doc, "doc_id", "left").select(
+    """Per-doc Gopher gate statistics computed ENTIRELY MAP-SIDE from
+    the word array (size / length fold / filter / exists / the sorted
+    run-length max-multiplicity fold) — the original explode ->
+    groupBy(doc_id, word-TEXT) -> groupBy(doc_id) -> join shape
+    shuffled every token's text twice plus a doc-keyed join; this
+    plan's only exchange is the |sources|-row rollup. Empty-word docs
+    produce all-zero stats, matching the old left-join COALESCE."""
+    from .base import spread_input, sql_max_multiplicity
+
+    docs = spread_input(t(spark, sf, "documents"))
+    wl = "filter(split(text, ' '), x -> x <> '')"
+    per = docs.selectExpr(
         "source",
-        z("n_words").between(10, 1000).alias("pass_wc"),
+        f"CAST(size({wl}) AS BIGINT) AS n_words",
+        f"aggregate({wl}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        " AS sum_len",
+        f"CAST(size(filter({wl}, x -> length(x) = 1)) AS BIGINT) AS n_one",
+        f"{sql_max_multiplicity(wl)} AS max_tf",
+        f"IF(exists({wl}, x -> x IN ('the', 'a')), 1, 0) AS has_stop",
+    )
+    flags = per.select(
+        "source",
+        F.col("n_words").between(10, 1000).alias("pass_wc"),
         (
-            (F.lit(2) * z("n_words") <= z("sum_len"))
-            & (z("sum_len") <= F.lit(8) * z("n_words"))
+            (F.lit(2) * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= F.lit(8) * F.col("n_words"))
         ).alias("pass_mwl"),
-        (F.lit(10) * z("n_one") <= z("n_words")).alias("pass_one"),
-        (z("has_stop") == 1).alias("pass_stop"),
-        (F.lit(5) * z("max_tf") <= z("n_words")).alias("pass_rep"),
+        (F.lit(10) * F.col("n_one") <= F.col("n_words")).alias("pass_one"),
+        (F.col("has_stop") == 1).alias("pass_stop"),
+        (F.lit(5) * F.col("max_tf") <= F.col("n_words")).alias("pass_rep"),
     )
     fail = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1))  # noqa: E731
     return (
