@@ -335,3 +335,54 @@ def test_priority_front_window_holds_the_stalest():
             f"({max(verified_in)}) than the stalest query left outside "
             f"({stalest_out}) — rotate _PRIORITY"
         )
+
+
+def test_q187_winnow_summary_matches_brute_force_on_edge_docs(spark):
+    """Focused pin for the round-11 Arrow rewrite of q187: the
+    mapInArrow pass must reproduce the SQL/oracle arithmetic on the
+    awkward shapes — empty text, runs of delimiters (split(' ') keeps
+    them as empty tokens that the filter drops), docs below the gram
+    width, docs with grams but fewer than one full window, and
+    repeated grams whose identical hashes at different positions must
+    each count once in the checksum (distinct is over the k-ENCODING,
+    not the hash value)."""
+    import hashlib
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.quality import (
+        winnow_summary,
+    )
+
+    docs = [
+        (1, ""),
+        (2, "   "),
+        (3, "a b c"),          # 3 tokens < k: no grams
+        (4, "a b c d"),        # exactly one gram, below window width
+        (5, "a b c d e f"),    # 3 grams < w
+        (6, "a b c d e f g"),  # 4 grams == w: one window
+        (7, "x y  z w x y z w x y z w x y z w"),  # repeated grams, double space
+        (8, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in winnow_summary(df).collect()}
+
+    P, POS_M, K, W = 2147483647, 1 << 20, 4, 4
+    for doc_id, text in docs:
+        ws = [t for t in text.split(" ") if t]
+        grams = [" ".join(ws[i : i + K]) for i in range(len(ws) - K + 1)]
+        hs = [
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big") % P
+            for g in grams
+        ]
+        ks = [h * POS_M + (POS_M - 1 - (j + 1)) for j, h in enumerate(hs)]
+        sel = set()
+        for j in range(W - 1, len(ks)):
+            sel.add(min(ks[j - W + 1 : j + 1]))
+        row = got[doc_id]
+        assert row["n_kgrams"] == len(hs)
+        assert row["n_selected"] == len(sel)
+        assert row["fp_checksum"] == sum(k // POS_M for k in sel)
+        if sel:
+            assert row["fp_min"] == min(k // POS_M for k in sel)
+            assert row["fp_max"] == max(k // POS_M for k in sel)
+        else:
+            assert row["fp_min"] is None and row["fp_max"] is None
