@@ -159,19 +159,70 @@ def bpe_encode(
     # compressed parquet file -> 1-3 splits) would serialize it on a
     # handful of cores (measured 94.5 s -> 7.4 s at 500k docs)
     docs = spread_input(docs)
-    words = f"filter(split({text_col}, ' '), x -> x rlike '^[A-Za-z]+$')"
-    stream = f"array_join(transform({words}, w -> {_cascade_sql('w', merges)}), '')"
-    syms = (
-        "filter(split(substring(_sym, 2, greatest(length(_sym) - 2, 0)), '><'),"
-        " s -> s <> '')"
-    )
-    return docs.select(F.col(id_col), F.expr(stream).alias("_sym")).select(
-        F.col(id_col),
-        # every symbol contributes exactly one '<' to the stream
-        F.expr("CAST(length(_sym) - length(replace(_sym, '<', '')) AS BIGINT)").alias(
-            "n_tokens"
-        ),
-        F.expr(
-            f"aggregate({syms}, CAST(0 AS BIGINT), (acc, s) -> acc + ({_H31}))"
-        ).alias("token_checksum"),
+
+    # One Arrow map pass instead of the previous SQL form. The old
+    # per-token checksum fold (aggregate(syms, ..., acc + md5-h31(s)))
+    # ran on Spark's INTERPRETED higher-order-function path (HOFs are
+    # CodegenFallback), paying an interpreted md5+conv per token; here
+    # the identical arithmetic runs against hashlib's C md5
+    # (optimization guide §4.2), and — what no engine expression can do
+    # — each distinct WORD is encoded and hashed once per task via a
+    # memo table (§4.5 once-per-task state), so a Zipf-distributed
+    # corpus pays the cascade+md5 only per distinct word, not per
+    # occurrence. Still map-side, no shuffle, |docs| rows out.
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def encode_batches(it):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        p = 2147483647
+        # NB: fullmatch == the oracle's RE2 '^[A-Za-z]+$' (strict end of
+        # text); Java's rlike '$' would also accept a trailing newline,
+        # but no such token can clear the alpha class anyway.
+        word_ok = re.compile(r"[A-Za-z]+").fullmatch
+        memo: dict[str, tuple[int, int]] = {}
+
+        def enc(w: str) -> tuple[int, int]:
+            r = memo.get(w)
+            if r is None:
+                e = "".join(f"<{c}>" for c in w)
+                for a, b in merges:
+                    e = e.replace(f"<{a}><{b}>", f"<{a}{b}>")
+                syms = e[1:-1].split("><")
+                r = (
+                    len(syms),
+                    sum(
+                        int.from_bytes(md5(s.encode()).digest()[:4], "big") % p
+                        for s in syms
+                    ),
+                )
+                if len(memo) > 2_000_000:  # Zipf tail bound, keeps RSS flat
+                    memo.clear()
+                memo[w] = r
+            return r
+
+        for batch in it:
+            ids = batch.column(id_col)
+            nt, ck = [], []
+            for text in batch.column(text_col).to_pylist():
+                n = c = 0
+                for w in (text or "").split(" "):
+                    if word_ok(w):
+                        dn, dc = enc(w)
+                        n += dn
+                        c += dc
+                nt.append(n)
+                ck.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(nt, pa.int64()), pa.array(ck, pa.int64())],
+                [id_col, "n_tokens", "token_checksum"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        encode_batches,
+        f"{id_col} {id_type}, n_tokens bigint, token_checksum bigint",
     )
