@@ -440,15 +440,49 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     # as q112's multimodal variant does; the 31-bit form is pinned
     # here because the oracle replays it bit-for-bit.
     docs = spread_input(t(spark, sf, "documents"))
-    sig = docs.select(
-        "doc_id", F.expr(f"transform(split(text, ' '), w -> {spark_h31('w')})").alias("hws")
-    ).select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 30), CAST(0 AS BIGINT), (acc, b) -> acc"
-            " + IF(2 * size(filter(hws, h -> ((h >> b) & 1) = 1)) > size(hws),"
-            " shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
-        ).alias("simhash"),
+
+    # Round-11: the per-word h31 transform and the 31 bit-vote folds
+    # both ran on the interpreted HOF path (CodegenFallback) — one
+    # interpreted md5+conv per word plus 31 interpreted passes over
+    # each doc's hash array. One Arrow map pass does the identical
+    # arithmetic with hashlib's C md5 (memoized per distinct token per
+    # task — guide §4.2/§4.5) and a vectorized numpy bit-count for the
+    # 31 majority votes. Same zero-shuffle shape: the plan's first
+    # exchange is still the band join.
+    def sig_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        p = MERSENNE_P
+        memo: dict[str, int] = {}
+        shifts = np.arange(31, dtype=np.int64)
+
+        def h31(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = int.from_bytes(md5(w.encode()).digest()[:4], "big") % p
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                memo[w] = v
+            return v
+
+        for batch in it:
+            ids = batch.column("doc_id")
+            sigs = []
+            for text in batch.column("text").to_pylist():
+                toks = (text or "").split(" ")
+                hs = np.fromiter((h31(w) for w in toks), np.int64, len(toks))
+                cnts = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+                sigs.append(int(((2 * cnts > len(toks)).astype(np.int64) << shifts).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sigs, pa.int64())], ["doc_id", "simhash"]
+            )
+
+    sig = docs.select("doc_id", "text").mapInArrow(
+        sig_batches, "doc_id long, simhash long"
     )
     # band the signature: 4 bands of 8 bits; Hamming <= 3 differing bits
     # across 4 bands leaves >= 1 band untouched (pigeonhole), so an exact
