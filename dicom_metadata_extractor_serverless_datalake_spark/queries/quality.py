@@ -2416,16 +2416,55 @@ def _q298_oracle() -> str:
 def q298(spark: SparkSession, sf: str) -> DataFrame:
     from .base import spread_input
 
-    words = "filter(split(text, ' '), x -> x <> '')"
-    # two regexp_counts per word are pure map CPU: re-spread a
-    # scan-starved compressed input first (queries/base.spread_input)
-    perdoc = spread_input(t(spark, sf, "documents")).selectExpr(
-        "lang",
-        f"CAST(size({words}) AS BIGINT) AS w",
-        "CAST(greatest(1, regexp_count(text, '[.!?]+')) AS BIGINT) AS s",
-        f"aggregate({words}, CAST(0 AS BIGINT), (acc, x) -> acc"
-        " + greatest(CAST(1 AS BIGINT),"
-        " CAST(regexp_count(x, '[aeiouyAEIOUY]+') AS BIGINT))) AS syl",
+    # Round-11: the per-word syllable fold (aggregate + regexp_count)
+    # ran on the interpreted HOF path — one interpreted regex per word.
+    # One Arrow map pass computes the identical INTEGER per-doc stats
+    # (w, s, syl) with C regexes and a per-task word->syllables memo
+    # (guide §4.2/§4.5); the Flesch/FK DOUBLE trees below stay in Spark
+    # unchanged, so the floored micros are bit-identical by
+    # construction. Re-spread first: the stats are scan-stage CPU
+    # (queries/base.spread_input).
+    def stat_batches(it):
+        import re
+
+        import pyarrow as pa
+
+        sent_runs = re.compile(r"[.!?]+").findall
+        vowel_runs = re.compile(r"[aeiouyAEIOUY]+").findall
+        memo: dict[str, int] = {}
+
+        def syl(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = max(1, len(vowel_runs(w)))
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                memo[w] = v
+            return v
+
+        for batch in it:
+            langs = batch.column("lang")
+            ws, ss, syls = [], [], []
+            for text in batch.column("text").to_pylist():
+                text = text or ""
+                words = [x for x in text.split(" ") if x]
+                ws.append(len(words))
+                ss.append(max(1, len(sent_runs(text))))
+                syls.append(sum(syl(x) for x in words))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    langs,
+                    pa.array(ws, pa.int64()),
+                    pa.array(ss, pa.int64()),
+                    pa.array(syls, pa.int64()),
+                ],
+                ["lang", "w", "s", "syl"],
+            )
+
+    perdoc = (
+        spread_input(t(spark, sf, "documents"))
+        .select("lang", "text")
+        .mapInArrow(stat_batches, "lang string, w long, s long, syl long")
     )
     scored = perdoc.filter("w > 0").selectExpr(
         "lang",
