@@ -196,29 +196,48 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     from .base import spread_input
 
     docs = spread_input(t(spark, sf, "documents"))
-    g3 = (
-        "transform(sequence(1, size(w) - 2), "
-        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
-        "element_at(w, i + 2)))"
-    )
-    # max multiplicity of any 2-gram = longest equal-run in the sorted
-    # gram array, one map-side fold (queries/base.sql_max_multiplicity)
-    from .base import sql_max_multiplicity
 
-    maxrun2 = sql_max_multiplicity(
-        "transform(sequence(1, size(w) - 1), "
-        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
-    )
-    per = (
-        docs.select("source", F.split(F.col("text"), " ").alias("w"))
-        .filter(F.size("w") >= 3)
-        .selectExpr(
-            "source",
-            f"{maxrun2} AS top2",
-            "CAST(size(w) - 1 AS BIGINT) AS total2",
-            "CAST(size(w) - 2 AS BIGINT) AS total3",
-            f"CAST(size(array_distinct({g3})) AS BIGINT) AS distinct3",
-        )
+    # Round-11 second pass: the sorted-run fold + array_distinct still
+    # ran on the interpreted HOF path (~49 s @5M docs). The identical
+    # per-doc integers come out of one Arrow map pass — a C-backed
+    # Counter over 2-gram tuples (max multiplicity) and a set of
+    # 3-gram tuples (distinct count). Tokens cannot contain the split
+    # delimiter, so tuple equality == joined-gram-string equality.
+    # Docs with fewer than 3 tokens are dropped inside the pass (the
+    # old `size(w) >= 3` filter); the rollup below is unchanged.
+    def gram_batches(it):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for batch in it:
+            srcs, top2, tot2, tot3, dis3 = [], [], [], [], []
+            texts = batch.column("text").to_pylist()
+            for src, text in zip(batch.column("source").to_pylist(), texts):
+                w = (text or "").split(" ")
+                n = len(w)
+                if n < 3:
+                    continue
+                c2 = Counter(zip(w, w[1:]))
+                srcs.append(src)
+                top2.append(max(c2.values()))
+                tot2.append(n - 1)
+                tot3.append(n - 2)
+                dis3.append(len(set(zip(w, w[1:], w[2:]))))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(srcs, pa.string()),
+                    pa.array(top2, pa.int64()),
+                    pa.array(tot2, pa.int64()),
+                    pa.array(tot3, pa.int64()),
+                    pa.array(dis3, pa.int64()),
+                ],
+                ["source", "top2", "total2", "total3", "distinct3"],
+            )
+
+    per = docs.select("source", "text").mapInArrow(
+        gram_batches,
+        "source string, top2 long, total2 long, total3 long, distinct3 long",
     )
     return (
         per.groupBy("source")
