@@ -2093,14 +2093,87 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
 # order. Complements TF-IDF q95 (single terms, document-frequency
 # weighting) with multi-word phrases and degree weighting.
 #
-# 100 TB shape: one doc-keyed window exchange (the islands numbering),
-# one (doc, phrase-id) aggregate, one vocabulary-sized word-stat
-# aggregate joined back on the word key; top-k via
-# TakeOrderedAndProject. Reference delegates analytics to Athena
-# (src/app.py:97-189).
+# 100 TB shape: phrase extraction is pure per-doc string work, done in
+# ONE Arrow map pass below the (reused) spread exchange — no hashing,
+# no window, no doc-keyed exchange. Member words are recovered by
+# splitting the emitted phrase (exact: phrases are the words joined by
+# the same single-space delimiter they were split on), so the word-stat
+# aggregate and the score join run over the pass's output. Remaining
+# exchanges: one vocabulary-keyed word-stat aggregate (map-side
+# combined) joined back on the word key, one (doc, phrase-id) partial
+# aggregate, one phrase rollup; top-k via TakeOrderedAndProject.
+# Reference delegates analytics to Athena (src/app.py:97-189).
 # --------------------------------------------------------------------------
 
 _RAKE_STOP = ("a", "the", "of", "and", "to", "in", "is")
+
+
+def rake_phrases(docs: DataFrame) -> DataFrame:
+    """(doc_id, grp, phrase, plen) candidate RAKE phrases — maximal
+    runs of consecutive non-stopwords — via one Arrow map pass.
+
+    The original form posexploded every word, numbered the islands
+    with a doc-keyed window (gaps-and-islands grp = pos - row_number),
+    rebuilt phrases with collect_list + sort_array + transform (all
+    CodegenFallback HOFs), and joined members back on (doc, grp):
+    three word-level text shuffles before the first global aggregate.
+    The run segmentation is per-doc local, so it runs here as plain
+    CPython over Arrow batches (optimization guide §4.2) and the word
+    rows never cross an exchange. grp keeps the same pos - row_number
+    arithmetic so the frame is drop-in identical to the SQL form.
+
+    Semantics mirrored exactly: split on the literal single space
+    (consecutive delimiters yield empty-string words, which are NOT
+    stopwords and become phrase members, exactly like split(text, ' ')
+    in Spark and string_split in DuckDB); a NULL text explodes to no
+    rows, so the doc contributes no phrases."""
+
+    def batches(it):
+        import pyarrow as pa
+
+        stop = set(_RAKE_STOP)
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            o_id, o_grp, o_phrase, o_plen = [], [], [], []
+            for did, text in zip(ids, batch.column("text").to_pylist()):
+                if text is None:
+                    continue
+                rn = 0
+                run: list = []
+                run_grp = 0
+                prev_pos = -2
+                for pos, wd in enumerate(text.split(" "), 1):
+                    if wd in stop:
+                        continue
+                    rn += 1
+                    if pos != prev_pos + 1:
+                        if run:
+                            o_id.append(did)
+                            o_grp.append(run_grp)
+                            o_phrase.append(" ".join(run))
+                            o_plen.append(len(run))
+                        run = []
+                        run_grp = pos - rn
+                    run.append(wd)
+                    prev_pos = pos
+                if run:
+                    o_id.append(did)
+                    o_grp.append(run_grp)
+                    o_phrase.append(" ".join(run))
+                    o_plen.append(len(run))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, pa.int64()),
+                    pa.array(o_grp, pa.int64()),
+                    pa.array(o_phrase, pa.string()),
+                    pa.array(o_plen, pa.int64()),
+                ],
+                ["doc_id", "grp", "phrase", "plen"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        batches, "doc_id long, grp long, phrase string, plen long"
+    )
 
 
 def _q265_oracle() -> str:
@@ -2153,28 +2226,23 @@ def _q265_oracle() -> str:
     doc="RAKE keyphrases: stopword-boundary phrases, deg/freq word scores in micros, top-20 total order",
 )
 def q265(spark: SparkSession, sf: str) -> DataFrame:
-    # NOTE: spread_input measured SLOWER here (163.6 -> 199.4 s at 5M):
-    # RAKE's heavy phase runs AFTER the doc-keyed window shuffle, which
-    # already spreads the work, so the extra repartition moves the text
-    # for nothing. Deliberately NOT re-spread.
-    words = (
-        t(spark, sf, "documents")
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    )
-    ns = words.filter(~F.col("word").isin(*_RAKE_STOP)).withColumn(
+    from .base import spread_input
+
+    # Phrase extraction is one Arrow map pass (rake_phrases above); the
+    # spread exchange below it is the shared subtree both consumers of
+    # phr reuse (ReuseExchange), so the scan+spread pays once and the
+    # cheap no-hash pass may run per consumer. spread_input previously
+    # measured SLOWER on the windowed form (163.6 -> 199.4 s at 5M —
+    # the heavy phase ran after the window shuffle); with the heavy
+    # phase now INSIDE the scan stage the spread is what feeds it 32
+    # slots on the single-row-group corpus file.
+    phr = rake_phrases(spread_input(t(spark, sf, "documents")))
+    memb = phr.select(
+        "doc_id",
         "grp",
-        F.col("pos")
-        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        "plen",
+        F.explode(F.split("phrase", " ")).alias("word"),
     )
-    phr = ns.groupBy("doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
-            F.expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"),
-        ).alias("phrase"),
-        F.count("*").alias("plen"),
-    )
-    memb = ns.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
     wstat = memb.groupBy("word").agg(
         F.count("*").alias("freq"), F.sum("plen").alias("deg")
     )

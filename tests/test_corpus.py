@@ -386,3 +386,55 @@ def test_q187_winnow_summary_matches_brute_force_on_edge_docs(spark):
             assert row["fp_max"] == max(k // POS_M for k in sel)
         else:
             assert row["fp_min"] is None and row["fp_max"] is None
+
+
+def test_rake_phrases_matches_window_form_on_edge_docs(spark):
+    """Focused pin for the round-11 Arrow rewrite of q265: the
+    mapInArrow phrase pass must be drop-in identical to the original
+    posexplode + row_number window + collect_list construction on the
+    awkward shapes — empty text (one empty-string word, which is NOT a
+    stopword), delimiter runs (empty-string phrase members that must
+    survive the phrase -> split round trip), all-stopword docs (no
+    phrases), leading/trailing spaces, and single-word docs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dicom_metadata_extractor_serverless_datalake_spark.queries.mining import (
+        _RAKE_STOP,
+        rake_phrases,
+    )
+
+    docs = [
+        (1, ""),
+        (2, "   "),
+        (3, "the a of"),
+        (4, "word"),
+        (5, "the quick brown fox and the lazy dog"),
+        (6, "x  y the z"),
+        (7, " leading and trailing "),
+        (8, "a b a b a"),
+        (9, "alpha beta the alpha beta of gamma"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    words = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    ns = words.filter(~F.col("word").isin(*_RAKE_STOP)).withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    old = ns.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+
+    want = {(r["doc_id"], r["grp"], r["phrase"], r["plen"]) for r in old.collect()}
+    got = {
+        (r["doc_id"], r["grp"], r["phrase"], r["plen"])
+        for r in rake_phrases(df).collect()
+    }
+    assert got == want
