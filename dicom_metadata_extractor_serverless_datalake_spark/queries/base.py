@@ -114,6 +114,18 @@ def spread_input(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
+    # NOTE: partition count is the trigger, but the count can LIE about
+    # effective parallelism: a single-file snappy parquet with one giant
+    # row group presents byte-range splits (29 at 5M docs) of which only
+    # the split containing the row-group start yields ANY rows — the
+    # other 28 tasks read zero and one task does all the work. A
+    # "starvation factor" variant (fire only when partitions*2 <= par)
+    # was tried and REVERTED: it left the 5M-doc corpus on 1 effective
+    # task (q187's Arrow pass sat at 800+ s single-worker vs 65 s
+    # spread). The spread's round-robin exchange costs ~7 s of text
+    # shuffle at 5M docs, but it is what converts 1 effective slot into
+    # 32. Real multi-file layouts present >= par partitions AND many row
+    # groups, so this stays a no-op there.
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
