@@ -133,16 +133,43 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
     def batches(it):
         import hashlib
 
+        import numpy as np
         import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
 
         md5 = hashlib.md5
         p, pos_m, k, w = MERSENNE_P, _POS_M, _WIN_K, _WIN_W
+        # Per-TASK gram-digest memo (guide §4.5, the q53 token-memo
+        # pattern): the Zipf corpus repeats 4-grams heavily (measured
+        # 1.9% distinct at 5M docs), so the md5 chain runs once per
+        # distinct gram and a dict hit replaces it everywhere else.
+        # Bounded so adversarial high-entropy corpora cannot grow it
+        # without limit.
+        memo: dict = {}
+
+        def gh(b: bytes) -> int:
+            v = memo.get(b)
+            if v is None:
+                v = int.from_bytes(md5(b).digest()[:4], "big") % p
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                memo[b] = v
+            return v
+
         for batch in it:
             ids = batch.column("doc_id")
             nk, ns, ck, mn, mx = [], [], [], [], []
             for text in batch.column("text").to_pylist():
-                ws = [t_ for t_ in (text or "").split(" ") if t_]
-                m = len(ws) - (k - 1)
+                # Encode each word ONCE and hash byte-SLICES of the
+                # single-space-joined blob: gram i's md5 input is
+                # blob[start_i : end_{i+k-1}], byte-identical to
+                # " ".join(ws[i:i+k]).encode() but without the per-gram
+                # join + encode allocations. Everything after the md5
+                # loop (k-encoding, sliding-window minima, distinct,
+                # checksum/min/max) is vectorized numpy.
+                wbs = [t_.encode() for t_ in (text or "").split(" ") if t_]
+                nw = len(wbs)
+                m = nw - (k - 1)
                 if m <= 0:
                     nk.append(0)
                     ns.append(0)
@@ -150,13 +177,16 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
                     mn.append(None)
                     mx.append(None)
                     continue
-                hs = [
-                    int.from_bytes(
-                        md5(" ".join(ws[i : i + k]).encode()).digest()[:4], "big"
-                    )
-                    % p
-                    for i in range(m)
-                ]
+                blob = b" ".join(wbs)
+                lens = np.fromiter((len(b) for b in wbs), np.int64, nw)
+                starts = np.zeros(nw, np.int64)
+                np.cumsum(lens[:-1] + 1, out=starts[1:])
+                ends = (starts + lens)[k - 1 :].tolist()
+                hs = np.fromiter(
+                    (gh(blob[s:e]) for s, e in zip(starts[:m].tolist(), ends)),
+                    np.int64,
+                    m,
+                )
                 nk.append(m)
                 if m < w:
                     ns.append(0)
@@ -164,16 +194,17 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
                     mn.append(None)
                     mx.append(None)
                     continue
-                ks = [hs[j] * pos_m + (pos_m - 2 - j) for j in range(m)]
+                ks = hs * pos_m + (pos_m - 2 - np.arange(m, dtype=np.int64))
                 # sel is distinct over the k-ENCODING (hash, position):
                 # the checksum must count a hash value once per distinct
                 # selected k, exactly like aggregate(sk, ...) over
                 # array_distinct in the SQL form.
-                sel = {min(ks[j - w + 1 : j + 1]) for j in range(w - 1, m)}
+                sel = np.unique(sliding_window_view(ks, w).min(axis=1))
+                hv = sel // pos_m
                 ns.append(len(sel))
-                ck.append(sum(kv // pos_m for kv in sel))
-                mn.append(min(kv // pos_m for kv in sel))
-                mx.append(max(kv // pos_m for kv in sel))
+                ck.append(int(hv.sum()))
+                mn.append(int(hv[0]))
+                mx.append(int(hv[-1]))
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,
@@ -202,6 +233,11 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
 def q187(spark: SparkSession, sf: str) -> DataFrame:
     from .base import spread_input
 
+    # NOTE (measured, not kept): inserting a repartition("doc_id")
+    # between the pass and the sort — on the theory that the range
+    # sampler re-executes the Python pass — measured SLOWER (68.9 s vs
+    # 53.2 s @5M): the extra 5M-row exchange costs more than whatever
+    # the sampler replays. Plain orderBy is the right form.
     return winnow_summary(spread_input(t(spark, sf, "documents"))).orderBy("doc_id")
 
 
