@@ -158,7 +158,7 @@ def bpe_encode(
     # the cascade is pure CPU per row: a scan-starved input (one
     # compressed parquet file -> 1-3 splits) would serialize it on a
     # handful of cores (measured 94.5 s -> 7.4 s at 500k docs)
-    docs = spread_input(docs)
+    docs = spread_input(docs, key=id_col)
 
     # One Arrow map pass instead of the previous SQL form. The old
     # per-token checksum fold (aggregate(syms, ..., acc + md5-h31(s)))

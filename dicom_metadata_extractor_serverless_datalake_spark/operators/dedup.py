@@ -59,9 +59,17 @@ def shingle_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     and streaming frames)."""
     from ..queries.base import spread_input
 
-    return spread_input(docs).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
-    ).select(id_col, F.explode(F.expr(_SHINGLES)).alias("s"))
+    # codegen posexplode + indexed concat_ws; the lambda _SHINGLES form
+    # (kept above for the streaming array-valued consumer) is
+    # CodegenFallback when exploded here. Identical (id, s) multiset:
+    # docs with size(w) < 3 yield no position i < size(w) - 2.
+    return (
+        spread_input(docs, key=id_col)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
+        .select(id_col, "w", F.posexplode("w").alias("i", "_w0"))
+        .filter(F.col("i") < F.size("w") - 2)
+        .select(id_col, F.expr("concat_ws(' ', w[i], w[i + 1], w[i + 2])").alias("s"))
+    )
 
 
 def minhash_signatures(

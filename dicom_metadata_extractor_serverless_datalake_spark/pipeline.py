@@ -916,7 +916,7 @@ class TextCorpus:
         from .queries.base import spread_input
 
         return (
-            spread_input(self.df).select(
+            spread_input(self.df, key=self.id_col).select(
                 self.id_col,
                 F.expr(f"filter(split({self.text_col}, ' '), x -> x <> '')").alias("ws"),
             )

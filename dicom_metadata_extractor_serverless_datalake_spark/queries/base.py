@@ -96,7 +96,7 @@ def sql_max_multiplicity(arr: str) -> str:
     )
 
 
-def spread_input(df: DataFrame) -> DataFrame:
+def spread_input(df: DataFrame, key: str | None = None) -> DataFrame:
     """Re-spread a batch frame whose SCAN yields fewer partitions than
     the cluster has slots, before CPU-heavy map-side work (hash-per-
     replicate bootstrap weights, the BPE merge cascade, per-token
@@ -104,13 +104,28 @@ def spread_input(df: DataFrame) -> DataFrame:
     highly-compressed corpus (text compresses 10-50x) can land on 1-3
     tasks while every other core idles — AQE cannot fix this because
     the bottleneck is the scan stage's own parallelism, not a
-    downstream exchange. The round-robin shuffle moves the compressed
-    row payload once and only fires when the scan is actually starved
-    (input partitions < defaultParallelism), so on a real multi-file 100 TB
+    downstream exchange. The shuffle moves the compressed row payload
+    once and only fires when the scan is actually starved (input
+    partitions < defaultParallelism), so on a real multi-file 100 TB
     layout it is a no-op. Streaming frames pass through untouched
     (micro-batch sources size their own splits; .rdd is illegal on
     them). Measured: q291's 500k-doc encode 94.5 s -> 7.4 s on
-    local[32] over a single 12 MB parquet file."""
+    local[32] over a single 12 MB parquet file.
+
+    ``key``: a high-cardinality column to HASH-partition by instead of
+    the keyless round-robin. Every keyless ``repartition(n)`` first
+    LOCALLY SORTS its input so retried tasks reproduce the same
+    row-to-partition assignment (sortBeforeRepartition, guide §2.5) —
+    on a scan-starved input that sort runs in the ONE task that has
+    all the rows, and its buffers dominate the heap: q225's
+    score-frame pass at 5M docs measured 388 s fresh-heap / 1023 s
+    aged-heap round-robin vs 146 s / 180 s hash-keyed. Hashing a
+    deterministic key is also strictly safer under retries (same row
+    -> same partition, no sort needed) and gives every consumer the
+    identical exchange child, restoring ReuseExchange where column
+    pruning would otherwise specialize (and duplicate) the spread per
+    consumer. Callers pass their row id (or the text column when no id
+    exists); 5M distinct values over 32 partitions balance to <1%."""
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -122,11 +137,13 @@ def spread_input(df: DataFrame) -> DataFrame:
     # "starvation factor" variant (fire only when partitions*2 <= par)
     # was tried and REVERTED: it left the 5M-doc corpus on 1 effective
     # task (q187's Arrow pass sat at 800+ s single-worker vs 65 s
-    # spread). The spread's round-robin exchange costs ~7 s of text
-    # shuffle at 5M docs, but it is what converts 1 effective slot into
-    # 32. Real multi-file layouts present >= par partitions AND many row
-    # groups, so this stays a no-op there.
+    # spread). The spread exchange costs seconds of text shuffle at 5M
+    # docs, but it is what converts 1 effective slot into 32. Real
+    # multi-file layouts present >= par partitions AND many row groups,
+    # so this stays a no-op there.
     if df.rdd.getNumPartitions() < par:
+        if key is not None:
+            return df.repartition(par, F.col(key))
         return df.repartition(par)
     return df
 

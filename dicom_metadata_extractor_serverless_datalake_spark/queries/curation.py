@@ -96,7 +96,7 @@ def _duck_grams(n: int) -> str:
 )
 def q144(spark: SparkSession, sf: str) -> DataFrame:
     """Train/eval 5-gram overlap decontamination (exact)."""
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
     tok = docs.select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("w")
     )
@@ -195,7 +195,7 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     explode/groupBy shape, so the driver row proves plan-independence."""
     from .base import spread_input
 
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
 
     # Round-11 second pass: the sorted-run fold + array_distinct still
     # ran on the interpreted HOF path (~49 s @5M docs). The identical

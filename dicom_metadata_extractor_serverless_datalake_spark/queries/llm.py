@@ -218,8 +218,13 @@ def _minhash_band_pairs(
     # no distinct on (doc_id, shingle): MIN() is insensitive to duplicates,
     # and skipping it keeps the shingle strings map-local — the only
     # shuffle is the 16-column partial-aggregated signature per doc.
-    tok = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
+    # codegen posexplode + indexed concat_ws (the exploded lambda
+    # _SPARK_SHINGLES form is CodegenFallback; identical multiset)
+    tok = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", "w", F.posexplode("w").alias("i", "_w0"))
+        .filter(F.col("i") < F.size("w") - 2)
+        .select("doc_id", F.expr("concat_ws(' ', w[i], w[i + 1], w[i + 2])").alias("s"))
     )
     h = tok.select("doc_id", F.expr(spark_h31("s")).alias("hs"))
     mh = h.groupBy("doc_id").agg(
@@ -439,7 +444,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     # deployment widens the signature (64-bit, 16-bit bands) exactly
     # as q112's multimodal variant does; the 31-bit form is pinned
     # here because the oracle replays it bit-for-bit.
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
 
     # Round-11: the per-word h31 transform and the 31 bit-vote folds
     # both ran on the interpreted HOF path (CodegenFallback) — one
@@ -980,7 +985,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 
     # five stopword-list scans per doc are pure map CPU: re-spread a
     # scan-starved compressed input first (queries/base.spread_input)
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
     scored = docs.select(
         "doc_id",
         "lang",
@@ -1403,14 +1408,13 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q125(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").select(F.split("text", " ").alias("w"))
+    # codegen posexplode + w[i+1] instead of the CodegenFallback
+    # explode(transform(sequence -> struct)) — identical multiset
+    # (docs with size(w) < 2 yield no position i < size(w) - 1)
     bg = (
-        d.filter(F.size("w") >= 2)
-        .select(
-            F.explode(
-                F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
+        d.select("w", F.posexplode("w").alias("i", "w1"))
+        .filter(F.col("i") < F.size("w") - 1)
+        .select("w1", F.expr("w[i + 1]").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
     uni = (
@@ -1570,11 +1574,15 @@ _CONT_MIN_TOK = 10
     category="dedup",
 )
 def q128(spark: SparkSession, sf: str) -> DataFrame:
+    # codegen posexplode + indexed concat_ws; the previous
+    # explode_outer(lambda) + isNotNull dance only existed to drop
+    # short docs' empty arrays — the position filter does the same
     tk = (
         t(spark, sf, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", F.explode_outer(F.expr(_SPARK_SHINGLES)).alias("tok"))
-        .filter(F.col("tok").isNotNull())
+        .select("doc_id", "w", F.posexplode("w").alias("i", "_w0"))
+        .filter(F.col("i") < F.size("w") - 2)
+        .select("doc_id", F.expr("concat_ws(' ', w[i], w[i + 1], w[i + 2])").alias("tok"))
         .distinct()
         .persist()
     )
@@ -1960,20 +1968,18 @@ def _q263_oracle() -> str:
 def q263(spark: SparkSession, sf: str) -> DataFrame:
     from .base import spread_input
 
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
+    # codegen posexplode + indexed concat_ws (the lambda transform ->
+    # concat_ws(slice) form is CodegenFallback; same span multiset —
+    # docs shorter than _SPAN_K yield no position i < size(w) - 19)
+    span_expr = "concat_ws(' ', " + ", ".join(
+        f"w[i + {k}]" for k in range(_SPAN_K)
+    ) + ")"
     spans = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= _SPAN_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {_SPAN_K - 1}), "
-                    f"i -> concat_ws(' ', slice(w, i, {_SPAN_K})))"
-                )
-            ).alias("span"),
-        )
-        .select("doc_id", F.expr(spark_h31("span")).alias("hs"))
+        .select("doc_id", "w", F.posexplode("w").alias("i", "_w0"))
+        .filter(F.col("i") < F.size("w") - (_SPAN_K - 1))
+        .select("doc_id", F.expr(spark_h31(span_expr)).alias("hs"))
     )
     freq = spans.groupBy("hs").agg(F.count("*").alias("n"))
     return (

@@ -692,7 +692,7 @@ _BLOOM_K = 4
 def q139(spark: SparkSession, sf: str) -> DataFrame:
     from .base import spread_input
 
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
     dig = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("dg"))
     eval_set = dig.filter(F.col("doc_id") % 7 == 0).select("dg").distinct()
 
@@ -2236,7 +2236,7 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
     # the heavy phase ran after the window shuffle); with the heavy
     # phase now INSIDE the scan stage the spread is what feeds it 32
     # slots on the single-row-group corpus file.
-    phr = rake_phrases(spread_input(t(spark, sf, "documents")))
+    phr = rake_phrases(spread_input(t(spark, sf, "documents"), key="doc_id"))
     memb = phr.select(
         "doc_id",
         "grp",
@@ -2638,7 +2638,7 @@ def ams_token_frame(spark: SparkSession, sf: str) -> DataFrame:
     (queries/base.spread_input)."""
     from .base import spread_input
 
-    return spread_input(t(spark, sf, "documents")).select(
+    return spread_input(t(spark, sf, "documents"), key="doc_id").select(
         F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
     )
 

@@ -238,7 +238,7 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     # sampler re-executes the Python pass — measured SLOWER (68.9 s vs
     # 53.2 s @5M): the extra 5M-row exchange costs more than whatever
     # the sampler replays. Plain orderBy is the right form.
-    return winnow_summary(spread_input(t(spark, sf, "documents"))).orderBy("doc_id")
+    return winnow_summary(spread_input(t(spark, sf, "documents"), key="doc_id")).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1283,7 +1283,7 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
     from .base import spread_input
 
     tok = (
-        spread_input(t(spark, sf, "documents"))
+        spread_input(t(spark, sf, "documents"), key="doc_id")
         .select(F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"))
         .select(F.explode("ws").alias("w"))
     )
@@ -1453,7 +1453,7 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
 
     from .base import spread_input
 
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
     n = docs.agg((F.max("doc_id") + 1).cast("long").alias("n_docs"))
     tok = docs.select(
         "doc_id",
@@ -1577,7 +1577,7 @@ def bootstrap_rep_frame(
     # 65 digests per doc are pure map-side CPU; a scan-starved batch
     # input would run them on 1-3 cores (no-op for q290's streaming
     # frame and for any already-spread scan)
-    docs = spread_input(docs)
+    docs = spread_input(docs, key=id_col)
     return (
         docs.select(
             F.col(id_col),
@@ -2346,7 +2346,7 @@ def chao1_frame(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     expensive half, so a scan-starved input is re-spread first."""
     from .base import spread_input
 
-    df = spread_input(df)
+    df = spread_input(df, key=text_col)
     tok = df.select(
         group_col,
         F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(
@@ -2498,7 +2498,7 @@ def q298(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     perdoc = (
-        spread_input(t(spark, sf, "documents"))
+        spread_input(t(spark, sf, "documents"), key="doc_id")
         .select("lang", "text")
         .mapInArrow(stat_batches, "lang string, w long, s long, syl long")
     )

@@ -338,21 +338,20 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
 
     from .base import spread_input
 
-    d = spread_input(t(spark, sf, "documents")).select(
+    d = spread_input(t(spark, sf, "documents"), key="doc_id").select(
         "doc_id", "source", "n_chars", F.split("text", " ").alias("w")
     )
+    # Bigram instances via codegen posexplode + w[i+1]: the lambda form
+    # (explode of transform(sequence -> struct)) is CodegenFallback, so
+    # every instance paid the interpreted expression path — measured
+    # 133 s vs 54 s for the identical 271M-instance enumeration at 5M
+    # docs (agg-only consumer, fresh JVMs). Emits exactly the same
+    # (doc_id, w1, w2) multiset: docs with size(w) < 2 yield no row
+    # because no position satisfies i < size(w) - 1.
     inst = (
-        d.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1), "
-                    "i -> struct(w[i-1] AS w1, w[i] AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
+        d.select("doc_id", "w", F.posexplode("w").alias("i", "w1"))
+        .filter(F.col("i") < F.size("w") - 1)
+        .select("doc_id", "w1", F.expr("w[i + 1]").alias("w2"))
     )
     # NOTE: pre-folding duplicate bigrams per doc (groupBy(doc, w1, w2)
     # before the model joins) was measured SLOWER at 5M docs (220 s vs
@@ -360,7 +359,11 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
     # shuffle buys no row reduction. The instance join below is the
     # cheaper plan; the bigram-model aggregates stay map-side-combined.
     big = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
-    head = inst.groupBy("w1").agg(F.count("*").alias("c_head"))
+    # The head-word model is the bigram model marginalized over w2
+    # (sum over w2 of count(w1, w2) == count of instances with head
+    # w1, exactly): derived from `big` instead of a second pass over
+    # the instances, which deletes one full scan+explode subtree.
+    head = big.groupBy("w1").agg(F.sum("c_big").alias("c_head"))
     ds = (
         inst.join(big, ["w1", "w2"])
         .join(head, "w1")
@@ -370,6 +373,13 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     scored = ds.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+    # Pin the O(docs)-row score frame before ranking: the range
+    # repartition inside global_positions SAMPLES its input to pick
+    # partition bounds, which would re-execute the whole instance-join
+    # subtree a second time (the sampling pass + the real exchange).
+    # One 5M-narrow-row materialization instead — the same volume
+    # global_positions itself checkpoints right after (guide §5).
+    scored = scored.localCheckpoint(eager=True)
     ranked = global_positions(
         scored,
         [F.col("score_micros").desc(), F.col("doc_id")],
@@ -454,22 +464,22 @@ _NOV_N = 5  # gram width
 )
 def q228(spark: SparkSession, sf: str) -> DataFrame:
     is_eval = F.expr(spark_h31("'nv-' || CAST(doc_id AS STRING)")) % 10 == 7
-    d = spread_input(t(spark, sf, "documents")).select(
+    d = spread_input(t(spark, sf, "documents"), key="doc_id").select(
         "doc_id", "source", is_eval.alias("is_eval"), F.split("text", " ").alias("w")
     )
+    # Gram enumeration via codegen posexplode + indexed concat_ws: the
+    # lambda form (explode of transform(sequence -> concat_ws(slice)))
+    # is CodegenFallback — the q225 rewrite measured the interpreted
+    # enumeration at 2.5x the codegen one on identical output. Docs
+    # with size(w) < _NOV_N yield no row (no i < size(w) - 4).
+    gram_expr = "concat_ws(' ', " + ", ".join(
+        f"w[i + {k}]" for k in range(_NOV_N)
+    ) + ")"
     grams = (
-        d.filter(F.size("w") >= _NOV_N)
-        .select(
-            "doc_id",
-            "source",
-            "is_eval",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {_NOV_N - 1}), "
-                    f"i -> concat_ws(' ', slice(w, i, {_NOV_N})))"
-                )
-            ).alias("gram"),
-        )
+        d.select("doc_id", "source", "is_eval", "w",
+                 F.posexplode("w").alias("i", "_w0"))
+        .filter(F.col("i") < F.size("w") - (_NOV_N - 1))
+        .select("doc_id", "source", "is_eval", F.expr(gram_expr).alias("gram"))
         .distinct()
     )
     train_grams = grams.filter(~F.col("is_eval")).select("gram").distinct()

@@ -340,7 +340,7 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     produce all-zero stats, matching the old left-join COALESCE."""
     from .base import spread_input
 
-    docs = spread_input(t(spark, sf, "documents"))
+    docs = spread_input(t(spark, sf, "documents"), key="doc_id")
 
     # Round-11 second pass: the five gate statistics were HOF folds on
     # the interpreted path (~29 s @5M docs); one Arrow map pass
