@@ -38,73 +38,110 @@ from . import selection  # noqa: F401,E402
 # Registration-order priority. External harnesses sample queries() from
 # the FRONT of the registry (dict insertion order), so the queries whose
 # driver-oracle verification is least established go first. Every
-# registered query has a green driver row (cumulative 290/290 as of
-# CORRECTNESS_r10), so the window is a staleness rotation: the 10
-# queries registered this round (never driver-verified) first, then
-# the 40 stalest greens — the full remaining round-5-vintage band
-# q153–q192 (VERDICT r10 task #1's front-load) — exactly 50. After
-# each new CORRECTNESS artifact lands, rotate its greens to the back
-# and front-load whatever is newest/stalest (next up: the round-6
-# window). tests/test_corpus.py's freshness guard derives the stalest
-# set from the CORRECTNESS_r*.json artifacts and fails if this list's
-# front window drifts from it (VERDICT r10 task #4).
+# registered query has a green driver row (cumulative 300/300 as of
+# CORRECTNESS_r11), so the window orders by verification RISK:
+# (a) never-driver-verified queries (none currently), then (b) queries
+# REWRITTEN since their latest driver-green round (_REWRITTEN below —
+# VERDICT r11 #1: the r11 optimization rewrites that fell outside the
+# r11 rotation window are certified only by the builder's own oracle
+# sweep until a driver round samples them), then (c) the stalest
+# greens to fill the 50-query window. tests/test_corpus.py's freshness
+# guard derives all three sets from the CORRECTNESS_r*.json artifacts
+# plus _REWRITTEN and fails if this list's front window drifts.
+
+# name -> round whose optimization rewrote the query's implementation.
+# An entry is "pending" while its latest driver-green round is older
+# than the rewrite round; the guard then requires it in the front
+# window. Remove entries once a CORRECTNESS artifact >= the rewrite
+# round shows them green (they rejoin the plain staleness rotation).
+_REWRITTEN = {
+    # round-11 rewrites outside CORRECTNESS_r11's sample window:
+    # codegen gram enumeration (shingle_tokens/_minhash_band_pairs
+    # family), Arrow map passes (q53/q57/q145/q150/q265), hash-keyed
+    # spread + derived head model (q225), posexplode spans (q263),
+    # Mann-Kendall grid (q283), fold rewrites (q125/q128)
+    "q52_minhash_lsh": 11,
+    "q53_simhash": 11,
+    "q57_language_id": 11,
+    "q77_dedup_clusters": 11,
+    "q125_collocation_lift": 11,
+    "q128_containment_join": 11,
+    "q145_intradoc_repetition": 11,
+    "q150_gopher_rules": 11,
+    "q220_minhash_calibration": 11,
+    "q225_ppl_buckets": 11,
+    "q228_ngram_novelty": 11,
+    "q240_blocking_recall": 11,
+    "q242_blocking_recall_sampled": 11,
+    "q243_neardup_star": 11,
+    "q244_incremental_neardup": 11,
+    "q251_lsh_s_curve": 11,
+    "q253_lsh_s_curve_sampled": 11,
+    "q263_substring_dedup": 12,
+    "q265_rake_keywords": 11,
+    "q283_mann_kendall": 11,
+}
+
 _PRIORITY = [
-    # new this round — never driver-verified
-    "q291_bpe_encode",
-    "q292_page_trend",
-    "q293_cliff_delta",
-    "q294_tost_equivalence",
-    "q295_pettitt_changepoint",
-    "q296_durbin_watson",
-    "q297_silhouette_audit",
-    "q298_readability",
-    "q299_mmd_drift",
-    "q300_stream_tokenize",
-    # stalest greens: the remaining round-5-vintage band (40 queries,
-    # last driver-verified in CORRECTNESS_r05)
-    "q153_twap",
-    "q154_table_diff",
-    "q155_consistent_sample",
-    "q156_bpe_merges",
-    "q157_best_split",
-    "q158_ab_test",
-    "q159_pit_join",
-    "q160_kmeans_fixpoint",
-    "q161_dynamic_partition_pruning",
-    "q162_pca_top_eigen",
-    "q163_stream_ewma",
-    "q164_stream_late_drop",
-    "q165_auc_exact",
-    "q166_knn_label_audit",
-    "q167_feature_hashing",
-    "q168_event_sequences",
-    "q169_group_reservoir",
-    "q170_negative_sampling",
-    "q171_stream_sequences",
-    "q172_class_prototypes",
-    "q173_class_outliers",
-    "q174_timeseries_cv",
-    "q175_centroid_confusion",
-    "q176_target_encoding",
-    "q177_stream_funnel",
-    "q178_stream_lsh_dedup",
-    "q179_source_overlap",
-    "q180_split_leakage",
-    "q181_dedup_yield",
-    "q182_calibration_ece",
-    "q183_stratified_split",
-    "q184_ndcg_exact",
-    "q185_stream_reservoir",
-    "q186_spearman_exact",
-    "q187_winnowing",
-    "q188_chisq_independence",
-    "q189_autocorrelation",
-    "q190_link_prediction",
-    "q191_benford_audit",
-    "q192_quantile_norm",
-    # ^ exactly 50 = the driver window (10 new + 40 stalest).
-    # The r10 window (q281-q290 + the r04 band + 10 low-r05 rows) and
-    # the r06-r09 windows hold the freshest driver rows and rotate
+    # (b) rewritten since last driver-green — the r11/r12 optimization
+    # tranche (20 queries; every one oracle-green in the builder's
+    # full-registry sweeps, never driver-sampled post-rewrite)
+    "q52_minhash_lsh",
+    "q53_simhash",
+    "q57_language_id",
+    "q77_dedup_clusters",
+    "q125_collocation_lift",
+    "q128_containment_join",
+    "q145_intradoc_repetition",
+    "q150_gopher_rules",
+    "q220_minhash_calibration",
+    "q225_ppl_buckets",
+    "q228_ngram_novelty",
+    "q240_blocking_recall",
+    "q242_blocking_recall_sampled",
+    "q243_neardup_star",
+    "q244_incremental_neardup",
+    "q251_lsh_s_curve",
+    "q253_lsh_s_curve_sampled",
+    "q263_substring_dedup",
+    "q265_rake_keywords",
+    "q283_mann_kendall",
+    # (c) stalest greens: 30 of the round-6-vintage band (the four
+    # rewritten r6 queries above already lead the window; the 16
+    # remaining r6 rows tie across the boundary, which the guard
+    # allows — bands share rounds)
+    "q01_pricing_summary",
+    "q193_hellinger_drift",
+    "q194_dup_span_coverage",
+    "q195_winnow_match",
+    "q196_cusum_changepoint",
+    "q197_theil_sen",
+    "q198_anova_f",
+    "q199_ks_test",
+    "q200_stream_cusum",
+    "q201_bigram_lm_score",
+    "q202_sequence_packing",
+    "q203_dsir_importance",
+    "q204_temperature_mix",
+    "q205_token_budget_curriculum",
+    "q206_mann_whitney",
+    "q207_markov_transitions",
+    "q208_touch_attribution",
+    "q209_kaplan_meier",
+    "q210_gini_concentration",
+    "q211_stream_attribution",
+    "q212_holt_trend",
+    "q213_dow_seasonality",
+    "q214_k_anonymity",
+    "q215_l_diversity",
+    "q216_matryoshka_audit",
+    "q217_brier_decomposition",
+    "q218_cumulative_gains",
+    "q219_conformal_coverage",
+    "q221_t_closeness",
+    "q222_sequence_completeness",
+    # ^ exactly 50 = the driver window (20 rewritten-pending + 30
+    # stalest). The r7-r11 windows hold fresher driver rows and rotate
     # behind; everything unlisted follows in registration order via
     # _apply_priority.
 ]

@@ -288,14 +288,20 @@ def test_duckdb_list_reduce_struct_acc_hazard_documented():
 
 
 def test_priority_front_window_holds_the_stalest():
-    """Freshness guard (VERDICT r10 #4): the rotation is mechanical,
-    not prose. Parse every CORRECTNESS_r*.json the driver has written,
-    derive each query's latest GREEN round, and require that the
-    50-query front window of _PRIORITY consists of (a) every query the
-    driver has never verified, then (b) only queries at least as stale
-    as everything left outside — i.e. no query outside the window may
-    be strictly staler than a verified query inside it. Ties across
-    the boundary are fine (bands share rounds)."""
+    """Freshness guard (VERDICT r10 #4, extended per VERDICT r11 #1):
+    the rotation is mechanical, not prose. Parse every
+    CORRECTNESS_r*.json the driver has written, derive each query's
+    latest GREEN round, and require that the 50-query front window of
+    _PRIORITY consists of (a) every query the driver has never
+    verified, then (b) every query REWRITTEN since its latest green
+    round (corpus._REWRITTEN — a rewrite invalidates the old green, so
+    it must re-enter the window until a driver round re-samples it),
+    then (c) only queries at least as stale as everything left outside
+    — i.e. no query outside the window may be strictly staler than a
+    plain-staleness query inside it. Ties across the boundary are fine
+    (bands share rounds). Stale _REWRITTEN entries (driver-green at or
+    after their rewrite round) must be removed — they would silently
+    hold a window slot a staler query needs."""
     import glob
     import json
     import os
@@ -323,11 +329,30 @@ def test_priority_front_window_holds_the_stalest():
     names = list(corpus.QUERIES)
     window, outside = set(names[:50]), names[50:]
     never = {n for n in names if n not in latest}
+    unknown_rw = set(corpus._REWRITTEN) - set(names)
+    assert not unknown_rw, f"_REWRITTEN names not in registry: {sorted(unknown_rw)}"
+    settled = {
+        n for n, rnd in corpus._REWRITTEN.items() if latest.get(n, 0) >= rnd
+    }
+    assert not settled, (
+        f"_REWRITTEN entries already driver-green post-rewrite: "
+        f"{sorted(settled)} — remove them so the window rotates"
+    )
+    pending = {
+        n
+        for n, rnd in corpus._REWRITTEN.items()
+        if n in latest and latest[n] < rnd
+    }
     missing_new = never - window
     assert not missing_new or len(never) > 50, (
         f"never-driver-verified queries must lead the window: {sorted(missing_new)}"
     )
-    verified_in = [latest[n] for n in window if n in latest]
+    missing_rw = pending - window
+    assert not missing_rw or len(never | pending) > 50, (
+        f"rewritten-since-last-green queries must be in the window: "
+        f"{sorted(missing_rw)}"
+    )
+    verified_in = [latest[n] for n in window if n in latest and n not in pending]
     if verified_in and outside:
         stalest_out = min(latest.get(n, 10**9) for n in outside)
         assert max(verified_in) <= stalest_out, (
