@@ -63,12 +63,20 @@ def shingle_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     # (kept above for the streaming array-valued consumer) is
     # CodegenFallback when exploded here. Identical (id, s) multiset:
     # docs with size(w) < 3 yield no position i < size(w) - 2.
+    # internal columns use collision-resistant names (ADVICE r11):
+    # id_col/text_col are caller-chosen, so a caller frame already
+    # holding `w` or `i` must not collide with the gram plumbing
     return (
         spread_input(docs, key=id_col)
-        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
-        .select(id_col, "w", F.posexplode("w").alias("i", "_w0"))
-        .filter(F.col("i") < F.size("w") - 2)
-        .select(id_col, F.expr("concat_ws(' ', w[i], w[i + 1], w[i + 2])").alias("s"))
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_wg_w"))
+        .select(id_col, "_wg_w", F.posexplode("_wg_w").alias("_wg_i", "_wg_w0"))
+        .filter(F.col("_wg_i") < F.size("_wg_w") - 2)
+        .select(
+            id_col,
+            F.expr(
+                "concat_ws(' ', _wg_w[_wg_i], _wg_w[_wg_i + 1], _wg_w[_wg_i + 2])"
+            ).alias("s"),
+        )
     )
 
 

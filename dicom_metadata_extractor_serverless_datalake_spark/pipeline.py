@@ -62,14 +62,19 @@ def _word_grams(
     codegen form on a 271M-instance enumeration, OPTIMIZATION_r11 §10).
     Docs with fewer than n words yield no row (no position i <=
     size(w) - n), exactly like the old size(w) >= n pre-filter."""
+    # Internal columns use collision-resistant names (ADVICE r11):
+    # id_col/text_col are caller-chosen, so a caller frame already
+    # holding a column named `w` or `i` would otherwise hit an
+    # ambiguous-reference error (or silently bind the wrong column)
+    # inside the F.expr references below.
     gram_expr = "concat_ws(' ', " + ", ".join(
-        f"w[i + {k}]" for k in range(n)
+        f"_wg_w[_wg_i + {k}]" for k in range(n)
     ) + ")"
     ids = [id_col] if id_col else []
     return (
-        df.select(*[F.col(c) for c in ids], F.split(F.col(text_col), " ").alias("w"))
-        .select(*ids, "w", F.posexplode("w").alias("i", "_w0"))
-        .filter(F.col("i") < F.size("w") - (n - 1))
+        df.select(*[F.col(c) for c in ids], F.split(F.col(text_col), " ").alias("_wg_w"))
+        .select(*ids, "_wg_w", F.posexplode("_wg_w").alias("_wg_i", "_wg_w0"))
+        .filter(F.col("_wg_i") < F.size("_wg_w") - (n - 1))
         .select(*ids, F.expr(gram_expr).alias(out))
     )
 

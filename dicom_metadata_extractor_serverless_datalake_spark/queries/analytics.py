@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import dsum_expr, query, sql_dsum, sql_query, t
 
 # --------------------------------------------------------------------------
@@ -929,7 +930,7 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         ranked.withColumn("pos", F.row_number().over(wdoc))
         .withColumn("n", F.count("*").over(wn))
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(_PF_T) * F.col("n")) + 1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(lambda d: tracked_persist(d, StorageLevel.MEMORY_AND_DISK))
     )
     a = pref.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"), "w")
     b = pref.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"), "w")
@@ -1330,7 +1331,7 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -1348,7 +1349,7 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     p1, p2, p3 = o.alias("p1"), o.alias("p2"), o.alias("p3")
     tri = (
@@ -2508,7 +2509,7 @@ def q269(spark: SparkSession, sf: str) -> DataFrame:
     l = t(spark, sf, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
     )
-    edges = o.join(l, "ok").select("c", "s").distinct().persist()
+    edges = o.join(l, "ok").select("c", "s").distinct().transform(tracked_persist)
     a1 = edges.groupBy("s").agg(F.count("*").alias("a"))
     h1 = edges.join(a1, "s").groupBy("c").agg(F.sum("a").alias("h"))
     a2 = edges.join(h1, "c").groupBy("s").agg(F.sum("h").alias("a"))

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import query, t
 from .llm import (
     MERSENNE_P,
@@ -733,7 +734,7 @@ def _s_curve_frame(
             (F.col("both_n").cast("double") / union_n.cast("double")).alias("jac"),
             (F.col("both_n") * 10 >= union_n * 8).alias("strong"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     one = F.lit(1.0)
     branches = []

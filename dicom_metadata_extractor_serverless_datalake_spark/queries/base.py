@@ -96,7 +96,7 @@ def sql_max_multiplicity(arr: str) -> str:
     )
 
 
-def spread_input(df: DataFrame, key: str | None = None) -> DataFrame:
+def spread_input(df: DataFrame, key: str | F.Column | None = None) -> DataFrame:
     """Re-spread a batch frame whose SCAN yields fewer partitions than
     the cluster has slots, before CPU-heavy map-side work (hash-per-
     replicate bootstrap weights, the BPE merge cascade, per-token
@@ -125,7 +125,15 @@ def spread_input(df: DataFrame, key: str | None = None) -> DataFrame:
     identical exchange child, restoring ReuseExchange where column
     pruning would otherwise specialize (and duplicate) the spread per
     consumer. Callers pass their row id (or the text column when no id
-    exists); 5M distinct values over 32 partitions balance to <1%."""
+    exists); 5M distinct values over 32 partitions balance to <1%.
+    ``key`` may also be a Column for frames with no unique COLUMN at
+    all: callers without an id pass
+    ``F.monotonically_increasing_id()`` — row-unique and SPLIT-STABLE
+    (a pure function of partition index and row position, so a retried
+    task reproduces the same key for the same row, unlike rand-derived
+    keys — guide §2.5 / SPARK-38388), where hashing a duplicate-heavy
+    data column would re-concentrate the very rows the spread exists
+    to distribute (ADVICE r11 on chao1_frame)."""
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -143,7 +151,7 @@ def spread_input(df: DataFrame, key: str | None = None) -> DataFrame:
     # so this stays a no-op there.
     if df.rdd.getNumPartitions() < par:
         if key is not None:
-            return df.repartition(par, F.col(key))
+            return df.repartition(par, F.col(key) if isinstance(key, str) else key)
         return df.repartition(par)
     return df
 

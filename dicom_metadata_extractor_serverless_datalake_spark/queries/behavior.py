@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import query, t
 
 # --------------------------------------------------------------------------
@@ -867,7 +868,7 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.sum("cents").alias("monetary_cents"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     n = base.count()  # driver scalar: one int, pins the ntile closed form
 

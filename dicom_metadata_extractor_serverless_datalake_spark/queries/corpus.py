@@ -77,17 +77,19 @@ _REWRITTEN = {
     "q244_incremental_neardup": 11,
     "q251_lsh_s_curve": 11,
     "q253_lsh_s_curve_sampled": 11,
-    "q263_substring_dedup": 12,
+    "q187_winnowing": 12,
+    "q263_substring_dedup": 11,
     "q265_rake_keywords": 11,
     "q283_mann_kendall": 11,
 }
 
 _PRIORITY = [
     # (b) rewritten since last driver-green — the r11/r12 optimization
-    # tranche (20 queries; every one oracle-green in the builder's
+    # tranche (21 queries; every one oracle-green in the builder's
     # full-registry sweeps, never driver-sampled post-rewrite)
     "q52_minhash_lsh",
     "q53_simhash",
+    "q187_winnowing",
     "q57_language_id",
     "q77_dedup_clusters",
     "q125_collocation_lift",
@@ -106,7 +108,7 @@ _PRIORITY = [
     "q263_substring_dedup",
     "q265_rake_keywords",
     "q283_mann_kendall",
-    # (c) stalest greens: 30 of the round-6-vintage band (the four
+    # (c) stalest greens: 29 of the round-6-vintage band (the four
     # rewritten r6 queries above already lead the window; the 16
     # remaining r6 rows tie across the boundary, which the guard
     # allows — bands share rounds)
@@ -139,8 +141,7 @@ _PRIORITY = [
     "q218_cumulative_gains",
     "q219_conformal_coverage",
     "q221_t_closeness",
-    "q222_sequence_completeness",
-    # ^ exactly 50 = the driver window (20 rewritten-pending + 30
+    # ^ exactly 50 = the driver window (21 rewritten-pending + 29
     # stalest). The r7-r11 windows hold fresher driver rows and rotate
     # behind; everything unlisted follows in registration order via
     # _apply_priority.

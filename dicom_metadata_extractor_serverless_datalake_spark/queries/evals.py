@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import query, t
 
 # --------------------------------------------------------------------------
@@ -649,7 +650,7 @@ def q245(spark: SparkSession, sf: str) -> DataFrame:
     )
     # the ONE corpus-sized aggregate; everything below sums the <=72-row
     # obs frame (persisted so nh/gc/gt don't re-derive the corpus scan)
-    obs = ev.groupBy("hour", "cell").agg(F.count("*").alias("o")).persist()
+    obs = ev.groupBy("hour", "cell").agg(F.count("*").alias("o")).transform(tracked_persist)
     nh = obs.groupBy("hour").agg(F.sum("o").alias("n_events"))
     gc = obs.groupBy("cell").agg(F.sum("o").alias("g"))
     gt = obs.agg(F.sum("o").alias("t"))

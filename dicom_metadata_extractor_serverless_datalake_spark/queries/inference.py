@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import _exact_scaled_sum, query, t
 
 # --------------------------------------------------------------------------
@@ -843,7 +844,7 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
                 F.unix_micros("ts"),
             )
         ).alias("conv_us"),
-    ).persist()
+    ).transform(tracked_persist)
     span = u.agg(F.min("seen_us").alias("t0"), F.max("last_us").alias("t1"))
     cuts = span.select(
         F.explode(F.sequence(F.lit(1), F.lit(_GS_K))).alias("k"), "t0", "t1"
@@ -994,7 +995,7 @@ def _km_fit(spark: SparkSession, sf: str):
                 "x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))"
             ).alias("v"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     seeds = e.orderBy("vec_id").limit(_KM_K).collect()  # k vectors: bounded
     c0 = [(i, list(r.v)) for i, r in enumerate(seeds)]

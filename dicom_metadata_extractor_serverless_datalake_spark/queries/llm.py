@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import query, t
 
 # --------------------------------------------------------------------------
@@ -213,18 +214,37 @@ def _minhash_band_pairs(
     the rest of the corpus), so passing a filtered ``docs`` slice
     yields exactly the full-corpus candidate set restricted to pairs
     with both endpoints in the slice — q242 exploits this."""
+    from .base import spread_input
+
     if docs is None:
         docs = t(spark, sf, "documents")
+    # Re-spread a scan-starved compressed input before the signature
+    # stage: the per-shingle md5 + 16 permutations are pure map CPU
+    # executed in the SCAN stage (partial aggregation), so a 1-3-split
+    # parquet layout left 29 cores idle — operators/dedup.shingle_tokens
+    # got this in r11 but this inline twin did not; measured 38-48 s ->
+    # 13-17 s for the full q52 at 500k docs (round-12 stage profile:
+    # the starved signature scan was ~70% of the wall, not the verify
+    # join). No-op on multi-file layouts (guide §2.5 input skew).
+    docs = spread_input(docs, key="doc_id")
     # no distinct on (doc_id, shingle): MIN() is insensitive to duplicates,
     # and skipping it keeps the shingle strings map-local — the only
     # shuffle is the 16-column partial-aggregated signature per doc.
     # codegen posexplode + indexed concat_ws (the exploded lambda
-    # _SPARK_SHINGLES form is CodegenFallback; identical multiset)
+    # _SPARK_SHINGLES form is CodegenFallback; identical multiset).
+    # Collision-resistant internal names: ``docs`` is caller-supplied
+    # (q242 passes a slice), so it must be safe for the caller's frame
+    # to carry columns named w/i (ADVICE r11).
     tok = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", "w", F.posexplode("w").alias("i", "_w0"))
-        .filter(F.col("i") < F.size("w") - 2)
-        .select("doc_id", F.expr("concat_ws(' ', w[i], w[i + 1], w[i + 2])").alias("s"))
+        docs.select("doc_id", F.split("text", " ").alias("_wg_w"))
+        .select("doc_id", "_wg_w", F.posexplode("_wg_w").alias("_wg_i", "_wg_w0"))
+        .filter(F.col("_wg_i") < F.size("_wg_w") - 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "concat_ws(' ', _wg_w[_wg_i], _wg_w[_wg_i + 1], _wg_w[_wg_i + 2])"
+            ).alias("s"),
+        )
     )
     h = tok.select("doc_id", F.expr(spark_h31("s")).alias("hs"))
     mh = h.groupBy("doc_id").agg(
@@ -309,7 +329,7 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = t(spark, sf, "documents")
-    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable").persist()
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable").transform(tracked_persist)
     edges = lsh_star_edges(sigs)
     return estimate_verify(edges, sigs, threshold=_STAR_THRESHOLD).orderBy("d1", "d2")
 
@@ -365,7 +385,7 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
     # signatures are per-doc, so computing them over the full table and
     # slicing the BAND rows is identical to signing the slices — one
     # scan, one signature shuffle
-    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable").persist()
+    sigs = minhash_signatures(shingle_tokens(docs), hash_fn="portable").transform(tracked_persist)
     bands = lsh_band_rows(sigs)
     new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
     old = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
@@ -1584,7 +1604,7 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("i") < F.size("w") - 2)
         .select("doc_id", F.expr("concat_ws(' ', w[i], w[i + 1], w[i + 2])").alias("tok"))
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     sz = tk.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     dfreq = tk.groupBy("tok").agg(F.count("*").alias("df"))

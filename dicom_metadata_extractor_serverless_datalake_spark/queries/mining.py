@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import dsum, dsum_expr, query, sql_dsum, t
 
 # --------------------------------------------------------------------------
@@ -1737,7 +1738,7 @@ def q257(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("b.w1", "b.w2")
     )
-    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("o11")).persist()
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("o11")).transform(tracked_persist)
     r1 = cnt.groupBy("w1").agg(F.sum("o11").alias("r1"))
     c1 = cnt.groupBy("w2").agg(F.sum("o11").alias("c1"))
     tot = cnt.agg(F.sum("o11").alias("n"))
@@ -2060,7 +2061,7 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
     # is vocab-sized instead of corpus-sized — one shuffle of d rows
     # per distinct word instead of d per token (measured 64.4 s ->
     # token-stream path vs ~8 s vocab path at 500k docs)
-    exact = tok.groupBy("w").agg(F.count("*").alias("exact_n")).persist()
+    exact = tok.groupBy("w").agg(F.count("*").alias("exact_n")).transform(tracked_persist)
     hashed = exact.select("exact_n", F.posexplode(buckets).alias("i", "bucket"))
     counters = hashed.groupBy("i", "bucket").agg(F.sum("exact_n").alias("c"))
     top = exact.orderBy(F.col("exact_n").desc(), "w").limit(20)

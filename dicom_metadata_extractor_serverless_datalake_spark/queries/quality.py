@@ -135,7 +135,6 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
 
         import numpy as np
         import pyarrow as pa
-        from numpy.lib.stride_tricks import sliding_window_view
 
         md5 = hashlib.md5
         p, pos_m, k, w = MERSENNE_P, _POS_M, _WIN_K, _WIN_W
@@ -146,16 +145,20 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
         # Bounded so adversarial high-entropy corpora cannot grow it
         # without limit.
         memo: dict = {}
+        memo_get = memo.get
 
-        def gh(b: bytes) -> int:
-            v = memo.get(b)
-            if v is None:
-                v = int.from_bytes(md5(b).digest()[:4], "big") % p
-                if len(memo) > 2_000_000:
-                    memo.clear()
-                memo[b] = v
-            return v
-
+        # NOTE (round 12, measured): a fully batch-flattened variant
+        # (one concatenated gram/window array per Arrow batch, np.unique
+        # replaced by one lexsort + reduceat) measured 2.5x SLOWER than
+        # this per-doc form on the bench host (30.4 s vs 12.0 s for the
+        # identical 100k-doc workload) — its 5M-element array passes
+        # stream through DRAM while ~50-element per-doc arrays stay in
+        # L1/L2, and this host's DRAM bandwidth is the scarce resource.
+        # The wins kept below are per-doc: pure-Python word offsets
+        # (np.fromiter + cumsum cost more than a 50-iteration loop),
+        # shifted-slice window minima (sliding_window_view pays ~30 us
+        # of per-CALL Python overhead), and a listcomp-free md5 loop —
+        # measured 2.1x on the pass (15.1 -> 7.2 s per 100k docs core).
         for batch in it:
             ids = batch.column("doc_id")
             nk, ns, ck, mn, mx = [], [], [], [], []
@@ -178,15 +181,27 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
                     mx.append(None)
                     continue
                 blob = b" ".join(wbs)
-                lens = np.fromiter((len(b) for b in wbs), np.int64, nw)
-                starts = np.zeros(nw, np.int64)
-                np.cumsum(lens[:-1] + 1, out=starts[1:])
-                ends = (starts + lens)[k - 1 :].tolist()
-                hs = np.fromiter(
-                    (gh(blob[s:e]) for s, e in zip(starts[:m].tolist(), ends)),
-                    np.int64,
-                    m,
-                )
+                starts: list = []
+                ends: list = []
+                sa = starts.append
+                ea = ends.append
+                pos = 0
+                for b in wbs:
+                    sa(pos)
+                    pos += len(b)
+                    ea(pos)
+                    pos += 1
+                hs_l: list = []
+                ap = hs_l.append
+                for s, e in zip(starts, ends[k - 1 :]):
+                    b = blob[s:e]
+                    v = memo_get(b)
+                    if v is None:
+                        v = int.from_bytes(md5(b).digest()[:4], "big") % p
+                        if len(memo) > 2_000_000:
+                            memo.clear()
+                        memo[b] = v
+                    ap(v)
                 nk.append(m)
                 if m < w:
                     ns.append(0)
@@ -194,12 +209,18 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
                     mn.append(None)
                     mx.append(None)
                     continue
+                hs = np.array(hs_l, np.int64)
                 ks = hs * pos_m + (pos_m - 2 - np.arange(m, dtype=np.int64))
+                # window minima as w-1 shifted in-place np.minimum
+                # passes over the small per-doc array
+                wm = ks[: m - w + 1].copy()
+                for d in range(1, w):
+                    np.minimum(wm, ks[d : m - w + 1 + d], out=wm)
                 # sel is distinct over the k-ENCODING (hash, position):
                 # the checksum must count a hash value once per distinct
                 # selected k, exactly like aggregate(sk, ...) over
                 # array_distinct in the SQL form.
-                sel = np.unique(sliding_window_view(ks, w).min(axis=1))
+                sel = np.unique(wm)
                 hv = sel // pos_m
                 ns.append(len(sel))
                 ck.append(int(hv.sum()))
@@ -2346,7 +2367,12 @@ def chao1_frame(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     expensive half, so a scan-starved input is re-spread first."""
     from .base import spread_input
 
-    df = spread_input(df, key=text_col)
+    # Spread key: a row-unique SPLIT-STABLE surrogate, not text_col —
+    # chao1's contract has no id column, and hashing the text would
+    # send every copy of a duplicated text (common pre-dedup) plus all
+    # nulls to ONE partition, partially re-creating the starvation the
+    # spread exists to fix (ADVICE r11).
+    df = spread_input(df, key=F.monotonically_increasing_id())
     tok = df.select(
         group_col,
         F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(

@@ -379,6 +379,11 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
     # subtree a second time (the sampling pass + the real exchange).
     # One 5M-narrow-row materialization instead — the same volume
     # global_positions itself checkpoints right after (guide §5).
+    # Caveats (ADVICE r11, same contract as operators/cluster.py): the
+    # eager checkpoint fires a job at CONSTRUCTION time and truncates
+    # lineage, so executor loss afterwards is unrecoverable and
+    # plan-only consumers (explain/dump tooling) pay the execution —
+    # acceptable here because global_positions collects eagerly anyway.
     scored = scored.localCheckpoint(eager=True)
     ranked = global_positions(
         scored,

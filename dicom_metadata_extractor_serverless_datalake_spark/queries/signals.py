@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import _exact_scaled_sum, query, t
 
 # --------------------------------------------------------------------------
@@ -207,18 +208,18 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-        .persist()
+        .transform(tracked_persist)
     )
     # k is one scalar (the q121 convergence-count pattern), never data
     k = deg.agg(F.min("d")).collect()[0][0] + 1
-    core = kcore(e, k, src="u", dst="v").persist()
+    core = kcore(e, k, src="u", dst="v").transform(tracked_persist)
 
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     core_nodes = core.select("node")
@@ -770,7 +771,7 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("p") == 1, F.lit(0))
         .when(F.col("p") == F.col("n"), F.lit(n_out - 1))
         .otherwise(F.lit(1) + F.expr(f"((p - 2) * {n_out - 2}) div (n - 2)")),
-    ).persist()
+    ).transform(tracked_persist)
     anchors = bucketed.groupBy("bucket").agg(
         F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count("*").alias("c")
     )
@@ -1023,7 +1024,7 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
     )
     pos = series.select(
         "y", F.row_number().over(Window.orderBy("x")).cast("long").alias("p")
-    ).persist()
+    ).transform(tracked_persist)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = pos.agg(
         F.count("*").alias("n"),

@@ -33,6 +33,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.cachetrack import tracked_persist
 from .base import query
 
 # --------------------------------------------------------------------------
@@ -253,7 +254,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
             F.col("value").alias("last_value"),
         )
-        out = rows.cache()
+        out = tracked_persist(rows)
         out.count()
         return out.orderBy("user_id")
     finally:

@@ -463,3 +463,35 @@ def test_rake_phrases_matches_window_form_on_edge_docs(spark):
         for r in rake_phrases(df).collect()
     }
     assert got == want
+
+
+def test_no_raw_persist_in_query_modules():
+    """Cache-hygiene guard (VERDICT r11 #5): every persist()/cache() in
+    queries/ must go through operators.cachetrack.tracked_persist so a
+    facade's CacheScope can free it after the caller's action — a raw
+    persist with no unpersist is an orphanable cache in a long-lived
+    session (the q128 instance the r11 verdict flagged). Query code
+    cannot unpersist before the action itself, so registration is the
+    only correct lifecycle; tracked_persist degrades to a plain persist
+    when no scope is active. localCheckpoint is exempt (it truncates
+    lineage; blocks are owned by the executor and droppable)."""
+    import glob
+    import os
+    import re
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dicom_metadata_extractor_serverless_datalake_spark",
+        "queries",
+    )
+    offenders = []
+    pat = re.compile(r"\.(persist|cache)\(")
+    for path in sorted(glob.glob(os.path.join(qdir, "*.py"))):
+        for lineno, line in enumerate(open(path), 1):
+            code = line.split("#", 1)[0]
+            if pat.search(code) and "tracked_persist" not in code:
+                offenders.append(f"{os.path.basename(path)}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "raw persist()/cache() in queries/ — route through tracked_persist:\n"
+        + "\n".join(offenders)
+    )

@@ -792,3 +792,47 @@ def test_tokenize_facade_matches_q291(spark, docs):
         .collect()
     )
     assert facade == q
+
+
+def test_gram_helpers_tolerate_caller_columns_named_w_and_i(spark):
+    """ADVICE r11: _word_grams / shingle_tokens / _minhash_band_pairs
+    bind internal intermediate columns; a caller whose id/text columns
+    are literally named ``w`` and ``i`` (both are caller-chosen in the
+    public helpers) must not hit an ambiguous-reference error or a
+    silent misbinding. The gram multisets must equal the same data
+    under unsuspicious column names."""
+    from dicom_metadata_extractor_serverless_datalake_spark.operators.dedup import shingle_tokens
+    from dicom_metadata_extractor_serverless_datalake_spark.pipeline import TextCorpus, _word_grams
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x y z"),
+        (3, "a b"),
+    ]
+    plain = spark.createDataFrame(rows, ["doc_id", "text"])
+    hostile = spark.createDataFrame(rows, ["i", "w"])
+
+    want = sorted(
+        (r["doc_id"], r["s"]) for r in shingle_tokens(plain).collect()
+    )
+    got = sorted(
+        (r["i"], r["s"])
+        for r in shingle_tokens(hostile, id_col="i", text_col="w").collect()
+    )
+    assert got == want
+
+    want_g = sorted(
+        (r["doc_id"], r["gram"]) for r in _word_grams(plain, "doc_id", "text", 2).collect()
+    )
+    got_g = sorted(
+        (r["i"], r["gram"]) for r in _word_grams(hostile, "i", "w", 2).collect()
+    )
+    assert got_g == want_g
+
+    # facade path over the hostile names: novelty drives _word_grams on
+    # both sides with caller-chosen columns
+    nov = TextCorpus(hostile, id_col="i", text_col="w").novelty(
+        hostile, n=2, eval_id_col="i", eval_text_col="w"
+    )
+    out = {r["i"]: r["novelty_micros"] for r in nov.collect()}
+    assert out == {1: 0, 2: 0, 3: 0}  # corpus vs itself: nothing novel
