@@ -119,6 +119,21 @@ def load_stream(
     is how the streaming corpus queries exercise cross-batch state."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src_dir).schema
+    # Record the staged source's row count (parquet footer metadata —
+    # no data read) as a session breadcrumb: the stream drain helpers
+    # size their STATE partition count from it (queries/streams.py
+    # _state_partitions), the streaming analogue of AQE partition
+    # coalescing, which streaming plans cannot use. Construction and
+    # drain share one thread (the CacheScope contract), so the
+    # breadcrumb cannot race.
+    try:
+        import pyarrow.dataset as _pads
+
+        spark._graft_stream_src_rows = _pads.dataset(
+            src_dir, format="parquet"
+        ).count_rows()
+    except Exception:  # noqa: BLE001 — sizing hint only, never fatal
+        spark._graft_stream_src_rows = None
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
