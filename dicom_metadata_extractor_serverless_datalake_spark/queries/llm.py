@@ -1562,6 +1562,15 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
 # verify is an equi-join on (b, shingle) confined to candidates.
 # Shuffles carry (doc_id, shingle-hash-sized) rows, never document
 # text.
+#
+# Scale posture (round-12 measurement): on a PRE-near-dedup corpus the
+# candidate join is quadratic in shingle document-frequency — the 500k
+# synthetic corpus has sum(df^2) = 2.8e10 over 119k distinct shingles
+# (hottest df 2,500), so the 500k pass did not finish in 20 min and no
+# spread/plan change can help: the CANDIDATE SET is the cost, exactly
+# the q53 pair-enumeration class. Pipeline position is therefore after
+# near-dedup (q52/q243), where df collapses; at sf-scale inputs the
+# plan is verified exact and cheap (2.2 s at sf0.01).
 # --------------------------------------------------------------------------
 
 _CONT_MIN_TOK = 10
