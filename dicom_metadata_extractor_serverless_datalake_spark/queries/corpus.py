@@ -60,7 +60,7 @@ _REWRITTEN = {
     # family), Arrow map passes (q53/q57/q145/q150/q265), hash-keyed
     # spread + derived head model (q225), posexplode spans (q263),
     # Mann-Kendall grid (q283), fold rewrites (q125/q128)
-    "q52_minhash_lsh": 11,
+    "q52_minhash_lsh": 12,
     "q53_simhash": 11,
     "q57_language_id": 11,
     "q77_dedup_clusters": 11,

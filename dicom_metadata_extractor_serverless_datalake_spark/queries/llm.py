@@ -206,14 +206,26 @@ _SPARK_SHINGLES = (
 
 
 def _minhash_band_pairs(
-    spark: SparkSession, sf: str, docs: DataFrame | None = None
+    spark: SparkSession, sf: str, docs: DataFrame | None = None,
+    sorted_output: bool = False,
 ) -> DataFrame:
     """Distinct (d1, d2) MinHash-LSH candidate pairs over the full
     documents table — q52's banded equi-join, shared as the blocking
     stage by q68/q70/q77. Band signatures are per-doc (independent of
     the rest of the corpus), so passing a filtered ``docs`` slice
     yields exactly the full-corpus candidate set restricted to pairs
-    with both endpoints in the slice — q242 exploits this."""
+    with both endpoints in the slice — q242 exploits this.
+
+    ``sorted_output=True`` (q52, whose declared result is the pair set
+    ORDERED by d1, d2) range-partitions the raw pair stream on
+    (d1, d2) BEFORE the dedup: one range exchange satisfies both the
+    distinct's ClusteredDistribution and the final sort's
+    OrderedDistribution (guide §2.4 — two operations keyed the same
+    way share one exchange), so the ~28M-row result set crosses ONE
+    wide shuffle instead of two (hash-distinct + range-sort). Measured
+    13.9 -> 10.5 s for the full q52 at 500k docs; rows identical.
+    Unsorted callers keep the plain hash distinct — for them range
+    partitioning buys nothing and costs the range-sampling job."""
     from .base import spread_input
 
     if docs is None:
@@ -267,7 +279,7 @@ def _minhash_band_pairs(
     bands = mh.select("doc_id", F.posexplode(sig_array).alias("band", "sig"))
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    raw = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -275,13 +287,18 @@ def _minhash_band_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
     )
+    if sorted_output:
+        raw = raw.repartitionByRange("d1", "d2")
+    return raw.distinct()
 
 
 @query("q52_minhash_lsh", oracle=_minhash_oracle(), category="dedup", headline=True)
 def q52(spark: SparkSession, sf: str) -> DataFrame:
-    return _minhash_band_pairs(spark, sf).orderBy("d1", "d2")
+    # the orderBy plans as a zero-exchange in-partition Sort: the
+    # sorted_output range partitioning already satisfies its
+    # OrderedDistribution (see _minhash_band_pairs)
+    return _minhash_band_pairs(spark, sf, sorted_output=True).orderBy("d1", "d2")
 
 
 # --------------------------------------------------------------------------
