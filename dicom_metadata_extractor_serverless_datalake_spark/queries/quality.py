@@ -254,12 +254,30 @@ def winnow_summary(docs: DataFrame) -> DataFrame:
 def q187(spark: SparkSession, sf: str) -> DataFrame:
     from .base import spread_input
 
-    # NOTE (measured, not kept): inserting a repartition("doc_id")
-    # between the pass and the sort — on the theory that the range
-    # sampler re-executes the Python pass — measured SLOWER (68.9 s vs
-    # 53.2 s @5M): the extra 5M-row exchange costs more than whatever
-    # the sampler replays. Plain orderBy is the right form.
-    return winnow_summary(spread_input(t(spark, sf, "documents"), key="doc_id")).orderBy("doc_id")
+    # The final orderBy's RangePartitioning needs bounds, and the bounds
+    # sampler EXECUTES the child — so an unmaterialized child runs the
+    # whole scan+spread+Arrow pass twice (once for the sample job, once
+    # for the sort's map stage); the per-task gram memo does not amortize
+    # the per-doc work that dominates the pass. A LAZY localCheckpoint
+    # materializes the O(docs)-row, 6-numeric-column summary once (~48
+    # bytes/row) and both the sampler and the sort read the checkpointed
+    # blocks (guide §3.3/§5: materialize to truncate re-execution).
+    # Measured @5M docs, same JVM, checkpoint variant FIRST: 24.8/17.0 s
+    # vs 33.5/33.8 s current; earlier fresh-JVM runs 54.2/41.0 current.
+    # Lazy (not eager): plan-only consumers (explain/plan audits) pay
+    # nothing at construction. Standard checkpoint caveats apply: lineage
+    # is truncated, so executor loss after materialization cannot be
+    # recovered by recompute (operators/cluster.py contract), and the
+    # formatted plan shows the checkpoint scan, not the MapInArrow
+    # subtree — plans/r12/q187_after.txt carries BOTH dumps.
+    # NOTE (measured r11, superseded): a repartition("doc_id") barrier
+    # measured SLOWER (68.9 s vs 53.2 s @5M) — it adds a 5M-row exchange
+    # and the sampler then re-executes the exchange read, not nothing.
+    return (
+        winnow_summary(spread_input(t(spark, sf, "documents"), key="doc_id"))
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
