@@ -207,6 +207,34 @@ def _n_limbs(max_abs: float | None, scale: int) -> int:
     return 3
 
 
+def _scaled_sum_sql(e: str, scale: int, max_abs: float | None) -> str:
+    """:func:`_exact_scaled_sum` rendered as ONE SQL string over the SQL
+    expression ``e`` — the identical tree (same literals, same casts,
+    same limb arithmetic), built with a single parser call instead of a
+    py4j round-trip per operator node. Construction cost is driver-side
+    and paid on EVERY query build (the bench reconstructs each query per
+    pass): q01's seven dsum/davg aggregates measured 152 ms per build on
+    the F.*-operator path; the parsed form is ~4x cheaper. Exactness is
+    pinned by tests/test_exact_sums.py's string-vs-Column equivalence
+    test and the oracle sweep."""
+    lit10 = repr(float(10**scale))
+    half = f"(CASE WHEN ({e}) >= 0 THEN 0.5D ELSE -0.5D END)"
+    s = f"CAST((CAST(({e}) AS DOUBLE) * {lit10}D + {half}) AS BIGINT)"
+    n = _n_limbs(max_abs, scale)
+    if n == 1:
+        return f"CAST(SUM({s}) AS DECIMAL(38,0))"
+    lo = f"CAST(SUM(({s} & {_LIMB_LO - 1})) AS DECIMAL(38,0))"
+    if n == 2:
+        hi = f"CAST(SUM(SHIFTRIGHT({s}, {_LIMB_BITS})) AS DECIMAL(38,0))"
+        return f"({hi} * {_LIMB_LO} + {lo})"
+    hi = f"CAST(SUM(SHIFTRIGHT({s}, {2 * _LIMB_BITS})) AS DECIMAL(38,0))"
+    mid = (
+        f"CAST(SUM((SHIFTRIGHT({s}, {_LIMB_BITS}) & {_LIMB_LO - 1})) "
+        "AS DECIMAL(38,0))"
+    )
+    return f"({hi} * {_LIMB_HI} + {mid} * {_LIMB_LO} + {lo})"
+
+
 def _exact_scaled_sum(c: F.Column, scale: int, max_abs: float | None = None) -> F.Column:
     """Exact SUM(round(c * 10^scale)) as decimal(38,0) via long limbs."""
     half = F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
@@ -233,9 +261,14 @@ def dsum_expr(
     col: str | F.Column, scale: int = 2, max_abs: float | None = None
 ) -> F.Column:
     """Unaliased exact fixed-point sum as double, for use inside larger
-    expressions (variance formulas, scalar subqueries)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (_exact_scaled_sum(c, scale, max_abs) / F.lit(10**scale)).cast("double")
+    expressions (variance formulas, scalar subqueries). A ``str`` input
+    is an SQL EXPRESSION (a bare column name is one), parsed in a single
+    F.expr call — see :func:`_scaled_sum_sql`."""
+    if isinstance(col, str):
+        return F.expr(
+            f"CAST(({_scaled_sum_sql(col, scale, max_abs)} / {10**scale}) AS DOUBLE)"
+        )
+    return (_exact_scaled_sum(col, scale, max_abs) / F.lit(10**scale)).cast("double")
 
 
 def dsum_limbs(
@@ -249,10 +282,30 @@ def dsum_limbs(
     pushed below a join (eager aggregation) without losing exactness.
     The overflow envelope is unchanged (the merged sum covers the same
     row set, ~8.8e12 rows/group; see module note)."""
-    c = F.col(col) if isinstance(col, str) else col
+    n = _n_limbs(max_abs, scale)
+    if isinstance(col, str):
+        # SQL-string fast path (identical tree — see _scaled_sum_sql)
+        lit10 = repr(float(10**scale))
+        half = f"(CASE WHEN ({col}) >= 0 THEN 0.5D ELSE -0.5D END)"
+        s = f"CAST((CAST(({col}) AS DOUBLE) * {lit10}D + {half}) AS BIGINT)"
+        if n == 1:
+            return [F.expr(f"SUM({s}) AS {prefix}_lo")]
+        out = [F.expr(f"SUM(({s} & {_LIMB_LO - 1})) AS {prefix}_lo")]
+        if n == 2:
+            return [
+                F.expr(f"SUM(SHIFTRIGHT({s}, {_LIMB_BITS})) AS {prefix}_hi"),
+                *out,
+            ]
+        return [
+            F.expr(f"SUM(SHIFTRIGHT({s}, {2 * _LIMB_BITS})) AS {prefix}_hi"),
+            F.expr(
+                f"SUM((SHIFTRIGHT({s}, {_LIMB_BITS}) & {_LIMB_LO - 1})) AS {prefix}_mid"
+            ),
+            *out,
+        ]
+    c = col
     half = F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
     s = (c.cast("double") * F.lit(float(10**scale)) + half).cast("long")
-    n = _n_limbs(max_abs, scale)
     out = [F.sum(s.bitwiseAND(F.lit(_LIMB_LO - 1))).alias(f"{prefix}_lo")]
     if n == 1:
         return [F.sum(s).alias(f"{prefix}_lo")]
@@ -282,7 +335,6 @@ def dsum_merge(
     mismatch raises instead; the per-outer-group overflow envelope is
     the same as the single-level form since the merged sum covers the
     same row set."""
-    dec = lambda c: F.sum(c).cast("decimal(38,0)")  # noqa: E731
     n = _n_limbs(max_abs, scale)
     if df is not None:
         cols = set(df.columns)
@@ -296,17 +348,18 @@ def dsum_merge(
                 f"dsum_limbs call that built them"
             )
         n = present
+    dec = lambda c: f"CAST(SUM({c}) AS DECIMAL(38,0))"  # noqa: E731
     if n == 1:
         total = dec(f"{prefix}_lo")
     elif n == 2:
-        total = dec(f"{prefix}_hi") * F.lit(_LIMB_LO) + dec(f"{prefix}_lo")
+        total = f"({dec(f'{prefix}_hi')} * {_LIMB_LO} + {dec(f'{prefix}_lo')})"
     else:
         total = (
-            dec(f"{prefix}_hi") * F.lit(_LIMB_HI)
-            + dec(f"{prefix}_mid") * F.lit(_LIMB_LO)
-            + dec(f"{prefix}_lo")
+            f"({dec(f'{prefix}_hi')} * {_LIMB_HI}"
+            f" + {dec(f'{prefix}_mid')} * {_LIMB_LO}"
+            f" + {dec(f'{prefix}_lo')})"
         )
-    return (total / F.lit(10**scale)).cast("double").alias(alias)
+    return F.expr(f"CAST(({total} / {10**scale}) AS DOUBLE)").alias(alias)
 
 
 def dsum(
@@ -325,8 +378,12 @@ def dsum(
 def davg(
     col: str | F.Column, alias: str, scale: int = 2, max_abs: float | None = None
 ) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return (dsum_expr(c, scale, max_abs) / F.count(c)).alias(alias)
+    if isinstance(col, str):
+        return F.expr(
+            f"(CAST(({_scaled_sum_sql(col, scale, max_abs)} / {10**scale}) AS DOUBLE)"
+            f" / COUNT(({col})))"
+        ).alias(alias)
+    return (dsum_expr(col, scale, max_abs) / F.count(col)).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from dicom_metadata_extractor_serverless_datalake_spark.queries.base import (
     _n_limbs,
+    davg,
     dsum,
     dsum_limbs,
     dsum_merge,
@@ -64,6 +65,54 @@ def test_single_level_matches_decimal(spark, max_abs, rows):
         assert Decimal(str(got[g])) == want[g].normalize() or abs(
             Decimal(str(got[g])) - want[g]
         ) == 0
+
+
+@pytest.mark.parametrize("max_abs", [None, 4e3, 1e7])
+def test_sql_string_path_equals_column_path(spark, max_abs):
+    """The SQL-string fast path (one F.expr parse per aggregate — the
+    round-12 construction-cost optimization) must produce bit-identical
+    results to the Column-operator path at every limb width, for
+    dsum/davg and for composite expressions, signs and boundary values
+    included."""
+    rows = [
+        (0, 1234.56, 0.1, 0.08),
+        (0, -999999.99, 0.0, 0.0),
+        (1, 0.005, 0.9, 0.99),
+        (1, 1048575.99, 0.5, 0.5),  # straddles the 2^20 limb boundary scaled
+        (2, -0.005, 1.0, 0.0),
+        (2, 3999.99, 0.25, 0.125),
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, d double, t double")
+    comp_sql = "v * (1 - d)"
+    comp_col = F.col("v") * (1 - F.col("d"))
+    got_s = (
+        df.groupBy("g")
+        .agg(
+            dsum("v", "s", max_abs=max_abs),
+            dsum(comp_sql, "cs", 4, max_abs=max_abs),
+            davg("v", "a", max_abs=max_abs),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    got_c = (
+        df.groupBy("g")
+        .agg(
+            dsum(F.col("v"), "s", max_abs=max_abs),
+            dsum(comp_col, "cs", 4, max_abs=max_abs),
+            davg(F.col("v"), "a", max_abs=max_abs),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    assert [tuple(r) for r in got_s] == [tuple(r) for r in got_c]
+    # two-level: string-input limbs + merge == Column-input limbs + merge
+    lv1_s = df.groupBy("g").agg(*dsum_limbs("v", "x", 2, max_abs=max_abs))
+    lv1_c = df.groupBy("g").agg(*dsum_limbs(F.col("v"), "x", 2, max_abs=max_abs))
+    assert lv1_s.columns == lv1_c.columns
+    ms = lv1_s.groupBy().agg(dsum_merge("x", "s", 2, max_abs=max_abs)).collect()
+    mc = lv1_c.groupBy().agg(dsum_merge("x", "s", 2, max_abs=max_abs)).collect()
+    assert [tuple(r) for r in ms] == [tuple(r) for r in mc]
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
